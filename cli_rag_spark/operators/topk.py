@@ -1,0 +1,73 @@
+"""E6 — single-query top-k nearest neighbours.
+
+Reference: ``create_closest_distances`` (vector-db.c:148-177) scores
+the query against every row (O(N·d)), sorts the *entire* distance
+array with ``qsort`` (O(N log N), vector-db.c:170) and takes the first
+k. Ties are unspecified (qsort is unstable).
+
+Spark-native form: ``withColumn(dist).orderBy(dist, id).limit(k)``.
+Catalyst plans this as **TakeOrderedAndProject** — a per-partition
+bounded heap (O(N log k) per partition) merged on the driver, which is
+strictly better than the reference's full sort and is embarrassingly
+parallel across partitions: at 100 TB each of the 1000 executors keeps
+a k-row heap and only k·num_partitions rows ever move. No shuffle.
+
+Ties are made deterministic by the secondary ``id`` sort key (the
+reference's array-index identity, SURVEY §1.1, made explicit).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from cli_rag_spark.functions.vectors import cosine_distance
+
+METRICS = {"cosine": cosine_distance}
+
+
+def topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+    dist_col: str = "dist",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Top-k rows of ``df`` nearest to ``query_vec``.
+
+    Mirrors the reference's validation: fewer than k rows is an error
+    (vector-db.c:160-163) — but as a real exception, not ``_exit(1)``.
+    The count() guard is only run when ``validate=True`` via
+    :func:`validate_topk` to keep the happy path single-pass.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    dist_fn = METRICS[metric]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    dist = dist_fn(F.col(vector_col), q)
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    return (
+        df.withColumn(dist_col, dist)
+        .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def validate_topk(df: DataFrame, k: int) -> None:
+    """The reference's n_entries < k hard-exit (vector-db.c:160-163),
+    surfaced as ValueError. Separate call because it forces an action."""
+    n = df.count()
+    if n < k:
+        raise ValueError(f"index has {n} entries but {k} results requested")
+
+
+def topk_distance_column(query_vec: Sequence[float], vector_col: str = "embedding") -> Column:
+    """Expose the distance expression for plan composition."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return cosine_distance(F.col(vector_col), q)

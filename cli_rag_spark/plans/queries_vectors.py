@@ -1,0 +1,143 @@
+"""Vector query pack — E5 cosine, E6 topk, E7 knn_join, embedding ops.
+
+These are the direct capability ports of the reference's query path
+(vector-db.c:148-177 brute-force cosine top-k). Every query here is
+oracle-checkable: cosine is expressed with SQL higher-order functions
+on the Spark side and ``list_cosine_similarity`` on the DuckDB side,
+both in f64, rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_rag_spark.functions.vectors import cosine_distance, l2_norm
+from cli_rag_spark.operators.knn import knn_join
+from cli_rag_spark.sources.documents import load_table
+
+K = 5
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: top-K nearest rows to the vec_id=0 vector — the
+    reference's one and only query (R9), batch-shaped. The 1-row query
+    side is broadcast; Catalyst plans the top-k as
+    TakeOrderedAndProject (no full sort, no shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_distance(F.col("embedding"), F.col("query_vec")), 6).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(K)
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: batch kNN join — 20 query vectors × whole index, k=3,
+    self-matches excluded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join(queries, emb, k=3, exclude_self=True)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms per vector — sanity surface for E5's norm kernel."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm")
+    ).orderBy("vec_id")
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise mean embedding per label — the aggregation shape of
+    IVF coarse-quantizer training (operators/ann.py). posexplode →
+    groupBy(label, pos) keeps it fully built-in; at scale this is one
+    shuffle on (label, pos) with map-side partial aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"))
+        .orderBy("label", "pos")
+    )
+
+
+def q_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of distances to the query vector in 0.1 buckets —
+    exercises E5 inside a groupBy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(F.floor(F.round(cosine_distance(F.col("embedding"), F.col("query_vec")), 6) * 10).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+QUERIES = {
+    "cosine_topk": q_cosine_topk,
+    "knn_join": q_knn_join,
+    "embedding_norms": q_embedding_norms,
+    "label_centroids": q_label_centroids,
+    "cosine_histogram": q_cosine_histogram,
+}
+
+ORACLE = {
+    "cosine_topk": f"""
+        SELECT e.vec_id,
+               round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY dist ASC, vec_id ASC
+        LIMIT {K}
+    """,
+    "knn_join": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20
+        ), d AS (
+            SELECT q.query_id, e.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, dist, rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+            FROM d
+        )
+        WHERE rank <= 3
+    """,
+    "embedding_norms": """
+        SELECT vec_id,
+               round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    "label_centroids": """
+        -- DuckDB 1.0 has no WITH ORDINALITY; dim is uniform 64 (FIXTURES.md)
+        SELECT label,
+               (gs - 1)::INTEGER AS pos,
+               round(avg(embedding[gs]::DOUBLE), 6) AS mean_val
+        FROM embeddings CROSS JOIN generate_series(1, 64) t(gs)
+        GROUP BY label, gs
+        ORDER BY label, pos
+    """,
+    "cosine_histogram": """
+        SELECT CAST(floor(round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) * 10) AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+}

@@ -1,0 +1,58 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The reference engine is a single process with the whole index in RAM
+(multirag.c:359). Our execution substrate is Spark; these defaults are
+chosen so the same logical plans survive a 1000-executor / 100 TB
+deployment:
+
+* AQE on (runtime coalescing, skew-join splitting, dynamic join
+  selection) — at 100 TB the static plan is always wrong somewhere.
+* Arrow on — every pandas_udf / mapInPandas boundary is Arrow-batched.
+* UTC session timezone — deterministic timestamp semantics across
+  engines (and vs. the DuckDB oracle).
+* shuffle partitions sized for the local harness; on a real cluster
+  AQE coalesces from a deliberately-high initial number instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -> SparkSession.Builder:
+    """Apply engine defaults to an existing builder (used by the driver's
+    entry point, which owns the master URL)."""
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Joins against small dimension tables should broadcast; 64 MB
+        # covers every dim table in the star schema at any SF we meet
+        # locally, while on a cluster AQE re-derives this at runtime.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet scans: keep splits big enough that a 100 TB table
+        # doesn't explode into millions of tiny tasks.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+
+
+def get_session(app_name: str = "cli-rag-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for the test
+    harness; production deployments pass their own master / rely on
+    spark-submit.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    return configure(builder).getOrCreate()
