@@ -1,0 +1,145 @@
+"""E2 — text chunking (the reference's UDTF-shaped 1→N operator).
+
+Reference: ``cut_texts_in_subtexts`` (load-texts.c:37-105). Exact
+semantics, reproduced byte-for-byte in ``mode="reference"``:
+
+* text shorter than the window → one chunk, the whole text
+  (load-texts.c:48-57);
+* cut at ``requested_length``, then backtrack to the last ``' '``
+  (load-texts.c:61-63) — so every chunk after the first *starts with
+  the space* it backtracked to;
+* if no space exists in the window, emit a full fixed-width window
+  (load-texts.c:65-68: ``position += requested_length`` restores the
+  pre-backtrack cut point);
+* tail chunk ends at ``text_length - 1`` → the final character of the
+  text is always dropped (load-texts.c:89). This is a reference bug
+  we reproduce only under ``mode="reference"`` (SURVEY §7 quirks
+  ledger);
+* loop runs while the *pre-backtrack* cut point ``< len - 1``
+  (load-texts.c:59).
+
+``mode="clean"`` is the engine's default: word-boundary chunks with
+optional character overlap, no dropped characters, full coverage.
+
+Scale: chunking is a pure per-row function → ``pandas_udf`` returning
+``array<string>`` (Arrow-batched) + ``posexplode``. No shuffle; the
+explode multiplies rows inside the same stage, and downstream ops see
+an honest per-chunk row count for AQE to size partitions with.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+
+def cut_reference(text: str, requested_length: int) -> list[str]:
+    """Pure-Python port of load-texts.c:37-105 (0-based indices)."""
+    n = len(text)
+    r = requested_length
+    if n < r:
+        return [text]
+    chunks: list[str] = []
+    prev = 0
+    pos = r
+    while pos < n - 1:
+        while pos > prev and text[pos] != " ":
+            pos -= 1
+        if pos == prev:
+            # "No new words found on interval" fallback (load-texts.c:65-68)
+            pos += r
+        chunks.append(text[prev:pos])
+        prev = pos
+        pos += r
+    if prev < n and pos >= n - 1:
+        pos = n - 1
+        chunks.append(text[prev:pos])  # final char dropped (load-texts.c:89)
+    return chunks
+
+
+def cut_clean(text: str, size: int, overlap: int = 0) -> list[str]:
+    """Sane default: word-boundary-aligned windows, optional overlap,
+    no dropped characters, chunks stripped of the boundary space."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    n = len(text)
+    if n == 0:
+        return []
+    if n <= size:
+        return [text]
+    chunks: list[str] = []
+    start = 0
+    while start < n:
+        end = min(start + size, n)
+        if end < n:
+            cut = text.rfind(" ", start + 1, end + 1)
+            if cut > start:
+                end = cut
+        chunks.append(text[start:end].strip())
+        if end >= n:
+            break
+        start = max(start + 1, end - overlap)
+        if text[start - 1] != " " and overlap == 0 and text[start:].startswith(" "):
+            start += 1
+    return [c for c in chunks if c]
+
+
+def chunk(
+    df: DataFrame,
+    size: int,
+    mode: str = "clean",
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DF[doc_id, ...] → DF[doc_id, chunk_index, chunk_text, n_chars].
+
+    Adds the provenance the reference never had (SURVEY §1.1: its only
+    chunk identity was array position).
+    """
+    if mode == "reference":
+        fn = lambda s: cut_reference(s, size)  # noqa: E731
+    elif mode == "clean":
+        fn = lambda s: cut_clean(s, size, overlap)  # noqa: E731
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def chunk_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: fn(t) if t is not None else [])
+
+    return (
+        df.select(F.col(id_col), chunk_udf(F.col(text_col)).alias("_chunks"))
+        .select(
+            id_col,
+            F.posexplode("_chunks").alias("chunk_index", "chunk_text"),
+        )
+        .withColumn("n_chars", F.length("chunk_text"))
+    )
+
+
+def chunk_fixed(
+    df: DataFrame,
+    size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-width chunking with zero Python: sequence + transform +
+    posexplode, fully JVM-side. The scale path when word alignment
+    doesn't matter (and the SQL-oracle-checkable baseline for E2)."""
+    n_chunks = F.ceil(F.length(text_col) / F.lit(size)).cast("int")
+    pieces = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.col(text_col).substr(i * size + 1, F.lit(size)),
+    )
+    # sequence(0, -1) would infer step -1; guard the empty-text case
+    pieces = F.when(F.length(text_col) > 0, pieces).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), pieces.alias("_chunks"))
+        .select(id_col, F.posexplode("_chunks").alias("chunk_index", "chunk_text"))
+        .withColumn("n_chars", F.length("chunk_text"))
+    )

@@ -1,0 +1,240 @@
+"""Text query pack — E2 chunking, E9 text analysis, fingerprinting.
+
+chunk_reference is the crown piece: the Spark side runs the exact
+port of the reference chunker (load-texts.c:37-105) as an
+Arrow-batched UDF, and the oracle reproduces the same state machine
+as a DuckDB *recursive CTE* — so even the quirky C semantics are
+fully value-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_rag_spark.functions.text import (
+    BPE_ISH_TOKEN_RE,
+    STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    token_count,
+    tokens,
+)
+from cli_rag_spark.operators.chunk import chunk, chunk_fixed
+from cli_rag_spark.sources.documents import load_table
+
+CHUNK_SIZE = 64
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: per-language corpus statistics, all built-ins (one shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(token_count(F.col("text")).cast("double")), 4).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristic + punct ratio per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column (confusion counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups by normalized-text md5 fingerprint (E8 exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width chunking, zero-Python JVM path."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_fixed(docs, CHUNK_SIZE)
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "chunk_text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).orderBy("doc_id", "chunk_index")
+
+
+def q_chunk_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact chunker (load-texts.c:37-105) over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk(docs, CHUNK_SIZE, mode="reference")
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_index")
+
+
+def q_chunk_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-mode chunker, verified on aggregate invariants (per-doc
+    chunk count and char coverage) — the exact chunk boundaries are an
+    engine-defined policy with no SQL equivalent, so the oracle checks
+    the invariants instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk(docs, CHUNK_SIZE, mode="clean")
+    return (
+        out.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "lang_id_confusion": q_lang_id,
+    "fingerprint_dups": q_fingerprint_dups,
+    "chunk_fixed": q_chunk_fixed,
+    "chunk_reference": q_chunk_reference,
+    "chunk_clean_stats": q_chunk_clean_stats,
+}
+
+_WS_TOKENS = r"list_filter(regexp_split_to_array(trim({col}), '\s+'), x -> x <> '')"
+
+_QUALITY = r"""
+    (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+  + (CASE WHEN list_sum(list_transform({toks}, x -> length(x)))::DOUBLE
+          / greatest(len({toks}), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+  + (1.0 - least(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+                 / greatest(length(text), 1) * 5, 1.0)) * 0.3
+""".format(toks=_WS_TOKENS.format(col="text"))
+
+
+def _lang_case() -> str:
+    """argmax with alphabetical tie-break, mirroring functions/text.py."""
+    score = {
+        lang: f"len(list_filter({_WS_TOKENS.format(col='lower(text)')}, "
+        f"x -> x IN ({', '.join(repr(w) for w in sorted(words))})))"
+        for lang, words in STOPWORDS.items()
+    }
+    # fold in alphabetical order: strictly-greater replaces
+    expr_lang, expr_score = "'und'", "0"
+    for lang in sorted(score):
+        s = score[lang]
+        expr_lang = f"CASE WHEN {s} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {s} > {expr_score} THEN {s} ELSE {expr_score} END"
+    return expr_lang
+
+
+ORACLE = {
+    "text_stats": rf"""
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(avg(len({_WS_TOKENS.format(col='text')})::DOUBLE), 4) AS avg_tokens,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "token_counts": rf"""
+        SELECT doc_id,
+               len({_WS_TOKENS.format(col='text')})::BIGINT AS ws_tokens,
+               len(regexp_extract_all(text, '{BPE_ISH_TOKEN_RE}'))::BIGINT AS bpe_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "quality_scores": rf"""
+        SELECT doc_id,
+               round({_QUALITY}, 6) AS quality,
+               round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1), 6) AS punct_ratio
+        FROM documents ORDER BY doc_id
+    """,
+    "lang_id_confusion": f"""
+        SELECT lang, {_lang_case()} AS lang_pred, count(*) AS n
+        FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred
+    """,
+    "fingerprint_dups": r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               count(*) AS n_dups,
+               min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1 ORDER BY keep_doc_id
+    """,
+    "chunk_fixed": f"""
+        SELECT doc_id,
+               (gs - 1)::BIGINT AS chunk_index,
+               substr(text, ((gs - 1) * {CHUNK_SIZE} + 1)::INTEGER, {CHUNK_SIZE}) AS chunk_text,
+               length(substr(text, ((gs - 1) * {CHUNK_SIZE} + 1)::INTEGER, {CHUNK_SIZE}))::BIGINT AS n_chars
+        FROM documents
+        -- generate_series needs constant bounds in DuckDB 1.0; 512 windows
+        -- of 64 chars covers any fixture doc (max n_chars << 32k)
+        CROSS JOIN generate_series(1, 512) t(gs)
+        WHERE (gs - 1) * {CHUNK_SIZE} < length(text)
+        ORDER BY doc_id, chunk_index
+    """,
+    # The reference chunker's state machine (load-texts.c:37-105) as a
+    # recursive CTE: backtrack-to-last-space via strpos(reverse(window)),
+    # full-window fallback when no space, tail chunk dropping the final
+    # character — validated cell-exact against the Python port.
+    "chunk_reference": f"""
+        WITH RECURSIVE st AS (
+          SELECT doc_id, text, length(text)::BIGINT AS L, 0::BIGINT AS prev,
+                 -1::BIGINT AS idx, CAST(NULL AS VARCHAR) AS chunk, FALSE AS done
+          FROM documents WHERE length(text) >= {CHUNK_SIZE}
+          UNION ALL
+          SELECT doc_id, text, L,
+                 CASE WHEN is_tail THEN L ELSE pos END,
+                 idx + 1,
+                 CASE WHEN is_tail THEN substr(text, CAST(prev+1 AS INTEGER), CAST(L-1-prev AS INTEGER))
+                      ELSE substr(text, CAST(prev+1 AS INTEGER), CAST(pos-prev AS INTEGER)) END,
+                 is_tail
+          FROM (
+            SELECT *, CASE WHEN sp > 0 THEN prev + {CHUNK_SIZE} - sp + 1 ELSE prev + {CHUNK_SIZE} END AS pos,
+                   (prev + {CHUNK_SIZE} >= L - 1) AS is_tail
+            FROM (
+              SELECT *, strpos(reverse(substr(text, CAST(prev+2 AS INTEGER), {CHUNK_SIZE})), ' ') AS sp
+              FROM st WHERE NOT done
+            )
+          )
+        )
+        SELECT doc_id, idx AS chunk_index, chunk AS chunk_text FROM st WHERE idx >= 0
+        UNION ALL
+        SELECT doc_id, 0::BIGINT, text FROM documents WHERE length(text) < {CHUNK_SIZE}
+        ORDER BY doc_id, chunk_index
+    """,
+}

@@ -2,13 +2,17 @@
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from importlib import import_module
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cli_rag_spark.deploy import ensure_package_on_executors
+
 _PACKS = [
     "cli_rag_spark.plans.queries_vectors",
+    "cli_rag_spark.plans.queries_text",
 ]
 
 
@@ -20,7 +24,15 @@ def _load():
         for name, fn in mod.QUERIES.items():
             if name in queries:
                 raise ValueError(f"duplicate query name {name!r} in {mod_name}")
-            queries[name] = fn
+
+            @functools.wraps(fn)
+            def wrapped(spark, sf_dir, _fn=fn):
+                # make Python-UDF queries self-sufficient regardless of
+                # how the driver built its session / cwd
+                ensure_package_on_executors(spark)
+                return _fn(spark, sf_dir)
+
+            queries[name] = wrapped
         for name, sql in getattr(mod, "ORACLE", {}).items():
             if name not in mod.QUERIES:
                 raise ValueError(f"oracle {name!r} in {mod_name} has no query")

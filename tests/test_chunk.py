@@ -1,0 +1,84 @@
+"""Chunker edge cases pinned to load-texts.c behavior (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cli_rag_spark.operators.chunk import cut_clean, cut_reference
+
+
+class TestCutReference:
+    def test_short_text_passthrough(self):
+        # text_length < requested_length → whole text, one chunk
+        # (load-texts.c:48-57)
+        assert cut_reference("hi there", 100) == ["hi there"]
+
+    def test_exact_length_drops_last_char(self):
+        # L == R: loop skipped, tail = text[0:L-1] (load-texts.c:87-99)
+        assert cut_reference("abcd efgh", 9) == ["abcd efg"]
+
+    def test_backtrack_to_space(self):
+        # cut at 6 backtracks to the space at index 3; each later chunk
+        # starts with the space it backtracked to (load-texts.c:61-63, 83)
+        text = "abc def ghi"
+        assert cut_reference(text, 6) == ["abc", " def", " gh"]
+
+    def test_no_space_window_fallback(self):
+        # no space in [prev+1, prev+R] → full fixed window
+        # (load-texts.c:65-68)
+        text = "abcdefghij klm"
+        out = cut_reference(text, 5)
+        assert out[0] == "abcde"
+        # reassembly: all chunks concatenated = text minus final char
+        assert "".join(out) == text[:-1]
+
+    def test_final_char_always_dropped(self):
+        # tail ends at text_length-1 (load-texts.c:89)
+        text = "aa bb cc dd ee"
+        out = cut_reference(text, 6)
+        assert "".join(out) == text[:-1]
+
+    def test_reassembly_property(self):
+        # concatenation of chunks == text[:-1] whenever L >= R
+        texts = [
+            "the quick brown fox jumps over the lazy dog " * 5,
+            "nospacesatallinthisstring" * 4,
+            "a " * 50,
+            "word " * 13,
+        ]
+        for t in texts:
+            for r in (8, 16, 64):
+                if len(t) >= r:
+                    assert "".join(cut_reference(t, r)) == t[:-1], (t[:20], r)
+
+    def test_empty_tail_chunk_possible(self):
+        # if a space lands exactly at L-1 territory the tail can be tiny
+        out = cut_reference("abcde x", 6)
+        assert "".join(out) == "abcde "
+
+
+class TestCutClean:
+    def test_no_char_dropped(self):
+        t = "the quick brown fox jumps over the lazy dog"
+        chunks = cut_clean(t, 10)
+        # clean mode must cover every word
+        assert " ".join(chunks).split() == t.split()
+
+    def test_short_text(self):
+        assert cut_clean("short", 100) == ["short"]
+
+    def test_empty(self):
+        assert cut_clean("", 10) == []
+
+    def test_bad_args(self):
+        with pytest.raises(ValueError):
+            cut_clean("x", 0)
+        with pytest.raises(ValueError):
+            cut_clean("x", 4, overlap=4)
+
+    def test_overlap(self):
+        t = "aaaa bbbb cccc dddd eeee"
+        chunks = cut_clean(t, 10, overlap=5)
+        assert len(chunks) >= 3
+        for c in chunks:
+            assert len(c) <= 10
