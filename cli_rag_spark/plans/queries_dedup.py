@@ -1,0 +1,157 @@
+"""Dedup query pack (E8) — every strategy oracle-checked.
+
+The md5-string hashing makes MinHash/SimHash reproducible in DuckDB:
+``min(md5(seed||shingle))`` is a permutation-proxy minimum in both
+engines, and simhash bits come from hex-substring→BIGINT bit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_rag_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_pairs,
+    jaccard_pairs,
+    minhash_candidates,
+    simhash_groups,
+)
+from cli_rag_spark.sources.documents import load_table
+
+SHINGLE_WORDS = 3
+N_HASHES = 8
+N_BANDS = 4
+JACCARD_DOC_LIMIT = 100  # brute-force Jaccard bounded to first N docs
+NEAR_DUP_DIST = 0.6  # fixture vectors are near-orthogonal; 0.6 yields a small true pair set
+
+
+def q_dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor count + ids checksum after exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_exact(docs)
+    return out.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(
+        docs, shingle_words=SHINGLE_WORDS, n_hashes=N_HASHES, n_bands=N_BANDS
+    ).orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force 3-gram Jaccard over the first 100 docs, pairs with
+    any overlap."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < JACCARD_DOC_LIMIT)
+    return jaccard_pairs(docs, shingle_words=SHINGLE_WORDS).orderBy("id_a", "id_b")
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_groups(docs).orderBy("min_doc_id")
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, NEAR_DUP_DIST).orderBy("id_a", "id_b")
+
+
+QUERIES = {
+    "dedup_exact_count": q_dedup_exact_count,
+    "minhash_candidates": q_minhash_candidates,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_groups": q_simhash_groups,
+    "embedding_near_dups": q_embedding_near_dups,
+}
+
+# shared SQL fragments (DuckDB) mirroring functions/text.py + hashing.py
+_TOKS = r"list_filter(regexp_split_to_array(trim({src}), '\s+'), x -> x <> '')"
+_SHINGLES = (
+    "list_transform(range(1, greatest(len({toks}) - %d + 2, 1)), "
+    "i -> array_to_string({toks}[i:i+%d], ' '))"
+    % (SHINGLE_WORDS, SHINGLE_WORDS - 1)
+).format(toks=_TOKS.format(src="text"))
+_MINHASH = ", ".join(
+    f"list_min(list_transform(list_distinct(sh), s -> md5('{seed}|' || s)))"
+    for seed in range(N_HASHES)
+)
+
+
+def _band_key(b: int, rows_per_band: int) -> str:
+    parts = " || '|' || ".join(f"sig[{b * rows_per_band + i + 1}]" for i in range(rows_per_band))
+    return f"md5({parts})"
+
+
+_SIMHASH_BIT = (
+    "CASE WHEN list_sum(list_transform(toks, t -> "
+    "CASE WHEN (('0x' || substr(md5(t), 1, 15))::BIGINT & {mask}) > 0 THEN 1 ELSE -1 END)) > 0 "
+    "THEN 1 ELSE 0 END"
+)
+_SIMHASH = " || ".join(
+    "CAST(" + _SIMHASH_BIT.format(mask=1 << j) + " AS VARCHAR)" for j in range(16)
+)
+
+ORACLE = {
+    "dedup_exact_count": r"""
+        WITH keep AS (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                FROM documents)
+          GROUP BY fp
+        )
+        SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM keep
+    """,
+    "minhash_candidates": f"""
+        WITH sh AS (
+          SELECT doc_id, {_SHINGLES} AS sh FROM documents
+        ), sig AS (
+          SELECT doc_id, [{_MINHASH}] AS sig FROM sh WHERE len(sh) >= 1
+        ), banded AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, {b} AS band, {_band_key(b, N_HASHES // N_BANDS)} AS key FROM sig"
+              for b in range(N_BANDS)
+          )}
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l
+        JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ORDER BY id_a, id_b
+    """,
+    "ngram_jaccard": f"""
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle
+          FROM documents WHERE doc_id < {JACCARD_DOC_LIMIT}
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        ORDER BY id_a, id_b
+    """,
+    "simhash_groups": f"""
+        WITH keyed AS (
+          SELECT doc_id, {_SIMHASH} AS simhash
+          FROM (SELECT doc_id, {_TOKS.format(src="text")} AS toks FROM documents)
+        )
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        FROM keyed GROUP BY simhash ORDER BY min_doc_id
+    """,
+    "embedding_near_dups": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) < {NEAR_DUP_DIST}
+        ORDER BY id_a, id_b
+    """,
+}

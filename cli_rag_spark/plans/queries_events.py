@@ -1,0 +1,180 @@
+"""Events pack — time-series / log analytics over the ``events`` table.
+
+Sessionization, tumbling windows, JSON extraction, running
+aggregates: the window-function surface a telemetry pipeline needs.
+(The reference's only "session state" is an in-RAM chat transcript,
+multirag.c:303-304 — this is its batch analog, SURVEY §1.4.)
+
+Timestamp outputs are always formatted strings; interval math uses
+epoch-microsecond differences, which are timezone-shift-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cli_rag_spark.sources.documents import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows (batch form of the streaming window op;
+    streaming/ops.py reuses the same expression)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour")
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (> 30 min starts a new session): lag →
+    boundary flag → running count. Two window passes over the same
+    (user_id, ts) partitioning — one shuffle, reused by both windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
+    sessions = ev.withColumn("session_seq", F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.round((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0, 3).alias("duration_sec"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + distribution (get_json_object path)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_mod"), "value")
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("k_mod")
+    )
+
+
+def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user cumulative value (prefix sums are order-
+    deterministic in both engines given the same ORDER BY)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    ).orderBy("user_id", "event_id")
+
+
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel per user via conditional aggregation
+    (one shuffle; no self-joins)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("has_view"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("has_click"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_purchase"),
+    )
+    return per_user.select(
+        F.sum("has_view").alias("n_view"),
+        F.sum(F.col("has_view") * F.col("has_click")).alias("n_view_click"),
+        F.sum(F.col("has_view") * F.col("has_click") * F.col("has_purchase")).alias("n_full_funnel"),
+    )
+
+
+QUERIES = {
+    "event_type_stats": q_event_type_stats,
+    "hourly_event_windows": q_hourly_event_windows,
+    "sessionization": q_sessionization,
+    "json_props": q_json_props,
+    "user_running_value": q_user_running_value,
+    "funnel_counts": q_funnel_counts,
+}
+
+ORACLE = {
+    "event_type_stats": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS total_value,
+               round(avg(value), 4) AS avg_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "hourly_event_windows": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1 ORDER BY hour
+    """,
+    "sessionization": f"""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts - lag(ts) OVER w) > {SESSION_GAP_MIN} * 60 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq,
+               count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               round(epoch_us(max(ts) - min(ts)) / 1000000.0, 3) AS duration_sec,
+               round(sum(value), 2) AS session_value
+        FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+    """,
+    "json_props": """
+        SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS k_mod,
+               count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1 ORDER BY k_mod
+    """,
+    "user_running_value": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        FROM events WHERE user_id < 10 ORDER BY user_id, event_id
+    """,
+    "funnel_counts": """
+        WITH per_user AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+                 max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+          FROM events GROUP BY user_id
+        )
+        SELECT CAST(sum(has_view) AS BIGINT) AS n_view,
+               CAST(sum(has_view * has_click) AS BIGINT) AS n_view_click,
+               CAST(sum(has_view * has_click * has_purchase) AS BIGINT) AS n_full_funnel
+        FROM per_user
+    """,
+}

@@ -13,6 +13,9 @@ from cli_rag_spark.deploy import ensure_package_on_executors
 _PACKS = [
     "cli_rag_spark.plans.queries_vectors",
     "cli_rag_spark.plans.queries_text",
+    "cli_rag_spark.plans.queries_dedup",
+    "cli_rag_spark.plans.queries_relational",
+    "cli_rag_spark.plans.queries_events",
 ]
 
 
@@ -27,9 +30,13 @@ def _load():
 
             @functools.wraps(fn)
             def wrapped(spark, sf_dir, _fn=fn):
-                # make Python-UDF queries self-sufficient regardless of
-                # how the driver built its session / cwd
+                # make queries self-sufficient regardless of how the
+                # driver built its session / cwd:
+                # - package importable on executor Python workers
+                # - UTC session TZ (timestamp literals + formatting
+                #   must match the oracle's naive-timestamp semantics)
                 ensure_package_on_executors(spark)
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
                 return _fn(spark, sf_dir)
 
             queries[name] = wrapped

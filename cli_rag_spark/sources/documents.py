@@ -49,5 +49,32 @@ def load_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> Data
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Fixture-table loader used by every ``queries()`` entry."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Fixture-table loader used by every ``queries()`` entry.
+
+    Handles parquet TIMESTAMP(NANOS) columns (which Spark rejects by
+    default, e.g. events.ts): reads them as long via the legacy conf
+    and rebuilds a proper TimestampType column by integer-dividing to
+    microseconds — the same truncation DuckDB applies, so the two
+    engines see identical values.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols: list[str] = []
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        schema = pq.read_schema(path)
+        ns_cols = [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        pass  # directory datasets / remote stores: plain read below
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
