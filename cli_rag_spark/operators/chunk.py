@@ -108,6 +108,10 @@ def chunk(
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
+    from cli_rag_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
     @F.pandas_udf(ArrayType(StringType()))
     def chunk_udf(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: fn(t) if t is not None else [])

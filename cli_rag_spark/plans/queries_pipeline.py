@@ -1,0 +1,134 @@
+"""Pipeline pack — E3/E4 index build, E6 search over the built index,
+E10 context assembly, E11 multimodal metadata. The md5-derived mock
+embedder makes the *entire* chunk→embed→search pipeline expressible
+in DuckDB SQL, so even these are value-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cli_rag_spark.functions.vectors import cosine_distance
+from cli_rag_spark.operators.chunk import chunk_fixed
+from cli_rag_spark.operators.context import assemble_context
+from cli_rag_spark.operators.embed import (
+    DEFAULT_DIM,
+    mock_embedding_expr,
+    mock_embedding_sql,
+)
+from cli_rag_spark.operators.multimodal import attach_binary_metadata
+from cli_rag_spark.sources.documents import load_table
+
+PIPE_CHUNK = 128
+PIPE_K = 5
+QUERY_TEXT = "table scan join"
+
+
+def q_mock_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end E4→E6: fixed-chunk the corpus, mock-embed every
+    chunk (pure JVM), embed a literal query text the same way, top-5
+    by cosine. This is the reference's whole lifecycle (index build +
+    query, build-vector-db-from-server.c + multirag.c) in one plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = chunk_fixed(docs, PIPE_CHUNK).withColumn(
+        "embedding", mock_embedding_expr(F.col("chunk_text"), DEFAULT_DIM)
+    )
+    qvec = mock_embedding_expr(F.lit(QUERY_TEXT), DEFAULT_DIM)
+    return (
+        index.withColumn("dist", F.round(cosine_distance(F.col("embedding"), qvec), 6))
+        .select("doc_id", F.col("chunk_index").cast("long").alias("chunk_index"), "dist")
+        .orderBy(F.col("dist").asc(), F.col("doc_id").asc(), F.col("chunk_index").asc())
+        .limit(PIPE_K)
+    )
+
+
+def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: assemble the 'Context i:' prompt block from the top-3
+    documents nearest the mock query (multirag.c:108-124 semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    qvec = mock_embedding_expr(F.lit(QUERY_TEXT), DEFAULT_DIM)
+    hits = (
+        docs.withColumn("embedding", mock_embedding_expr(F.col("text"), DEFAULT_DIM))
+        .withColumn("dist", F.round(cosine_distance(F.col("embedding"), qvec), 6))
+        .orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+        .limit(3)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("dist").asc(), F.col("doc_id").asc())),
+        )
+    )
+    return assemble_context(hits, rank_col="rank", text_col="text")
+
+
+def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: synthesize a binary payload column from text (the fixture
+    has no true binary table) and extract JVM-side metadata — length,
+    digest, sniffed format — grouped into per-format stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+    meta = attach_binary_metadata(with_payload)
+    return (
+        meta.select(
+            "doc_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.digest").alias("digest"),
+            F.col("meta.format").alias("format"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "mock_index_topk": q_mock_index_topk,
+    "rag_context": q_rag_context,
+    "binary_metadata": q_binary_metadata,
+}
+
+_CHUNK_SQL = f"""
+    SELECT doc_id,
+           (gs - 1)::BIGINT AS chunk_index,
+           substr(text, ((gs - 1) * {PIPE_CHUNK} + 1)::INTEGER, {PIPE_CHUNK}) AS chunk_text
+    FROM documents
+    CROSS JOIN generate_series(1, 512) t(gs)
+    WHERE (gs - 1) * {PIPE_CHUNK} < length(text)
+"""
+
+_QVEC = mock_embedding_sql(f"'{QUERY_TEXT}'", DEFAULT_DIM)
+
+ORACLE = {
+    "mock_index_topk": f"""
+        WITH chunks AS ({_CHUNK_SQL}),
+        embedded AS (
+          SELECT doc_id, chunk_index,
+                 {mock_embedding_sql("chunk_text", DEFAULT_DIM)} AS embedding
+          FROM chunks
+        )
+        SELECT doc_id, chunk_index,
+               round(1 - list_cosine_similarity(embedding, {_QVEC}), 6) AS dist
+        FROM embedded
+        ORDER BY dist ASC, doc_id ASC, chunk_index ASC
+        LIMIT {PIPE_K}
+    """,
+    "rag_context": f"""
+        WITH scored AS (
+          SELECT doc_id, text,
+                 round(1 - list_cosine_similarity(
+                     {mock_embedding_sql("text", DEFAULT_DIM)}, {_QVEC}), 6) AS dist
+          FROM documents
+        ), hits AS (
+          SELECT text, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS rank
+          FROM scored ORDER BY dist ASC, doc_id ASC LIMIT 3
+        )
+        SELECT string_agg('Context ' || rank || ':' || chr(10) || text, ' ' || chr(10) || ' '
+                          ORDER BY rank) AS context
+        FROM hits
+    """,
+    "binary_metadata": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS digest,
+               'unknown' AS format
+        FROM documents ORDER BY doc_id
+    """,
+}

@@ -16,6 +16,7 @@ _PACKS = [
     "cli_rag_spark.plans.queries_dedup",
     "cli_rag_spark.plans.queries_relational",
     "cli_rag_spark.plans.queries_events",
+    "cli_rag_spark.plans.queries_pipeline",
 ]
 
 

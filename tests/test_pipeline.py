@@ -1,0 +1,155 @@
+"""Index pipeline, .vdb codec, embedder, context, multimodal tests."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_rag_spark.operators.context import assemble_context, rag_prompt
+from cli_rag_spark.operators.embed import embed, mock_embed_py, mock_embedding_expr
+from cli_rag_spark.operators.index import DimensionError, build_index, validate_dimension
+from cli_rag_spark.operators.multimodal import (
+    attach_binary_metadata,
+    decode_images,
+    extract_features,
+    fake_decode_image,
+    frame_sample_plan,
+)
+from cli_rag_spark.sources.documents import load_table
+from cli_rag_spark.sources.vdb import read_vdb, write_vdb
+
+
+class TestMockEmbedder:
+    def test_unit_norm_and_determinism(self, spark):
+        df = spark.createDataFrame([("hello world",), ("hello world",), ("other",)], ["chunk_text"])
+        out = embed(df, mode="mock", dim=8).collect()
+        v0, v1, v2 = (r["embedding"] for r in out)
+        assert v0 == v1  # deterministic
+        assert v0 != v2
+        assert abs(sum(x * x for x in v0) - 1.0) < 1e-6  # unit norm
+
+    def test_python_twin_matches_spark(self, spark):
+        df = spark.createDataFrame([("some text",)], ["chunk_text"])
+        spark_vec = embed(df, mode="mock", dim=8).collect()[0]["embedding"]
+        py_vec = mock_embed_py("some text", 8)
+        assert all(abs(a - b) < 1e-9 for a, b in zip(spark_vec, py_vec))
+
+
+class TestIndexBuild:
+    def test_build_index_end_to_end(self, spark, sf_smoke_dir, tmp_path):
+        docs = load_table(spark, sf_smoke_dir, "documents").limit(20)
+        out_path = os.path.join(str(tmp_path), "index")
+        idx = build_index(docs, out_path=out_path, chunk_size=100, dim=8)
+        assert validate_dimension(idx) == 8
+        reread = spark.read.parquet(out_path)
+        assert reread.count() == idx.count()
+        assert set(reread.columns) >= {"doc_id", "chunk_index", "chunk_text", "embedding", "id"}
+
+    def test_dimension_validation_rejects_mixed(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])], ["id", "embedding"]
+        )
+        with pytest.raises(DimensionError, match="non-uniform"):
+            validate_dimension(df)
+
+
+class TestVdbCodec:
+    def test_round_trip(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0], "alpha"), (1, [4.0, 5.0, 6.0], "beta bytes é")],
+            ["id", "embedding", "text"],
+        )
+        path = os.path.join(str(tmp_path), "t.vdb")
+        n = write_vdb(df, path)
+        assert n == 2
+        back = read_vdb(spark, path).orderBy("id").collect()
+        assert [r["text"] for r in back] == ["alpha", "beta bytes é"]
+        assert back[0]["embedding"] == [1.0, 2.0, 3.0]
+
+    def test_layout_bytes(self, spark, tmp_path):
+        # byte layout per vector-db.c:42-79: magic, type, n, dim,
+        # dim-3 vector padded to 4 doubles, length-prefixed text
+        df = spark.createDataFrame([(0, [1.0, 2.0, 3.0], "ab")], ["id", "embedding", "text"])
+        path = os.path.join(str(tmp_path), "t.vdb")
+        write_vdb(df, path)
+        data = open(path, "rb").read()
+        assert data[:4] == b"VEC\x00"
+        assert data[4] == 1  # DOUBLE_VECTOR
+        assert int.from_bytes(data[5:13], "little") == 1
+        assert int.from_bytes(data[13:21], "little") == 3
+        # 4 padded doubles (32 bytes) + text record (8 + 2)
+        assert len(data) == 21 + 32 + 8 + 2
+
+    def test_bad_magic_is_hard_error(self, spark, tmp_path):
+        path = os.path.join(str(tmp_path), "bad.vdb")
+        open(path, "wb").write(b"NOPE" + b"\x00" * 40)
+        with pytest.raises(ValueError, match="bad magic"):
+            read_vdb(spark, path)
+
+    def test_empty_write_rejected(self, spark, tmp_path):
+        df = spark.createDataFrame([], "id long, embedding array<double>, text string")
+        with pytest.raises(ValueError, match="empty"):
+            write_vdb(df, os.path.join(str(tmp_path), "e.vdb"))
+
+
+class TestContext:
+    def test_assemble_order_insensitive(self, spark):
+        hits = spark.createDataFrame(
+            [(3, "c"), (1, "a"), (2, "b")], ["rank", "text"]
+        ).repartition(3)
+        out = assemble_context(hits).collect()[0]["context"]
+        assert out == "Context 1:\na \n Context 2:\nb \n Context 3:\nc"
+
+    def test_rag_prompt_no_typo(self, spark):
+        df = spark.createDataFrame([("ctx", "hi")], ["context", "q"])
+        p = df.select(rag_prompt(F.col("context"), F.col("q")).alias("p")).collect()[0]["p"]
+        assert "assistant" in p and "assistent" not in p  # multirag.c:77 quirk not inherited
+
+
+class TestMultimodal:
+    def _payload_df(self, spark):
+        return spark.createDataFrame(
+            [(0, b"\xff\xd8\xffrest-of-jpeg"), (1, b"\x89PNG\r\n\x1a\nrest"), (2, b"plain")],
+            "doc_id long, payload binary",
+        )
+
+    def test_metadata_sniffing(self, spark):
+        out = {r["doc_id"]: r["meta"] for r in attach_binary_metadata(self._payload_df(spark)).collect()}
+        assert out[0]["format"] == "jpeg"
+        assert out[1]["format"] == "png"
+        assert out[2]["format"] == "unknown"
+        assert out[2]["n_bytes"] == 5
+
+    def test_decode_stub_raises_without_decoder(self, spark):
+        df = decode_images(self._payload_df(spark))
+        with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+            df.collect()
+
+    def test_fake_decoder_deterministic(self, spark):
+        df = decode_images(self._payload_df(spark), decoder=fake_decode_image)
+        rows = {r["doc_id"]: r for r in df.collect()}
+        again = {r["doc_id"]: r for r in decode_images(self._payload_df(spark), decoder=fake_decode_image).collect()}
+        assert rows[0]["width"] == again[0]["width"]
+        assert rows[0]["mode"] in ("RGB", "RGBA", "L")
+
+    def test_feature_extraction_shape(self, spark):
+        out = extract_features(self._payload_df(spark), dim=6).collect()
+        for r in out:
+            assert len(r["features"]) == 6
+            assert all(-0.5 <= x <= 0.5 for x in r["features"])
+
+    def test_frame_sampling(self, spark):
+        out = frame_sample_plan(self._payload_df(spark), n_frames=3).collect()
+        assert len(out) == 9
+        offs = [r["frame_offset"] for r in out if r["doc_id"] == 2]
+        assert offs == [0, 1, 3]
+
+
+class TestMathSanity:
+    def test_mock_vec_cosine_self_zero(self):
+        v = mock_embed_py("x", 8)
+        dot = sum(a * a for a in v)
+        assert abs(1 - dot) < 1e-8
