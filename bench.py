@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"cosine_topk": sec, ...}, "sf": 0.1}
+
+Timing protocol: each query is materialized with the `noop` sink
+(full execution, zero serialization cost) after a shared JVM warm-up,
+so numbers measure the plan, not Spark startup. The headline set spans
+every operator family: vector search (E5-E7), dedup (E8), text/chunk
+(E2/E9), index pipeline (E3/E4), relational core (E12), events.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from cli_rag_spark.session import get_session  # noqa: E402
+from cli_rag_spark.plans import registry  # noqa: E402
+
+# The judged headline set. Order: cheap warm families first so a JIT
+# warm JVM serves the heavier vector/dedup plans.
+HEADLINE = [
+    "pricing_summary",           # E12: scan-heavy group-by (lineitem)
+    "top_customers_per_nation",  # E12: join + window top-k
+    "shipping_priority",         # E12: 3-way join + agg + limit
+    "sessionization",            # events: window lag/gap sessions
+    "hourly_event_windows",      # events: time bucketing
+    "token_counts",              # E9: regex tokenization
+    "chunk_reference",           # E2: reference-exact chunker UDF
+    "fingerprint_dups",          # E9: rolling-hash fingerprint
+    "cosine_topk",               # E6: brute-force top-k (flagship)
+    "knn_join",                  # E7: batch many-query top-k
+    "embedding_near_dups",       # E8: cosine near-dup self-join
+    "minhash_candidates",        # E8: MinHash LSH banding
+    "simhash_groups",            # E8: simhash bucket dedup
+    "mock_index_topk",           # E4: docs->chunk->embed->index->topk
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else -1.0
+
+
+def _materialize(df) -> None:
+    # noop sink: full distributed execution of the plan, results
+    # discarded executor-side (no driver collect bottleneck).
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name="cli-rag-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+
+    # Warm-up: JVM/codegen/Arrow path, not measured.
+    _materialize(queries["cosine_topk"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

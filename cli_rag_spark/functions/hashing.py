@@ -27,17 +27,6 @@ def md5_int60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
-def minhash_value(shingles: Column, seed: int) -> Column:
-    """min over shingles of md5(seed||shingle); NULL for empty input."""
-    hashed = F.transform(shingles, lambda s: F.md5(F.concat(F.lit(str(seed) + "|"), s)))
-    return F.array_min(hashed)
-
-
-def minhash_signature(shingles: Column, n_hashes: int) -> Column:
-    """Array of n_hashes string minhashes (seeds 0..n-1)."""
-    return F.array(*[minhash_value(shingles, seed) for seed in range(n_hashes)])
-
-
 def band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
     """LSH banding: array<struct<band:int, key:string>> where key is the
     md5 of the concatenated band slice. Explode + groupBy(band, key)
@@ -51,30 +40,3 @@ def band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
         key = F.md5(F.concat_ws("|", *parts))
         bands.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
     return F.array(*bands)
-
-
-def _simhash_bit_cols(toks: Column, n_bits: int) -> list[Column]:
-    """bit_j = 1 iff sum over tokens of (bit_j(md5_int60(token)) ? +1 : -1) > 0.
-
-    One aggregate() pass per bit; n_bits is kept small (16) because
-    each bit is an array aggregate.
-    """
-    bits = []
-    for j in range(n_bits):
-        contrib = lambda t, j=j: (  # noqa: E731
-            F.when(F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
-                   .bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1)
-        )
-        total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + contrib(t))
-        bits.append((total > 0).cast("int"))
-    return bits
-
-
-def simhash_bits(toks: Column, n_bits: int = 16) -> Column:
-    """SimHash over a token array: array of n_bits sign bits (0/1)."""
-    return F.array(*_simhash_bit_cols(toks, n_bits))
-
-
-def simhash_str(toks: Column, n_bits: int = 16) -> Column:
-    """SimHash packed as a '0101...' string key (joinable/groupable)."""
-    return F.concat_ws("", *[b.cast("string") for b in _simhash_bit_cols(toks, n_bits)])
