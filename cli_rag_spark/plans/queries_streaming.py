@@ -1,0 +1,77 @@
+"""Streaming query pack — Structured Streaming plans driven to a
+deterministic batch result (trigger availableNow → memory sink), so
+even the *stateful* streaming operators are value-checked against a
+DuckDB oracle, not just row-counted.
+
+* streaming_hourly_windows — watermarked tumbling windows; complete
+  mode, so the final table equals the batch aggregation exactly.
+* streaming_sessionization — applyInPandasWithState gap sessions.
+  With watermark delay 0, the emitted set has a closed form: every
+  session whose ``end + gap <= max(ts)`` (closed-by-event sessions
+  satisfy it via their successor; timed-out sessions by definition;
+  per-user tail sessions within the gap of the stream's end stay in
+  state). That closed form IS the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cli_rag_spark.streaming.ops import (
+    SESSION_GAP_MIN,
+    hourly_windows,
+    read_events_stream,
+    run_to_memory,
+    sessionize_stream,
+)
+
+
+def q_streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(hourly_windows(stream), "complete").orderBy("hour")
+
+
+def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(sessionize_stream(stream), "append").orderBy(
+        "user_id", "session_seq"
+    )
+
+
+QUERIES = {
+    "streaming_hourly_windows": q_streaming_hourly_windows,
+    "streaming_sessionization": q_streaming_sessionization,
+}
+
+ORACLE = {
+    "streaming_hourly_windows": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1 ORDER BY hour
+    """,
+    "streaming_sessionization": f"""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts - lag(ts) OVER w) > {SESSION_GAP_MIN} * 60 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged
+        ), agg AS (
+          SELECT user_id, session_seq, count(*) AS n_events,
+                 strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                 round(epoch_us(max(ts) - min(ts)) / 1000000.0, 3) AS duration_sec,
+                 round(sum(value), 2) AS session_value,
+                 max(ts) AS session_end
+          FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT user_id, session_seq, n_events, session_start, duration_sec, session_value
+        FROM agg, (SELECT max(ts) AS gmax FROM events)
+        WHERE epoch_us(gmax - session_end) >= {SESSION_GAP_MIN} * 60 * 1000000
+        ORDER BY user_id, session_seq
+    """,
+}

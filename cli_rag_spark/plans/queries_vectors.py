@@ -13,10 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cli_rag_spark.functions.vectors import cosine_distance, l2_norm
+from cli_rag_spark.operators.ann import ivf_topk
 from cli_rag_spark.operators.knn import knn_join
 from cli_rag_spark.sources.documents import load_table
 
 K = 5
+IVF_CENTROIDS = 8
+IVF_PROBE = 2
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,8 +87,19 @@ def q_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-K via the IVF scale path (operators/ann.py):
+    seeded coarse centroids, broadcast assignment, probe the 2 nearest
+    of 8 lists, exact re-score inside. Deterministic end to end, so
+    the full approximate result is oracle-checked — not just counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    return ivf_topk(emb, q, k=K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE)
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
+    "ivf_topk": q_ivf_topk,
     "knn_join": q_knn_join,
     "embedding_norms": q_embedding_norms,
     "label_centroids": q_label_centroids,
@@ -93,6 +107,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ivf_topk": f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            WHERE vec_id < {IVF_CENTROIDS}
+        ), q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ), assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6), c.cid
+                       ) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        ), probe AS (
+            SELECT cid FROM cent, q
+            ORDER BY round(1 - list_cosine_similarity(cvec::DOUBLE[], qv::DOUBLE[]), 6), cid
+            LIMIT {IVF_PROBE}
+        )
+        SELECT e.vec_id,
+               round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        FROM embeddings e
+        JOIN assign a ON e.vec_id = a.vec_id
+        JOIN probe p ON a.cid = p.cid, q
+        ORDER BY dist ASC, e.vec_id ASC
+        LIMIT {K}
+    """,
     "cosine_topk": f"""
         SELECT e.vec_id,
                round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist

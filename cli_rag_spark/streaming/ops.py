@@ -1,0 +1,210 @@
+"""Structured Streaming operators over the events table.
+
+Design notes (scale-first):
+
+* Source is the file stream reader — on a cluster this is the landing
+  bucket of a log pipeline; ``maxFilesPerTrigger`` bounds batch size.
+* ``hourly_windows`` is the incremental form of the batch
+  ``hourly_event_windows`` query (plans/queries_events.py) — same
+  aggregation expression, plus a watermark so state is bounded: Spark
+  drops window state once the watermark passes the window end.
+* ``sessionize_stream`` is the custom stateful operator the built-ins
+  can't express: gap-based sessions via ``applyInPandasWithState``.
+  State per user is one open session (5 scalars); sessions are
+  emitted when closed by a later event or by an event-time timeout.
+  With watermark delay 0 the flushed set has a closed form — every
+  session whose ``end + gap <= max(ts)`` — which makes the streaming
+  operator's output exactly SQL-expressible (the oracle in
+  plans/queries_streaming.py) even though the operator itself is not.
+* ``run_to_memory`` drives any streaming frame to a deterministic
+  batch DataFrame with trigger(availableNow=True) — the test/judge
+  harness path. Production sinks write parquet/kafka instead; the
+  plan is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SESSION_GAP_MIN = 30
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_start", StringType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("session_value", DoubleType()),
+    ]
+)
+
+# open-session state: (session_seq, start_us, last_us, n_events, value_sum)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_seq", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream with the batch-inferred schema (streams
+    cannot infer). TIMESTAMP(NANOS) columns are read as long and
+    rebuilt as microsecond timestamps, exactly like the batch loader
+    (sources/documents.py load_table) so stream and batch plans see
+    identical values."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    ns_cols: list[str] = []
+    try:
+        arrow_schema = pq.read_schema(events_path)
+        ns_cols = [
+            f.name for f in arrow_schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        pass
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if not os.path.isdir(events_path):
+        # the file-stream source only accepts directories; expose a
+        # single-file fixture through a symlink in a temp dir
+        d = tempfile.mkdtemp(prefix="cli_rag_stream_")
+        os.symlink(os.path.abspath(events_path), os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    stream = reader.parquet(events_path)
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return stream
+
+
+def hourly_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour aggregation — late rows beyond the
+    watermark are dropped and window state is evicted, so state size
+    is O(active windows), not O(stream length)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def _sessionize_fn(gap_min: int):
+    gap_us = gap_min * 60 * 1_000_000
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out: list[tuple] = []
+
+        def close(seq: int, start_us: int, last_us: int, n: int, val: float) -> None:
+            out.append(
+                (
+                    int(user_id),
+                    int(seq),
+                    int(n),
+                    pd.Timestamp(start_us * 1000).strftime("%Y-%m-%d %H:%M:%S"),
+                    round((last_us - start_us) / 1_000_000.0, 3),
+                    round(val, 2),
+                )
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                seq, start_us, last_us, n, val = state.get
+                close(seq, start_us, last_us, n, val)
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+            ts_us = rows["ts"].astype("int64") // 1000
+            if state.exists:
+                seq, start_us, last_us, n, val = state.get
+            else:
+                seq, start_us, last_us, n, val = 0, None, None, 0, 0.0
+            for t, v in zip(ts_us, rows["value"]):
+                t = int(t)
+                if last_us is None:
+                    seq, start_us, n, val = seq + 1, t, 0, 0.0
+                elif t - last_us > gap_us:
+                    close(seq, start_us, last_us, n, val)
+                    seq, start_us, n, val = seq + 1, t, 0, 0.0
+                n += 1
+                val += float(v)
+                last_us = t
+            state.update((int(seq), int(start_us), int(last_us), int(n), float(val)))
+            # flush the open session once the watermark passes its gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_min * 60 * 1000)
+        yield pd.DataFrame(out, columns=[f.name for f in SESSION_OUT_SCHEMA.fields])
+
+    return fn
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap_min: int = SESSION_GAP_MIN,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization.
+
+    The batch analog is two window passes (plans/queries_events.py
+    q_sessionization); incrementally the same semantics need explicit
+    state — one open session per user — which is exactly what
+    ``applyInPandasWithState`` + event-time timeout expresses.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_min),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(streaming_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming frame to completion (availableNow) into a
+    memory sink; returns the sink as a batch DataFrame."""
+    name = "s" + uuid.uuid4().hex
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return streaming_df.sparkSession.table(name)

@@ -1,0 +1,109 @@
+"""Streaming operator tests (streaming/ops.py).
+
+The judged parity of the single-file path is covered by the oracle
+harness (plans/queries_streaming.py); here we exercise what that
+can't: state continuation across MULTIPLE micro-batches — events are
+re-written as several time-ordered files and streamed one file per
+trigger, so sessions that span batch boundaries must be stitched by
+the applyInPandasWithState state, and windowed counts must accumulate
+incrementally.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_rag_spark.sources.documents import load_table
+from cli_rag_spark.streaming import ops
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, tmp_path_factory):
+    """events at sf0.001 re-laid-out as 3 time-ordered files."""
+    import glob
+    import shutil
+
+    root = tmp_path_factory.mktemp("events_split")
+    out = str(root / "data")
+    scratch = str(root / "scratch")
+    __import__("os").makedirs(out)
+    ev = load_table(spark, SF_SMOKE, "events")
+    bounds = ev.select(
+        F.percentile_approx("ts", [1 / 3, 2 / 3], 10000).alias("b")
+    ).collect()[0]["b"]
+    parts = [
+        ev.where(F.col("ts") <= bounds[0]),
+        ev.where((F.col("ts") > bounds[0]) & (F.col("ts") <= bounds[1])),
+        ev.where(F.col("ts") > bounds[1]),
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.mode("overwrite").parquet(scratch)
+        (src,) = glob.glob(f"{scratch}/part-*.parquet")
+        # file-stream processes in discovery order; name by time order
+        shutil.copy(src, f"{out}/batch_{i}.parquet")
+    return out
+
+
+def _batch_sessions(spark, events_df, gap_min):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > gap_min * 60 * 1_000_000), 1).otherwise(0)
+    sess = events_df.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    agg = sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.round(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0, 3
+        ).alias("duration_sec"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+        F.max("ts").alias("_end"),
+    )
+    gmax = events_df.agg(F.max("ts").alias("gmax"))
+    return (
+        agg.crossJoin(gmax)
+        .where(
+            F.unix_micros(F.col("gmax")) - F.unix_micros(F.col("_end"))
+            >= gap_min * 60 * 1_000_000
+        )
+        .drop("_end", "gmax")
+    )
+
+
+def test_multibatch_sessionization_matches_batch(spark, split_events_dir):
+    """Sessions spanning micro-batch boundaries are stitched by state;
+    the flushed set equals the batch closed-form (end + gap <= max ts)."""
+    stream = ops.read_events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    streamed = ops.run_to_memory(ops.sessionize_stream(stream), "append")
+    batch_ev = spark.read.parquet(split_events_dir)
+    expected = _batch_sessions(spark, batch_ev, ops.SESSION_GAP_MIN)
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in expected.collect())
+    assert len(got) > 0
+    assert got == want
+
+
+def test_multibatch_hourly_windows_match_batch(spark, split_events_dir):
+    stream = ops.read_events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    streamed = ops.run_to_memory(ops.hourly_windows(stream), "complete")
+    batch = (
+        spark.read.parquet(split_events_dir)
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+
+def test_single_file_stream_smoke(spark):
+    stream = ops.read_events_stream(spark, f"{SF_SMOKE}/events.parquet")
+    out = ops.run_to_memory(ops.hourly_windows(stream), "complete")
+    assert out.count() > 0
