@@ -39,6 +39,7 @@ HEADLINE = [
     "chunk_reference",           # E2: reference-exact chunker UDF
     "fingerprint_dups",          # E9: rolling-hash fingerprint
     "cosine_topk",               # E6: brute-force top-k (flagship)
+    "ivf_topk",                  # E6 scale path: probe 2/8 lists
     "knn_join",                  # E7: batch many-query top-k
     "embedding_near_dups",       # E8: cosine near-dup self-join
     "minhash_candidates",        # E8: MinHash LSH banding
