@@ -1,0 +1,183 @@
+"""E12 extras — the relational surfaces the core pack doesn't touch:
+multi-dimensional aggregation (CUBE), pivot, exact percentiles,
+semi/anti joins as standalone query shapes, and grouped top-k via
+dense_rank. All built-ins; same rounding/formatting conventions as
+queries_relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cli_rag_spark.sources.documents import load_table
+
+PIVOT_BRANDS = ["Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5"]
+
+
+def q_segment_nation_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (mktsegment, nation): all 4 grouping combinations in
+    one pass — Spark expands grouping sets before the single shuffle,
+    so the cost is one scan regardless of dimension count."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return (
+        joined.cube("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("mktsegment"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_cust",
+            "total_bal",
+        )
+        .orderBy("mktsegment", "nation")
+    )
+
+
+def q_brand_size_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: avg retail price per p_size bucket × brand. Spark's
+    pivot is a single groupBy with conditional aggregates — exactly
+    what the oracle spells out; no extra shuffle vs a plain groupBy."""
+    part = load_table(spark, sf_dir, "part")
+    out = (
+        part.withColumn("size_bucket", F.floor(F.col("p_size") / 10).cast("int"))
+        .groupBy("size_bucket")
+        .pivot("p_brand", PIVOT_BRANDS)
+        .agg(F.round(F.avg("p_retailprice"), 4))
+        .orderBy("size_bucket")
+    )
+    # pivot emits the raw brand strings as column names; normalize
+    for b in PIVOT_BRANDS:
+        out = out.withColumnRenamed(b, b.replace("Brand#", "brand_"))
+    return out
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) of extended price
+    per return flag — `percentile` is exact in both engines
+    (DuckDB quantile_cont), unlike approx sketches which can never
+    hash-match across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_idle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: suppliers with no lineitem shipped in the first week of 1997 — the left side
+    streams, the filter side shuffles only its distinct keys."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-08").cast("timestamp"))
+    )
+    return (
+        sup.join(li, sup.s_suppkey == li.l_suppkey, "anti")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_active_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): orders over 100k with at least one
+    undiscounted line — no duplication, no post-join distinct."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100_000)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_discount") == 0.0)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "semi")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k with dense_rank (ties share rank; both engines
+    break the final output identically by part key ordering)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rnk", F.dense_rank().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"), "rnk")
+        .orderBy("p_brand", "rnk", "p_partkey")
+    )
+
+
+QUERIES = {
+    "segment_nation_cube": q_segment_nation_cube,
+    "brand_size_pivot": q_brand_size_pivot,
+    "price_percentiles": q_price_percentiles,
+    "idle_suppliers": q_idle_suppliers,
+    "active_high_value_orders": q_active_high_value_orders,
+    "top_parts_per_brand": q_top_parts_per_brand,
+}
+
+_PIVOT_COLS = ", ".join(
+    f"round(avg(CASE WHEN p_brand = '{b}' THEN p_retailprice END), 4) AS brand_{b.split('#')[1]}"
+    for b in PIVOT_BRANDS
+)
+
+ORACLE = {
+    "segment_nation_cube": """
+        SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+               coalesce(n_name, 'ALL') AS nation,
+               count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY CUBE (c_mktsegment, n_name)
+        ORDER BY mktsegment, nation
+    """,
+    "brand_size_pivot": f"""
+        SELECT floor(p_size / 10)::INTEGER AS size_bucket, {_PIVOT_COLS}
+        FROM part
+        GROUP BY 1 ORDER BY size_bucket
+    """,
+    "price_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "idle_suppliers": """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_suppkey = s_suppkey
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-08'
+        )
+        ORDER BY s_suppkey
+    """,
+    "active_high_value_orders": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > 100000
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount = 0.0)
+        ORDER BY o_orderkey
+    """,
+    "top_parts_per_brand": """
+        SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice, rnk
+        FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   dense_rank() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+            FROM part
+        )
+        WHERE rnk <= 3
+        ORDER BY p_brand, rnk, p_partkey
+    """,
+}
