@@ -83,6 +83,33 @@ def mock_embed_py(text: str, dim: int = DEFAULT_DIM) -> list[float]:
 
 # ---------------------------------------------------------------- http
 
+def http_embed_one(
+    text: str,
+    host: str,
+    port: int | str,
+    timeout_sec: float = 30.0,
+) -> list[float]:
+    """Single-request embedding — the driver-side analog of
+    ``embedding-from-server-cli`` (embedding-from-server-cli.c:5-17):
+    one POST, parsed llama.cpp shape, raised (not _exit) on failure."""
+    import urllib.request
+
+    url = f"http://{host}:{port}/embedding"
+    payload = json.dumps({"content": text}).encode()
+    req = urllib.request.Request(
+        url, data=payload, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
+        body = json.loads(resp.read())
+    if isinstance(body, list):
+        emb = body[0]["embedding"]
+        if emb and isinstance(emb[0], list):
+            emb = emb[0]
+    else:
+        emb = body["embedding"]
+    return [float(x) for x in emb]
+
+
 def http_embed(
     df: DataFrame,
     host: str,
