@@ -14,12 +14,17 @@ from pyspark.sql import functions as F
 
 from cli_rag_spark.functions.vectors import cosine_distance, l2_norm
 from cli_rag_spark.operators.ann import ivf_topk
-from cli_rag_spark.operators.knn import knn_join
+from cli_rag_spark.operators.knn import _hyperplanes, knn_join, knn_join_lsh
 from cli_rag_spark.sources.documents import load_table
 
 K = 5
 IVF_CENTROIDS = 8
 IVF_PROBE = 2
+LSH_DIM = 64  # fixture embedding dim (FIXTURES.md)
+LSH_PLANES = 16
+LSH_BANDS = 4
+LSH_SEED = 42
+LSH_QUERIES = 10
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,16 +102,78 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE)
 
 
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN join via random-hyperplane LSH banding — the
+    100 TB candidate-generation path (operators/knn.py). Deterministic
+    seeded hyperplanes make the full approximate result (candidates ∩
+    re-score ∩ top-3) oracle-checkable: the oracle SQL embeds the same
+    plane literals and replays banding + rescoring in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join_lsh(
+        queries, emb, k=3, dim=LSH_DIM,
+        n_planes=LSH_PLANES, n_bands=LSH_BANDS, seed=LSH_SEED,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
+    "knn_join_lsh": q_knn_join_lsh,
     "knn_join": q_knn_join,
     "embedding_norms": q_embedding_norms,
     "label_centroids": q_label_centroids,
     "cosine_histogram": q_cosine_histogram,
 }
 
+def _lsh_oracle_sql() -> str:
+    """DuckDB replay of the LSH banding with the same seeded plane
+    literals (knn._hyperplanes). Dot products are spelled out as
+    left-associated sums so the IEEE evaluation order matches Spark's
+    sequential aggregate fold bit-for-bit."""
+    planes = _hyperplanes(LSH_DIM, LSH_PLANES, LSH_SEED)
+    rpb = LSH_PLANES // LSH_BANDS
+    bit_cols = ", ".join(
+        "CASE WHEN ("
+        + " + ".join(f"embedding[{i + 1}]::DOUBLE * {v!r}" for i, v in enumerate(p))
+        + f") >= 0 THEN 1 ELSE 0 END AS b{j}"
+        for j, p in enumerate(planes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " || ".join(f"b{b * rpb + i}::VARCHAR" for i in range(rpb))
+        + " AS bsig FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH sig AS (SELECT vec_id, {bit_cols} FROM embeddings),
+        bands AS ({band_rows}),
+        q AS (SELECT * FROM bands WHERE vec_id < {LSH_QUERIES}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, i.vec_id
+            FROM q JOIN bands i ON q.band = i.band AND q.bsig = i.bsig
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS dist
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+        )
+        SELECT query_id, vec_id, dist, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+            FROM scored
+        )
+        WHERE rank <= 3
+        ORDER BY query_id, rank
+    """
+
+
 ORACLE = {
+    "knn_join_lsh": _lsh_oracle_sql(),
     "ivf_topk": f"""
         WITH cent AS (
             SELECT vec_id AS cid, embedding AS cvec FROM embeddings

@@ -1,0 +1,130 @@
+"""Property tests (SURVEY §5.2 layer 3) over the pure-Python twins of
+the engine kernels — hypothesis drives the pure functions (fast, no
+Spark round-trip per example); Spark↔Python equivalence of the same
+functions is pinned separately in test_chunk/test_pipeline/test_parity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cli_rag_spark.operators.chunk import cut_clean, cut_reference
+from cli_rag_spark.operators.embed import mock_embed_py
+
+texts = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=400
+)
+sizes = st.integers(min_value=2, max_value=64)
+
+
+@given(texts, sizes)
+@settings(max_examples=200, deadline=None)
+def test_clean_chunks_preserve_content(text, size):
+    """mode='clean' drops only boundary whitespace (chunks are
+    stripped): the ordered sequence of non-whitespace characters is
+    exactly preserved, and no chunk exceeds the window."""
+    chunks = cut_clean(text, size)
+    drop_ws = lambda s: "".join(ch for ch in s if not ch.isspace())  # noqa: E731
+    assert drop_ws("".join(chunks)) == drop_ws(text)
+    if len(text) <= size:
+        assert chunks == ([text] if text else [])  # passthrough, unstripped
+        return
+    for c in chunks:
+        assert len(c) <= size
+        assert c == c.strip()
+
+
+@given(texts, sizes)
+@settings(max_examples=200, deadline=None)
+def test_reference_chunks_cover_all_but_final_char(text, size):
+    """mode='reference' reproduces load-texts.c:37-105: short texts
+    pass through whole (load-texts.c:48-57); long texts reassemble to
+    a prefix of the original, losing at most the final char
+    (load-texts.c:89) — never content in the middle."""
+    chunks = cut_reference(text, size)
+    joined = "".join(chunks)
+    if len(text) < size:  # strict: load-texts.c:48 (text_length < requested)
+        assert chunks == [text]
+    else:
+        assert joined == text[: len(joined)]
+        assert len(joined) >= len(text) - 1
+
+
+@given(st.text(max_size=100), st.integers(min_value=1, max_value=128))
+@settings(max_examples=200, deadline=None)
+def test_mock_embedding_is_unit_norm_and_deterministic(text, dim):
+    v1 = mock_embed_py(text, dim)
+    v2 = mock_embed_py(text, dim)
+    assert v1 == v2
+    assert len(v1) == dim
+    # components are rounded to 9 dp for SQL-expression parity, so the
+    # norm is 1 only to ~dim·1e-9
+    assert abs(math.fsum(x * x for x in v1) - 1.0) < 1e-6
+
+
+vectors = st.lists(
+    st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=64),
+    min_size=2,
+    max_size=64,
+)
+
+
+def _norm(a):
+    return math.sqrt(sum(x * x for x in a))
+
+
+def _cos_dist(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return 1.0 - dot / (_norm(a) * _norm(b))
+
+
+@given(st.tuples(vectors, vectors).filter(
+    lambda ab: len(ab[0]) == len(ab[1])
+    and any(x != 0 for x in ab[0])
+    and any(x != 0 for x in ab[1])
+))
+@settings(max_examples=200, deadline=None)
+def test_cosine_distance_range_and_symmetry(ab):
+    """cosine distance ∈ [0, 2] (fp slack), symmetric, self-distance 0
+    — the invariants of the reference kernel (vector-db.c:181-269)."""
+    a, b = ab
+    if _norm(a) == 0 or _norm(b) == 0:  # squares can underflow to 0
+        return
+    d = _cos_dist(a, b)
+    assert -1e-9 <= d <= 2 + 1e-9
+    assert abs(d - _cos_dist(b, a)) < 1e-9
+    assert abs(_cos_dist(a, a)) < 1e-9
+
+
+@given(st.floats(min_value=1e-3, max_value=1e3, allow_nan=False), vectors)
+@settings(max_examples=200, deadline=None)
+def test_cosine_scale_invariance(c, a):
+    """cos_dist(a, c·a) ≈ 0 for c > 0 — positive scaling never changes
+    the metric (the property that makes unit-normalizing the mock
+    embedder harmless)."""
+    scaled = [c * x for x in a]
+    if _norm(a) == 0 or _norm(scaled) == 0:
+        return
+    assert abs(_cos_dist(a, scaled)) < 1e-6
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=12), min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_minhash_signature_is_set_semantics(parts):
+    """MinHash input is the shingle SET: duplicating or reordering
+    shingles never changes min(md5(seed|s)) (dedup permutation
+    invariance, SURVEY §5.2)."""
+    import hashlib
+
+    def sig(shingles):
+        return [
+            min(hashlib.md5(f"{seed}|{s}".encode()).hexdigest() for s in shingles)
+            for seed in range(4)
+        ]
+
+    base = sig(parts)
+    assert sig(list(reversed(parts))) == base
+    assert sig(parts + parts) == base
