@@ -41,6 +41,8 @@ HEADLINE = [
     "cosine_topk",               # E6: brute-force top-k (flagship)
     "ivf_topk",                  # E6 scale path: probe 2/8 lists
     "knn_join",                  # E7: batch many-query top-k
+    "knn_join_all",              # E7 GEMM path: all-pairs self kNN
+    "knn_join_lsh",              # E7 approximate path: LSH banding
     "embedding_near_dups",       # E8: cosine near-dup self-join
     "minhash_candidates",        # E8: MinHash LSH banding
     "simhash_groups",            # E8: simhash bucket dedup

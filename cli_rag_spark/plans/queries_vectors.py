@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 from cli_rag_spark.functions.vectors import cosine_distance, l2_norm
 from cli_rag_spark.operators.ann import ivf_topk
-from cli_rag_spark.operators.knn import _hyperplanes, knn_join, knn_join_lsh
+from cli_rag_spark.operators.knn import (
+    _hyperplanes,
+    knn_join,
+    knn_join_gemm,
+    knn_join_lsh,
+)
 from cli_rag_spark.sources.documents import load_table
 
 K = 5
@@ -119,10 +124,25 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
+def q_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector queries the whole index (k=3, self excluded) on
+    the GEMM physical path (knn_join_gemm): query blocks broadcast,
+    index scored in place partition-by-partition with one f64 matmul
+    per (block × partition) — the all-pairs workload the expression
+    form can't sustain at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join_gemm(queries, emb, k=3, exclude_self=True)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
     "knn_join_lsh": q_knn_join_lsh,
+    "knn_join_all": q_knn_join_all,
     "knn_join": q_knn_join,
     "embedding_norms": q_embedding_norms,
     "label_centroids": q_label_centroids,
@@ -174,6 +194,21 @@ def _lsh_oracle_sql() -> str:
 
 ORACLE = {
     "knn_join_lsh": _lsh_oracle_sql(),
+    "knn_join_all": """
+        WITH d AS (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist
+            FROM embeddings q, embeddings e
+            WHERE e.vec_id <> q.vec_id
+        )
+        SELECT query_id, vec_id, dist, rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+            FROM d
+        )
+        WHERE rank <= 3
+        ORDER BY query_id, rank
+    """,
     "ivf_topk": f"""
         WITH cent AS (
             SELECT vec_id AS cid, embedding AS cvec FROM embeddings

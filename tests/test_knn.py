@@ -1,0 +1,40 @@
+"""kNN physical-strategy equivalence: the GEMM path must reproduce
+the expression path exactly (same contract, different kernel) —
+SURVEY §5.2 layer 3 cross-impl checking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cli_rag_spark.operators.knn import knn_join, knn_join_gemm
+from cli_rag_spark.sources.documents import load_table
+
+
+def _queries(emb, n):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_gemm_matches_expression_path(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb, 25)
+    a = sorted(map(tuple, knn_join(q, emb, k=4, exclude_self=True).collect()))
+    b = sorted(map(tuple, knn_join_gemm(q, emb, k=4, exclude_self=True).collect()))
+    assert a == b
+
+
+def test_gemm_multiblock(spark, sf_dir):
+    """More query blocks than one: block × partition scoring must not
+    duplicate or drop candidates."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(7)
+    q = _queries(emb, 60)
+    out = knn_join_gemm(q, emb, k=2, queries_per_block=16)
+    rows = out.collect()
+    assert len(rows) == 60 * 2
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2] for v in per_q.values())
+    # self-match is rank 1 at dist 0 when not excluded
+    assert all(r["dist"] == 0.0 for r in rows if r["rank"] == 1 and r["vec_id"] == r["query_id"])
