@@ -114,6 +114,10 @@ def jaccard_pairs(
     Set algebra via exploded distinct shingles + equi-join on the
     shingle: intersection counts come from one shuffle on the shingle
     string; union = |A| + |B| − |A∩B| without a second pass.
+
+    With ``pairs`` the intersection is candidate-driven — shingles are
+    joined *through the pair list* (two narrow id joins), so cost is
+    O(candidate pairs × shingles), never the all-pairs self-join.
     """
     sh = (
         df.select(
@@ -122,16 +126,25 @@ def jaccard_pairs(
         )
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, on=["id_a", "id_b"], how="semi")
+        sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("_sha"))
+        sh_b = sh.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("_shb"))
+        inter = (
+            pairs.select("id_a", "id_b")
+            .join(sh_a, "id_a")
+            .join(sh_b, (F.col("id_b") == F.col("_idb")) & (F.col("_sha") == F.col("_shb")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
@@ -178,6 +191,36 @@ def simhash_groups(
         keyed.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc_id"))
     )
+
+
+def dedup_near(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash-LSH candidates →
+    exact Jaccard verification → greedy keep-lowest-id survivor set.
+
+    The full 100 TB dedup recipe in one operator: candidate
+    generation never compares all pairs (band equi-join), exact
+    verification touches only candidates (candidate-driven shingle
+    join), and the drop set is every id_b of a verified pair — the
+    standard greedy rule (keeps the lowest id of each duplicate
+    chain; clusters whose links all point to one survivor).
+    """
+    cands = minhash_candidates(df, text_col, id_col, shingle_words, n_hashes, n_bands)
+    verified = jaccard_pairs(df, pairs=cands, text_col=text_col, id_col=id_col,
+                             shingle_words=shingle_words)
+    drops = (
+        verified.where(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, id_col, "anti")
 
 
 def embedding_near_pairs(

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from cli_rag_spark.operators.dedup import (
     dedup_exact,
+    dedup_near,
     embedding_near_pairs,
     jaccard_pairs,
     minhash_candidates,
@@ -24,6 +25,7 @@ N_HASHES = 8
 N_BANDS = 4
 JACCARD_DOC_LIMIT = 100  # brute-force Jaccard bounded to first N docs
 NEAR_DUP_DIST = 0.6  # fixture vectors are near-orthogonal; 0.6 yields a small true pair set
+NEAR_DUP_JACCARD = 0.8  # verified-duplicate threshold (fixture dups sit at ~0.97+)
 
 
 def q_dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,8 +62,27 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(emb, NEAR_DUP_DIST).orderBy("id_a", "id_b")
 
 
+def q_dedup_near_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup (operators/dedup.dedup_near): MinHash-LSH
+    candidates → candidate-driven exact Jaccard → greedy
+    keep-lowest-id. Survivor count + id checksum."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_near(
+        docs,
+        threshold=NEAR_DUP_JACCARD,
+        shingle_words=SHINGLE_WORDS,
+        n_hashes=N_HASHES,
+        n_bands=N_BANDS,
+    )
+    return out.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 QUERIES = {
     "dedup_exact_count": q_dedup_exact_count,
+    "dedup_near_count": q_dedup_near_count,
     "minhash_candidates": q_minhash_candidates,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_groups": q_simhash_groups,
@@ -104,6 +125,40 @@ ORACLE = {
           GROUP BY fp
         )
         SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM keep
+    """,
+    "dedup_near_count": f"""
+        WITH sh0 AS (
+          SELECT doc_id, {_SHINGLES} AS sh FROM documents
+        ), sig AS (
+          SELECT doc_id, [{_MINHASH}] AS sig FROM sh0 WHERE len(sh) >= 1
+        ), banded AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, {b} AS band, {_band_key(b, N_HASHES // N_BANDS)} AS key FROM sig"
+              for b in range(N_BANDS)
+          )}
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l
+          JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ), shex AS (
+          SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM sh0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM shex GROUP BY doc_id
+        ), inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c
+          JOIN shex a ON a.doc_id = c.id_a
+          JOIN shex b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY c.id_a, c.id_b
+        ), drops AS (
+          SELECT DISTINCT id_b AS doc_id
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) >= {NEAR_DUP_JACCARD}
+        )
+        SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     """,
     "minhash_candidates": f"""
         WITH sh AS (

@@ -81,11 +81,16 @@ def _cos_dist(a, b):
     return 1.0 - dot / (_norm(a) * _norm(b))
 
 
-@given(st.tuples(vectors, vectors).filter(
-    lambda ab: len(ab[0]) == len(ab[1])
-    and any(x != 0 for x in ab[0])
-    and any(x != 0 for x in ab[1])
-))
+@given(
+    st.integers(min_value=2, max_value=64).flatmap(
+        lambda n: st.tuples(
+            st.lists(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=64),
+                     min_size=n, max_size=n),
+            st.lists(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=64),
+                     min_size=n, max_size=n),
+        )
+    )
+)
 @settings(max_examples=200, deadline=None)
 def test_cosine_distance_range_and_symmetry(ab):
     """cosine distance ∈ [0, 2] (fp slack), symmetric, self-distance 0
