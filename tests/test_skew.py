@@ -1,0 +1,70 @@
+"""Salted (two-phase) aggregation must be result-identical to the
+plain groupBy — only the physical shuffle shape differs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cli_rag_spark.operators.skew import salted_aggregate, salted_topk_per_key
+from cli_rag_spark.sources.documents import load_table
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.min("user_id").alias("min_u"),
+        F.max("user_id").alias("max_u"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+    )
+    salted = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "*"),
+            "total": ("sum", "value"),
+            "min_u": ("min", "user_id"),
+            "max_u": ("max", "user_id"),
+            "avg_v": ("avg", "value"),
+        },
+        n_salts=8,
+    ).select(
+        "event_type", "n", F.round("total", 2).alias("total"),
+        "min_u", "max_u", F.round("avg_v", 6).alias("avg_v"),
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+
+
+def test_salted_aggregate_on_skewed_key(spark):
+    """90% of rows share one key — exactly the distribution the
+    operator exists for; results must still be exact."""
+    rows = [("hot", float(i)) for i in range(900)] + [
+        (f"k{i}", float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["key", "v"]).repartition(8)
+    out = {
+        r["key"]: (r["n"], r["total"])
+        for r in salted_aggregate(
+            df, ["key"], {"n": ("count", "*"), "total": ("sum", "v")}, n_salts=4
+        ).collect()
+    }
+    assert out["hot"] == (900, sum(float(i) for i in range(900)))
+    assert len(out) == 101
+
+
+def test_salted_topk_matches_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    order = [F.col("value").desc(), F.col("event_id").asc()]
+    salted = salted_topk_per_key(ev, "user_id", order, k=3, n_salts=4)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(*order)
+    plain = (
+        ev.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+    )
+    a = sorted((r["user_id"], r["rank"], r["event_id"]) for r in plain.collect())
+    b = sorted((r["user_id"], r["rank"], r["event_id"]) for r in salted.collect())
+    assert a == b
