@@ -35,7 +35,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
     ix = sub.add_parser("index", help="build a vector index (reference: build-vector-db-from-server)")
     ix.add_argument("input", help="input corpus: parquet table or text file/dir")
-    ix.add_argument("--format", choices=["parquet", "text"], default="parquet")
+    ix.add_argument("--format", choices=["parquet", "text", "jsonl"], default="parquet")
     ix.add_argument("--chunk-size", type=int, default=2000, help="chars per chunk (README.md:47)")
     ix.add_argument("--chunk-mode", choices=["clean", "reference", "fixed"], default="clean")
     ix.add_argument("--embedder", choices=["mock", "http"], default="mock")

@@ -23,10 +23,22 @@ def load_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> Data
     fmt='text'     : whole text files, one row per file (the
                      reference's mode, load-texts.c:7-35); doc_id is
                      assigned, source is the file path.
+    fmt='jsonl'    : newline-delimited JSON corpus (the common LLM
+                     training-data interchange format); must carry a
+                     'text' field, doc_id assigned if absent.
     fmt='binary'   : binaryFile source for opaque payloads (E11).
     """
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "jsonl":
+        df = spark.read.json(path)
+        if "text" not in df.columns:
+            raise ValueError("jsonl corpus must have a 'text' field")
+        if "doc_id" not in df.columns:
+            df = df.withColumn("doc_id", F.monotonically_increasing_id())
+        if "source" not in df.columns:
+            df = df.withColumn("source", F.input_file_name())
+        return df
     if fmt == "text":
         df = spark.read.text(path, wholetext=True)
         return (

@@ -1,0 +1,74 @@
+"""IVF ANN operator tests (operators/ann.py): Lloyd refinement,
+partitioned index build, and the partition-pruning claim behind the
+probe path."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from cli_rag_spark.operators.ann import (
+    assign_centroids,
+    build_ivf_index,
+    ivf_topk,
+    kmeans_refine,
+    seed_centroids,
+)
+from cli_rag_spark.sources.documents import load_table
+
+
+def test_kmeans_refine_produces_valid_centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = seed_centroids(emb, 4)
+    refined = kmeans_refine(emb, seeds, n_iters=2)
+    rows = refined.collect()
+    assert len(rows) == 4
+    assert {r["cid"] for r in rows} == {0, 1, 2, 3}
+    dims = {len(r["cvec"]) for r in rows}
+    assert dims == {64}
+    # refined centroids are means, not original vectors
+    orig = {r["cid"]: list(r["cvec"]) for r in seeds.collect()}
+    ref = {r["cid"]: list(r["cvec"]) for r in rows}
+    assert any(orig[c] != ref[c] for c in orig)
+
+
+def test_refined_assignment_covers_all_vectors(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_refine(emb, seed_centroids(emb, 4), n_iters=1)
+    assign = assign_centroids(emb, centroids)
+    n = emb.count()
+    assert assign.count() == n
+    assert assign.select("cid").distinct().count() <= 4
+    assert assign.where(F.col("cid").isNull()).count() == 0
+
+
+def test_build_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """Probing one list must scan only that list's parquet files —
+    the physical property that makes IVF sublinear at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=4)
+    assert len(glob.glob(f"{path}/cid=*")) >= 2
+    idx = spark.read.parquet(path)
+    pruned = idx.where(F.col("cid") == idx.select(F.min("cid")).collect()[0][0])
+    files = pruned.select(F.input_file_name()).distinct().collect()
+    all_files = idx.select(F.input_file_name()).distinct().count()
+    assert 0 < len(files) < all_files
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """Probing all lists == exact top-k; fewer lists is a subset-style
+    approximation that still returns k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    exact = ivf_topk(emb, q, k=5, n_centroids=4, n_probe=4)
+    from cli_rag_spark.operators.topk import topk
+
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    brute = topk(emb.select("vec_id", "embedding"), qvec, 5)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, brute.select("vec_id", "dist").collect())
+    )
+    approx = ivf_topk(emb, q, k=5, n_centroids=4, n_probe=1)
+    assert approx.count() == 5

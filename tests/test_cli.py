@@ -135,3 +135,19 @@ def test_http_embedder_stub_server(spark):
         assert rows["worlds"][0] == 6.0
     finally:
         srv.shutdown()
+
+
+def test_index_jsonl_corpus(spark, tmp_path, capsys):
+    """jsonl (LLM-pipeline interchange) in, parquet index out."""
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"text": "alpha beta gamma delta epsilon"}\n'
+        '{"text": "one two three four five six seven"}\n'
+    )
+    out = str(tmp_path / "idx")
+    rc = main(["index", str(src), "--format", "jsonl", "--chunk-size", "10",
+               "--dim", "8", "--out", out])
+    assert rc == 0
+    idx = spark.read.parquet(out)
+    assert idx.count() > 2  # chunked into multiple rows
+    assert {"doc_id", "chunk_text", "embedding"} <= set(idx.columns)
