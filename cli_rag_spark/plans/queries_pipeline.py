@@ -17,7 +17,11 @@ from cli_rag_spark.operators.embed import (
     mock_embedding_expr,
     mock_embedding_sql,
 )
-from cli_rag_spark.operators.multimodal import attach_binary_metadata
+from cli_rag_spark.operators.multimodal import (
+    attach_binary_metadata,
+    decode_images,
+    fake_decode_image,
+)
 from cli_rag_spark.sources.documents import load_table
 
 PIPE_CHUNK = 128
@@ -79,10 +83,30 @@ def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 decode path: binary payloads → mapInPandas decoder (the
+    deterministic md5-derived stub; real PIL decode swaps in with the
+    same plumbing) → per-mode shape stats. The stub's determinism
+    makes even the Python-side decode oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+    decoded = decode_images(with_payload, decoder=fake_decode_image)
+    return (
+        decoded.groupBy("mode")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("width"), 4).alias("avg_width"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+        )
+        .orderBy("mode")
+    )
+
+
 QUERIES = {
     "mock_index_topk": q_mock_index_topk,
     "rag_context": q_rag_context,
     "binary_metadata": q_binary_metadata,
+    "image_decode_stats": q_image_decode_stats,
 }
 
 _CHUNK_SQL = f"""
@@ -130,5 +154,24 @@ ORACLE = {
                md5(text) AS digest,
                'unknown' AS format
         FROM documents ORDER BY doc_id
+    """,
+    # fake_decode_image: width = 64 + md5[0]%192, height = 64 + md5[1]%192,
+    # mode = ['RGB','RGBA','L'][md5[2]%3] over the payload digest
+    "image_decode_stats": """
+        WITH b AS (
+          SELECT ('0x' || substr(md5(text), 1, 2))::INT AS b0,
+                 ('0x' || substr(md5(text), 3, 2))::INT AS b1,
+                 ('0x' || substr(md5(text), 5, 2))::INT AS b2
+          FROM documents
+        ), m AS (
+          SELECT 64 + b0 % 192 AS width,
+                 64 + b1 % 192 AS height,
+                 CASE b2 % 3 WHEN 0 THEN 'RGB' WHEN 1 THEN 'RGBA' ELSE 'L' END AS mode
+          FROM b
+        )
+        SELECT mode, count(*) AS n,
+               round(avg(width), 4) AS avg_width,
+               round(avg(height), 4) AS avg_height
+        FROM m GROUP BY mode ORDER BY mode
     """,
 }

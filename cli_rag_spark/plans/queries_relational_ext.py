@@ -115,7 +115,78 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue by (supplier nation, customer nation,
+    ship year) for two nations. Both nation dims broadcast; lineitem→
+    orders is the one big shuffle join; year extraction stays on the
+    scan side so partition pruning by date survives at scale."""
+    nations = ("NATION_1", "NATION_2")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin(*nations))
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sn = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per month of 1997 —
+    conditional aggregation over one broadcast join, no second scan."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) * 100.0 / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+        .orderBy("ship_month")
+    )
+
+
+def q_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (price more than 4% above own brand's average),
+    decorrelated as a window average — one shuffle on the brand key
+    instead of a per-row subquery. The average itself is not emitted:
+    a group mean sitting exactly on a rounding boundary (Brand#4 =
+    950.59375) renders differently across engines at any fixed
+    rounding, while the selected row SET is boundary-stable."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .where(F.col("p_retailprice") > F.col("brand_avg") * 1.04)
+        .select(
+            "p_partkey", "p_brand",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 QUERIES = {
+    "nation_trade_volume": q_nation_trade_volume,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "parts_above_brand_avg": q_parts_above_brand_avg,
     "segment_nation_cube": q_segment_nation_cube,
     "brand_size_pivot": q_brand_size_pivot,
     "price_percentiles": q_price_percentiles,
@@ -130,6 +201,43 @@ _PIVOT_COLS = ", ".join(
 )
 
 ORACLE = {
+    "nation_trade_volume": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "promo_revenue_ratio": """
+        SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+               round(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END) * 100.0
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY ship_month
+    """,
+    "parts_above_brand_avg": """
+        SELECT p_partkey, p_brand,
+               round(p_retailprice, 2) AS p_retailprice
+        FROM (
+            SELECT p_partkey, p_brand, p_retailprice,
+                   avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+            FROM part
+        )
+        WHERE p_retailprice > brand_avg * 1.04
+        ORDER BY p_partkey
+    """,
     "segment_nation_cube": """
         SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
                coalesce(n_name, 'ALL') AS nation,
