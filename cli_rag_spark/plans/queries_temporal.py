@@ -1,0 +1,128 @@
+"""Temporal pack — as-of join and range join over the ``events`` table.
+
+The judged queries exercise operators/temporal.py against independent
+DuckDB formulations: native ``ASOF JOIN`` for the as-of oracle and a
+plain inequality join for the range oracle — different algorithms,
+same semantics, so a match is meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_rag_spark.operators.temporal import asof_join, range_join
+from cli_rag_spark.sources.documents import load_table
+
+
+def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute each purchase to the latest prior click by the same
+    user (classic last-touch attribution), with the click→purchase
+    latency in seconds. Backward as-of, equal-ts inclusive."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks.withColumnRenamed("event_id", "click_id"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["click_id"],
+        tiebreak="click_id",
+        suffix="_click",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("click_id_click").alias("click_id"),
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("ts_click")) / 1_000_000.0, 3
+        ).alias("latency_sec"),
+    ).orderBy("event_id")
+
+
+def q_range_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, count same-user clicks in the preceding hour
+    (half-open window (ts-1h, ts]) and sum their values — a
+    point-in-interval range join, bucketized to an equi-join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+            F.col("ts").alias("w_end"),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("p_user"), "ts", "value"
+    )
+    joined = range_join(
+        clicks,
+        purchases,
+        on=["p_user"],
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        bucket_sec=3600,
+        how="left_outer",
+        interval_id="p_id",
+    )
+    return (
+        joined.groupBy("p_id")
+        .agg(
+            F.count("ts").alias("n_clicks_1h"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("click_value_1h"),
+        )
+        .orderBy("p_id")
+    )
+
+
+QUERIES = {
+    "asof_click_attribution": q_asof_click_attribution,
+    "range_click_burst": q_range_click_burst,
+}
+
+ORACLE = {
+    # DuckDB-native ASOF JOIN: matches the greatest c.ts <= p.ts per key.
+    # Clicks are deduped to one row per (user_id, ts) keeping the highest
+    # event_id, mirroring the operator's `tiebreak` semantics.
+    "asof_click_attribution": """
+        WITH clicks AS (
+          SELECT user_id, ts, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click'
+          GROUP BY user_id, ts
+        ), purchases AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, c.click_id,
+               round(epoch_us(p.ts - c.ts) / 1000000.0, 3) AS latency_sec
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+    "range_click_burst": """
+        WITH purchases AS (
+          SELECT event_id AS p_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        )
+        SELECT p.p_id,
+               count(c.ts) AS n_clicks_1h,
+               round(coalesce(sum(c.value), 0.0), 2) AS click_value_1h
+        FROM purchases p
+        LEFT JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.ts > p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+        GROUP BY p.p_id
+        ORDER BY p.p_id
+    """,
+}

@@ -17,6 +17,7 @@ _PACKS = [
     "cli_rag_spark.plans.queries_relational",
     "cli_rag_spark.plans.queries_relational_ext",
     "cli_rag_spark.plans.queries_events",
+    "cli_rag_spark.plans.queries_temporal",
     "cli_rag_spark.plans.queries_pipeline",
     "cli_rag_spark.plans.queries_streaming",
 ]
