@@ -1,0 +1,173 @@
+"""E12 extension 3 — TPC-H Q13/Q18/Q2/Q15 shapes.
+
+These add the remaining classical join-agg shapes to the judged
+surface: outer-join aggregation, group-having semi-join back to the
+fact table, per-group argmin (decorrelated correlated subquery), and
+having-equals-global-max. All pure built-ins (SURVEY §2.c E12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cli_rag_spark.sources.documents import load_table
+
+LARGE_ORDER_QTY = 300  # ~Q18's threshold scaled to this data (p99.9 ≈ 337)
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    including zero-order customers (the left outer join is the point).
+    customer is the smaller side but outer-join semantics keep it on
+    the left; one shuffle on custkey, then a tiny re-agg on c_count."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, with customer detail. The group-having runs FIRST on
+    lineitem alone (map-side partial agg → one shuffle), and only the
+    tiny surviving key set joins back — never orders⋈lineitem first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table here, so supply cost =
+    min observed unit price in lineitem): per-part argmin over
+    suppliers, decorrelated as agg → window-min → filter. The window
+    reuses the groupBy output partitioning (both keyed on partkey), so
+    the argmin costs no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3)
+    sup = load_table(spark, sf_dir, "supplier")
+    unit = (
+        li.join(F.broadcast(part.select("p_partkey", "p_name")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = (
+        unit.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .drop("min_cost")
+    )
+    return (
+        best.join(sup, best.l_suppkey == sup.s_suppkey)
+        .select("p_partkey", F.col("s_name").alias("supplier"), "unit_cost")
+        .orderBy("p_partkey", "supplier")
+    )
+
+
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the global maximum
+    revenue in a quarter. The global max is a window over an
+    already-tiny aggregate (one row per supplier), not a second scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("max_rev", F.max("total_revenue").over(w)).where(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return (
+        best.join(sup, best.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+QUERIES = {
+    "customer_order_distribution": q_customer_order_distribution,
+    "large_orders": q_large_orders,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "top_revenue_suppliers": q_top_revenue_suppliers,
+}
+
+ORACLE = {
+    "customer_order_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "large_orders": f"""
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM orders
+        JOIN (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING round(sum(l_quantity), 2) > {LARGE_ORDER_QTY}
+        ) big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    "cheapest_supplier_per_part": """
+        WITH unit AS (
+            SELECT p_partkey, l_suppkey,
+                   round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 3
+            GROUP BY p_partkey, l_suppkey
+        )
+        SELECT p_partkey, s_name AS supplier, unit_cost
+        FROM unit JOIN supplier ON l_suppkey = s_suppkey
+        WHERE unit_cost = (
+            SELECT min(unit_cost) FROM unit u2 WHERE u2.p_partkey = unit.p_partkey
+        )
+        ORDER BY p_partkey, supplier
+    """,
+    "top_revenue_suppliers": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """,
+}

@@ -16,6 +16,8 @@ _PACKS = [
     "cli_rag_spark.plans.queries_dedup",
     "cli_rag_spark.plans.queries_relational",
     "cli_rag_spark.plans.queries_relational_ext",
+    "cli_rag_spark.plans.queries_relational_more",
+    "cli_rag_spark.plans.queries_approx",
     "cli_rag_spark.plans.queries_events",
     "cli_rag_spark.plans.queries_temporal",
     "cli_rag_spark.plans.queries_pipeline",
