@@ -149,6 +149,90 @@ def extract_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def fake_decode_audio(payload: bytes) -> dict:
+    """Deterministic stand-in for a real audio decoder (torchaudio/
+    ffmpeg): derives (sample_rate, channels, duration_sec) from the
+    payload digest. Replace with a real decoder where available."""
+    h = hashlib.md5(b"audio:" + payload).digest()
+    return {
+        "sample_rate": [8000, 16000, 44100, 48000][h[0] % 4],
+        "channels": 1 + h[1] % 2,
+        "duration_sec": round(0.5 + (int.from_bytes(h[2:4], "little") % 3000) / 100.0, 2),
+    }
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """payload → (sample_rate, channels, duration_sec) via
+    Arrow-batched mapInPandas; same plumbing contract as
+    :func:`decode_images` (stub by default, real decoder swaps in)."""
+    if decoder is None:
+        def decoder(_: bytes) -> dict:
+            raise NotImplementedError(
+                "real audio decode needs torchaudio/ffmpeg (not in this "
+                "container); pass decoder=fake_decode_audio for the stub"
+            )
+    from cli_rag_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("sample_rate", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("duration_sec", DoubleType()),
+        ]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decoder(bytes(b)) for b in pdf[payload_col]]
+            out = pdf[in_cols].copy()
+            out["sample_rate"] = [d["sample_rate"] for d in decoded]
+            out["channels"] = [d["channels"] for d in decoded]
+            out["duration_sec"] = [d["duration_sec"] for d in decoded]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_window_plan(
+    df: DataFrame,
+    window_bytes: int = 256,
+    hop_bytes: int = 128,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Overlapping fixed-size windows over a binary payload — the STFT
+    / feature-frame shape of an audio pipeline, entirely JVM-side
+    (sequence + explode + substr, no Python). One row per (payload,
+    window); a payload shorter than one window yields exactly one
+    window covering what exists.
+
+    ``win_offset`` is the byte offset, ``win_bytes`` the bytes the
+    window actually covers (= window_bytes except at the tail)."""
+    if hop_bytes <= 0 or window_bytes <= 0:
+        raise ValueError("window_bytes and hop_bytes must be positive")
+    p = F.col(payload_col)
+    n = F.length(p).cast("long")
+    offsets = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(n - window_bytes, F.lit(0).cast("long")),
+        F.lit(hop_bytes).cast("long"),
+    )
+    return (
+        df.withColumn("win_offset", F.explode(offsets))
+        .withColumn("win_bytes", F.least(F.lit(window_bytes).cast("long"), n - F.col("win_offset")))
+        .withColumn(
+            "win_stub",
+            p.substr((F.col("win_offset") + 1).cast("int"), F.lit(window_bytes)),
+        )
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     n_frames: int = 4,

@@ -19,6 +19,7 @@ from cli_rag_spark.operators.embed import (
 )
 from cli_rag_spark.operators.multimodal import (
     attach_binary_metadata,
+    audio_window_plan,
     decode_images,
     fake_decode_image,
 )
@@ -102,8 +103,26 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 audio path: binary payloads → overlapping 256/128-byte
+    windows (JVM-side explode, the STFT frame shape) → per-doc window
+    count + covered bytes. Fully oracle-checkable window arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    wins = audio_window_plan(with_payload, window_bytes=256, hop_bytes=128)
+    return (
+        wins.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("win_bytes").alias("covered_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "mock_index_topk": q_mock_index_topk,
+    "audio_window_stats": q_audio_window_stats,
     "rag_context": q_rag_context,
     "binary_metadata": q_binary_metadata,
     "image_decode_stats": q_image_decode_stats,
@@ -154,6 +173,17 @@ ORACLE = {
                md5(text) AS digest,
                'unknown' AS format
         FROM documents ORDER BY doc_id
+    """,
+    # audio_window_plan: offsets 0..max(n-256,0) step 128 (inclusive),
+    # window covers min(256, n - offset) bytes
+    "audio_window_stats": """
+        WITH d AS (
+          SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+        )
+        SELECT doc_id, count(*) AS n_windows,
+               CAST(sum(least(256, n_bytes - off)) AS BIGINT) AS covered_bytes
+        FROM d, unnest(range(0, CAST(greatest(n_bytes - 256, 0) AS BIGINT) + 1, 128)) t(off)
+        GROUP BY doc_id ORDER BY doc_id
     """,
     # fake_decode_image: width = 64 + md5[0]%192, height = 64 + md5[1]%192,
     # mode = ['RGB','RGBA','L'][md5[2]%3] over the payload digest

@@ -13,8 +13,11 @@ from cli_rag_spark.operators.embed import embed, mock_embed_py, mock_embedding_e
 from cli_rag_spark.operators.index import DimensionError, build_index, validate_dimension
 from cli_rag_spark.operators.multimodal import (
     attach_binary_metadata,
+    audio_window_plan,
+    decode_audio,
     decode_images,
     extract_features,
+    fake_decode_audio,
     fake_decode_image,
     frame_sample_plan,
 )
@@ -146,6 +149,35 @@ class TestMultimodal:
         assert len(out) == 9
         offs = [r["frame_offset"] for r in out if r["doc_id"] == 2]
         assert offs == [0, 1, 3]
+
+    def test_audio_decode_stub_and_fake(self, spark):
+        with pytest.raises(Exception, match="NotImplementedError|real audio decode"):
+            decode_audio(self._payload_df(spark)).collect()
+        rows = {r["doc_id"]: r for r in decode_audio(
+            self._payload_df(spark), decoder=fake_decode_audio
+        ).collect()}
+        assert rows[0]["sample_rate"] in (8000, 16000, 44100, 48000)
+        assert rows[0]["channels"] in (1, 2)
+        assert rows[0]["duration_sec"] >= 0.5
+
+    def test_audio_windows(self, spark):
+        df = spark.createDataFrame([(0, b"x" * 300), (1, b"y" * 10)], "doc_id long, payload binary")
+        out = audio_window_plan(df, window_bytes=256, hop_bytes=128).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # 300 bytes: sequence(0, 44, 128) = [0]; the window covers 256 bytes
+        assert [(r["win_offset"], r["win_bytes"]) for r in by_doc[0]] == [(0, 256)]
+        # short payload → exactly one partial window
+        assert [(r["win_offset"], r["win_bytes"]) for r in by_doc[1]] == [(0, 10)]
+        assert len(by_doc[1][0]["win_stub"]) == 10
+        # overlapping case: 600 bytes → sequence(0, 344, 128) = [0, 128, 256]
+        df2 = spark.createDataFrame([(2, b"z" * 600)], "doc_id long, payload binary")
+        offs = sorted(
+            r["win_offset"]
+            for r in audio_window_plan(df2, window_bytes=256, hop_bytes=128).collect()
+        )
+        assert offs == [0, 128, 256]
 
 
 class TestMathSanity:
