@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cli_rag_spark.streaming.ops import (
     SESSION_GAP_MIN,
+    dedup_stream,
     hourly_windows,
     read_events_stream,
     run_to_memory,
@@ -38,12 +39,31 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type). The output
+    projects only the key columns (which surviving row wins a
+    duplicate race is engine-internal), so the result is exactly the
+    distinct key set. The watermark exceeds the fixture's 30-day span
+    so no key fingerprint is evicted mid-run — the production setting
+    trades that bound for state size (see dedup_stream docstring)."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = dedup_stream(stream, ["user_id", "event_type"], watermark="35 days")
+    return run_to_memory(deduped.select("user_id", "event_type"), "append").orderBy(
+        "user_id", "event_type"
+    )
+
+
 QUERIES = {
     "streaming_hourly_windows": q_streaming_hourly_windows,
     "streaming_sessionization": q_streaming_sessionization,
+    "streaming_dedup_keys": q_streaming_dedup_keys,
 }
 
 ORACLE = {
+    "streaming_dedup_keys": """
+        SELECT DISTINCT user_id, event_type
+        FROM events ORDER BY user_id, event_type
+    """,
     "streaming_hourly_windows": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                count(*) AS n, round(sum(value), 2) AS total_value

@@ -195,6 +195,24 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first row seen per key.
+
+    ``dropDuplicatesWithinWatermark`` bounds state — a key's fingerprint
+    is dropped once the watermark passes its timestamp, so state is
+    O(keys per watermark window), not O(all keys ever). That is the
+    only formulation that survives an unbounded stream; plain
+    ``dropDuplicates`` on a stream accumulates state forever. The
+    batch analog is operators/dedup.py `dedup_exact`.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory(streaming_df: DataFrame, output_mode: str) -> DataFrame:
     """Drive a streaming frame to completion (availableNow) into a
     memory sink; returns the sink as a batch DataFrame."""

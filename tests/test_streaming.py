@@ -107,3 +107,14 @@ def test_single_file_stream_smoke(spark):
     stream = ops.read_events_stream(spark, f"{SF_SMOKE}/events.parquet")
     out = ops.run_to_memory(ops.hourly_windows(stream), "complete")
     assert out.count() > 0
+
+
+def test_multibatch_dedup_keys(spark, split_events_dir):
+    """Key fingerprints must persist across micro-batches: a key first
+    seen in batch 0 must suppress batch 1/2 duplicates (watermark
+    exceeds the fixture span, so nothing is evicted mid-run)."""
+    stream = ops.read_events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    deduped = ops.dedup_stream(stream, ["user_id", "event_type"], watermark="35 days")
+    got = ops.run_to_memory(deduped.select("user_id", "event_type"), "append")
+    want = spark.read.parquet(split_events_dir).select("user_id", "event_type").distinct()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
