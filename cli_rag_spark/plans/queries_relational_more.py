@@ -111,7 +111,24 @@ def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returnflag_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization cube/rollup sugar
+    over): per-flag, per-status, and grand-total aggregates in ONE
+    scan — Catalyst expands to a single Expand + hash aggregate, not
+    three scans unioned."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)
+
+
 QUERIES = {
+    "returnflag_grouping_sets": q_returnflag_grouping_sets,
     "customer_order_distribution": q_customer_order_distribution,
     "large_orders": q_large_orders,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
@@ -119,6 +136,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "returnflag_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
     "customer_order_distribution": """
         SELECT c_count, count(*) AS custdist
         FROM (

@@ -1,0 +1,45 @@
+"""Partitioned layout: round-trip fidelity, partition pruning reaches
+the scan (PartitionFilters), and file layout is bounded."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cli_rag_spark.sources.documents import load_table
+from cli_rag_spark.sources.partitioned import (
+    read_partitioned,
+    scan_partition_filters,
+    verify_pruned,
+    write_partitioned,
+)
+
+
+def test_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+
+    back = read_partitioned(spark, path)
+    assert back.count() == docs.count()
+    # schema preserved (partition col read back as string is parquet-
+    # hive convention; values must round-trip)
+    langs = {r.lang for r in back.select("lang").distinct().collect()}
+    assert langs == {r.lang for r in docs.select("lang").distinct().collect()}
+
+    # a lang filter must become a PartitionFilter, not a row filter
+    q = back.where(F.col("lang") == "en").select("doc_id")
+    assert verify_pruned(q, "lang"), scan_partition_filters(q)
+
+    # one directory per lang, bounded file count inside
+    dirs = [d for d in os.listdir(path) if d.startswith("lang=")]
+    assert len(dirs) == len(langs)
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1  # files_per_partition=1
+
+
+def test_unpartitioned_scan_has_no_partition_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    assert not verify_pruned(docs, "lang")
