@@ -18,6 +18,7 @@ from cli_rag_spark.operators.dedup import (
     minhash_candidates,
     simhash_groups,
 )
+from cli_rag_spark.operators.hamming import hamming_topk, simhash_signature
 from cli_rag_spark.sources.documents import load_table
 
 SHINGLE_WORDS = 3
@@ -80,8 +81,29 @@ def q_dedup_near_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAMMING_K = 5
+HAMMING_QUERY_DOC = 0
+
+
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-vector path (the reference's dead BINARY_VECTOR type,
+    vector-db.h:1, made live): 16-bit packed SimHash signatures,
+    popcount(xor) distance, TakeOrderedAndProject top-k to doc 0's
+    signature — all codegen expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signature(docs, n_bits=16)
+    q = sigs.where(F.col("doc_id") == HAMMING_QUERY_DOC).select(
+        F.col("sig").alias("qsig")
+    )
+    joined = sigs.crossJoin(F.broadcast(q))
+    return hamming_topk(joined, F.col("qsig"), k=HAMMING_K).orderBy(
+        "hamming", "doc_id"
+    )
+
+
 QUERIES = {
     "dedup_exact_count": q_dedup_exact_count,
+    "hamming_topk": q_hamming_topk,
     "dedup_near_count": q_dedup_near_count,
     "minhash_candidates": q_minhash_candidates,
     "ngram_jaccard": q_ngram_jaccard,
@@ -114,6 +136,10 @@ _SIMHASH_BIT = (
 )
 _SIMHASH = " || ".join(
     "CAST(" + _SIMHASH_BIT.format(mask=1 << j) + " AS VARCHAR)" for j in range(16)
+)
+# same bits packed positionally into one integer (operators/hamming.py)
+_SIMHASH_INT = " + ".join(
+    "(" + _SIMHASH_BIT.format(mask=1 << j) + f") * {1 << j}" for j in range(16)
 )
 
 ORACLE = {
@@ -193,6 +219,17 @@ ORACLE = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         ORDER BY id_a, id_b
+    """,
+    "hamming_topk": f"""
+        WITH sig AS (
+          SELECT doc_id, CAST({_SIMHASH_INT} AS BIGINT) AS sig
+          FROM (SELECT doc_id, {_TOKS.format(src="text")} AS toks FROM documents)
+        ), q AS (
+          SELECT sig AS qsig FROM sig WHERE doc_id = {HAMMING_QUERY_DOC}
+        )
+        SELECT s.doc_id, CAST(bit_count(xor(s.sig, q.qsig)) AS INTEGER) AS hamming
+        FROM sig s, q
+        ORDER BY hamming, s.doc_id LIMIT {HAMMING_K}
     """,
     "simhash_groups": f"""
         WITH keyed AS (
