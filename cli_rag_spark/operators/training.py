@@ -1,0 +1,110 @@
+"""Training-data pipeline operators — deterministic splits and
+sequence packing.
+
+Neither exists in the reference (its pipeline ends at the vector DB);
+both are table stakes for an LLM data pipeline at 100 TB:
+
+* **hash_split** — train/val/test assignment must be (a) deterministic
+  across reruns and engines (no ``rand()``: a retried task would
+  reassign rows), (b) stable under data growth (a doc's split never
+  changes when other docs arrive), (c) a pure map (no shuffle).
+  Assignment is by md5(salt || id) mod 10_000 against cumulative
+  per-mille thresholds — the exact trick replayable in any engine
+  with md5.
+
+* **pack_concat_chunks** — concat-and-chunk packing: documents are
+  laid end-to-end in a deterministic order and cut into fixed
+  ``cap``-token context windows; a document covers every window its
+  token span overlaps. The global running offset is a prefix sum —
+  a single-partition window if done naively, which dies at scale, so
+  packing is per-shard (``shard_col``): each shard computes its own
+  prefix sum in parallel (one shuffle on the shard key), and shards
+  are independent packing domains (e.g. per language, per source
+  bucket). Window ids are (shard, bin) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cli_rag_spark.functions.text import token_count
+
+SPLIT_BUCKETS = 10_000
+
+
+def split_assignment(
+    id_col: Column,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> Column:
+    """Deterministic split label from a hash of (salt, id).
+
+    ``fractions`` maps label → fraction; must sum to ~1. Buckets are
+    cumulative: [0, f1), [f1, f1+f2), … over md5-derived uniform
+    buckets, so the same id always lands in the same split and
+    growing the corpus never moves existing rows."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(salt), id_col.cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+        % SPLIT_BUCKETS
+    )
+    expr: Column | None = None
+    cum = 0.0
+    labels = list(fractions.items())
+    for label, frac in labels[:-1]:
+        cum += frac
+        bound = int(round(cum * SPLIT_BUCKETS))
+        cond = bucket < bound
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last_label = labels[-1][0]
+    return (expr.otherwise(F.lit(last_label)) if expr is not None else F.lit(last_label))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    return df.withColumn(out_col, split_assignment(F.col(id_col), fractions, salt))
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    cap: int,
+    shard_col: str,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (document, context window it overlaps).
+
+    Output adds: ``n_tokens``, ``tok_start`` (running offset within
+    the shard), ``bin`` (window index within the shard), and
+    ``bin_tokens`` (how many of the doc's tokens land in that bin).
+    Zero-token docs occupy no window and are dropped (nothing of them
+    would be trained on). Deterministic order: (shard, id)."""
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    n_tok = F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    d = df.withColumn("n_tokens", n_tok.cast("long")).where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("tok_end", F.sum("n_tokens").over(w)).withColumn(
+        "tok_start", F.col("tok_end") - F.col("n_tokens")
+    )
+    first_bin = F.floor(F.col("tok_start") / cap)
+    last_bin = F.floor((F.col("tok_end") - 1) / cap)
+    d = d.withColumn("bin", F.explode(F.sequence(first_bin, last_bin)))
+    bin_lo = F.col("bin") * cap
+    bin_hi = bin_lo + cap
+    bin_tokens = F.least(F.col("tok_end"), bin_hi) - F.greatest(F.col("tok_start"), bin_lo)
+    return d.withColumn("bin_tokens", bin_tokens).drop("tok_end")

@@ -1,0 +1,79 @@
+"""Training-data operators: split determinism/stability/distribution
+and packing invariants (token conservation, contiguity, capacity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_rag_spark.operators.training import hash_split, pack_concat_chunks
+from cli_rag_spark.sources.documents import load_table
+
+FR = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_deterministic_and_stable_under_growth(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id", FR).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, "doc_id", FR).collect()}
+    assert a == b
+    # stability: assignment on a SUBSET matches the full corpus
+    sub = {r.doc_id: r.split for r in hash_split(docs.limit(100), "doc_id", FR).collect()}
+    assert all(a[k] == v for k, v in sub.items())
+    # different salt → different partition of ids
+    c = {r.doc_id: r.split for r in hash_split(docs, "doc_id", FR, salt="other").collect()}
+    assert a != c
+
+
+def test_split_fractions_roughly_hold(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    counts = {
+        r.split: r.n
+        for r in hash_split(docs, "doc_id", FR).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.8) < 0.06
+    assert abs(counts["val"] / n - 0.1) < 0.05
+
+
+def test_split_validates_fractions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_packing_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 512
+    packed = pack_concat_chunks(docs, cap, shard_col="lang").collect()
+    by_shard: dict = {}
+    for r in packed:
+        by_shard.setdefault(r.lang, []).append(r)
+    assert len(by_shard) > 1
+    for lang, rows in by_shard.items():
+        # token conservation: every token lands in exactly one bin
+        assert sum(r.bin_tokens for r in rows) == sum(
+            r.n_tokens for r in {r.doc_id: r for r in rows}.values()
+        )
+        # bins are contiguous 0..max and every bin except the last is full
+        per_bin: dict = {}
+        for r in rows:
+            per_bin[r.bin] = per_bin.get(r.bin, 0) + r.bin_tokens
+        assert sorted(per_bin) == list(range(len(per_bin)))
+        last = max(per_bin)
+        assert all(v == cap for b, v in per_bin.items() if b != last)
+        assert 0 < per_bin[last] <= cap
+        # a doc's windows are consecutive
+        spans: dict = {}
+        for r in rows:
+            spans.setdefault(r.doc_id, []).append(r.bin)
+        for bins in spans.values():
+            bins = sorted(bins)
+            assert bins == list(range(bins[0], bins[-1] + 1))
+
+
+def test_packing_rejects_bad_cap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="cap"):
+        pack_concat_chunks(docs, 0, shard_col="lang")
