@@ -74,6 +74,29 @@ def hash_split(
     return df.withColumn(out_col, split_assignment(F.col(id_col), fractions, salt))
 
 
+def stratified_sample_hash(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified subsample: per group, the ``n`` rows
+    with the smallest md5(salt|id) — a uniform pseudo-random choice
+    that is reproducible across engines and reruns (rand()-based
+    sampleBy is neither). One shuffle on the group key; the rank is a
+    top-n window, so per-task memory is O(n)."""
+    if n_per_group <= 0:
+        raise ValueError("n_per_group must be positive")
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )
+
+
 def pack_concat_chunks(
     df: DataFrame,
     cap: int,

@@ -9,7 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cli_rag_spark.operators.training import hash_split, pack_concat_chunks
+from cli_rag_spark.operators.training import (
+    hash_split,
+    pack_concat_chunks,
+    stratified_sample_hash,
+)
 from cli_rag_spark.sources.documents import load_table
 
 FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -48,9 +52,23 @@ def q_pack_chunks_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_N = 20
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language subsample (smallest md5(salt|id)
+    per group): reproducible across engines, unlike rand()-based
+    sampleBy. Returns the sampled ids themselves — the strongest
+    checkable claim."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample_hash(docs, "lang", "doc_id", SAMPLE_N, salt="sample")
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 QUERIES = {
     "hash_split_counts": q_hash_split_counts,
     "pack_chunks_stats": q_pack_chunks_stats,
+    "stratified_sample": q_stratified_sample,
 }
 
 _BUCKET = f"('0x' || substr(md5('{SALT}' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000"
@@ -67,6 +85,17 @@ ORACLE = {
         SELECT split, lang, count(*) AS n,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM assigned GROUP BY split, lang ORDER BY split, lang
+    """,
+    "stratified_sample": f"""
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('sample' || '|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                 ) AS rk
+          FROM documents
+        ) WHERE rk <= {SAMPLE_N}
+        ORDER BY lang, doc_id
     """,
     "pack_chunks_stats": f"""
         WITH toks AS (

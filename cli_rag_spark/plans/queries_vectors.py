@@ -20,6 +20,7 @@ from cli_rag_spark.operators.knn import (
     knn_join_gemm,
     knn_join_lsh,
 )
+from cli_rag_spark.operators.quantize import dequantize, quantize_int8
 from cli_rag_spark.sources.documents import load_table
 
 K = 5
@@ -138,8 +139,31 @@ def q_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized index top-k (operators/quantize.py): embeddings
+    are stored as array<tinyint> + per-vector scale (~8x smaller than
+    the reference's f64 rows), dequantized and scored on the fly. The
+    explicit floor(x/scale + 0.5) rounding makes every quantized value
+    bit-reproducible in the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    deq = dequantize(quantize_int8(emb))
+    q = deq.where(F.col("vec_id") == 0).select(
+        F.col("embedding_deq").alias("query_vec")
+    )
+    return (
+        deq.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_distance(F.col("embedding_deq"), F.col("query_vec")), 6).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(K)
+    )
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
+    "quantized_topk": q_quantized_topk,
     "ivf_topk": q_ivf_topk,
     "knn_join_lsh": q_knn_join_lsh,
     "knn_join_all": q_knn_join_all,
@@ -242,6 +266,23 @@ ORACLE = {
                round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist
         FROM embeddings e,
              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY dist ASC, vec_id ASC
+        LIMIT {K}
+    """,
+    "quantized_topk": f"""
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127 AS sc
+          FROM embeddings
+        ), deq AS (
+          SELECT vec_id,
+                 CASE WHEN sc > 0
+                      THEN list_transform(embedding, x -> floor(x::DOUBLE / sc + 0.5) * sc)
+                      ELSE list_transform(embedding, x -> 0.0) END AS v
+          FROM s
+        )
+        SELECT d.vec_id, round(1 - list_cosine_similarity(d.v, q.v), 6) AS dist
+        FROM deq d, (SELECT v FROM deq WHERE vec_id = 0) q
         ORDER BY dist ASC, vec_id ASC
         LIMIT {K}
     """,
