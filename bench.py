@@ -47,6 +47,11 @@ HEADLINE = [
     "minhash_candidates",        # E8: MinHash LSH banding
     "simhash_groups",            # E8: simhash bucket dedup
     "mock_index_topk",           # E4: docs->chunk->embed->index->topk
+    "asof_click_attribution",    # temporal: as-of join as union+window
+    "range_click_burst",         # temporal: bucketized range join
+    "hamming_topk",              # binary vectors: popcount-xor top-k
+    "quantized_topk",            # int8 index: quantize+dequantize+score
+    "pack_chunks_stats",         # training: per-shard prefix-sum packing
 ]
 
 

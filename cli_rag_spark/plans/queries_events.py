@@ -111,8 +111,32 @@ def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with TIME ORDER enforced (view strictly before click
+    strictly before purchase) via conditional min-timestamp
+    aggregation — still one shuffle, no self-joins, unlike the naive
+    3-way join spelling."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return per_user.select(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_view"),
+        F.sum(
+            (F.col("t_view") < F.col("t_click")).cast("long")
+        ).alias("n_view_then_click"),
+        F.sum(
+            ((F.col("t_view") < F.col("t_click")) & (F.col("t_click") < F.col("t_buy"))).cast("long")
+        ).alias("n_full_ordered"),
+    )
+
+
 QUERIES = {
     "event_type_stats": q_event_type_stats,
+    "ordered_funnel": q_ordered_funnel,
     "hourly_event_windows": q_hourly_event_windows,
     "sessionization": q_sessionization,
     "json_props": q_json_props,
@@ -121,6 +145,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ordered_funnel": """
+        WITH per_user AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+          FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+               CAST(sum(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS BIGINT) AS n_full_ordered
+        FROM per_user
+    """,
     "event_type_stats": """
         SELECT event_type, count(*) AS n,
                round(sum(value), 2) AS total_value,
