@@ -21,6 +21,7 @@ _PACKS = [
     "cli_rag_spark.plans.queries_events",
     "cli_rag_spark.plans.queries_temporal",
     "cli_rag_spark.plans.queries_training",
+    "cli_rag_spark.plans.queries_search",
     "cli_rag_spark.plans.queries_pipeline",
     "cli_rag_spark.plans.queries_streaming",
 ]
