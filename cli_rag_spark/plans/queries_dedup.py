@@ -18,6 +18,7 @@ from cli_rag_spark.operators.dedup import (
     minhash_candidates,
     simhash_groups,
 )
+from cli_rag_spark.operators.components import connected_components
 from cli_rag_spark.operators.hamming import hamming_topk, simhash_signature
 from cli_rag_spark.sources.documents import load_table
 
@@ -101,8 +102,23 @@ def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup clusters: MinHash candidate pairs → connected
+    components via iterative min-label propagation
+    (operators/components.py). The oracle is a recursive-CTE
+    transitive closure — a completely different algorithm arriving at
+    the same fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_candidates(
+        docs, shingle_words=SHINGLE_WORDS, n_hashes=N_HASHES, n_bands=N_BANDS
+    )
+    comp = connected_components(edges, src="id_a", dst="id_b")
+    return comp.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
+
+
 QUERIES = {
     "dedup_exact_count": q_dedup_exact_count,
+    "dedup_components": q_dedup_components,
     "hamming_topk": q_hamming_topk,
     "dedup_near_count": q_dedup_near_count,
     "minhash_candidates": q_minhash_candidates,
@@ -185,6 +201,32 @@ ORACLE = {
         )
         SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+    "dedup_components": f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, {_SHINGLES} AS sh FROM documents
+        ), sig AS (
+          SELECT doc_id, [{_MINHASH}] AS sig FROM sh WHERE len(sh) >= 1
+        ), banded AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, {b} AS band, {_band_key(b, N_HASHES // N_BANDS)} AS key FROM sig"
+              for b in range(N_BANDS)
+          )}
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l
+          JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM cand
+          UNION
+          SELECT id_b AS a, id_a AS b FROM cand
+        ), reach AS (
+          SELECT DISTINCT a AS node, a AS r FROM edges
+          UNION
+          SELECT reach.node, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+        )
+        SELECT node AS doc_id, min(r) AS component
+        FROM reach GROUP BY node ORDER BY doc_id
     """,
     "minhash_candidates": f"""
         WITH sh AS (
