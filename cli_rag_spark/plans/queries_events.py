@@ -134,9 +134,32 @@ def q_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_DAYS = 7
+
+
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed rolling window (time-based, not row-based): each
+    event's trailing 7-day value sum per user. The range frame is
+    tie-safe by definition (all rows at equal ts are in-frame
+    together), so no tiebreak column is needed for determinism."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-ROLLING_DAYS * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_value"),
+    ).orderBy("user_id", "event_id")
+
+
 QUERIES = {
     "event_type_stats": q_event_type_stats,
     "ordered_funnel": q_ordered_funnel,
+    "rolling_user_value": q_rolling_user_value,
     "hourly_event_windows": q_hourly_event_windows,
     "sessionization": q_sessionization,
     "json_props": q_json_props,
@@ -158,6 +181,15 @@ ORACLE = {
                CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
                CAST(sum(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS BIGINT) AS n_full_ordered
         FROM per_user
+    """,
+    "rolling_user_value": f"""
+        SELECT user_id, event_id,
+               round(sum(value) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL {ROLLING_DAYS} DAYS PRECEDING AND CURRENT ROW
+               ), 2) AS rolling_value
+        FROM events WHERE user_id < 10
+        ORDER BY user_id, event_id
     """,
     "event_type_stats": """
         SELECT event_type, count(*) AS n,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cli_rag_spark.operators.merge import upsert
 from cli_rag_spark.sources.documents import load_table
 
 LARGE_ORDER_QTY = 300  # ~Q18's threshold scaled to this data (p99.9 ≈ 337)
@@ -127,8 +128,35 @@ def q_returnflag_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_orders_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics (operators/merge.py) on a deterministic
+    changeset: every 97th order gets a 10% price bump + status 'U'
+    (updates), and a shifted copy of every 500th order is inserted.
+    Post-merge per-status totals prove update-wins, insert, and
+    passthrough behavior in one result."""
+    orders = load_table(spark, sf_dir, "orders")
+    bump = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = orders.where(F.col("o_orderkey") % 500 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    merged = upsert(orders, bump.unionByName(inserts), "o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "returnflag_grouping_sets": q_returnflag_grouping_sets,
+    "orders_upsert_stats": q_orders_upsert_stats,
     "customer_order_distribution": q_customer_order_distribution,
     "large_orders": q_large_orders,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
@@ -136,6 +164,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orders_upsert_stats": """
+        WITH bump AS (
+          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                 round(o_totalprice * 1.1, 2) AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 97 = 0
+        ), ins AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 500 = 0
+        ), changes AS (
+          SELECT * FROM bump UNION ALL SELECT * FROM ins
+        ), merged AS (
+          SELECT * FROM changes
+          UNION ALL
+          SELECT * FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = o.o_orderkey)
+        )
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(round(o_totalprice, 2)), 2) AS total
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "returnflag_grouping_sets": """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
