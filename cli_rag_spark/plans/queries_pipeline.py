@@ -36,9 +36,15 @@ def q_mock_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by cosine. This is the reference's whole lifecycle (index build +
     query, build-vector-db-from-server.c + multirag.c) in one plan."""
     docs = load_table(spark, sf_dir, "documents")
+    # cached: the cosine references the embedding column three times
+    # (dot + both norms); without a materialization barrier Catalyst
+    # inlines the 64-md5 mock-embed expression into each reference
+    # (the quantized_topk lesson, BENCH.md ledger #8) — and the real
+    # pipeline persists the built index anyway (operators/index.py
+    # writes parquet).
     index = chunk_fixed(docs, PIPE_CHUNK).withColumn(
         "embedding", mock_embedding_expr(F.col("chunk_text"), DEFAULT_DIM)
-    )
+    ).cache()
     qvec = mock_embedding_expr(F.lit(QUERY_TEXT), DEFAULT_DIM)
     return (
         index.withColumn("dist", F.round(cosine_distance(F.col("embedding"), qvec), 6))

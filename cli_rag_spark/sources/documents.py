@@ -26,10 +26,29 @@ def load_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> Data
     fmt='jsonl'    : newline-delimited JSON corpus (the common LLM
                      training-data interchange format); must carry a
                      'text' field, doc_id assigned if absent.
+    fmt='csv'      : header CSV with a 'text' column; doc_id/source
+                     assigned if absent (multiLine+escape so quoted
+                     newlines inside documents survive).
     fmt='binary'   : binaryFile source for opaque payloads (E11).
     """
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "csv":
+        df = (
+            spark.read.option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
+        if "text" not in df.columns:
+            raise ValueError("csv corpus must have a 'text' column")
+        if "doc_id" not in df.columns:
+            df = df.withColumn("doc_id", F.monotonically_increasing_id())
+        else:
+            df = df.withColumn("doc_id", F.col("doc_id").cast("long"))
+        if "source" not in df.columns:
+            df = df.withColumn("source", F.input_file_name())
+        return df
     if fmt == "jsonl":
         df = spark.read.json(path)
         if "text" not in df.columns:

@@ -43,3 +43,19 @@ def test_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
 def test_unpartitioned_scan_has_no_partition_filter(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
     assert not verify_pruned(docs, "lang")
+
+
+def test_csv_corpus_roundtrip(spark, tmp_path):
+    """CSV loader: quoted embedded newlines survive, ids cast/assigned."""
+    import csv
+
+    from cli_rag_spark.sources.documents import load_documents
+
+    p = tmp_path / "docs.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["doc_id", "text"])
+        w.writerow([0, "plain text"])
+        w.writerow([1, "line one\nline two"])
+    got = {r.doc_id: r.text for r in load_documents(spark, str(p), fmt="csv").collect()}
+    assert got == {0: "plain text", 1: "line one\nline two"}
