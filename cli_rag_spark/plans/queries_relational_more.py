@@ -154,8 +154,42 @@ def q_orders_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns in
+    one quarter. Date + returnflag filters push to the scans; customer
+    and nation broadcast; one shuffle for the custkey aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        # decimal accumulation: the per-row double product is
+        # deterministic, but a 600-term double SUM is order-dependent
+        # and this aggregate landed exactly on a .xx5 rounding
+        # boundary at sf0.01 — decimal(18,6) sums exactly in both
+        # engines.
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 QUERIES = {
     "returnflag_grouping_sets": q_returnflag_grouping_sets,
+    "returned_item_customers": q_returned_item_customers,
     "orders_upsert_stats": q_orders_upsert_stats,
     "customer_order_distribution": q_customer_order_distribution,
     "large_orders": q_large_orders,
@@ -164,6 +198,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "returned_item_customers": """
+        SELECT c_custkey, c_name, n_name,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
     "orders_upsert_stats": """
         WITH bump AS (
           SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
