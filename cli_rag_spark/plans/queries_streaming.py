@@ -17,9 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from cli_rag_spark.sources.documents import load_table
 from cli_rag_spark.streaming.ops import (
     SESSION_GAP_MIN,
     dedup_stream,
+    enrich_stream,
     hourly_windows,
     read_events_stream,
     run_to_memory,
@@ -53,13 +57,37 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriched with the
+    customer dimension (broadcast per micro-batch), aggregated to
+    value by market segment. Unmatched users fall into a NULL segment
+    bucket (left join semantics — events must never be dropped by a
+    gappy dimension)."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_stream(stream, dim, "user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_memory(agg, "complete").orderBy("c_mktsegment")
+
+
 QUERIES = {
+    "streaming_enriched_segments": q_streaming_enriched_segments,
     "streaming_hourly_windows": q_streaming_hourly_windows,
     "streaming_sessionization": q_streaming_sessionization,
     "streaming_dedup_keys": q_streaming_dedup_keys,
 }
 
 ORACLE = {
+    "streaming_enriched_segments": """
+        SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
     "streaming_dedup_keys": """
         SELECT DISTINCT user_id, event_type
         FROM events ORDER BY user_id, event_type

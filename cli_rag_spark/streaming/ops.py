@@ -195,6 +195,20 @@ def sessionize_stream(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left_outer",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the (broadcast) dimension snapshot — the standard pattern for
+    attaching slowly-changing reference data to a live stream. No
+    state, no watermark needed; the dim re-broadcasts per batch, so
+    dimension updates between batches are picked up automatically."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: list[str],

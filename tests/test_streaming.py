@@ -118,3 +118,26 @@ def test_multibatch_dedup_keys(spark, split_events_dir):
     got = ops.run_to_memory(deduped.select("user_id", "event_type"), "append")
     want = spark.read.parquet(split_events_dir).select("user_id", "event_type").distinct()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_multibatch_enrich_matches_batch_join(spark, split_events_dir):
+    """Stream-static join across micro-batches equals the batch join."""
+    from cli_rag_spark.sources.documents import load_table as lt
+
+    dim = lt(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = ops.read_events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    agg = ops.enrich_stream(stream, dim, "user_id").groupBy("c_mktsegment").count()
+    got = sorted(map(tuple, ops.run_to_memory(agg, "complete").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(split_events_dir)
+            .join(dim, "user_id", "left_outer")
+            .groupBy("c_mktsegment")
+            .count()
+            .collect(),
+        )
+    )
+    assert got == want
