@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -144,6 +145,56 @@ def extract_features(
         for pdf in batches:
             out = pdf[in_cols].copy()
             out["features"] = [feats(bytes(b)) for b in pdf[payload_col]]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def fake_resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resampler: a digest-derived
+    pseudo-payload of width*height//64 bytes. Replace with
+    PIL.Image.resize where available; the Spark-side contract
+    (binary in → binary out, size metadata updated) is what's real."""
+    h = hashlib.md5(b"%dx%d:" % (width, height) + payload).digest()
+    n = max(1, width * height // 64)
+    return (h * (n // len(h) + 1))[:n]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """payload → resized payload + (width, height) metadata via
+    Arrow-batched mapInPandas; same stub contract as
+    :func:`decode_images`."""
+    if resizer is None:
+        def resizer(_b: bytes, _w: int, _h: int) -> bytes:
+            raise NotImplementedError(
+                "real image resize needs PIL/cv2 (not in this container); "
+                "pass resizer=fake_resize_image for the deterministic stub"
+            )
+    from cli_rag_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("resized", BinaryType()),
+            StructField("out_width", IntegerType()),
+            StructField("out_height", IntegerType()),
+        ]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            out["resized"] = [resizer(bytes(b), width, height) for b in pdf[payload_col]]
+            out["out_width"] = width
+            out["out_height"] = height
             yield out
 
     return df.mapInPandas(run, schema=out_schema)

@@ -187,8 +187,29 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window: customers bucketed into account-balance
+    quartiles per market segment (deterministic: full orderBy with id
+    tiebreak), then per-bucket stats — the cohort-analysis shape."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
 QUERIES = {
     "returnflag_grouping_sets": q_returnflag_grouping_sets,
+    "customer_balance_quartiles": q_customer_balance_quartiles,
     "returned_item_customers": q_returned_item_customers,
     "orders_upsert_stats": q_orders_upsert_stats,
     "customer_order_distribution": q_customer_order_distribution,
@@ -198,6 +219,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "customer_balance_quartiles": """
+        SELECT c_mktsegment, quartile, count(*) AS n,
+               round(min(c_acctbal), 2) AS min_bal,
+               round(max(c_acctbal), 2) AS max_bal
+        FROM (
+          SELECT c_mktsegment, c_acctbal,
+                 ntile(4) OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+          FROM customer
+        )
+        GROUP BY c_mktsegment, quartile
+        ORDER BY c_mktsegment, quartile
+    """,
     "returned_item_customers": """
         SELECT c_custkey, c_name, n_name,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue

@@ -185,3 +185,21 @@ class TestMathSanity:
         v = mock_embed_py("x", 8)
         dot = sum(a * a for a in v)
         assert abs(1 - dot) < 1e-8
+
+
+class TestResize:
+    def test_resize_stub_and_fake(self, spark):
+        from cli_rag_spark.operators.multimodal import fake_resize_image, resize_images
+
+        df = spark.createDataFrame(
+            [(0, b"img-bytes-aaaa"), (1, b"img-bytes-bbbb")], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+            resize_images(df, 64, 48).collect()
+        rows = {r.doc_id: r for r in resize_images(df, 64, 48, resizer=fake_resize_image).collect()}
+        assert rows[0].out_width == 64 and rows[0].out_height == 48
+        assert len(rows[0].resized) == 64 * 48 // 64
+        # deterministic + payload-sensitive
+        again = {r.doc_id: r for r in resize_images(df, 64, 48, resizer=fake_resize_image).collect()}
+        assert bytes(rows[0].resized) == bytes(again[0].resized)
+        assert bytes(rows[0].resized) != bytes(rows[1].resized)
