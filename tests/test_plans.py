@@ -1,0 +1,62 @@
+"""Physical-plan regression tests — the BENCH.md plan audit, automated.
+
+These lock in the scale-critical plan properties: a refactor that
+silently turns a broadcast join into a nested loop, drops a pushdown,
+or adds a full sort should fail HERE, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_never_full_sorts(spark, sf_dir):
+    for name in ("cosine_topk", "hamming_topk", "quantized_topk", "mock_index_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the scan must not read all 11 lineitem columns
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert read_schema.count(",") < 10
+
+
+def test_asof_is_a_window_not_a_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_click_attribution")
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
+def test_no_nested_loops_anywhere_it_matters(spark, sf_dir):
+    # these queries join real row sets — a nested loop is a scale bug
+    # (1-row-broadcast topk queries are exempt: NLJ against one row is fine)
+    for name in ("range_click_burst", "minhash_candidates", "knn_join_lsh",
+                 "shipping_priority", "returned_item_customers", "orders_upsert_stats"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        if name != "minhash_candidates":  # its tiny stats frame may NLJ under AQE
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("shipping_priority", "top_customers_per_nation", "returned_item_customers"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_streaming_free_queries_have_single_wide_shuffle(spark, sf_dir):
+    # sessionization: both window passes must reuse ONE (user_id) shuffle
+    plan = _plan(spark, sf_dir, "sessionization")
+    n_user_shuffles = plan.count("Exchange hashpartitioning(user_id")
+    assert n_user_shuffles == 1, plan[:500]
