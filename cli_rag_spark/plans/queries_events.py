@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cli_rag_spark.operators.skew import salted_topk_per_key
 from cli_rag_spark.sources.documents import load_table
 
 SESSION_GAP_MIN = 30
@@ -156,10 +157,47 @@ def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+def q_salted_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k on the SKEW-PROOF physical path
+    (operators/skew.py: per-(key, salt) top-k, then top-k over the
+    k·n_salts survivors — a hot key's rows never land in one task).
+    Result-identical to the plain window form, which is exactly what
+    the oracle replays."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    out = salted_topk_per_key(
+        ev,
+        "user_id",
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=2,
+    )
+    return out.select(
+        "user_id", "event_id", F.round("value", 4).alias("value"), F.col("rank").cast("long").alias("rank")
+    ).orderBy("user_id", "rank")
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week,
+    counted distinct in each later week they were active. Two narrow
+    aggregates + one broadcast-size join on user_id — the standard
+    cohort shape with no event×event self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")) / 7).cast("long")
+    first_week = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(first_week, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_after"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "weeks_after")
+    )
+
+
 QUERIES = {
     "event_type_stats": q_event_type_stats,
+    "retention_cohorts": q_retention_cohorts,
     "ordered_funnel": q_ordered_funnel,
     "rolling_user_value": q_rolling_user_value,
+    "salted_top_events": q_salted_top_events,
     "hourly_event_windows": q_hourly_event_windows,
     "sessionization": q_sessionization,
     "json_props": q_json_props,
@@ -181,6 +219,33 @@ ORACLE = {
                CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
                CAST(sum(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS BIGINT) AS n_full_ordered
         FROM per_user
+    """,
+    "retention_cohorts": """
+        WITH wk AS (
+          SELECT user_id,
+                 CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+          FROM events
+        ), first_week AS (
+          SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+        ), active AS (
+          SELECT DISTINCT user_id, week FROM wk
+        )
+        SELECT cohort_week, (week - cohort_week) AS weeks_after,
+               count(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN first_week f USING (user_id)
+        GROUP BY cohort_week, weeks_after
+        ORDER BY cohort_week, weeks_after
+    """,
+    "salted_top_events": """
+        SELECT user_id, event_id, round(value, 4) AS value, rank
+        FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id ASC) AS rank
+          FROM events WHERE user_id < 30
+        )
+        WHERE rank <= 2
+        ORDER BY user_id, rank
     """,
     "rolling_user_value": f"""
         SELECT user_id, event_id,
