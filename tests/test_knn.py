@@ -59,3 +59,24 @@ def test_lsh_signature_pandas_matches_expression(spark, sf_dir):
     assert len(both) > 0
     for r in both:
         assert list(r["expr_sig"]) == list(r["gemm_sig"]), r["vec_id"]
+
+
+def test_lsh_recall_against_exact(spark, sf_dir):
+    """The approximate path must actually retrieve neighbors: mean
+    recall@3 vs the exact join, over all queries, above a floor that
+    the seeded planes reliably clear on the fixture."""
+    from cli_rag_spark.operators.knn import knn_join_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb, 50)
+    exact = knn_join(q, emb, k=3)
+    approx = knn_join_lsh(q, emb, k=3, dim=64, n_planes=16, n_bands=4, seed=42)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(e[k] & a.get(k, set())) / len(e[k]) for k in e]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, mean_recall
