@@ -52,6 +52,8 @@ HEADLINE = [
     "hamming_topk",              # binary vectors: popcount-xor top-k
     "quantized_topk",            # int8 index: quantize+dequantize+score
     "pack_chunks_stats",         # training: per-shard prefix-sum packing
+    "bm25_topk",                 # lexical retrieval: filtered inverted-index shape
+    "dedup_components",          # iterative: min-label propagation to fixpoint
 ]
 
 
