@@ -49,19 +49,26 @@ def asof_join(
     tolerance_sec: float | None = None,
     tiebreak: str | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row picks the latest right row
-    with ``right_ts <= left_ts`` in the same ``on`` key group.
+    """As-of join: each left row picks the latest right row with
+    ``right_ts <= left_ts`` (``direction='backward'``) or the earliest
+    right row with ``right_ts >= left_ts`` (``'forward'``) in the same
+    ``on`` key group — pandas ``merge_asof`` semantics, equal-ts
+    inclusive in both directions.
 
     Returns all left columns plus, per ``payload`` column ``c``, a
     ``c + suffix`` column (null when no right row qualifies) and a
     ``right_ts + suffix`` column carrying the matched timestamp.
-    ``tolerance_sec`` additionally requires
-    ``left_ts - right_ts <= tolerance_sec`` (pandas ``merge_asof``
-    tolerance). ``tiebreak`` names a right column ordering rows that
-    share a timestamp (highest wins) — required for determinism when
-    such ties are possible.
+    ``tolerance_sec`` additionally bounds ``|left_ts - right_ts|``
+    (pandas ``merge_asof`` tolerance). ``tiebreak`` names a right
+    column ordering rows that share a timestamp (backward: highest
+    wins; forward: lowest wins) — required for determinism when such
+    ties are possible.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
     carried = list(dict.fromkeys(payload + [right_ts]))
     tag, tb = "__asof_side", "__asof_tb"
     tb_col: Column = F.col(tiebreak) if tiebreak else F.lit(0)
@@ -75,17 +82,25 @@ def asof_join(
     )
     l = left.withColumn("__asof_ts", F.col(left_ts)).withColumn(tag, F.lit(1))
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("__asof_ts", tag, tb)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # backward: right rows sort BEFORE left rows at equal ts and the
+    # frame looks back — `last` non-null is the latest eligible right.
+    # forward: left rows sort first at equal ts, frame looks ahead —
+    # `first` non-null is the earliest eligible right.
+    if backward:
+        order = [F.col("__asof_ts").asc(), F.col(tag).asc(), F.col(tb).asc()]
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        order = [F.col("__asof_ts").asc(), F.col(tag).desc(), F.col(tb).asc()]
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(*frame)
     filled = (
         l.unionByName(r, allowMissingColumns=True)
         .select(
             "*",
             *[
-                F.last(f"__carry_{c}", ignorenulls=True).over(w).alias(f"__filled_{c}")
+                pick(f"__carry_{c}").over(w).alias(f"__filled_{c}")
                 for c in carried
             ],
         )
@@ -94,9 +109,10 @@ def asof_join(
 
     matched_ts = F.col(f"__filled_{right_ts}")
     if tolerance_sec is not None:
-        in_tol = (
-            F.unix_micros(F.col(left_ts)) - F.unix_micros(matched_ts)
-        ) <= int(tolerance_sec * _US_PER_SEC)
+        gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(matched_ts)
+        if not backward:
+            gap = -gap
+        in_tol = gap <= int(tolerance_sec * _US_PER_SEC)
     else:
         in_tol = F.lit(True)
     out = [F.col(c) for c in left.columns]

@@ -37,12 +37,14 @@ def _mk_frames(spark, seed=7, n_left=200, n_right=300, n_keys=8):
 
 
 @pytest.mark.parametrize("tolerance", [None, 3600.0])
-def test_asof_matches_pandas_merge_asof(spark, tolerance):
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas_merge_asof(spark, tolerance, direction):
     left, right, ldf, rdf = _mk_frames(spark)
     got = (
         asof_join(
             ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
             payload=["rid", "v"], tolerance_sec=tolerance, tiebreak="rid",
+            direction=direction,
         )
         .orderBy("lid")
         .collect()
@@ -56,7 +58,7 @@ def test_asof_matches_pandas_merge_asof(spark, tolerance):
     tol = pd.Timedelta(seconds=tolerance) if tolerance is not None else None
     exp = pd.merge_asof(
         lp, rp, left_on="ts", right_on="rts", by="k",
-        direction="backward", tolerance=tol,
+        direction=direction, tolerance=tol,
     ).sort_values("lid")
 
     assert len(got) == len(left)
