@@ -60,3 +60,10 @@ def test_streaming_free_queries_have_single_wide_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sessionization")
     n_user_shuffles = plan.count("Exchange hashpartitioning(user_id")
     assert n_user_shuffles == 1, plan[:500]
+
+
+def test_bad_sf_dir_is_clean_analysis_error(spark):
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND|Path does not exist"):
+        entrymod.queries()["cosine_topk"](spark, "/root/testdata/sf-nope").count()
