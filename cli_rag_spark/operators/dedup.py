@@ -295,3 +295,42 @@ def embedding_near_pairs(
     if round_digits is not None:
         scored = scored.withColumn("dist", F.round("dist", round_digits))
     return scored.where(F.col("dist") < threshold).select("id_a", "id_b", "dist")
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    probe_id: str = "probe_id",
+    probe_text: str = "probe_text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥1 word
+    n-gram with any probe (eval/benchmark) text.
+
+    Returns DF[probe_id, doc_id, n_shared] — one row per contaminated
+    (probe, doc) pair with the count of distinct shared n-grams.
+
+    Scale shape: the probe side is the small side by definition (eval
+    sets are thousands of rows vs a 100 TB corpus) — its exploded
+    n-gram set broadcasts, so the corpus is ONE pass: explode
+    n-grams → broadcast-hash-join → count per pair. The corpus's
+    exploded n-grams never shuffle; only matched (probe, doc, gram)
+    hits reach the aggregate. The standard n-gram-overlap
+    decontamination used by LLM training pipelines (e.g. the
+    GPT-3/PaLM 13-gram rule — `n` is the knob).
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(corpus_text), n))).alias("gram"),
+    )
+    p = probes.select(
+        F.col(probe_id).alias("probe_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(probe_text), n))).alias("gram"),
+    )
+    return (
+        c.join(F.broadcast(p), "gram")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )

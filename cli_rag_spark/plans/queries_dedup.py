@@ -16,6 +16,7 @@ from cli_rag_spark.operators.dedup import (
     embedding_near_pairs,
     jaccard_pairs,
     minhash_candidates,
+    ngram_overlap,
     simhash_groups,
 )
 from cli_rag_spark.operators.components import connected_components
@@ -116,8 +117,36 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
 
 
+DECON_N = 5          # word-gram width (the GPT-3-style knob)
+DECON_PROBES = 5     # probes = substrings of the first 5 docs
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.ngram_overlap): the
+    'eval set' is derived deterministically from the corpus itself
+    (substrings of the first 5 docs → guaranteed hits), the corpus is
+    scanned ONCE against the broadcast probe n-grams. Output: per
+    probe, how many corpus docs share ≥1 5-gram and the total shared
+    gram count."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") < DECON_PROBES).select(
+        F.col("doc_id").alias("probe_id"),
+        F.substring("text", 11, 80).alias("probe_text"),
+    )
+    hits = ngram_overlap(docs, probes, n=DECON_N)
+    return (
+        hits.groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_shared").alias("total_shared"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 QUERIES = {
     "dedup_exact_count": q_dedup_exact_count,
+    "decontamination": q_decontamination,
     "dedup_components": q_dedup_components,
     "hamming_topk": q_hamming_topk,
     "dedup_near_count": q_dedup_near_count,
@@ -201,6 +230,32 @@ ORACLE = {
         )
         SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+    "decontamination": f"""
+        WITH corpus AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   list_transform(
+                     range(1, greatest(len({_TOKS.format(src="text")}) - {DECON_N - 2}, 1)),
+                     i -> array_to_string(({_TOKS.format(src="text")})[i:i+{DECON_N - 1}], ' '))
+                 )) AS gram
+          FROM documents
+        ), probes AS (
+          SELECT doc_id AS probe_id,
+                 unnest(list_distinct(
+                   list_transform(
+                     range(1, greatest(len({_TOKS.format(src="substr(text, 11, 80)")}) - {DECON_N - 2}, 1)),
+                     i -> array_to_string(({_TOKS.format(src="substr(text, 11, 80)")})[i:i+{DECON_N - 1}], ' '))
+                 )) AS gram
+          FROM documents WHERE doc_id < {DECON_PROBES}
+        ), hits AS (
+          SELECT probe_id, doc_id, count(DISTINCT gram) AS n_shared
+          FROM corpus JOIN probes USING (gram)
+          GROUP BY probe_id, doc_id
+        )
+        SELECT probe_id, count(*) AS n_docs,
+               CAST(sum(n_shared) AS BIGINT) AS total_shared
+        FROM hits GROUP BY probe_id ORDER BY probe_id
     """,
     "dedup_components": f"""
         WITH RECURSIVE sh AS (

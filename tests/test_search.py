@@ -63,3 +63,23 @@ def test_error_paths(spark):
         bm25_scores(docs, [])
     with pytest.raises(ValueError, match="non-empty"):
         rrf_fuse([])
+
+
+def test_ngram_overlap_decontamination(spark):
+    from cli_rag_spark.operators.dedup import ngram_overlap
+
+    corpus = _docs(spark, [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "quick brown fox jumps over something else entirely"),
+        (2, "completely unrelated text with no overlap at all"),
+    ])
+    probes = spark.createDataFrame(
+        [(100, "brown fox jumps over the")], "probe_id long, probe_text string"
+    )
+    hits = {(r.probe_id, r.doc_id): r.n_shared for r in ngram_overlap(corpus, probes, n=5).collect()}
+    # probe's 5-grams: {"brown fox jumps over the"} — only doc 0 has it
+    assert hits == {(100, 0): 1}
+    # 3-grams hit both docs 0 and 1, never doc 2
+    hits3 = {(r.probe_id, r.doc_id): r.n_shared for r in ngram_overlap(corpus, probes, n=3).collect()}
+    assert set(hits3) == {(100, 0), (100, 1)}
+    assert hits3[(100, 0)] == 3  # all three 3-grams of the probe
