@@ -55,3 +55,8 @@ def test_matches_union_find_on_random_graph(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc(spark, [(i, i + 1) for i in range(30)], max_iter=2)
+
+
+def test_empty_edges_yield_empty_components(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
