@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cli_rag_spark.operators.skew import salted_topk_per_key
+from cli_rag_spark.operators.skew import salted_aggregate, salted_topk_per_key
 from cli_rag_spark.sources.documents import load_table
 
 SESSION_GAP_MIN = 30
@@ -192,9 +192,30 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user aggregates on the skew-proof TWO-PHASE path
+    (operators/skew.py salted_aggregate: partial agg per (key, salt),
+    then re-agg per key — a hot user's rows spread across n_salts
+    tasks). Result-identical to the plain groupBy the oracle runs,
+    including the decomposed average."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    out = salted_aggregate(
+        ev,
+        ["user_id"],
+        {"n": ("count", "*"), "total": ("sum", "value"), "avg_v": ("avg", "value")},
+    )
+    return out.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 2).alias("total"),
+        F.round("avg_v", 4).alias("avg_v"),
+    ).orderBy("user_id")
+
+
 QUERIES = {
     "event_type_stats": q_event_type_stats,
     "retention_cohorts": q_retention_cohorts,
+    "salted_user_totals": q_salted_user_totals,
     "ordered_funnel": q_ordered_funnel,
     "rolling_user_value": q_rolling_user_value,
     "salted_top_events": q_salted_top_events,
@@ -219,6 +240,13 @@ ORACLE = {
                CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
                CAST(sum(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS BIGINT) AS n_full_ordered
         FROM per_user
+    """,
+    "salted_user_totals": """
+        SELECT user_id, count(*) AS n,
+               round(sum(value), 2) AS total,
+               round(avg(value), 4) AS avg_v
+        FROM events WHERE user_id < 40
+        GROUP BY user_id ORDER BY user_id
     """,
     "retention_cohorts": """
         WITH wk AS (
