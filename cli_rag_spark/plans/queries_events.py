@@ -212,8 +212,46 @@ def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_session_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of R12 conversation accumulation (multirag.c:155-234):
+    the reference appends (role, content) turns to an in-RAM transcript
+    and renders them in order into one prompt string. Here each gap
+    session is the conversation, each event a turn, and the rendered
+    log is ``turn:role`` pieces joined in turn order.
+
+    Physical shape: session assignment reuses the (user_id, ts)
+    window partitioning; the per-session ordered render avoids a
+    non-deterministic collect_list by aggregating structs and
+    array_sort-ing on the turn number — one extra narrow shuffle on
+    (user_id, session_seq), no driver-side accumulation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
+    sessions = ev.withColumn("session_seq", F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    w_turn = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    turns = sessions.withColumn("turn_no", F.row_number().over(w_turn).cast("long"))
+    return (
+        turns.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_no", F.col("event_type").alias("role")))),
+                    lambda x: F.concat_ws(":", x["turn_no"], x["role"]),
+                ),
+                " | ",
+            ).alias("transcript"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 QUERIES = {
     "event_type_stats": q_event_type_stats,
+    "session_log": q_session_log,
     "retention_cohorts": q_retention_cohorts,
     "salted_user_totals": q_salted_user_totals,
     "ordered_funnel": q_ordered_funnel,
@@ -315,6 +353,28 @@ ORACLE = {
                round(epoch_us(max(ts) - min(ts)) / 1000000.0, 3) AS duration_sec,
                round(sum(value), 2) AS session_value
         FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+    """,
+    "session_log": f"""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts - lag(ts) OVER w) > {SESSION_GAP_MIN} * 60 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged
+        ), turns AS (
+          SELECT user_id, session_seq, event_type,
+                 row_number() OVER (PARTITION BY user_id, session_seq
+                                    ORDER BY ts, event_id) AS turn_no
+          FROM sess
+        )
+        SELECT user_id, session_seq, count(*) AS n_turns,
+               string_agg(turn_no || ':' || event_type, ' | ' ORDER BY turn_no) AS transcript
+        FROM turns GROUP BY user_id, session_seq ORDER BY user_id, session_seq
     """,
     "json_props": """
         SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS k_mod,

@@ -111,10 +111,11 @@ def q_chunk_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chunk_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clean-mode chunker, verified on aggregate invariants (per-doc
-    chunk count and char coverage) — the exact chunk boundaries are an
-    engine-defined policy with no SQL equivalent, so the oracle checks
-    the invariants instead."""
+    """Clean-mode chunker, verified on per-doc aggregates (chunk count
+    and post-strip char coverage). The oracle replays the cut_clean
+    state machine (operators/chunk.py) as a DuckDB recursive CTE —
+    same technique as chunk_reference — so this is fully value-checked,
+    not rows-only."""
     docs = load_table(spark, sf_dir, "documents")
     out = chunk(docs, CHUNK_SIZE, mode="clean")
     return (
@@ -236,5 +237,45 @@ ORACLE = {
         UNION ALL
         SELECT doc_id, 0::BIGINT, text FROM documents WHERE length(text) < {CHUNK_SIZE}
         ORDER BY doc_id, chunk_index
+    """,
+    # cut_clean (operators/chunk.py) as a recursive CTE, validated
+    # chunk-exact against the Python twin at sf0.001/sf0.01:
+    # window end backtracks to the last space via strpos(reverse(...)),
+    # the emitted chunk is whitespace-stripped, empties are dropped,
+    # and the next start skips a single boundary space when the cut
+    # landed just before one. Docs with length <= CHUNK_SIZE pass
+    # through whole and unstripped, exactly like the Python early-out.
+    "chunk_clean_stats": f"""
+        WITH RECURSIVE cst AS (
+          SELECT doc_id, text, length(text)::BIGINT AS L, 0::BIGINT AS s,
+                 FALSE AS done, CAST(NULL AS VARCHAR) AS chunk
+          FROM documents WHERE length(text) > {CHUNK_SIZE}
+          UNION ALL
+          SELECT doc_id, text, L,
+                 CASE WHEN NOT fin AND substr(text, CAST(e AS INT), 1) <> ' '
+                           AND substr(text, CAST(e+1 AS INT), 1) = ' '
+                      THEN e + 1 ELSE e END,
+                 fin,
+                 substr(text, CAST(s+1 AS INT), CAST(e - s AS INT))
+          FROM (
+            SELECT *, (e >= L) AS fin FROM (
+              SELECT *, CASE WHEN e0 < L AND sp > 0 THEN s + {CHUNK_SIZE} - sp + 1 ELSE e0 END AS e
+              FROM (
+                SELECT *, least(s + {CHUNK_SIZE}, L) AS e0,
+                       strpos(reverse(substr(text, CAST(s+2 AS INT), {CHUNK_SIZE})), ' ') AS sp
+                FROM cst WHERE NOT done
+              )
+            )
+          )
+        ),
+        chunks AS (
+          SELECT doc_id, trim(chunk, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS ct
+          FROM cst WHERE chunk IS NOT NULL
+          UNION ALL
+          SELECT doc_id, text FROM documents
+          WHERE length(text) <= {CHUNK_SIZE} AND length(text) > 0
+        )
+        SELECT doc_id, count(*) AS n_chunks, CAST(sum(length(ct)) AS BIGINT) AS sum_chars
+        FROM chunks WHERE ct <> '' GROUP BY doc_id ORDER BY doc_id
     """,
 }
