@@ -101,6 +101,10 @@ def chunk(
     Adds the provenance the reference never had (SURVEY §1.1: its only
     chunk identity was array position).
     """
+    if mode == "fixed":
+        if overlap:
+            raise ValueError("mode='fixed' does not support overlap")
+        return chunk_fixed(df, size, text_col=text_col, id_col=id_col)
     if mode == "reference":
         fn = lambda s: cut_reference(s, size)  # noqa: E731
     elif mode == "clean":

@@ -9,10 +9,17 @@ Layout per vector-db.c:42-79 (write) / 81-146 (read):
     5       8                    n_entries   (size_t, native-endian, vector-db.c:68)
     13      8                    vector_length (size_t, vector-db.c:69)
     21      n*vec_bytes          all vectors contiguously (vector-db.c:70-73);
-                                 DOUBLE_VECTOR rows are padded to a multiple
-                                 of 4 doubles (vector-db.c:124-135,
-                                 build-vector-db-from-server.c:56-63)
+                                 DOUBLE_VECTOR rows are exactly
+                                 vector_length*8 bytes; BINARY_VECTOR rows
+                                 are vector_length/8+1 bytes
+                                 (vector-db.c:58-60,111-113)
     ...     per text: 8 (len) + len bytes   (vector-db.c:74-78)
+
+Note the reference's 32-byte alignment / zero-padding to a multiple
+of 4 doubles (build-vector-db-from-server.c:56-63, vector-db.c:124-135)
+is an IN-MEMORY allocation detail only — write_db_to_disk and
+read_db_from_disk move exactly vector_length*8 bytes per row, so the
+disk format carries no padding.
 
 Non-portable by design upstream: native-endian size_t. We pin
 little-endian 64-bit (the only platform the reference realistically
@@ -46,18 +53,38 @@ BINARY_VECTOR = 0
 DOUBLE_VECTOR = 1
 
 
-def _padded_len(dim: int) -> int:
-    """Vectors are zero-padded to a multiple of 4 doubles
-    (build-vector-db-from-server.c:56-63, vector-db.c:124-135)."""
-    return dim if dim % 4 == 0 else dim + (4 - dim % 4)
+def _pack_bits(bits: list[float], nbytes: int) -> bytes:
+    """0/1 values → the reference's bit packing: bit i lands in byte
+    i//8 at in-byte position i%8 (vector-db.c:58-60,111-113)."""
+    out = bytearray(nbytes)
+    for i, b in enumerate(bits):
+        if b not in (0, 0.0, 1, 1.0):
+            raise ValueError(f"binary vector element {b!r} is not 0/1")
+        if b:
+            out[i // 8] |= 1 << (i % 8)
+    return bytes(out)
 
 
-def write_vdb(df: DataFrame, path: str, vec_col: str = "embedding", text_col: str = "text") -> int:
-    """DataFrame → ``.vdb`` file (DOUBLE_VECTOR). Returns row count.
+def write_vdb(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    text_col: str = "text",
+    vec_type: int = DOUBLE_VECTOR,
+) -> int:
+    """DataFrame → ``.vdb`` file. Returns row count.
+
+    ``vec_type=DOUBLE_VECTOR`` writes exactly dim little-endian f64
+    per row; ``vec_type=BINARY_VECTOR`` expects 0/1 elements (the
+    shape :func:`read_vdb` produces and operators/hamming.py unpacks
+    to) and writes the reference's dim//8+1-byte bit packing —
+    round-trip twin of the BINARY_VECTOR read branch below.
 
     Row order follows (id) if present else the DataFrame's order —
     the reference's only row identity is position (vector-db.c:167).
     """
+    if vec_type not in (DOUBLE_VECTOR, BINARY_VECTOR):
+        raise ValueError(f"unknown vector type {vec_type}")
     cols = df.columns
     if "id" in cols:
         df = df.orderBy("id")
@@ -65,16 +92,19 @@ def write_vdb(df: DataFrame, path: str, vec_col: str = "embedding", text_col: st
     if not rows:
         raise ValueError("refusing to write empty .vdb (reference would too: n_entries=0 index is useless)")
     dim = len(rows[0][0])
-    padded = _padded_len(dim)
+    nbytes = dim // 8 + 1
     with open(path, "wb") as f:
         f.write(MAGIC)
-        f.write(struct.pack("<B", DOUBLE_VECTOR))
+        f.write(struct.pack("<B", vec_type))
         f.write(struct.pack("<Q", len(rows)))
         f.write(struct.pack("<Q", dim))
         for vec, _text in rows:
             if len(vec) != dim:
                 raise ValueError(f"non-uniform dimension: {len(vec)} != {dim}")
-            f.write(struct.pack(f"<{padded}d", *(list(vec) + [0.0] * (padded - dim))))
+            if vec_type == DOUBLE_VECTOR:
+                f.write(struct.pack(f"<{dim}d", *vec))
+            else:
+                f.write(_pack_bits(list(vec), nbytes))
         for _vec, text in rows:
             b = (text or "").encode("utf-8")
             f.write(struct.pack("<Q", len(b)))
@@ -98,11 +128,9 @@ def read_vdb(spark: SparkSession, path: str) -> DataFrame:
     off = 21
     vecs: list[list[float]] = []
     if vtype == DOUBLE_VECTOR:
-        padded = _padded_len(dim)
         for _ in range(n):
-            vals = struct.unpack_from(f"<{padded}d", data, off)
-            vecs.append(list(vals[:dim]))
-            off += padded * 8
+            vecs.append(list(struct.unpack_from(f"<{dim}d", data, off)))
+            off += dim * 8
     elif vtype == BINARY_VECTOR:
         # declared but dead upstream (no producer, SURVEY §1.2); we
         # decode the bit-packed layout (vector_length/8+1 bytes/row,

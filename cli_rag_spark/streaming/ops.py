@@ -76,6 +76,7 @@ def read_events_stream(
     rebuilt as microsecond timestamps, exactly like the batch loader
     (sources/documents.py load_table) so stream and batch plans see
     identical values."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
@@ -85,7 +86,9 @@ def read_events_stream(
         ns_cols = [
             f.name for f in arrow_schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
         ]
-    except Exception:
+    except (OSError, pa.ArrowException):
+        # directory sources (read_schema wants one file) or non-parquet
+        # input: fall through to Spark's own schema inference below
         pass
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -82,3 +82,23 @@ class TestCutClean:
         assert len(chunks) >= 3
         for c in chunks:
             assert len(c) <= 10
+
+
+class TestChunkModeRouting:
+    def test_fixed_mode_routes_to_jvm_path(self, spark):
+        # the CLI advertises --chunk-mode fixed; chunk() must accept it
+        from cli_rag_spark.operators.chunk import chunk, chunk_fixed
+
+        df = spark.createDataFrame(
+            [(0, "abcdefghij"), (1, "klm")], ["doc_id", "text"]
+        )
+        got = sorted(chunk(df, 4, mode="fixed").collect())
+        want = sorted(chunk_fixed(df, 4).collect())
+        assert got == want
+
+    def test_fixed_mode_rejects_overlap(self, spark):
+        from cli_rag_spark.operators.chunk import chunk
+
+        df = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="overlap"):
+            chunk(df, 4, mode="fixed", overlap=2)

@@ -80,3 +80,38 @@ def test_lsh_recall_against_exact(spark, sf_dir):
     recalls = [len(e[k] & a.get(k, set())) / len(e[k]) for k in e]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.5, mean_recall
+
+
+def test_gemm_max_queries_guard(spark, sf_dir):
+    """The driver collect is capped: exceeding max_queries must raise
+    with a pointer at the LSH path, and a cap-sized run must still
+    match the expression path exactly."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb, 25)
+    with pytest.raises(ValueError, match="knn_join_lsh"):
+        knn_join_gemm(q, emb, k=2, max_queries=10)
+    a = sorted(map(tuple, knn_join(q, emb, k=2).collect()))
+    b = sorted(map(tuple, knn_join_gemm(q, emb, k=2, max_queries=25).collect()))
+    assert a == b
+
+
+def test_gemm_tie_boundary_matches_window_path(spark):
+    """Ties at the kth distance: duplicate vectors mean several
+    candidates share the kth rounded distance; the batch-local cut
+    must keep every tied candidate so the global (dist, id) tiebreak
+    matches knn_join. Small batches force the tie to straddle
+    batch boundaries."""
+    vecs = [
+        (i, [1.0, 0.0]) for i in range(6)      # identical: all dist 0 to [1,0]
+    ] + [
+        (i, [0.0, 1.0]) for i in range(6, 12)  # identical: orthogonal
+    ]
+    index = spark.createDataFrame(vecs, ["vec_id", "embedding"]).repartition(5)
+    q = spark.createDataFrame([(100, [1.0, 0.0])], ["query_id", "query_vec"])
+    a = sorted(map(tuple, knn_join(q, index, k=3).collect()))
+    b = sorted(map(tuple, knn_join_gemm(q, index, k=3).collect()))
+    assert a == b
+    # the id tiebreak must pick the SMALLEST ids among the dist-0 ties
+    assert [r[1] for r in sorted(b, key=lambda r: r[3])] == [0, 1, 2]

@@ -22,7 +22,8 @@ from cli_rag_spark.operators.multimodal import (
     frame_sample_plan,
 )
 from cli_rag_spark.sources.documents import load_table
-from cli_rag_spark.sources.vdb import read_vdb, write_vdb
+from cli_rag_spark.operators.hamming import simhash_signature
+from cli_rag_spark.sources.vdb import BINARY_VECTOR, read_vdb, write_vdb
 
 
 class TestMockEmbedder:
@@ -74,7 +75,9 @@ class TestVdbCodec:
 
     def test_layout_bytes(self, spark, tmp_path):
         # byte layout per vector-db.c:42-79: magic, type, n, dim,
-        # dim-3 vector padded to 4 doubles, length-prefixed text
+        # exactly dim doubles per row (write_db_to_disk moves
+        # vector_length*8 bytes; the reference's pad-to-4-doubles is
+        # in-memory only), length-prefixed text
         df = spark.createDataFrame([(0, [1.0, 2.0, 3.0], "ab")], ["id", "embedding", "text"])
         path = os.path.join(str(tmp_path), "t.vdb")
         write_vdb(df, path)
@@ -83,8 +86,63 @@ class TestVdbCodec:
         assert data[4] == 1  # DOUBLE_VECTOR
         assert int.from_bytes(data[5:13], "little") == 1
         assert int.from_bytes(data[13:21], "little") == 3
-        # 4 padded doubles (32 bytes) + text record (8 + 2)
-        assert len(data) == 21 + 32 + 8 + 2
+        # 3 doubles (24 bytes) + text record (8 + 2)
+        assert len(data) == 21 + 24 + 8 + 2
+        import struct as st
+        assert st.unpack_from("<3d", data, 21) == (1.0, 2.0, 3.0)
+
+    def test_round_trip_dim_not_multiple_of_4(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0, 4.0, 5.0], "a"), (1, [6.0, 7.0, 8.0, 9.0, 10.0], "b")],
+            ["id", "embedding", "text"],
+        )
+        path = os.path.join(str(tmp_path), "d5.vdb")
+        write_vdb(df, path)
+        back = read_vdb(spark, path).orderBy("id").collect()
+        assert back[0]["embedding"] == [1.0, 2.0, 3.0, 4.0, 5.0]
+        assert back[1]["embedding"] == [6.0, 7.0, 8.0, 9.0, 10.0]
+
+    def test_binary_round_trip_bit_identical(self, spark, tmp_path):
+        # BINARY_VECTOR write (vector-db.c:58-60,111-113 packing):
+        # write → read → bit-identical, dim 10 spans two packed bytes
+        rows = [(0, [1.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 1.0], "x"),
+                (1, [0.0, 1.0, 0.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0, 0.0], "y")]
+        df = spark.createDataFrame(rows, ["id", "embedding", "text"])
+        path = os.path.join(str(tmp_path), "b.vdb")
+        write_vdb(df, path, vec_type=BINARY_VECTOR)
+        data = open(path, "rb").read()
+        assert data[4] == 0  # BINARY_VECTOR type byte
+        # 2 rows x (10//8+1 = 2 bytes) + two text records
+        assert len(data) == 21 + 2 * 2 + (8 + 1) * 2
+        back = read_vdb(spark, path).orderBy("id").collect()
+        assert [r["embedding"] for r in back] == [r[1] for r in rows]
+
+    def test_binary_round_trip_hamming_signatures(self, spark, tmp_path):
+        # end-to-end with the live BINARY_VECTOR producer: simhash
+        # packed longs -> bit arrays -> .vdb -> read -> repacked longs
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta"), (1, "epsilon zeta eta theta"),
+             (2, "alpha beta gamma delta")],
+            ["doc_id", "text"],
+        )
+        n_bits = 16
+        sigs = {r["doc_id"]: r["sig"] for r in simhash_signature(docs, n_bits=n_bits).collect()}
+        bits_df = spark.createDataFrame(
+            [(i, [float((sigs[i] >> j) & 1) for j in range(n_bits)], f"doc{i}") for i in sorted(sigs)],
+            ["id", "embedding", "text"],
+        )
+        path = os.path.join(str(tmp_path), "sig.vdb")
+        write_vdb(bits_df, path, vec_type=BINARY_VECTOR)
+        back = read_vdb(spark, path).orderBy("id").collect()
+        repacked = {
+            r["id"]: sum(int(b) << j for j, b in enumerate(r["embedding"])) for r in back
+        }
+        assert repacked == sigs
+
+    def test_binary_write_rejects_non_bits(self, spark, tmp_path):
+        df = spark.createDataFrame([(0, [0.5, 1.0], "t")], ["id", "embedding", "text"])
+        with pytest.raises(ValueError, match="not 0/1"):
+            write_vdb(df, os.path.join(str(tmp_path), "bad.vdb"), vec_type=BINARY_VECTOR)
 
     def test_bad_magic_is_hard_error(self, spark, tmp_path):
         path = os.path.join(str(tmp_path), "bad.vdb")
