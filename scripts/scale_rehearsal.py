@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Scale rehearsal: measure how the compute-bound operator family
+scales from sf0.1 to sf1-equivalent (1x/2x/5x/10x synthetic copies)
+and fit the scaling exponent alpha in t ~ n^alpha.
+
+Replica construction preserves the WORKLOAD SHAPE per replica while
+destroying cross-replica similarity, so measured growth reflects the
+engine, not an artifact of duplicated data:
+
+- documents: replica i rotates the alphabet by i (translate()) —
+  word/doc lengths, token structure, and intra-replica dup groups are
+  identical to the original, but shingles never collide across
+  replicas (no quadratic blow-up of MinHash candidate pairs).
+- embeddings: replica i flips the sign of coordinate j where bit j of
+  splitmix64(i) is set — an isometry (norms and intra-replica cosine
+  distances exactly preserved) that scrambles cross-replica cosine
+  structure and LSH buckets.
+
+Usage: python scripts/scale_rehearsal.py [--runs 2]
+Prints one JSON line per query with per-scale seconds and the fitted
+exponent; paste the table into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import string
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cli_rag_spark.plans import registry  # noqa: E402
+from cli_rag_spark.session import get_session  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/scale_rehearsal"
+MULTIPLES = [1, 2, 5, 10]
+QUERIES = [
+    "minhash_candidates",
+    "dedup_components",
+    "knn_join_lsh",
+    "embedding_near_dups",
+    "bm25_topk",
+]
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _rotated(alpha: str, i: int) -> str:
+    r = i % len(alpha)
+    return alpha[r:] + alpha[:r]
+
+
+def generate(spark, m: int) -> str:
+    out = os.path.join(WORK, f"x{m}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
+    vec_off = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(emb.select("embedding").first()[0])
+
+    lower, upper = string.ascii_lowercase, string.ascii_uppercase
+    d_parts, e_parts = [], []
+    for i in range(m):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_off))
+        if i:
+            d = d.withColumn(
+                "text",
+                F.translate("text", lower + upper, _rotated(lower, i) + _rotated(upper, i)),
+            )
+        d_parts.append(d)
+        pattern = _splitmix64(i) if i else 0
+        signs = F.array(*[F.lit(-1.0 if (pattern >> (j % 64)) & 1 else 1.0) for j in range(dim)])
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vec_off))
+        if i:
+            e = e.withColumn(
+                "embedding", F.zip_with("embedding", signs, lambda x, s: (x * s).cast("float"))
+            )
+        e_parts.append(e)
+
+    d_all, e_all = d_parts[0], e_parts[0]
+    for d in d_parts[1:]:
+        d_all = d_all.unionByName(d)
+    for e in e_parts[1:]:
+        e_all = e_all.unionByName(e)
+    d_all.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    e_all.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2, help="best-of-N per point")
+    ap.add_argument("--fresh", action="store_true", help="regenerate synthetic data")
+    args = ap.parse_args()
+    if args.fresh and os.path.isdir(WORK):
+        shutil.rmtree(WORK)
+
+    spark = get_session(app_name="cli-rag-spark-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+
+    dirs = {m: generate(spark, m) for m in MULTIPLES}
+    # warm-up
+    qs["minhash_candidates"](spark, dirs[1]).write.mode("overwrite").format("noop").save()
+
+    results = {}
+    for name in QUERIES:
+        per_scale = {}
+        for m in MULTIPLES:
+            best = math.inf
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                qs[name](spark, dirs[m]).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            per_scale[m] = round(best, 3)
+        # least-squares slope of log(t) vs log(m)
+        xs = [math.log(m) for m in MULTIPLES]
+        ys = [math.log(per_scale[m]) for m in MULTIPLES]
+        xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
+        alpha = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+            (x - xbar) ** 2 for x in xs
+        )
+        results[name] = {"sec": per_scale, "alpha": round(alpha, 3)}
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
