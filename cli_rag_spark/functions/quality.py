@@ -1,0 +1,103 @@
+"""Gopher/C4-style document-quality heuristics (LLM-pipeline filters).
+
+Public-knowledge rules (Rae et al. 2021 "Scaling Language Models"
+appendix A1.1; Raffel et al. 2020 C4 filters), adapted to the signals
+the corpus actually exercises: word-count bounds, mean word length,
+repetition (top-word and duplicate-word fractions), stopword
+presence, and alphabetic-word fraction.
+
+Everything is built-in HOF composition (filter/transform/aggregate/
+array_distinct) — no Python UDFs, so the whole filter suite runs
+inside whole-stage codegen, a pure map with no shuffle: at 100 TB the
+filter costs one scan and prunes to the columns it reads. The
+repetition metrics are O(words · distinct-words) per document, an
+explicit trade for staying JVM-side — at typical document sizes this
+is far cheaper than an explode + groupBy that would shuffle every
+token.
+
+Every expression has an exact DuckDB list-function twin in
+plans/queries_text.py (gopher_quality_flags), so the whole suite is
+value-checked, not heuristically tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from cli_rag_spark.functions.text import STOPWORDS, tokens
+
+# Gopher-ish acceptance thresholds (A1.1, adapted: the corpus has no
+# lines/bullets, so line-shape rules are out of scope here).
+MIN_WORDS = 5
+MAX_WORDS = 100_000
+MEAN_WORD_LEN_RANGE = (2.0, 12.0)
+MAX_TOP_WORD_FRACTION = 0.20
+MAX_DUP_WORD_FRACTION = 0.60
+MIN_STOPWORDS = 1
+MIN_ALPHA_WORD_FRACTION = 0.80
+
+
+def n_words(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def mean_word_length(text: Column) -> Column:
+    """Average token length; 0.0 for empty docs (not NULL, so the
+    threshold comparison stays two-valued)."""
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def top_word_fraction(text: Column) -> Column:
+    """Fraction of tokens equal to the single most frequent token —
+    Gopher's repetition signal reduced to words. max over distinct
+    tokens of its occurrence count, divided by token count."""
+    toks = tokens(text)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    )
+    return F.when(F.size(toks) > 0, top.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def duplicate_word_fraction(text: Column) -> Column:
+    """1 − distinct/total tokens: how much of the doc is repeats."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    """Occurrences of the language's stopwords among lowercased tokens
+    (Gopher requires ≥2 of a small English list; see MIN_STOPWORDS)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(sw, t)))
+
+
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of tokens containing at least one alphabetic char."""
+    toks = tokens(text)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(F.size(toks) > 0, n_alpha.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def gopher_keep(text: Column) -> Column:
+    """The combined accept flag over all thresholds."""
+    nw = n_words(text)
+    mwl = mean_word_length(text)
+    return (
+        (nw >= MIN_WORDS)
+        & (nw <= MAX_WORDS)
+        & (mwl >= MEAN_WORD_LEN_RANGE[0])
+        & (mwl <= MEAN_WORD_LEN_RANGE[1])
+        & (top_word_fraction(text) <= MAX_TOP_WORD_FRACTION)
+        & (duplicate_word_fraction(text) <= MAX_DUP_WORD_FRACTION)
+        & (stopword_count(text) >= MIN_STOPWORDS)
+        & (alpha_word_fraction(text) >= MIN_ALPHA_WORD_FRACTION)
+    )

@@ -97,6 +97,39 @@ def stratified_sample_hash(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic source-mixture sampling: keep each row with its
+    source's rate, decided by md5(salt|id) bucket — the standard way a
+    training pipeline reweights corpora (e.g. books 2x, web 0.3x)
+    without rand() (reproducible across reruns, retried tasks, and
+    engines) and without a shuffle (pure map; the filter pushes to the
+    scan). Rates are per-mille-of-10k exact, like split_assignment."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_BUCKETS
+    )
+    bound: Column = F.lit(int(round(default_rate * SPLIT_BUCKETS)))
+    for s, r in sorted(rates.items()):
+        bound = F.when(F.col(source_col) == s, F.lit(int(round(r * SPLIT_BUCKETS)))).otherwise(bound)
+    return df.where(bucket < bound)
+
+
 def pack_concat_chunks(
     df: DataFrame,
     cap: int,

@@ -23,7 +23,17 @@ from cli_rag_spark.functions.text import (
     token_count,
     tokens,
 )
+from cli_rag_spark.functions.quality import (
+    alpha_word_fraction,
+    duplicate_word_fraction,
+    gopher_keep,
+    mean_word_length,
+    n_words,
+    stopword_count,
+    top_word_fraction,
+)
 from cli_rag_spark.operators.chunk import chunk, chunk_fixed
+from cli_rag_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE, pii_count, pii_scrub
 from cli_rag_spark.sources.documents import load_table
 
 CHUNK_SIZE = 64
@@ -125,8 +135,65 @@ def q_chunk_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality metrics + accept flag per document
+    (functions/quality.py) — all JVM HOFs, one scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        n_words(t).cast("long").alias("n_words"),
+        F.round(mean_word_length(t), 4).alias("mean_word_len"),
+        F.round(top_word_fraction(t), 6).alias("top_word_frac"),
+        F.round(duplicate_word_fraction(t), 6).alias("dup_word_frac"),
+        stopword_count(t).cast("long").alias("n_stop"),
+        F.round(alpha_word_fraction(t), 6).alias("alpha_word_frac"),
+        gopher_keep(t).cast("long").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/pii.py) value-checked end-to-end: the
+    corpus carries no PII, so a deterministic synthetic contact tail
+    (email + phone + IPv4 derived from doc_id) is appended first;
+    per-language totals prove match counts, redacted char volume, and
+    scrub idempotence (residual == 0) against the DuckDB twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+    )
+    scrubbed = pii_scrub(aug)
+    residual = pii_count(scrubbed, EMAIL_RE) + pii_count(scrubbed, PHONE_RE) + pii_count(scrubbed, IPV4_RE)
+    return (
+        docs.select(
+            "lang",
+            pii_count(aug, EMAIL_RE).alias("_e"),
+            pii_count(aug, PHONE_RE).alias("_p"),
+            pii_count(aug, IPV4_RE).alias("_i"),
+            (F.length(aug) - F.length(scrubbed)).alias("_d"),
+            residual.alias("_r"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_e").cast("long").alias("emails"),
+            F.sum("_p").cast("long").alias("phones"),
+            F.sum("_i").cast("long").alias("ips"),
+            F.sum("_d").cast("long").alias("redacted_chars"),
+            F.sum("_r").cast("long").alias("residual_matches"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "gopher_quality_flags": q_gopher_quality,
+    "pii_redaction_stats": q_pii_redaction_stats,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "lang_id_confusion": q_lang_id,
@@ -163,7 +230,86 @@ def _lang_case() -> str:
     return expr_lang
 
 
+from cli_rag_spark.functions.quality import (  # noqa: E402  (thresholds for the oracle twins)
+    MAX_DUP_WORD_FRACTION,
+    MAX_TOP_WORD_FRACTION,
+    MAX_WORDS,
+    MEAN_WORD_LEN_RANGE,
+    MIN_ALPHA_WORD_FRACTION,
+    MIN_STOPWORDS,
+    MIN_WORDS,
+)
+
+_EN_STOP = ", ".join(repr(w) for w in STOPWORDS["en"])
+
+_GOPHER_SQL = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             {_WS_TOKENS.format(col='text')} AS toks,
+             {_WS_TOKENS.format(col='lower(text)')} AS ltoks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS mwl,
+             CASE WHEN len(toks) > 0
+                  THEN list_max(list_transform(list_distinct(toks),
+                                               d -> len(list_filter(toks, x -> x = d))))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS topf,
+             CASE WHEN len(toks) > 0
+                  THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS dupf,
+             len(list_filter(ltoks, x -> x IN ({_EN_STOP})))::BIGINT AS n_stop,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS alphaf
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           round(mwl, 4) AS mean_word_len,
+           round(topf, 6) AS top_word_frac,
+           round(dupf, 6) AS dup_word_frac,
+           n_stop,
+           round(alphaf, 6) AS alpha_word_frac,
+           CAST(CASE WHEN n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+                      AND mwl >= {MEAN_WORD_LEN_RANGE[0]} AND mwl <= {MEAN_WORD_LEN_RANGE[1]}
+                      AND topf <= {MAX_TOP_WORD_FRACTION} AND dupf <= {MAX_DUP_WORD_FRACTION}
+                      AND n_stop >= {MIN_STOPWORDS} AND alphaf >= {MIN_ALPHA_WORD_FRACTION}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m ORDER BY doc_id
+"""
+
+# patterns substituted literally (RE2-safe, no quotes inside)
+_PII_SQL = """
+    WITH aug AS (
+      SELECT lang,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-123-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS a
+      FROM documents
+    ), s AS (
+      SELECT lang, a,
+             regexp_replace(regexp_replace(regexp_replace(
+               a, '@EMAIL@', '[EMAIL]', 'g'), '@IP@', '[IP]', 'g'), '@PHONE@', '[PHONE]', 'g') AS sc
+      FROM aug
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(a, '@EMAIL@'))) AS BIGINT) AS emails,
+           CAST(sum(len(regexp_extract_all(a, '@PHONE@'))) AS BIGINT) AS phones,
+           CAST(sum(len(regexp_extract_all(a, '@IP@'))) AS BIGINT) AS ips,
+           CAST(sum(length(a) - length(sc)) AS BIGINT) AS redacted_chars,
+           CAST(sum(len(regexp_extract_all(sc, '@EMAIL@'))
+                    + len(regexp_extract_all(sc, '@PHONE@'))
+                    + len(regexp_extract_all(sc, '@IP@'))) AS BIGINT) AS residual_matches
+    FROM s GROUP BY lang ORDER BY lang
+""".replace("@EMAIL@", EMAIL_RE).replace("@IP@", IPV4_RE).replace("@PHONE@", PHONE_RE)
+
 ORACLE = {
+    "gopher_quality_flags": _GOPHER_SQL,
+    "pii_redaction_stats": _PII_SQL,
     "text_stats": rf"""
         SELECT lang,
                count(*) AS n_docs,

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from cli_rag_spark.operators.training import (
     hash_split,
+    mixture_sample,
     pack_concat_chunks,
     stratified_sample_hash,
 )
@@ -65,15 +66,49 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "doc_id").orderBy("lang", "doc_id")
 
 
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+MIX_DEFAULT = 0.05
+MIX_SALT = "mix"
+
+
+def q_mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture reweighting (operators/training.py
+    mixture_sample): per-source keep counts + surviving chars under
+    explicit per-source rates — deterministic, shuffle-free map
+    sampling; the filter pushes to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(docs, "source", MIX_RATES, MIX_DEFAULT, salt=MIX_SALT)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "hash_split_counts": q_hash_split_counts,
     "pack_chunks_stats": q_pack_chunks_stats,
     "stratified_sample": q_stratified_sample,
+    "mixture_sample_counts": q_mixture_sample_counts,
 }
 
 _BUCKET = f"('0x' || substr(md5('{SALT}' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000"
 
+_MIX_BUCKET = (
+    f"('0x' || substr(md5('{MIX_SALT}' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000"
+)
+_MIX_BOUND = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {int(round(r * 10000))}" for s, r in sorted(MIX_RATES.items())
+) + f" ELSE {int(round(MIX_DEFAULT * 10000))} END"
+
 ORACLE = {
+    "mixture_sample_counts": f"""
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE {_MIX_BUCKET} < {_MIX_BOUND}
+        GROUP BY source ORDER BY source
+    """,
     "hash_split_counts": f"""
         WITH assigned AS (
           SELECT lang, n_chars,
