@@ -67,3 +67,24 @@ def test_bad_sf_dir_is_clean_analysis_error(spark):
 
     with pytest.raises(AnalysisException, match="PATH_NOT_FOUND|Path does not exist"):
         entrymod.queries()["cosine_topk"](spark, "/root/testdata/sf-nope").count()
+
+
+def test_filter_suite_stays_jvm_side(spark, sf_dir):
+    # the quality/PII/mixture pipeline ops must plan as pure JVM maps:
+    # a Python UDF sneaking in (BatchEvalPython / ArrowEvalPython)
+    # would cut throughput ~10-100x at scale
+    for name in ("gopher_quality_flags", "pii_redaction_stats", "mixture_sample_counts",
+                 "session_log"):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+
+
+def test_mixture_sample_is_pre_aggregation_filter(spark, sf_dir):
+    # the sampling filter must run before the groupBy shuffle (a map-
+    # side filter), never after it — at scale it prunes the shuffle
+    plan = _plan(spark, sf_dir, "mixture_sample_counts")
+    filter_pos = plan.index("Filter")
+    exchange_pos = plan.index("Exchange")
+    # executedPlan prints top-down: the Exchange node appears ABOVE
+    # (before, textually) the Filter it consumes
+    assert exchange_pos < filter_pos
