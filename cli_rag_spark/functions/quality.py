@@ -88,7 +88,11 @@ def alpha_word_fraction(text: Column) -> Column:
 
 
 def gopher_keep(text: Column) -> Column:
-    """The combined accept flag over all thresholds."""
+    """The combined accept flag over all thresholds.
+
+    Convenience single-column form: it re-derives the token array per
+    metric, so use it for one-off flags only — batch scoring goes
+    through :func:`with_quality_metrics`, which tokenizes once."""
     nw = n_words(text)
     mwl = mean_word_length(text)
     return (
@@ -101,3 +105,65 @@ def gopher_keep(text: Column) -> Column:
         & (stopword_count(text) >= MIN_STOPWORDS)
         & (alpha_word_fraction(text) >= MIN_ALPHA_WORD_FRACTION)
     )
+
+
+def keep_from_metrics() -> Column:
+    """Accept flag from already-materialized metric columns (the
+    cheap references a final projection may safely repeat)."""
+    return (
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("n_words") <= MAX_WORDS)
+        & (F.col("mean_word_len") >= MEAN_WORD_LEN_RANGE[0])
+        & (F.col("mean_word_len") <= MEAN_WORD_LEN_RANGE[1])
+        & (F.col("top_word_frac") <= MAX_TOP_WORD_FRACTION)
+        & (F.col("dup_word_frac") <= MAX_DUP_WORD_FRACTION)
+        & (F.col("n_stop") >= MIN_STOPWORDS)
+        & (F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRACTION)
+    )
+
+
+def with_quality_metrics(df, text_col: str = "text", lang: str = "en"):
+    """Append all quality metric columns + the ``keep`` flag,
+    tokenizing each document exactly ONCE.
+
+    The naive spelling (each metric function re-deriving
+    ``tokens(text)``) plants ~30 copies of the split+filter in one
+    projection — Catalyst does not CSE across output columns, so every
+    row would tokenize ~30×. Staged projections fix it: stage 1
+    materializes ``_toks``/``_ltoks`` behind aliases (CollapseProject
+    keeps a multi-referenced non-cheap alias as its own projection),
+    stage 2 derives the metrics from the alias, stage 3 derives
+    ``keep`` from the metric columns. Plan-guarded by
+    tests/test_plans.py (split count == 2: text + lowered text)."""
+    base = df.columns
+    staged = df.withColumns(
+        {
+            "_toks": tokens(F.col(text_col)),
+            "_ltoks": tokens(F.lower(F.col(text_col))),
+        }
+    )
+    n = F.size("_toks")
+    total_len = F.aggregate("_toks", F.lit(0), lambda acc, t: acc + F.length(t))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("_toks"),
+            lambda d: F.size(F.filter(F.col("_toks"), lambda t: t == d)),
+        )
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_alpha = F.size(F.filter(F.col("_toks"), lambda t: t.rlike("[A-Za-z]")))
+    nz = n > 0
+    metrics = staged.select(
+        *base,
+        n.cast("long").alias("n_words"),
+        F.when(nz, total_len.cast("double") / n).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(nz, top.cast("double") / n).otherwise(F.lit(0.0)).alias("top_word_frac"),
+        F.when(nz, 1.0 - F.size(F.array_distinct("_toks")).cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        F.size(F.filter(F.col("_ltoks"), lambda t: F.array_contains(sw, t)))
+        .cast("long")
+        .alias("n_stop"),
+        F.when(nz, n_alpha.cast("double") / n).otherwise(F.lit(0.0)).alias("alpha_word_frac"),
+    )
+    return metrics.withColumn("keep", keep_from_metrics())

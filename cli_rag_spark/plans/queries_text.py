@@ -23,15 +23,7 @@ from cli_rag_spark.functions.text import (
     token_count,
     tokens,
 )
-from cli_rag_spark.functions.quality import (
-    alpha_word_fraction,
-    duplicate_word_fraction,
-    gopher_keep,
-    mean_word_length,
-    n_words,
-    stopword_count,
-    top_word_fraction,
-)
+from cli_rag_spark.functions.quality import with_quality_metrics
 from cli_rag_spark.operators.chunk import chunk, chunk_fixed
 from cli_rag_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE, pii_count, pii_scrub
 from cli_rag_spark.sources.documents import load_table
@@ -137,18 +129,20 @@ def q_chunk_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style quality metrics + accept flag per document
-    (functions/quality.py) — all JVM HOFs, one scan, no shuffle."""
+    (functions/quality.py with_quality_metrics) — all JVM HOFs, one
+    scan, no shuffle, and each doc tokenized exactly once (staged
+    projections; the naive per-metric spelling re-splits ~30x/row)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
+    m = with_quality_metrics(docs.select("doc_id", "text"))
+    return m.select(
         "doc_id",
-        n_words(t).cast("long").alias("n_words"),
-        F.round(mean_word_length(t), 4).alias("mean_word_len"),
-        F.round(top_word_fraction(t), 6).alias("top_word_frac"),
-        F.round(duplicate_word_fraction(t), 6).alias("dup_word_frac"),
-        stopword_count(t).cast("long").alias("n_stop"),
-        F.round(alpha_word_fraction(t), 6).alias("alpha_word_frac"),
-        gopher_keep(t).cast("long").alias("keep"),
+        "n_words",
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        "n_stop",
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.col("keep").cast("long").alias("keep"),
     ).orderBy("doc_id")
 
 

@@ -77,6 +77,11 @@ def test_filter_suite_stays_jvm_side(spark, sf_dir):
                  "session_log"):
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, name
+    # each doc is tokenized exactly once per token stream (text +
+    # lowered text): the staged projections in with_quality_metrics
+    # must survive CollapseProject — ~30 split() copies otherwise
+    plan = _plan(spark, sf_dir, "gopher_quality_flags")
+    assert plan.count("split(") == 2, plan.count("split(")
 
 
 def test_mixture_sample_is_pre_aggregation_filter(spark, sf_dir):
