@@ -81,18 +81,25 @@ def kmeans_refine(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Lloyd iterations on the coarse quantizer. Per iteration: one
     assignment (broadcast crossJoin + min_by) and one elementwise mean
     (posexplode → groupBy(cid, pos) avg → re-pack ordered by pos).
-    Empty clusters keep their previous centroid."""
+    Empty clusters keep their previous centroid. ``round_digits``
+    rounds each refined centroid component — pass it when the result
+    must be bit-reproducible across engines (partial-sum order drift
+    in avg() is ~1e-15 relative; rounding absorbs it)."""
     for _ in range(n_iters):
         assign = assign_centroids(vectors, centroids, id_col, vec_col)
+        mean_val = F.avg(F.col("val").cast("double"))
+        if round_digits is not None:
+            mean_val = F.round(mean_val, round_digits)
         means = (
             vectors.join(assign, id_col)
             .select("cid", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("val"))
+            .agg(mean_val.alias("val"))
             .groupBy("cid")
             .agg(
                 F.transform(

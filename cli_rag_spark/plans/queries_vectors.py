@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cli_rag_spark.functions.vectors import cosine_distance, l2_norm
-from cli_rag_spark.operators.ann import ivf_topk
+from cli_rag_spark.operators.ann import (
+    assign_centroids,
+    ivf_topk,
+    kmeans_refine,
+    seed_centroids,
+)
 from cli_rag_spark.operators.knn import (
     _hyperplanes,
     knn_join,
@@ -169,7 +174,87 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_CENTROIDS = 8
+KM_ITERS = 2
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings (operators/ann.py):
+    seeded centroids, 2 refine iterations (broadcast assignment +
+    element-wise mean — one narrow shuffle per iteration), final
+    assignment, then per-cluster size and mean distance-to-centroid
+    (the k-means inertia decomposed by cluster). Fully deterministic
+    (rounded distances and centroid components, cid tie-breaks), so
+    the ENTIRE iterative refinement replays in the DuckDB oracle —
+    not just the final counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = seed_centroids(emb, KM_CENTROIDS)
+    cent = kmeans_refine(emb, cent, n_iters=KM_ITERS, round_digits=6)
+    assign = assign_centroids(emb, cent)
+    d = F.round(cosine_distance(F.col("embedding"), F.col("cvec")), 6)
+    return (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(cent), "cid")
+        .select("cid", d.alias("_d"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("_d"), 4).alias("avg_dist"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _kmeans_oracle(n_cent: int, iters: int, dim: int) -> str:
+    """The full Lloyd loop as chained CTEs (assignment → per-position
+    mean → coalesce empty clusters), mirroring kmeans_refine exactly."""
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6), c.cid
+                       ) AS rn
+                FROM embeddings e, {cent} c
+            ) WHERE rn = 1
+        )"""
+
+    ctes = [
+        f"""cent0 AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+            FROM embeddings WHERE vec_id < {n_cent}
+        )"""
+    ]
+    for i in range(iters):
+        ctes.append(assign_cte(f"a{i}", f"cent{i}"))
+        ctes.append(f"""means{i} AS (
+            SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+                SELECT a.cid, gs AS pos, round(avg(e.embedding[gs]::DOUBLE), 6) AS val
+                FROM embeddings e JOIN a{i} a USING (vec_id)
+                CROSS JOIN generate_series(1, {dim}) t(gs)
+                GROUP BY a.cid, gs
+            ) GROUP BY cid
+        )""")
+        ctes.append(f"""cent{i + 1} AS (
+            SELECT c.cid, COALESCE(m.cvec, c.cvec) AS cvec
+            FROM cent{i} c LEFT JOIN means{i} m USING (cid)
+        )""")
+    ctes.append(assign_cte("af", f"cent{iters}"))
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT a.cid, count(*) AS n_vectors,
+               round(avg(round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)), 4) AS avg_dist
+        FROM embeddings e
+        JOIN af a USING (vec_id)
+        JOIN cent{iters} c USING (cid)
+        GROUP BY a.cid ORDER BY a.cid
+    """
+
+
 QUERIES = {
+    "kmeans_clusters": q_kmeans_clusters,
     "cosine_topk": q_cosine_topk,
     "quantized_topk": q_quantized_topk,
     "ivf_topk": q_ivf_topk,
@@ -225,6 +310,7 @@ def _lsh_oracle_sql() -> str:
 
 
 ORACLE = {
+    "kmeans_clusters": _kmeans_oracle(KM_CENTROIDS, KM_ITERS, LSH_DIM),
     "knn_join_lsh": _lsh_oracle_sql(),
     "knn_join_all": """
         WITH d AS (
