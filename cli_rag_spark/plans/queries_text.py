@@ -184,8 +184,31 @@ def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_K = 20
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: term frequency + document frequency of
+    the top-20 tokens — the canonical wordcount shape. explode →
+    partial-agg count (map-side combined) → TakeOrderedAndProject;
+    the shuffle carries (token, partial-count) pairs only, and the
+    top-k never global-sorts. Ties broken by token for determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(VOCAB_K)
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "vocab_topk": q_vocab_topk,
     "gopher_quality_flags": q_gopher_quality,
     "pii_redaction_stats": q_pii_redaction_stats,
     "token_counts": q_token_counts,
@@ -302,6 +325,14 @@ _PII_SQL = """
 """.replace("@EMAIL@", EMAIL_RE).replace("@IP@", IPV4_RE).replace("@PHONE@", PHONE_RE)
 
 ORACLE = {
+    "vocab_topk": rf"""
+        SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
+        FROM (
+          SELECT doc_id, unnest({_WS_TOKENS.format(col='text')}) AS token
+          FROM documents
+        )
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT {VOCAB_K}
+    """,
     "gopher_quality_flags": _GOPHER_SQL,
     "pii_redaction_stats": _PII_SQL,
     "text_stats": rf"""
