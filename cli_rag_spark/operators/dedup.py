@@ -5,10 +5,11 @@ extension designed for 100 TB. Five strategies, all declarative:
 
 * exact        — md5 fingerprint groupBy; one shuffle on a 32-char
                  key, map-side partial agg; the 100 TB workhorse.
-* minhash LSH  — shingle → k string-minhashes → bands → equi-join on
-                 (band, key). Candidate generation never compares
-                 all pairs: the shuffle key is the band hash, so cost
-                 scales with bucket collisions, not N².
+* minhash LSH  — shingle → one md5 base hash → k universal-hash
+                 minima → bands → equi-join on (band, key). Candidate
+                 generation never compares all pairs: the shuffle key
+                 is the band hash, so cost scales with bucket
+                 collisions, not N².
 * simhash      — 16-bit sign fingerprint over tokens; identical keys
                  are near-dup candidates. One groupBy on a tiny key.
 * n-gram Jaccard — exact verification metric (and a standalone
@@ -27,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cli_rag_spark.functions.hashing import band_keys, md5_int60
+from cli_rag_spark.functions.hashing import (
+    MINHASH_PRIME,
+    band_keys,
+    md5_int32,
+    md5_int60,
+    minhash_coeffs,
+)
 from cli_rag_spark.functions.text import fingerprint, tokens, word_shingles
 
 
@@ -53,13 +60,18 @@ def minhash_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
-    Shuffle profile: shingles are exploded to rows so the k md5
-    evaluations run inside whole-stage codegen (an md5 inside a
-    higher-order lambda is interpreted per element — measured 20×
-    slower); the k per-doc minima come from one partial-aggregating
-    groupBy on the doc id. Candidates come from one equi-join on
-    (band, key) — never a crossJoin. Band keys are md5 strings so
-    bucket skew is bounded by true duplicate clusters only.
+    Shuffle profile: shingles are exploded to rows so the ONE md5
+    evaluation per shingle runs inside whole-stage codegen (an md5
+    inside a higher-order lambda is interpreted per element —
+    measured 20× slower); the k MinHash permutations are universal
+    hashes ``(a_i·h + b_i) mod p`` of that base hash (pure codegen
+    arithmetic — round 1 paid k independent md5s per shingle for
+    identical candidate quality), and the k per-doc minima come from
+    one partial-aggregating groupBy on the doc id whose shuffle rows
+    are k LONGS, not k hex strings (4× narrower). Candidates come
+    from one equi-join on (band, key) — never a crossJoin. Band keys
+    are md5 strings so bucket skew is bounded by true duplicate
+    clusters only.
     """
     rows_per_band = n_hashes // n_bands
     # docs with fewer words than the shingle width yield an empty
@@ -69,17 +81,15 @@ def minhash_candidates(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias("_sh"),
     )
-    hashed = exploded.select(
-        id_col,
-        *[
-            F.md5(F.concat(F.lit(f"{seed}|"), F.col("_sh"))).alias(f"_h{seed}")
-            for seed in range(n_hashes)
-        ],
-    )
+    coeff_a, coeff_b = minhash_coeffs(n_hashes)
+    hashed = exploded.select(id_col, md5_int32(F.col("_sh")).alias("_h"))
     sig_df = hashed.groupBy(id_col).agg(
-        *[F.min(f"_h{seed}").alias(f"_h{seed}") for seed in range(n_hashes)]
+        *[
+            F.min((F.lit(coeff_a[i]) * F.col("_h") + F.lit(coeff_b[i])) % F.lit(MINHASH_PRIME)).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
     )
-    sig = F.array(*[F.col(f"_h{seed}") for seed in range(n_hashes)])
+    sig = F.array(*[F.col(f"_h{i}") for i in range(n_hashes)])
     banded = (
         sig_df.select(id_col, F.explode(band_keys(sig, n_bands, rows_per_band)).alias("_b"))
         .select(id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))

@@ -1,8 +1,10 @@
 """Dedup query pack (E8) — every strategy oracle-checked.
 
-The md5-string hashing makes MinHash/SimHash reproducible in DuckDB:
-``min(md5(seed||shingle))`` is a permutation-proxy minimum in both
-engines, and simhash bits come from hex-substring→BIGINT bit tests.
+The md5-derived hashing makes MinHash/SimHash reproducible in DuckDB:
+MinHash takes one 32-bit md5 base hash per shingle and k universal-
+hash permutations ``(a·h+b) mod p`` (functions/hashing.py — exact
+BIGINT arithmetic in both engines), and simhash bits come from
+hex-substring→BIGINT bit tests.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from cli_rag_spark.operators.dedup import (
     ngram_overlap,
     simhash_groups,
 )
+from cli_rag_spark.functions.hashing import MINHASH_PRIME, minhash_coeffs
 from cli_rag_spark.operators.components import connected_components
 from cli_rag_spark.operators.hamming import hamming_topk, simhash_signature
 from cli_rag_spark.sources.documents import load_table
@@ -163,9 +166,11 @@ _SHINGLES = (
     "i -> array_to_string({toks}[i:i+%d], ' '))"
     % (SHINGLE_WORDS, SHINGLE_WORDS - 1)
 ).format(toks=_TOKS.format(src="text"))
+_MH_A, _MH_B = minhash_coeffs(N_HASHES)
+_H32 = "(('0x' || substr(md5(s), 1, 8))::BIGINT)"
 _MINHASH = ", ".join(
-    f"list_min(list_transform(list_distinct(sh), s -> md5('{seed}|' || s)))"
-    for seed in range(N_HASHES)
+    f"list_min(list_transform(list_distinct(sh), s -> ({_MH_A[i]} * {_H32} + {_MH_B[i]}) % {MINHASH_PRIME}))"
+    for i in range(N_HASHES)
 )
 
 
