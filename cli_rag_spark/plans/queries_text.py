@@ -153,17 +153,24 @@ def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language totals prove match counts, redacted char volume, and
     scrub idempotence (residual == 0) against the DuckDB twin."""
     docs = load_table(spark, sf_dir, "documents")
-    aug = F.concat(
-        F.col("text"),
-        F.lit(" reach user"), F.col("doc_id").cast("string"),
-        F.lit("@example.com or 555-123-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        F.lit(" at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
-    )
-    scrubbed = pii_scrub(aug)
+    # staged projections (the with_quality_metrics lesson): _aug is
+    # referenced 5x and _scrubbed 4x below — materialized behind
+    # aliases so the concat and the triple-regex scrub each run ONCE
+    # per row instead of being inlined into every output column
+    staged = docs.withColumn(
+        "_aug",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        ),
+    ).withColumn("_scrubbed", pii_scrub(F.col("_aug")))
+    aug, scrubbed = F.col("_aug"), F.col("_scrubbed")
     residual = pii_count(scrubbed, EMAIL_RE) + pii_count(scrubbed, PHONE_RE) + pii_count(scrubbed, IPV4_RE)
     return (
-        docs.select(
+        staged.select(
             "lang",
             pii_count(aug, EMAIL_RE).alias("_e"),
             pii_count(aug, PHONE_RE).alias("_p"),

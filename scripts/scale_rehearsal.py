@@ -38,11 +38,16 @@ if _REPO_DIR not in sys.path:
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from cli_rag_spark.functions.hashing import _splitmix64  # noqa: E402
 from cli_rag_spark.plans import registry  # noqa: E402
 from cli_rag_spark.session import get_session  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WORK = "/tmp/scale_rehearsal"
+# cache key includes the base SF so switching SPARK_GRAFT_SF_DIR never
+# silently reuses wrong-scale replicas
+WORK = os.path.join(
+    "/tmp/scale_rehearsal", os.path.basename(os.path.normpath(BASE_SF))
+)
 MULTIPLES = [1, 2, 5, 10]
 QUERIES = [
     "minhash_candidates",
@@ -53,13 +58,6 @@ QUERIES = [
 ]
 
 
-def _splitmix64(x: int) -> int:
-    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-    return x ^ (x >> 31)
-
-
 def _rotated(alpha: str, i: int) -> str:
     r = i % len(alpha)
     return alpha[r:] + alpha[:r]
@@ -67,8 +65,11 @@ def _rotated(alpha: str, i: int) -> str:
 
 def generate(spark, m: int) -> str:
     out = os.path.join(WORK, f"x{m}")
-    if os.path.isdir(out):
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):  # only a fully-written dir is reusable
         return out
+    if os.path.isdir(out):
+        shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
@@ -102,6 +103,7 @@ def generate(spark, m: int) -> str:
         e_all = e_all.unionByName(e)
     d_all.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     e_all.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    open(done, "w").close()
     return out
 
 

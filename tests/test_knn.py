@@ -115,3 +115,18 @@ def test_gemm_tie_boundary_matches_window_path(spark):
     assert a == b
     # the id tiebreak must pick the SMALLEST ids among the dist-0 ties
     assert [r[1] for r in sorted(b, key=lambda r: r[3])] == [0, 1, 2]
+
+
+def test_gemm_zero_norm_vectors_dont_poison_batch(spark):
+    """A zero-norm index vector scores NaN against every query; the
+    batch-local cut must still keep the finite neighbors (a NaN kth
+    threshold would discard the whole batch) and drop the NaN rows,
+    exactly like the expression path's isfinite contract."""
+    index = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    ).repartition(3)  # small batches: some contain the zero vector
+    q = spark.createDataFrame([(100, [1.0, 0.0])], ["query_id", "query_vec"])
+    rows = sorted(knn_join_gemm(q, index, k=3).collect(), key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in rows] == [1, 3, 2]
+    assert all(r["vec_id"] != 0 for r in rows)

@@ -82,6 +82,12 @@ def test_filter_suite_stays_jvm_side(spark, sf_dir):
     # must survive CollapseProject — ~30 split() copies otherwise
     plan = _plan(spark, sf_dir, "gopher_quality_flags")
     assert plan.count("split(") == 2, plan.count("split(")
+    # same staging rule for the PII query: the synthetic-tail concat
+    # runs once and the scrub chain once (3 regexp_replace, one per
+    # pattern) — not inlined into every count/length output
+    plan = _plan(spark, sf_dir, "pii_redaction_stats")
+    assert plan.count("regexp_replace") == 3, plan.count("regexp_replace")
+    assert plan.count("concat(") == 1, plan.count("concat(")
 
 
 def test_mixture_sample_is_pre_aggregation_filter(spark, sf_dir):
@@ -93,3 +99,36 @@ def test_mixture_sample_is_pre_aggregation_filter(spark, sf_dir):
     # executedPlan prints top-down: the Exchange node appears ABOVE
     # (before, textually) the Filter it consumes
     assert exchange_pos < filter_pos
+
+
+def test_registry_priority_window_contract():
+    # the external audit checks the FIRST 50 registry entries; the
+    # priority head must stay exactly 50 names, all resolvable, and
+    # must keep one representative of every operator family
+    from cli_rag_spark.plans import registry
+
+    names = list(registry.all_queries())
+    assert len(registry._PRIORITY) == 50
+    assert names[:50] == registry._PRIORITY
+    window = set(registry._PRIORITY)
+    family_reps = {
+        "chunk": {"chunk_reference", "chunk_fixed", "chunk_clean_stats"},
+        "pipeline": {"mock_index_topk"},
+        "context": {"rag_context"},
+        "multimodal": {"binary_metadata", "image_decode_stats", "audio_window_stats"},
+        "vectors": {"cosine_topk", "quantized_topk", "ivf_topk"},
+        "knn": {"knn_join", "knn_join_all", "knn_join_lsh"},
+        "hamming": {"hamming_topk"},
+        "dedup": {"dedup_exact_count", "minhash_candidates", "dedup_components"},
+        "text": {"text_stats", "token_counts"},
+        "relational": {"pricing_summary", "shipping_priority"},
+        "search": {"bm25_topk", "hybrid_rrf_topk"},
+        "temporal": {"asof_click_attribution", "range_click_burst"},
+        "skew": {"salted_user_totals", "salted_top_events"},
+        "training": {"hash_split_counts", "stratified_sample", "pack_chunks_stats"},
+        "streaming": {"streaming_hourly_windows", "streaming_sessionization"},
+        "approx": {"approx_distinct_users"},
+        "events": {"sessionization", "session_log"},
+    }
+    for family, reps in family_reps.items():
+        assert reps & window, f"family {family} has no representative in the 50-slot window"
