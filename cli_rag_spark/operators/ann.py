@@ -175,3 +175,61 @@ def ivf_topk(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int,
+    n_centroids: int,
+    n_probe: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+    dist_col: str = "dist",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate batch kNN JOIN via IVF bucketing — the 4th physical
+    strategy next to knn_join (exact window), knn_join_gemm (exact
+    BLAS), and knn_join_lsh (hyperplane bands): each query probes its
+    ``n_probe`` nearest coarse centroids and scores only index rows
+    assigned to those lists.
+
+    Scale shape: centroid assignment on both sides is a broadcast
+    crossJoin + partial-agg (operators above) — the index assignment
+    is exactly what ``build_ivf_index`` persists as partitionBy(cid),
+    so in production the candidate join reads pruned partitions. The
+    candidate generation is ONE equi-join on the narrow cid key
+    (cost O(rows in probed lists), never Q·N), then exact rescoring
+    and a per-query top-k window — same deterministic (dist, id)
+    contract as every other strategy. Recall tunes with n_probe
+    exactly like single-query IVF.
+    """
+    centroids = seed_centroids(index, n_centroids, index_id, index_vec)
+    iassign = assign_centroids(index, centroids, index_id, index_vec, round_digits)
+
+    from pyspark.sql import Window
+
+    w_probe = Window.partitionBy(query_id).orderBy(F.col("_d").asc(), F.col("cid").asc())
+    qprobe = (
+        queries.select(query_id, query_vec)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_d", F.round(cosine_distance(F.col(query_vec), F.col("cvec")), round_digits)
+        )
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .where(F.col("_rn") <= n_probe)
+        .select(query_id, query_vec, "cid")
+    )
+    cand = index.join(iassign, index_id).join(qprobe, "cid")
+    w = Window.partitionBy(query_id).orderBy(F.col(dist_col).asc(), F.col(index_id).asc())
+    return (
+        cand.withColumn(
+            dist_col,
+            F.round(cosine_distance(F.col(index_vec), F.col(query_vec)), round_digits),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, index_id, dist_col, "rank")
+    )

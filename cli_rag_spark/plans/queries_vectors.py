@@ -17,6 +17,7 @@ from cli_rag_spark.operators.ann import (
     assign_centroids,
     ivf_topk,
     kmeans_refine,
+    knn_join_ivf,
     seed_centroids,
 )
 from cli_rag_spark.operators.knn import (
@@ -174,6 +175,21 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate batch kNN join via IVF bucketing (operators/ann.py
+    knn_join_ivf) — the 4th physical strategy for E7. Candidate
+    generation is one equi-join on the cid key (rows in probed lists,
+    never Q·N); recall tunes with n_probe. Deterministic end to end,
+    so the full approximate result is oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_join_ivf(
+        queries, emb, k=3, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
+    ).orderBy("query_id", "rank")
+
+
 KM_CENTROIDS = 8
 KM_ITERS = 2
 
@@ -255,6 +271,7 @@ def _kmeans_oracle(n_cent: int, iters: int, dim: int) -> str:
 
 QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
+    "knn_join_ivf": q_knn_join_ivf,
     "cosine_topk": q_cosine_topk,
     "quantized_topk": q_quantized_topk,
     "ivf_topk": q_ivf_topk,
@@ -311,6 +328,42 @@ def _lsh_oracle_sql() -> str:
 
 ORACLE = {
     "kmeans_clusters": _kmeans_oracle(KM_CENTROIDS, KM_ITERS, LSH_DIM),
+    "knn_join_ivf": f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+            WHERE vec_id < {IVF_CENTROIDS}
+        ), iassign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6), c.cid
+                       ) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        ), qprobe AS (
+            SELECT query_id, qv, cid FROM (
+                SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(q.embedding::DOUBLE[], c.cvec), 6), c.cid
+                       ) AS rn
+                FROM embeddings q, cent c WHERE q.vec_id < {LSH_QUERIES}
+            ) WHERE rn <= {IVF_PROBE}
+        )
+        SELECT query_id, vec_id, dist, rank FROM (
+            SELECT p.query_id, e.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], p.qv), 6) AS dist,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], p.qv), 6), e.vec_id
+                   ) AS rank
+            FROM embeddings e
+            JOIN iassign a ON e.vec_id = a.vec_id
+            JOIN qprobe p ON a.cid = p.cid
+        ) WHERE rank <= 3
+        ORDER BY query_id, rank
+    """,
     "knn_join_lsh": _lsh_oracle_sql(),
     "knn_join_all": """
         WITH d AS (

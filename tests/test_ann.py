@@ -72,3 +72,25 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     )
     approx = ivf_topk(emb, q, k=5, n_centroids=4, n_probe=1)
     assert approx.count() == 5
+
+
+def test_knn_join_ivf_recall_and_self_match(spark, sf_dir):
+    """IVF batch join: every query's rank-1 is itself (its own list is
+    always probed), and recall vs the exact join stays high at
+    probe 2/8 (27/30 measured on the fixture; assert a safe floor)."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.ann import knn_join_ivf
+    from cli_rag_spark.operators.knn import knn_join
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in knn_join(q, emb, k=3).collect()}
+    rows = knn_join_ivf(q, emb, k=3, n_centroids=8, n_probe=2).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert len(exact & approx) >= 24  # >= 80% recall
+    rank1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert all(qid == vid for qid, vid in rank1.items())
