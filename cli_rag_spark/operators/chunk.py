@@ -45,8 +45,12 @@ def cut_reference(text: str, requested_length: int) -> list[str]:
     prev = 0
     pos = r
     while pos < n - 1:
-        while pos > prev and text[pos] != " ":
-            pos -= 1
+        # C-speed twin of the reference's backtrack loop (`while pos >
+        # prev and text[pos] != ' ': pos -= 1`): the highest space
+        # index in (prev, pos] — prev itself is excluded because the
+        # loop stops on pos == prev without testing text[prev]
+        sp = text.rfind(" ", prev + 1, pos + 1)
+        pos = sp if sp != -1 else prev
         if pos == prev:
             # "No new words found on interval" fallback (load-texts.c:65-68)
             pos += r
