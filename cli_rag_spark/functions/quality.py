@@ -136,10 +136,13 @@ def with_quality_metrics(df, text_col: str = "text", lang: str = "en"):
     ``keep`` from the metric columns. Plan-guarded by
     tests/test_plans.py (split count == 2: text + lowered text)."""
     base = df.columns
+    empty = F.array().cast("array<string>")
+    # NULL text scores as an empty doc (all-zero metrics, keep=false),
+    # not as NULL metrics that poison downstream comparisons
     staged = df.withColumns(
         {
-            "_toks": tokens(F.col(text_col)),
-            "_ltoks": tokens(F.lower(F.col(text_col))),
+            "_toks": F.coalesce(tokens(F.col(text_col)), empty),
+            "_ltoks": F.coalesce(tokens(F.lower(F.col(text_col))), empty),
         }
     )
     n = F.size("_toks")

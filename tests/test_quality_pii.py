@@ -99,3 +99,20 @@ class TestMixture:
             mixture_sample(df, "source", {"a": 1.5}, default_rate=0.1)
         with pytest.raises(ValueError, match="default_rate"):
             mixture_sample(df, "source", {}, default_rate=-0.1)
+
+
+class TestNullSafety:
+    def test_null_text_scores_as_empty_doc(self, spark):
+        from cli_rag_spark.functions.quality import with_quality_metrics
+
+        df = spark.createDataFrame([(0, None), (1, "the cat")], "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in with_quality_metrics(df).collect()}
+        assert rows[0]["n_words"] == 0
+        assert rows[0]["n_stop"] == 0
+        assert rows[0]["mean_word_len"] == 0.0
+        assert rows[0]["keep"] is False
+
+    def test_null_text_passes_through_scrub(self, spark):
+        df = spark.createDataFrame([(None,), ("x@y.io",)], "text string")
+        out = [r[0] for r in df.select(pii_scrub(F.col("text"))).collect()]
+        assert out == [None, "[EMAIL]"]
