@@ -73,27 +73,7 @@ def minhash_candidates(
     are md5 strings so bucket skew is bounded by true duplicate
     clusters only.
     """
-    rows_per_band = n_hashes // n_bands
-    # docs with fewer words than the shingle width yield an empty
-    # shingle array → dropped by explode → no signature row (the
-    # oracle's WHERE len(sh) >= 1)
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias("_sh"),
-    )
-    coeff_a, coeff_b = minhash_coeffs(n_hashes)
-    hashed = exploded.select(id_col, md5_int32(F.col("_sh")).alias("_h"))
-    sig_df = hashed.groupBy(id_col).agg(
-        *[
-            F.min((F.lit(coeff_a[i]) * F.col("_h") + F.lit(coeff_b[i])) % F.lit(MINHASH_PRIME)).alias(f"_h{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    sig = F.array(*[F.col(f"_h{i}") for i in range(n_hashes)])
-    banded = (
-        sig_df.select(id_col, F.explode(band_keys(sig, n_bands, rows_per_band)).alias("_b"))
-        .select(id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
-    )
+    banded = minhash_banded(df, text_col, id_col, shingle_words, n_hashes, n_bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -109,6 +89,99 @@ def minhash_candidates(
         )
         .distinct()
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """DF[id_col, _h0.._h{k-1}] — the per-doc MinHash signature rows.
+    This is the frame an incremental pipeline PERSISTS (parquet): a
+    new ingest batch computes signatures for its own docs only and
+    band-joins against the stored corpus signatures — the whole point
+    of signature-based dedup at 100 TB."""
+    # docs with fewer words than the shingle width yield an empty
+    # shingle array → dropped by explode → no signature row (the
+    # oracle's WHERE len(sh) >= 1)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias("_sh"),
+    )
+    coeff_a, coeff_b = minhash_coeffs(n_hashes)
+    hashed = exploded.select(id_col, md5_int32(F.col("_sh")).alias("_h"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(coeff_a[i]) * F.col("_h") + F.lit(coeff_b[i])) % F.lit(MINHASH_PRIME)).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def _banded_from_signatures(
+    sig_df: DataFrame, id_col: str, n_hashes: int, n_bands: int
+) -> DataFrame:
+    sig = F.array(*[F.col(f"_h{i}") for i in range(n_hashes)])
+    return (
+        sig_df.select(id_col, F.explode(band_keys(sig, n_bands, n_hashes // n_bands)).alias("_b"))
+        .select(id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+    )
+
+
+def minhash_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """DF[id_col, band, key] — exploded LSH band keys."""
+    return _banded_from_signatures(
+        minhash_signatures(df, text_col, id_col, shingle_words, n_hashes), id_col, n_hashes, n_bands
+    )
+
+
+def minhash_candidates_incremental(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs TOUCHING the new batch: new×old plus new×new —
+    identical to running :func:`minhash_candidates` over the full
+    corpus and keeping pairs with a new-side id (tested as an exact
+    equivalence), but the old corpus contributes only its PERSISTED
+    signature table (``minhash_signatures`` output read back from
+    parquet): no re-shingling, no re-hashing of petabytes already
+    ingested. Shuffle = two band equi-joins on the narrow (band, key)
+    key; output keeps ``id_a < id_b`` so downstream verify/components
+    machinery composes unchanged.
+    """
+    bn = _banded_from_signatures(new_sigs, id_col, n_hashes, n_bands)
+    bo = _banded_from_signatures(old_sigs, id_col, n_hashes, n_bands)
+
+    def pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (
+            left.alias("l")
+            .join(
+                right.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.key") == F.col("r.key"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+        )
+
+    new_old = pairs(bn, bo).unionByName(pairs(bo, bn))
+    new_new = pairs(bn, bn)
+    return new_old.unionByName(new_new).distinct()
 
 
 def jaccard_pairs(

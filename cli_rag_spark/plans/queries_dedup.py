@@ -18,6 +18,8 @@ from cli_rag_spark.operators.dedup import (
     embedding_near_pairs,
     jaccard_pairs,
     minhash_candidates,
+    minhash_candidates_incremental,
+    minhash_signatures,
     ngram_overlap,
     simhash_groups,
 )
@@ -42,6 +44,30 @@ def q_dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").alias("sum_ids"),
     )
+
+
+INCR_SPLIT_ID = 400  # docs >= this id are the "new ingest batch"
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: candidate pairs touching the new ingest
+    batch only, with the old corpus contributing just its (persisted)
+    signature table — no re-shingling of already-ingested data
+    (operators/dedup.py minhash_candidates_incremental). The oracle
+    is the FULL-corpus candidate set filtered to new-side pairs,
+    which is exactly the operator's equivalence contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    old_sigs = minhash_signatures(
+        docs.where(F.col("doc_id") < INCR_SPLIT_ID),
+        shingle_words=SHINGLE_WORDS, n_hashes=N_HASHES,
+    )
+    new_sigs = minhash_signatures(
+        docs.where(F.col("doc_id") >= INCR_SPLIT_ID),
+        shingle_words=SHINGLE_WORDS, n_hashes=N_HASHES,
+    )
+    return minhash_candidates_incremental(
+        new_sigs, old_sigs, n_hashes=N_HASHES, n_bands=N_BANDS
+    ).orderBy("id_a", "id_b")
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,6 +180,7 @@ QUERIES = {
     "hamming_topk": q_hamming_topk,
     "dedup_near_count": q_dedup_near_count,
     "minhash_candidates": q_minhash_candidates,
+    "dedup_incremental": q_dedup_incremental,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_groups": q_simhash_groups,
     "embedding_near_dups": q_embedding_near_dups,
@@ -287,6 +314,23 @@ ORACLE = {
         )
         SELECT node AS doc_id, min(r) AS component
         FROM reach GROUP BY node ORDER BY doc_id
+    """,
+    "dedup_incremental": f"""
+        WITH sh AS (
+          SELECT doc_id, {_SHINGLES} AS sh FROM documents
+        ), sig AS (
+          SELECT doc_id, [{_MINHASH}] AS sig FROM sh WHERE len(sh) >= 1
+        ), banded AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, {b} AS band, {_band_key(b, N_HASHES // N_BANDS)} AS key FROM sig"
+              for b in range(N_BANDS)
+          )}
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l
+        JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE l.doc_id >= {INCR_SPLIT_ID} OR r.doc_id >= {INCR_SPLIT_ID}
+        ORDER BY id_a, id_b
     """,
     "minhash_candidates": f"""
         WITH sh AS (

@@ -133,3 +133,35 @@ def test_minhash_signature_is_set_semantics(parts):
     base = sig(parts)
     assert sig(list(reversed(parts))) == base
     assert sig(parts + parts) == base
+
+
+def test_incremental_candidates_equal_full_filtered(spark, sf_dir):
+    """The incremental contract, exactly: candidates(new ∪ old)
+    restricted to pairs touching a new id == incremental(new_sigs,
+    old_sigs). Signatures are per-doc, so the split cannot change
+    them — any divergence is a join-shape bug."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_candidates_incremental,
+        minhash_signatures,
+    )
+    from cli_rag_spark.sources.documents import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = 400
+    full = minhash_candidates(docs)
+    expected = sorted(
+        map(tuple, full.where((F.col("id_a") >= split) | (F.col("id_b") >= split)).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            minhash_candidates_incremental(
+                minhash_signatures(docs.where(F.col("doc_id") >= split)),
+                minhash_signatures(docs.where(F.col("doc_id") < split)),
+            ).collect(),
+        )
+    )
+    assert got == expected and len(got) > 0
