@@ -1,0 +1,58 @@
+"""Small-file compaction: file-count policy, data preservation,
+failure-safety of the write-then-swap."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_rag_spark.sources.compaction import compact_parquet, table_file_stats
+
+
+def _fragmented(spark, tmp_path, n_files=40, rows=4000):
+    path = os.path.join(str(tmp_path), "frag.parquet")
+    df = spark.range(rows).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("payload")
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return path, df
+
+
+def test_compacts_to_byte_targeted_count(spark, tmp_path):
+    path, df = _fragmented(spark, tmp_path)
+    n_before, total = table_file_stats(path)
+    assert n_before == 40
+    # target = half the table per file -> 2 files
+    new_n = compact_parquet(spark, path, target_file_bytes=(total + 1) // 2)
+    assert new_n == 2
+    back = spark.read.parquet(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # no temp/backup dirs left behind
+    siblings = os.listdir(str(tmp_path))
+    assert not any("_compact" in s for s in siblings)
+
+
+def test_noop_when_already_compact(spark, tmp_path):
+    path, _ = _fragmented(spark, tmp_path, n_files=2)
+    n, total = table_file_stats(path)
+    assert compact_parquet(spark, path, target_file_bytes=max(total // 2, 1)) == n
+
+
+def test_shuffle_mode_rebalances(spark, tmp_path):
+    path, df = _fragmented(spark, tmp_path)
+    _, total = table_file_stats(path)
+    new_n = compact_parquet(spark, path, target_file_bytes=(total + 2) // 3, shuffle=True)
+    assert new_n == 3
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+
+
+def test_bad_args(spark, tmp_path):
+    with pytest.raises(ValueError, match="positive"):
+        compact_parquet(spark, str(tmp_path), target_file_bytes=0)
+    empty = os.path.join(str(tmp_path), "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no parquet files"):
+        compact_parquet(spark, empty)
