@@ -38,14 +38,23 @@ MIN_STOPWORDS = 1
 MIN_ALPHA_WORD_FRACTION = 0.80
 
 
+def _toks(text: Column) -> Column:
+    """Null-safe token array: NULL text behaves as an empty document
+    everywhere in this module (all-zero metrics, keep=false) — never
+    as NULL metrics that poison three-valued comparisons downstream.
+    Used by both the convenience per-column functions and
+    :func:`with_quality_metrics` so the two paths agree."""
+    return F.coalesce(tokens(text), F.array().cast("array<string>"))
+
+
 def n_words(text: Column) -> Column:
-    return F.size(tokens(text))
+    return F.size(_toks(text))
 
 
 def mean_word_length(text: Column) -> Column:
     """Average token length; 0.0 for empty docs (not NULL, so the
     threshold comparison stays two-valued)."""
-    toks = tokens(text)
+    toks = _toks(text)
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
 
@@ -54,7 +63,7 @@ def top_word_fraction(text: Column) -> Column:
     """Fraction of tokens equal to the single most frequent token —
     Gopher's repetition signal reduced to words. max over distinct
     tokens of its occurrence count, divided by token count."""
-    toks = tokens(text)
+    toks = _toks(text)
     top = F.array_max(
         F.transform(
             F.array_distinct(toks),
@@ -66,7 +75,7 @@ def top_word_fraction(text: Column) -> Column:
 
 def duplicate_word_fraction(text: Column) -> Column:
     """1 − distinct/total tokens: how much of the doc is repeats."""
-    toks = tokens(text)
+    toks = _toks(text)
     return F.when(
         F.size(toks) > 0,
         1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
@@ -77,12 +86,12 @@ def stopword_count(text: Column, lang: str = "en") -> Column:
     """Occurrences of the language's stopwords among lowercased tokens
     (Gopher requires ≥2 of a small English list; see MIN_STOPWORDS)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(sw, t)))
+    return F.size(F.filter(_toks(F.lower(text)), lambda t: F.array_contains(sw, t)))
 
 
 def alpha_word_fraction(text: Column) -> Column:
     """Fraction of tokens containing at least one alphabetic char."""
-    toks = tokens(text)
+    toks = _toks(text)
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     return F.when(F.size(toks) > 0, n_alpha.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
 
@@ -136,13 +145,10 @@ def with_quality_metrics(df, text_col: str = "text", lang: str = "en"):
     ``keep`` from the metric columns. Plan-guarded by
     tests/test_plans.py (split count == 2: text + lowered text)."""
     base = df.columns
-    empty = F.array().cast("array<string>")
-    # NULL text scores as an empty doc (all-zero metrics, keep=false),
-    # not as NULL metrics that poison downstream comparisons
     staged = df.withColumns(
         {
-            "_toks": F.coalesce(tokens(F.col(text_col)), empty),
-            "_ltoks": F.coalesce(tokens(F.lower(F.col(text_col))), empty),
+            "_toks": _toks(F.col(text_col)),
+            "_ltoks": _toks(F.lower(F.col(text_col))),
         }
     )
     n = F.size("_toks")

@@ -196,18 +196,27 @@ def knn_join_ivf(
     ``n_probe`` nearest coarse centroids and scores only index rows
     assigned to those lists.
 
-    Scale shape: centroid assignment on both sides is a broadcast
-    crossJoin + partial-agg (operators above) — the index assignment
-    is exactly what ``build_ivf_index`` persists as partitionBy(cid),
-    so in production the candidate join reads pruned partitions. The
-    candidate generation is ONE equi-join on the narrow cid key
+    Scale shape: if ``index`` already carries a ``cid`` column — the
+    frame ``build_ivf_index`` persists as partitionBy(cid) and
+    ``spark.read.parquet`` gives back — it is used as-is, so the
+    candidate join filters on cid and reads pruned partitions with NO
+    re-assignment of the corpus. Otherwise assignment is computed on
+    the fly (broadcast crossJoin + partial-agg, the operators above).
+    Candidate generation is ONE equi-join on the narrow cid key
     (cost O(rows in probed lists), never Q·N), then exact rescoring
     and a per-query top-k window — same deterministic (dist, id)
     contract as every other strategy. Recall tunes with n_probe
-    exactly like single-query IVF.
+    exactly like single-query IVF. When passing a pre-assigned index,
+    ``n_centroids`` must match the one used at build time (the seeded
+    centroid ids are the lowest ``n_centroids`` index ids in both
+    cases, so the probe targets the same lists).
     """
     centroids = seed_centroids(index, n_centroids, index_id, index_vec)
-    iassign = assign_centroids(index, centroids, index_id, index_vec, round_digits)
+    if "cid" in index.columns:
+        assigned = index
+    else:
+        iassign = assign_centroids(index, centroids, index_id, index_vec, round_digits)
+        assigned = index.join(iassign, index_id)
 
     from pyspark.sql import Window
 
@@ -222,7 +231,7 @@ def knn_join_ivf(
         .where(F.col("_rn") <= n_probe)
         .select(query_id, query_vec, "cid")
     )
-    cand = index.join(iassign, index_id).join(qprobe, "cid")
+    cand = assigned.join(qprobe, "cid")
     w = Window.partitionBy(query_id).orderBy(F.col(dist_col).asc(), F.col(index_id).asc())
     return (
         cand.withColumn(

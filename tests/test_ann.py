@@ -94,3 +94,26 @@ def test_knn_join_ivf_recall_and_self_match(spark, sf_dir):
     assert len(exact & approx) >= 24  # >= 80% recall
     rank1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
     assert all(qid == vid for qid, vid in rank1.items())
+
+
+def test_knn_join_ivf_accepts_persisted_index(spark, sf_dir, tmp_path):
+    """The partition-pruning path: a build_ivf_index output read back
+    from parquet (which carries cid) must work without re-assignment
+    and produce the same result as the on-the-fly path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.ann import build_ivf_index, knn_join_ivf
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(str(tmp_path), "ivf_idx")
+    build_ivf_index(emb, path, n_centroids=8)
+    persisted = spark.read.parquet(path)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    live = sorted(map(tuple, knn_join_ivf(q, emb, k=3, n_centroids=8, n_probe=2).collect()))
+    stored = sorted(map(tuple, knn_join_ivf(q, persisted, k=3, n_centroids=8, n_probe=2).collect()))
+    assert live == stored and len(stored) == 15

@@ -102,3 +102,37 @@ class TestChunkModeRouting:
         df = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="overlap"):
             chunk(df, 4, mode="fixed", overlap=2)
+
+
+def _cut_reference_loop(text: str, r: int) -> list[str]:
+    """The original per-character backtrack form of cut_reference —
+    kept as the differential reference for the str.rfind rewrite."""
+    n = len(text)
+    if n < r:
+        return [text]
+    chunks, prev, pos = [], 0, r
+    while pos < n - 1:
+        while pos > prev and text[pos] != " ":
+            pos -= 1
+        if pos == prev:
+            pos += r
+        chunks.append(text[prev:pos])
+        prev = pos
+        pos += r
+    if prev < n and pos >= n - 1:
+        pos = n - 1
+        chunks.append(text[prev:pos])
+    return chunks
+
+
+def test_rfind_rewrite_matches_loop_reference():
+    """20k randomized cases: the rfind form must be bit-identical to
+    the original backtrack loop across adversarial space layouts."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(20000):
+        n = rng.randint(0, 60)
+        text = "".join(rng.choice("ab ") for _ in range(n))
+        r = rng.randint(1, 20)
+        assert cut_reference(text, r) == _cut_reference_loop(text, r), (text, r)

@@ -116,3 +116,18 @@ class TestNullSafety:
         df = spark.createDataFrame([(None,), ("x@y.io",)], "text string")
         out = [r[0] for r in df.select(pii_scrub(F.col("text"))).collect()]
         assert out == [None, "[EMAIL]"]
+
+    def test_convenience_functions_null_safe_too(self, spark):
+        # the per-column functions must agree with with_quality_metrics
+        # on NULL text (empty-doc semantics, not NULL poisoning)
+        from cli_rag_spark.functions.quality import gopher_keep
+
+        df = spark.createDataFrame([(None,)], "text string")
+
+        def one(expr):
+            return df.select(expr.alias("v")).first()["v"]
+
+        assert one(n_words(F.col("text"))) == 0
+        assert one(stopword_count(F.col("text"))) == 0
+        assert one(mean_word_length(F.col("text"))) == 0.0
+        assert one(gopher_keep(F.col("text"))) is False
