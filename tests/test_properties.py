@@ -165,3 +165,59 @@ def test_incremental_candidates_equal_full_filtered(spark, sf_dir):
         )
     )
     assert got == expected and len(got) > 0
+
+
+def test_minhash_universal_hash_family_bounds():
+    """Coefficient family invariants that keep the arithmetic exact in
+    signed 64-bit on BOTH engines: a odd, a and b < 2^30 (so
+    a*h + b < 2^62 for the 32-bit base hash), pairwise distinct."""
+    from cli_rag_spark.functions.hashing import MINHASH_PRIME, minhash_coeffs
+
+    a, b = minhash_coeffs(64)
+    assert all(x % 2 == 1 for x in a)
+    assert all(0 < x < (1 << 30) for x in a)
+    assert all(0 <= x < (1 << 30) for x in b)
+    assert len(set(zip(a, b))) == 64
+    h_max = (1 << 32) - 1
+    assert max(a) * h_max + max(b) < (1 << 62)
+    assert MINHASH_PRIME == (1 << 61) - 1
+
+
+def test_minhash_signature_set_semantics(spark):
+    """Signatures are a function of the SHINGLE SET: duplicating a
+    shingle's source words or reordering docs never changes them."""
+    from cli_rag_spark.operators.dedup import minhash_signatures
+
+    base = "alpha beta gamma delta epsilon zeta"
+    dup = base + " alpha beta gamma"  # re-adds existing shingles only
+    df = spark.createDataFrame([(0, base), (1, dup)], ["doc_id", "text"])
+    rows = {r["doc_id"]: tuple(r[c] for c in sorted(r.asDict()) if c.startswith("_h"))
+            for r in minhash_signatures(df).collect()}
+    # doc 1's shingle set is a superset; its minima can only be <= —
+    # and for the shared shingles the values must coincide exactly
+    assert all(h1 <= h0 for h0, h1 in zip(rows[0], rows[1]))
+
+
+def test_minhash_signatures_persist_round_trip(spark, sf_dir, tmp_path):
+    """The incremental story's storage contract: signatures written to
+    parquet and read back drive minhash_candidates_incremental to the
+    identical result as live signatures."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.dedup import (
+        minhash_candidates_incremental,
+        minhash_signatures,
+    )
+    from cli_rag_spark.sources.documents import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_sigs = minhash_signatures(docs.where(F.col("doc_id") < 400))
+    path = os.path.join(str(tmp_path), "sigs.parquet")
+    old_sigs.write.mode("overwrite").parquet(path)
+    new_sigs = minhash_signatures(docs.where(F.col("doc_id") >= 400))
+    live = sorted(map(tuple, minhash_candidates_incremental(new_sigs, old_sigs).collect()))
+    stored = sorted(map(tuple, minhash_candidates_incremental(
+        new_sigs, spark.read.parquet(path)).collect()))
+    assert live == stored and len(stored) > 0
