@@ -83,8 +83,12 @@ def duplicate_word_fraction(text: Column) -> Column:
 
 
 def stopword_count(text: Column, lang: str = "en") -> Column:
-    """Occurrences of the language's stopwords among lowercased tokens
-    (Gopher requires ≥2 of a small English list; see MIN_STOPWORDS)."""
+    """Occurrences of the language's stopwords among lowercased tokens.
+
+    Gopher (Rae et al. 2021, A1.1) requires ≥2 of a small English list;
+    like MIN_WORDS (5 vs Gopher's 50), MIN_STOPWORDS = 1 is scaled down
+    for the short synthetic documents. The DuckDB oracle interpolates the
+    same constant (queries_text.py), so the two sides cannot drift."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(_toks(F.lower(text)), lambda t: F.array_contains(sw, t)))
 

@@ -28,10 +28,23 @@ reproducible across engines (ties broken by centroid id).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cli_rag_spark.functions.vectors import cosine_distance
+
+_META_NAME = "_ivf_meta.json"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(hadoop FileSystem for the path's scheme, hadoop Path) — same
+    pattern as sources/compaction.py so local, HDFS and s3a:// all
+    work; never driver-local ``os`` calls."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
 def seed_centroids(
@@ -126,11 +139,56 @@ def build_ivf_index(
 ) -> DataFrame:
     """Write the IVF-partitioned index: parquet ``partitionBy(cid)``.
     Readers filtering on cid scan only the probed lists (partition
-    pruning — verified in tests via the input-files count)."""
+    pruning — verified in tests via the input-files count).
+
+    Build metadata (n_centroids, column names) is persisted alongside
+    as ``_ivf_meta.json`` (leading underscore → invisible to parquet
+    readers), so :func:`read_ivf_index` can verify at open time that a
+    probe's ``n_centroids`` matches the build — a persisted index
+    probed with a different coarse quantizer silently degrades recall
+    (ADVICE r2)."""
     centroids = seed_centroids(vectors, n_centroids, id_col, vec_col)
     assigned = vectors.join(assign_centroids(vectors, centroids, id_col, vec_col), id_col)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    spark = vectors.sparkSession
+    fs, root = _hadoop_fs(spark, path)
+    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
+    out = fs.create(meta_path, True)
+    try:
+        out.write(bytearray(json.dumps(
+            {"n_centroids": n_centroids, "id_col": id_col, "vec_col": vec_col}
+        ).encode("utf-8")))
+    finally:
+        out.close()
     return centroids
+
+
+def read_ivf_index(
+    spark: SparkSession, path: str, n_centroids: int | None = None
+) -> DataFrame:
+    """Open a persisted IVF index, verifying its build metadata.
+
+    Raises ``ValueError`` if the caller's intended ``n_centroids``
+    differs from the one the index was built with — the O(1),
+    no-Spark-job guard against probing the wrong lists. Returns the
+    cid-carrying DataFrame ready for :func:`knn_join_ivf` /
+    partition-pruned scans."""
+    fs, root = _hadoop_fs(spark, path)
+    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
+    if not fs.exists(meta_path):
+        raise ValueError(f"no {_META_NAME} at {path}: not a build_ivf_index output")
+    stream = fs.open(meta_path)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    meta = json.loads(raw.decode("utf-8"))
+    if n_centroids is not None and meta["n_centroids"] != n_centroids:
+        raise ValueError(
+            f"IVF index at {path} was built with n_centroids="
+            f"{meta['n_centroids']}, probe requested {n_centroids}"
+        )
+    return spark.read.parquet(path)
 
 
 def ivf_topk(
@@ -189,6 +247,7 @@ def knn_join_ivf(
     index_vec: str = "embedding",
     dist_col: str = "dist",
     round_digits: int = 6,
+    validate_cid: bool = True,
 ) -> DataFrame:
     """Approximate batch kNN JOIN via IVF bucketing — the 4th physical
     strategy next to knn_join (exact window), knn_join_gemm (exact
@@ -213,6 +272,21 @@ def knn_join_ivf(
     """
     centroids = seed_centroids(index, n_centroids, index_id, index_vec)
     if "cid" in index.columns:
+        if validate_cid:
+            # A pre-assigned index built with a DIFFERENT n_centroids
+            # would silently probe the wrong lists (ADVICE r2). The
+            # guard is one agg over the cid partition column only —
+            # column pruning means the scan reads no data columns.
+            # read_ivf_index() performs the stronger O(1) metadata
+            # check; pass validate_cid=False after it.
+            max_cid = index.agg(F.max("cid").alias("m")).collect()[0]["m"]
+            if max_cid is not None and max_cid >= n_centroids:
+                raise ValueError(
+                    f"index carries cid up to {max_cid} but probe assumes "
+                    f"n_centroids={n_centroids}: index was built with a "
+                    "different coarse quantizer (use read_ivf_index to "
+                    "validate via build metadata)"
+                )
         assigned = index
     else:
         iassign = assign_centroids(index, centroids, index_id, index_vec, round_digits)

@@ -343,8 +343,11 @@ ORACLE = {
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
-          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+          -- CAST: DuckDB types sum(int) OVER as HUGEINT (int128 -> float64 in
+          -- pandas) while Spark emits int64; cast so the value-hash compares
+          -- like-for-like (VERDICT r2 "What's wrong #1").
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM flagged
         )
         SELECT user_id, session_seq,
@@ -363,8 +366,9 @@ ORACLE = {
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
-          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+          -- CAST: HUGEINT vs int64 hash artifact, see sessionization oracle.
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM flagged
         ), turns AS (
           SELECT user_id, session_seq, event_type,

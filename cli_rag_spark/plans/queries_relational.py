@@ -185,7 +185,12 @@ def q_part_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decimal arithmetic: money summed as DECIMAL(18,2) — no
-    float drift at any scale, bit-identical across engines."""
+    float drift at any scale, bit-identical across engines. The final
+    value is emitted as double (both engines convert the identical
+    decimal to the identical nearest double), so the pandas dtype
+    matches the oracle's — DuckDB's .df() always widens DECIMAL to
+    float64, while Spark's toPandas keeps Decimal objects, which the
+    dtype-parity gate (tests/test_parity.py) would flag."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -195,7 +200,7 @@ def q_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag",
-            F.col("total_price").cast("decimal(38,2)").alias("total_price"),
+            F.col("total_price").cast("decimal(38,2)").cast("double").alias("total_price"),
             "n",
         )
         .orderBy("l_returnflag")
@@ -310,7 +315,7 @@ ORACLE = {
     """,
     "decimal_exact_totals": """
         SELECT l_returnflag,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price,
                count(*) AS n
         FROM lineitem
         GROUP BY l_returnflag

@@ -106,8 +106,10 @@ ORACLE = {
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
-          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+          -- CAST: HUGEINT vs int64 hash artifact, see the sessionization
+          -- oracle in queries_events.py (VERDICT r2 "What's wrong #1").
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM flagged
         ), agg AS (
           SELECT user_id, session_seq, count(*) AS n_events,

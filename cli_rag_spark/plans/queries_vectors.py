@@ -15,9 +15,11 @@ from pyspark.sql import functions as F
 from cli_rag_spark.functions.vectors import cosine_distance, l2_norm
 from cli_rag_spark.operators.ann import (
     assign_centroids,
+    build_ivf_index,
     ivf_topk,
     kmeans_refine,
     knn_join_ivf,
+    read_ivf_index,
     seed_centroids,
 )
 from cli_rag_spark.operators.knn import (
@@ -177,17 +179,37 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate batch kNN join via IVF bucketing (operators/ann.py
-    knn_join_ivf) — the 4th physical strategy for E7. Candidate
-    generation is one equi-join on the cid key (rows in probed lists,
-    never Q·N); recall tunes with n_probe. Deterministic end to end,
-    so the full approximate result is oracle-checked."""
+    knn_join_ivf) — the 4th physical strategy for E7, run against the
+    PERSISTED index: build_ivf_index writes partitionBy(cid) parquet +
+    build metadata, read_ivf_index re-opens it with an O(1) metadata
+    check, and the join's candidate equi-join on cid reads pruned
+    partitions with no re-assignment of the corpus (at 100 TB the
+    index exists precisely to be stored). Persisted and on-the-fly
+    paths are asserted identical in tests/test_ann.py. Candidate cost
+    is O(rows in probed lists), never Q·N; recall tunes with n_probe.
+    Deterministic end to end, so the full approximate result is
+    oracle-checked."""
+    import hashlib
+    import tempfile
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # stable per-sf_dir scratch location; overwrite-idempotent
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_ivf_{tag}"
+    build_ivf_index(emb, path, n_centroids=IVF_CENTROIDS)
+    index = read_ivf_index(spark, path, n_centroids=IVF_CENTROIDS)
     queries = emb.where(F.col("vec_id") < LSH_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return knn_join_ivf(
-        queries, emb, k=3, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
-    ).orderBy("query_id", "rank")
+    return (
+        knn_join_ivf(
+            queries, index, k=3, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+            validate_cid=False,  # read_ivf_index already verified build metadata
+        )
+        # oracle row_number() is BIGINT; match it (as siblings do above)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
 
 
 KM_CENTROIDS = 8

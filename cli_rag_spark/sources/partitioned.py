@@ -18,6 +18,7 @@ partitions). Rules encoded here:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -27,7 +28,31 @@ def write_partitioned(
     files_per_partition: int = 1,
     mode: str = "overwrite",
 ) -> None:
-    out = df.repartition(files_per_partition, *partition_cols)
+    """Partitioned parquet write with a bounded file count per value.
+
+    ``files_per_partition=1``: hash-repartition on the partition
+    columns — every partition value lands in exactly one task, so each
+    directory gets ONE file, and parallelism stays at
+    min(distinct values, spark.sql.shuffle.partitions) (a fixed
+    numPartitions=1 would serialize the whole write through a single
+    task at scale).
+
+    ``files_per_partition=k>1``: for partition values too large for
+    one task/file, shuffle on (cols + deterministic row-hash salt in
+    [0,k)) so each value is split across exactly k writers → k files.
+    The salt is xxhash64 over the row (not rand(): retried tasks must
+    re-produce the same layout).
+    """
+    k = max(1, files_per_partition)
+    if k == 1:
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(k))
+        out = (
+            df.withColumn("_fpp_salt", salt)
+            .repartition(*[F.col(c) for c in partition_cols], F.col("_fpp_salt"))
+            .drop("_fpp_salt")
+        )
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 

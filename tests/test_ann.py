@@ -117,3 +117,46 @@ def test_knn_join_ivf_accepts_persisted_index(spark, sf_dir, tmp_path):
     live = sorted(map(tuple, knn_join_ivf(q, emb, k=3, n_centroids=8, n_probe=2).collect()))
     stored = sorted(map(tuple, knn_join_ivf(q, persisted, k=3, n_centroids=8, n_probe=2).collect()))
     assert live == stored and len(stored) == 15
+
+
+def test_read_ivf_index_validates_build_metadata(spark, sf_dir, tmp_path):
+    """build_ivf_index persists _ivf_meta.json; read_ivf_index raises
+    on an n_centroids mismatch (O(1), no Spark job) and on a directory
+    that was never built as an index."""
+    import os
+
+    import pytest
+
+    from cli_rag_spark.operators.ann import read_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(str(tmp_path), "ivf_meta_idx")
+    build_ivf_index(emb, path, n_centroids=8)
+    ok = read_ivf_index(spark, path, n_centroids=8)
+    assert "cid" in ok.columns and ok.count() == emb.count()
+    with pytest.raises(ValueError, match="n_centroids"):
+        read_ivf_index(spark, path, n_centroids=4)
+    bare = os.path.join(str(tmp_path), "not_an_index")
+    emb.limit(1).write.parquet(bare)
+    with pytest.raises(ValueError, match="_ivf_meta"):
+        read_ivf_index(spark, bare)
+
+
+def test_knn_join_ivf_rejects_mismatched_cid(spark, sf_dir, tmp_path):
+    """A persisted index probed with a smaller n_centroids must fail
+    loudly, not silently probe the wrong lists (ADVICE r2)."""
+    import os
+
+    import pytest
+
+    from cli_rag_spark.operators.ann import knn_join_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(str(tmp_path), "ivf_mismatch")
+    build_ivf_index(emb, path, n_centroids=8)
+    persisted = spark.read.parquet(path)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="different coarse quantizer"):
+        knn_join_ivf(q, persisted, k=3, n_centroids=4, n_probe=2)

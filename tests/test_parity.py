@@ -91,6 +91,31 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
 
 
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_dtype_parity(spark, sf_dir, name):
+    """Pandas dtype vectors must MATCH between the Spark result and the
+    DuckDB oracle result — the driver's value hash is representation
+    sensitive, so a benign engine-typing divergence (DuckDB types
+    sum(int) OVER as HUGEINT → float64 in pandas; Spark row_number is
+    int32 vs DuckDB BIGINT) reads as a red row even when every value is
+    identical. This test makes that class extinct (VERDICT r2 #5): it
+    found exactly the sessionization family + knn_join_ivf, and any new
+    query/oracle pair with drifting types fails here before the driver
+    ever sees it."""
+    oracle = entrymod.oracle_sql().get(name)
+    if oracle is None:
+        pytest.skip(f"{name}: no oracle (rows-only check)")
+    qfn = entrymod.queries()[name]
+    spark_pdf = qfn(spark, sf_dir).toPandas()
+    duck_pdf = _duck_con(sf_dir).execute(oracle).df()
+    s_dtypes = {c: str(spark_pdf[c].dtype) for c in spark_pdf.columns}
+    d_dtypes = {c: str(duck_pdf[c].dtype) for c in duck_pdf.columns}
+    assert s_dtypes == d_dtypes, (
+        f"{name}: pandas dtype divergence (driver hash would differ)\n"
+        f"  spark: {s_dtypes}\n  duck:  {d_dtypes}"
+    )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
