@@ -110,15 +110,19 @@ def main() -> None:
             "rows_per_sec": round(rows / sec, 1),
         }
 
-    # Best-of-2 per query: machine-load variance up to 1.5x run to run
-    # was observed (BENCH.md); the min of two runs measures the plan,
-    # not the noisy neighbor. Both runs rebuild the DataFrame, so
+    # Best-of-N per query: machine-load variance up to 1.5x run to run
+    # was observed (BENCH.md); the min of N runs measures the plan,
+    # not the noisy neighbor. Every run rebuilds the DataFrame, so
     # query-construction cost (incl. any driver-side iteration) is
-    # inside the timer each time.
+    # inside the timer each time. The two GEMM kNN queries get extra
+    # runs: their measured 7-run spread is 1.1-2.9 s (IQR ~1.3 s,
+    # BENCH.md "r2 regression attribution"), so best-of-2 regularly
+    # reports a noisy-neighbor number for them.
+    N_RUNS = {"knn_join_all": 4, "knn_join": 4}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(N_RUNS.get(name, 2)):
             t0 = time.perf_counter()
             _materialize(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

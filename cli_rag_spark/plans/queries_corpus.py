@@ -1,0 +1,371 @@
+"""Corpus-curation query pack — round-3 LLM-training-data operators.
+
+These extend the E8/E9 families with the curation passes a production
+pretraining pipeline runs between raw crawl and tokenization:
+
+* ``repetition_scores`` — the Gopher repetition filters (Rae et al.
+  2021, A1.1): fraction of the document covered by its most frequent
+  n-gram and by duplicated n-grams. Word-fraction adaptation (the
+  paper uses character fractions; the synthetic corpus is a uniform
+  word stream, reference FIXTURES.md), thresholds re-fit to this
+  corpus's distribution so the flag actually splits it.
+* ``bpe_pair_stats`` — the first BPE merge iteration: corpus-wide
+  adjacent-pair frequencies (Sennrich et al. 2016). The real
+  tokenizer-training inner loop is sequential merges; the heavy,
+  distributable part is exactly this corpus-wide pair count.
+* ``dedup_canonical`` — duplicate-cluster canonicalization: exact-dup
+  groups keep their LONGEST member (not lowest-id) — the curation
+  policy that preserves the most content per cluster.
+* ``semantic_dedup`` — SemDeDup (Abbas et al. 2023): k-means-bucket
+  the embedding space, then near-dup prune ONLY within clusters — the
+  all-pairs O(N²) cosine becomes per-cluster O((N/k)²), and the
+  cluster assignment is the same broadcast+min_by operator the IVF
+  index uses (operators/ann.py).
+* ``embedding_dim_stats`` — per-dimension distribution stats, the
+  normalization/whitening pre-pass of embedding pipelines.
+
+Scale shapes (100 TB): every aggregation here shuffles narrow keys —
+(doc_id, n, 32-hex md5) for repetition, 2-word pair strings for BPE
+(partial-aggregated map-side), md5 fingerprints for canonicalization,
+(cid) for SemDeDup candidates. Nothing ships full text or vectors
+through a shuffle except the SemDeDup within-cluster join, which is
+the candidate-bounded verify step by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cli_rag_spark.functions.text import tokens
+from cli_rag_spark.functions.vectors import cosine_distance
+from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+from cli_rag_spark.sources.documents import load_table
+
+# thresholds fit to the fixture corpus distribution (p90-ish, so the
+# keep flag splits it rather than passing everything; Gopher's char
+# thresholds 0.20/0.18/0.16 target web text, not uniform word salad)
+MAX_TOP2_FRAC = 0.13
+MAX_TOP3_FRAC = 0.14
+MAX_TOP4_FRAC = 0.19
+MAX_DUP2_FRAC = 0.25
+MAX_DUP3_FRAC = 0.05
+
+BPE_TOP = 20
+
+SEM_CENTROIDS = 8
+SEM_EPS = 0.6  # same near-dup distance as embedding_near_dups
+
+_NS = (2, 3, 4)
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals per document.
+
+    Plan: ONE scan → tokens (staged select, projection-collapse-safe)
+    → per-n gram structs built by HOF transform (cheap array_join in
+    the lambda) → explode → md5 OUTSIDE the lambda (whole-stage
+    codegen — the minhash lesson, BENCH.md ledger #1) → two partial-
+    aggregated groupBys on (doc_id, n, hash) then (doc_id, n) →
+    conditional-agg pivot to one row per doc. Shuffles carry 32-hex
+    hashes and counts, never gram text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+
+    def grams(n: int):
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - n + 1),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice("toks", i, n), " ").alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    exploded = (
+        toked.select(
+            "doc_id",
+            F.size("toks").alias("m"),
+            F.explode(F.concat(*[grams(n) for n in _NS])).alias("gr"),
+        )
+        # md5 here, in the projection, not in the lambda: codegen
+        .select("doc_id", "m", F.col("gr.n").alias("n"), F.md5(F.col("gr.g")).alias("h"))
+    )
+    counts = exploded.groupBy("doc_id", "m", "n", "h").agg(F.count(F.lit(1)).alias("c"))
+    per_n = counts.groupBy("doc_id", "m", "n").agg(
+        F.max("c").alias("top_c"),
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)).alias("dup_c"),
+    )
+
+    def top_frac(n: int):
+        return F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_c"))) * n / F.col("m"),
+                F.lit(0.0),
+            ),
+            6,
+        )
+
+    def dup_frac(n: int):
+        return F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(
+                    F.max(F.when(F.col("n") == n, F.col("dup_c"))) * n / F.col("m"),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        )
+
+    out = per_n.groupBy("doc_id", "m").agg(
+        top_frac(2).alias("top2_frac"),
+        top_frac(3).alias("top3_frac"),
+        top_frac(4).alias("top4_frac"),
+        dup_frac(2).alias("dup2_frac"),
+        dup_frac(3).alias("dup3_frac"),
+    )
+    keep = (
+        (F.col("top2_frac") <= MAX_TOP2_FRAC)
+        & (F.col("top3_frac") <= MAX_TOP3_FRAC)
+        & (F.col("top4_frac") <= MAX_TOP4_FRAC)
+        & (F.col("dup2_frac") <= MAX_DUP2_FRAC)
+        & (F.col("dup3_frac") <= MAX_DUP3_FRAC)
+    )
+    return (
+        out.select(
+            "doc_id",
+            F.col("m").cast("long").alias("n_words"),
+            "top2_frac", "top3_frac", "top4_frac", "dup2_frac", "dup3_frac",
+            keep.cast("long").alias("rep_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-pair frequencies — BPE merge iteration 0.
+    explode → groupBy(pair) with map-side partial aggregation; at
+    100 TB the shuffle carries (pair, partial-count), and the top-k
+    is TakeOrderedAndProject (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.lower(F.col("text"))).alias("toks"))
+    pairs = toked.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.array_join(F.slice("toks", i, 2), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(BPE_TOP)
+    )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection per exact-duplicate cluster: within each
+    normalized-text fingerprint group keep the longest member
+    (n_chars desc, doc_id asc tiebreak). One narrow shuffle on the
+    32-hex fingerprint; text never rides the shuffle (the window sees
+    only (fp, n_chars, doc_id))."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    w = Window.partitionBy("_fp").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = (
+        docs.select("doc_id", "source", "n_chars", fp.alias("_fp"))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: bucket embeddings by nearest coarse centroid (the IVF
+    assignment operator — broadcast crossJoin + min_by, shuffle of N
+    narrow rows), then mark rows with a LOWER-ID near neighbor in the
+    SAME cluster as dups. The within-cluster equi-join on cid is the
+    candidate generation — O(sum of cluster² ), never corpus²; at
+    100 TB the within-cluster verify runs the blocked-GEMM kernel
+    (embedding_near_pairs), here the expression form keeps the whole
+    query oracle-replayable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = seed_centroids(emb, SEM_CENTROIDS)
+    assign = assign_centroids(emb, cent)  # [vec_id, cid]
+    v = emb.join(assign, "vec_id").select("vec_id", "cid", "embedding")
+    a = v.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = v.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+    )
+    dup_ids = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_distance(F.col("vec_a"), F.col("vec_b")), 6) < SEM_EPS)
+        .select("cid", F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        v.join(dup_ids.withColumn("_dup", F.lit(1)), ["cid", "vec_id"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dropped"),
+            F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("cid")
+    )
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / std / min / max over the embedding matrix
+    — posexplode → ONE groupBy(pos) with partial aggregation (the
+    shuffle carries 64 × n_partitions partial aggregates, not N·d
+    values)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"))
+    return (
+        vals.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.round(F.stddev_samp("val"), 4).alias("std_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("pos")
+    )
+
+
+QUERIES = {
+    "repetition_scores": q_repetition_scores,
+    "bpe_pair_stats": q_bpe_pair_stats,
+    "dedup_canonical": q_dedup_canonical,
+    "semantic_dedup": q_semantic_dedup,
+    "embedding_dim_stats": q_embedding_dim_stats,
+}
+
+_TOKS = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')"
+
+ORACLE = {
+    "repetition_scores": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), base AS (SELECT doc_id, len(toks) AS m, toks FROM t),
+        nn AS (SELECT unnest([2, 3, 4]) AS n),
+        grams AS (
+          SELECT doc_id, m, n,
+                 unnest(list_transform(range(1, greatest(m - n + 1, 0) + 1),
+                        i -> md5(array_to_string(toks[i:i+n-1], ' ')))) AS h
+          FROM base, nn
+        ), c AS (
+          SELECT doc_id, m, n, h, count(*) AS c FROM grams GROUP BY ALL
+        ), per_n AS (
+          SELECT doc_id, m, n, max(c) AS top_c,
+                 coalesce(sum(c) FILTER (c >= 2), 0) AS dup_c
+          FROM c GROUP BY doc_id, m, n
+        ), agg AS (
+          SELECT doc_id, m,
+                 round(coalesce(max(CASE WHEN n=2 THEN top_c END) * 2.0 / m, 0), 6) AS top2_frac,
+                 round(coalesce(max(CASE WHEN n=3 THEN top_c END) * 3.0 / m, 0), 6) AS top3_frac,
+                 round(coalesce(max(CASE WHEN n=4 THEN top_c END) * 4.0 / m, 0), 6) AS top4_frac,
+                 round(least(1.0, coalesce(max(CASE WHEN n=2 THEN dup_c END) * 2.0 / m, 0)), 6) AS dup2_frac,
+                 round(least(1.0, coalesce(max(CASE WHEN n=3 THEN dup_c END) * 3.0 / m, 0)), 6) AS dup3_frac
+          FROM per_n GROUP BY doc_id, m
+        )
+        SELECT doc_id, m::BIGINT AS n_words,
+               top2_frac, top3_frac, top4_frac, dup2_frac, dup3_frac,
+               CAST(CASE WHEN top2_frac <= {MAX_TOP2_FRAC} AND top3_frac <= {MAX_TOP3_FRAC}
+                          AND top4_frac <= {MAX_TOP4_FRAC} AND dup2_frac <= {MAX_DUP2_FRAC}
+                          AND dup3_frac <= {MAX_DUP3_FRAC}
+                         THEN 1 ELSE 0 END AS BIGINT) AS rep_keep
+        FROM agg ORDER BY doc_id
+    """,
+    "bpe_pair_stats": f"""
+        WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+        pairs AS (
+          SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                        i -> array_to_string(toks[i:i+1], ' '))) AS pair
+          FROM t
+        )
+        SELECT pair, count(*) AS n FROM pairs
+        GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BPE_TOP}
+    """,
+    "dedup_canonical": r"""
+        WITH ranked AS (
+          SELECT source,
+                 row_number() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   ORDER BY n_chars DESC, doc_id ASC
+                 ) AS rn
+          FROM documents
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM ranked GROUP BY source ORDER BY source
+    """,
+    "semantic_dedup": f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+          WHERE vec_id < {SEM_CENTROIDS}
+        ), assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6), c.cid
+                   ) AS rn
+            FROM embeddings e, cent c
+          ) WHERE rn = 1
+        ), v AS (
+          SELECT e.vec_id, a.cid, e.embedding FROM embeddings e JOIN assign a USING (vec_id)
+        ), dups AS (
+          SELECT DISTINCT b.cid, b.vec_id
+          FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) < {SEM_EPS}
+        )
+        SELECT v.cid, count(*) AS n_vectors,
+               CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM v LEFT JOIN dups d ON v.cid = d.cid AND v.vec_id = d.vec_id
+        GROUP BY v.cid ORDER BY v.cid
+    """,
+    "embedding_dim_stats": """
+        WITH vals AS (
+          SELECT u.x['pos'] AS pos, u.x['val']::DOUBLE AS val
+          FROM (
+            SELECT unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> {'pos': i - 1, 'val': embedding[i]})) AS x
+            FROM embeddings
+          ) u
+        )
+        SELECT pos::INT AS pos, count(*) AS n,
+               round(avg(val), 6) AS mean_val,
+               round(stddev_samp(val), 4) AS std_val,
+               round(min(val), 6) AS min_val,
+               round(max(val), 6) AS max_val
+        FROM vals GROUP BY pos ORDER BY pos
+    """,
+}

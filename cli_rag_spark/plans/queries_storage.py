@@ -1,0 +1,112 @@
+"""Storage-maintenance query pack — the petabyte housekeeping ops made
+driver-visible (VERDICT r2 "Next round #6").
+
+Bucketing, partitioned layout, and small-file compaction were the one
+component family with zero judged rows: their physical claims
+(no-Exchange joins, PartitionFilters, write-then-swap crash safety) are
+plan-asserted in pytest, but nothing proved through the driver's own
+oracle channel that the maintenance ops PRESERVE DATA. These queries
+close that: each one pushes a table through the storage op under test
+and then answers an aggregate the oracle computes on the ORIGINAL
+parquet — any row lost, duplicated, or corrupted by the write path
+breaks the value hash.
+
+Scale notes: the written layout is exactly the 100 TB recipe —
+partition on the low-cardinality always-filtered column (day), bound
+files per partition, compact leaves to target-size files, read back
+through partition pruning (PartitionFilters, asserted in
+tests/test_plans.py for this very query shape).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_rag_spark.sources.compaction import compact_parquet, table_file_stats
+from cli_rag_spark.sources.documents import load_table
+from cli_rag_spark.sources.partitioned import read_partitioned, write_partitioned
+
+# Events span 2024-01-01..2024-01-30 at every SF (TESTDATA.md fixture
+# contract); the slice day is mid-range so it exists at every SF.
+SLICE_DAY = "2024-01-07"
+
+
+def _scratch(prefix: str, sf_dir: str) -> str:
+    """Stable per-sf_dir scratch path; every run overwrites it, so
+    repeated judged runs are idempotent and nothing accumulates."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return f"{tempfile.gettempdir()}/cli_rag_spark_{prefix}_{tag}"
+
+
+def q_partitioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the events table through the full storage-maintenance
+    cycle, then answer a day-slice aggregate from the maintained copy:
+
+    1. write partitionBy(day) with files_per_partition=4 — the
+       fragmented state streaming ingest leaves behind (~4 files per
+       day directory);
+    2. compact every day leaf to one target-size file
+       (compact_parquet's write-then-swap, per leaf because compacting
+       the root of a hive layout is rejected by design);
+    3. read back and aggregate one day's slice — the filter must reach
+       the directory listing (PartitionFilters), so 29 of 30 day
+       directories are never opened.
+
+    The oracle computes the same aggregate on the ORIGINAL parquet:
+    a green row proves write_partitioned + compact_parquet are
+    lossless through the driver's own channel.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = _scratch("part_compact", sf_dir)
+    write_partitioned(ev, path, ["day"], files_per_partition=4)
+
+    # compact each day=... leaf; huge byte target -> exactly 1 file
+    from cli_rag_spark.sources.compaction import _fs  # same-package helper
+
+    fs, root = _fs(spark, path)
+    before_files, _ = table_file_stats(spark, path)
+    for status in fs.listStatus(root):
+        if status.isDirectory() and status.getPath().getName().startswith("day="):
+            compact_parquet(spark, status.getPath().toString(),
+                            target_file_bytes=512 * 1024 * 1024)
+    after_files, _ = table_file_stats(spark, path)
+    assert after_files <= before_files, "compaction must never add files"
+
+    back = read_partitioned(spark, path)
+    return (
+        back.where(F.col("day") == F.lit(SLICE_DAY).cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulation: day-level double sums are partial-
+            # sum-order dependent; decimal(18,6) sums exactly in both
+            # engines (same rationale as returned_item_customers)
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "partitioned_compaction": q_partitioned_compaction,
+}
+
+ORACLE = {
+    "partitioned_compaction": f"""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '{SLICE_DAY}'
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}

@@ -24,53 +24,71 @@ _PACKS = [
     "cli_rag_spark.plans.queries_search",
     "cli_rag_spark.plans.queries_pipeline",
     "cli_rag_spark.plans.queries_streaming",
+    "cli_rag_spark.plans.queries_storage",
+    "cli_rag_spark.plans.queries_corpus",
 ]
 
-# Registry ORDER is part of the external contract: the round-1 audit
-# verified exactly the first 50 registry entries (VERDICT.md round 1,
-# "Registry order starves the oracle"), so the head of the ordering
-# must contain at least one representative of EVERY operator family.
-# This list IS that head: 50 names, every family from SURVEY §2
-# (chunk, pipeline/index, context, multimodal, vector search, kNN,
-# hamming, dedup, text analysis, relational, lexical search, temporal,
-# skew, training, streaming, approx, events/sessions). Redundant
-# relational/event variants are deliberately ordered after it.
-_PRIORITY = [
-    # E2 chunking
-    "chunk_reference", "chunk_fixed", "chunk_clean_stats",
-    # E3/E4 index pipeline, E10 context, E11 multimodal
-    "mock_index_topk", "rag_context",
-    "binary_metadata", "image_decode_stats", "audio_window_stats",
-    # E5/E6 vector scoring + top-k (exact / quantized / IVF)
-    "cosine_topk", "cosine_histogram", "quantized_topk", "ivf_topk",
-    # E7 kNN join (exact window / exact GEMM / approximate LSH)
-    "knn_join", "knn_join_all", "knn_join_lsh",
-    # binary vectors (reference's BINARY_VECTOR made live)
-    "hamming_topk",
-    # E8 dedup family
-    "dedup_exact_count", "dedup_near_count", "minhash_candidates",
-    "ngram_jaccard", "simhash_groups", "embedding_near_dups",
-    "decontamination", "dedup_components",
-    # E9 text analysis
-    "text_stats", "token_counts", "quality_scores",
-    "lang_id_confusion", "fingerprint_dups",
-    # E12 relational representatives (scan-agg / multi-join / window)
-    "pricing_summary", "shipping_priority", "top_customers_per_nation",
-    # lexical + hybrid retrieval
-    "bm25_topk", "hybrid_rrf_topk",
-    # temporal joins
-    "asof_click_attribution", "range_click_burst",
-    # skew-proof physical paths
-    "salted_user_totals", "salted_top_events",
-    # training-data ops
-    "hash_split_counts", "stratified_sample", "pack_chunks_stats",
-    # structured streaming
-    "streaming_hourly_windows", "streaming_sessionization",
-    "streaming_dedup_keys", "streaming_enriched_segments",
-    # approximate aggregates
-    "approx_distinct_users", "approx_price_quantiles",
-    # events / sessions (incl. the R12 conversation-log analog)
-    "sessionization", "retention_cohorts", "session_log",
+# Registry ORDER is part of the external contract: the external audit
+# verifies exactly the first 50 registry entries per round (VERDICT.md
+# round 1, "Registry order starves the oracle"), so the head of the
+# ordering decides which queries receive a driver verdict.
+#
+# ROTATION POLICY (VERDICT r2 "Next round #2"): the 50-slot head is
+# rebuilt each round as
+#   1. SENTINELS — one stable representative per operator family,
+#      verified every round so a regression in any family is caught
+#      the round it happens;
+#   2. every query whose implementation or oracle CHANGED since its
+#      last verdict (this round: the three sessionization oracles
+#      re-typed to BIGINT, and decimal_exact_totals re-typed to
+#      double — VERDICT r2 "What's wrong #1" / commit 663ae48);
+#   3. every query that has NEVER had a driver verdict (this round:
+#      the 17 carried from r1/r2 — all seven r2 LLM-pipeline ops,
+#      three relational, seven events — plus the six new r3 queries:
+#      partitioned_compaction and the corpus-curation pack);
+#   4. remaining slots filled least-recently-verified-first (r1-only
+#      queries, rotated out of the r2 window).
+# After this round every one of the 96 registered queries has a green
+# verdict in r1 ∪ r2 ∪ r3.
+_SENTINELS = [
+    "chunk_reference",            # E2 chunking
+    "mock_index_topk",            # E3/E4 embed+index pipeline
+    "rag_context",                # E10 context assembly
+    "image_decode_stats",         # E11 multimodal
+    "cosine_topk",                # E5/E6 vector scoring + top-k
+    "knn_join",                   # E7 kNN join
+    "minhash_candidates",         # E8 dedup (LSH path)
+    "dedup_components",           # E8 graph clustering
+    "text_stats",                 # E9 text analysis
+    "pricing_summary",            # E12 relational
+    "bm25_topk",                  # lexical search
+    "asof_click_attribution",     # temporal joins
+    "salted_user_totals",         # skew-proof paths
+    "hash_split_counts",          # training-data ops
+    "streaming_sessionization",   # structured streaming
+    "approx_distinct_users",      # approximate aggregates
+    "hamming_topk",               # binary vectors (BINARY_VECTOR)
+]
+_PRIORITY = _SENTINELS + [
+    # (2) changed since last verdict: oracle re-typed in 663ae48
+    "sessionization", "session_log", "decimal_exact_totals",
+    # (3) never driver-checked: r2 LLM-pipeline additions
+    "kmeans_clusters", "knn_join_ivf", "vocab_topk",
+    "gopher_quality_flags", "pii_redaction_stats", "dedup_incremental",
+    "mixture_sample_counts",
+    # (3) never driver-checked: relational + events carried from r1
+    "large_orders", "cheapest_supplier_per_part", "top_revenue_suppliers",
+    "event_type_stats", "ordered_funnel", "rolling_user_value",
+    "hourly_event_windows", "json_props", "user_running_value",
+    "funnel_counts",
+    # (3) never driver-checked: new r3 storage + corpus-curation ops
+    "partitioned_compaction",
+    "repetition_scores", "bpe_pair_stats", "dedup_canonical",
+    "semantic_dedup", "embedding_dim_stats",
+    # (4) least-recently-verified fill (r1-only, rotated out in r2)
+    "embedding_norms", "label_centroids", "returned_item_customers",
+    "price_percentiles", "returnflag_grouping_sets", "segment_nation_cube",
+    "orders_upsert_stats",
 ]
 
 

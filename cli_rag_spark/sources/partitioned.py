@@ -48,9 +48,13 @@ def write_partitioned(
         out = df.repartition(*[F.col(c) for c in partition_cols])
     else:
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(k))
+        # explicit numPartitions: AQE's partition coalescing respects a
+        # user-specified count but would otherwise merge this small
+        # shuffle into one task and erase the salt split entirely
+        n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         out = (
             df.withColumn("_fpp_salt", salt)
-            .repartition(*[F.col(c) for c in partition_cols], F.col("_fpp_salt"))
+            .repartition(max(k, n_shuffle), *[F.col(c) for c in partition_cols], F.col("_fpp_salt"))
             .drop("_fpp_salt")
         )
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -59,3 +59,30 @@ def test_csv_corpus_roundtrip(spark, tmp_path):
         w.writerow([1, "line one\nline two"])
     got = {r.doc_id: r.text for r in load_documents(spark, str(p), fmt="csv").collect()}
     assert got == {0: "plain text", 1: "line one\nline two"}
+
+
+def test_write_partitioned_multi_file_fragmentation(spark, sf_dir, tmp_path):
+    """files_per_partition=k>1 really fragments (up to k files per
+    value, >1 for most) — the precondition for compaction to have
+    something to do — and stays lossless."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "ev_frag")
+    write_partitioned(ev, path, ["day"], files_per_partition=4)
+    per_day = []
+    for d in os.listdir(path):
+        if d.startswith("day="):
+            per_day.append(len([f for f in os.listdir(os.path.join(path, d))
+                                if f.endswith(".parquet")]))
+    assert per_day and max(per_day) > 1 and max(per_day) <= 4
+    assert read_partitioned(spark, path).count() == ev.count()
+
+
+def test_partitioned_compaction_query_prunes(spark, sf_dir):
+    """The judged storage query's day-slice must reach the directory
+    listing as a PartitionFilter — 29 of 30 day dirs never opened."""
+    from cli_rag_spark.plans.queries_storage import q_partitioned_compaction
+
+    df = q_partitioned_compaction(spark, sf_dir)
+    assert verify_pruned(df, "day"), scan_partition_filters(df)
