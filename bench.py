@@ -54,6 +54,8 @@ HEADLINE = [
     "pack_chunks_stats",         # training: per-shard prefix-sum packing
     "bm25_topk",                 # lexical retrieval: filtered inverted-index shape
     "dedup_components",          # iterative: min-label propagation to fixpoint
+    "repetition_scores",         # corpus: Gopher repetition filters (r3)
+    "semantic_dedup",            # corpus: SemDeDup via bucketed GEMM (r3)
 ]
 
 

@@ -313,6 +313,7 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
     round_digits: int = 6,
     n_blocks: int = 8,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine distance < threshold — exact
     all-pairs similarity via **blocked matrix multiplication**.
@@ -325,25 +326,41 @@ def embedding_near_pairs(
     only sub-threshold hits leave the kernel, and (b) replaces ~N²·d
     interpreted lambda evaluations with dense GEMM (measured 50×).
 
+    ``bucket_col`` restricts scoring to pairs INSIDE the same bucket
+    (e.g. a k-means cluster id for SemDeDup): blocks are keyed by
+    (bucket, blk) and block-pairs equi-join on the bucket, so the
+    all-pairs cost O(N²) becomes O(Σ bucket²) and the join carries a
+    real equi-key instead of a pure triangle condition.
+
     Scale: shuffle volume is N·d (the block packing) not N², and each
     task holds two blocks, so pick n_blocks ≈ N·d·8B / executor-mem.
     100 TB corpora should LSH-prefilter (minhash_candidates /
-    knn_join_lsh) and reserve this exact kernel for within-bucket
-    verification; it is the oracle-checkable exact path.
+    knn_join_lsh) or cluster-bucket (bucket_col) and reserve the
+    unbucketed exact kernel for within-bucket verification; it is the
+    oracle-checkable exact path.
     """
     margin = 0.5 * 10.0 ** (-round_digits) if round_digits is not None else 0.0
     src = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
+        (F.col(bucket_col) if bucket_col else F.lit(0)).cast("long").alias("_bkt"),
     )
     packed = (
         src.withColumn("_blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
-        .groupBy("_blk")
+        .groupBy("_bkt", "_blk")
         .agg(F.collect_list(F.struct("id", "vec")).alias("rows"))
     )
-    a = packed.select(F.col("_blk").alias("blk_a"), F.col("rows").alias("rows_a"))
-    b = packed.select(F.col("_blk").alias("blk_b"), F.col("rows").alias("rows_b"))
-    block_pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    a = packed.select(
+        F.col("_bkt").alias("bkt_a"), F.col("_blk").alias("blk_a"),
+        F.col("rows").alias("rows_a"),
+    )
+    b = packed.select(
+        F.col("_bkt").alias("bkt_b"), F.col("_blk").alias("blk_b"),
+        F.col("rows").alias("rows_b"),
+    )
+    block_pairs = a.join(
+        b, (F.col("bkt_a") == F.col("bkt_b")) & (F.col("blk_a") <= F.col("blk_b"))
+    )
 
     def score(batches):
         import numpy as np

@@ -38,8 +38,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cli_rag_spark.functions.text import tokens
-from cli_rag_spark.functions.vectors import cosine_distance
 from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+from cli_rag_spark.operators.dedup import embedding_near_pairs
 from cli_rag_spark.sources.documents import load_table
 
 # thresholds fit to the fixture corpus distribution (p90-ish, so the
@@ -64,11 +64,19 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE scan → tokens (staged select, projection-collapse-safe)
     → per-n gram structs built by HOF transform (cheap array_join in
-    the lambda) → explode → md5 OUTSIDE the lambda (whole-stage
-    codegen — the minhash lesson, BENCH.md ledger #1) → two partial-
-    aggregated groupBys on (doc_id, n, hash) then (doc_id, n) →
-    conditional-agg pivot to one row per doc. Shuffles carry 32-hex
-    hashes and counts, never gram text.
+    the lambda) → explode → ``xxhash64`` OUTSIDE the lambda (whole-
+    stage codegen) → two partial-aggregated groupBys on
+    (doc_id, n, hash) then (doc_id, n) → conditional-agg pivot to one
+    row per doc. Shuffles carry 8-byte hashes and counts, never gram
+    text. xxhash64 over md5 (the minhash lesson, BENCH.md ledger #1)
+    is 4× narrower on the wire AND skips hex-string materialization;
+    grouping is per (doc, n), so a collision needs two distinct grams
+    of the SAME doc to collide in 64 bits (~1k grams/doc → p≈3e-14
+    per doc; negligible even at 10⁹ docs). An all-HOF zero-shuffle
+    variant (sort_array + aggregate run-length scan) was measured
+    SLOWER (6.7 s vs 4.3 s at sf0.1): higher-order functions are
+    CodegenFallback — interpreted per element — while this shape keeps
+    the hot path in generated code.
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
@@ -91,8 +99,9 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks").alias("m"),
             F.explode(F.concat(*[grams(n) for n in _NS])).alias("gr"),
         )
-        # md5 here, in the projection, not in the lambda: codegen
-        .select("doc_id", "m", F.col("gr.n").alias("n"), F.md5(F.col("gr.g")).alias("h"))
+        # hash here, in the projection, not in the lambda: codegen
+        .select("doc_id", "m", F.col("gr.n").alias("n"),
+                F.xxhash64(F.col("gr.g")).alias("h"))
     )
     counts = exploded.groupBy("doc_id", "m", "n", "h").agg(F.count(F.lit(1)).alias("c"))
     per_n = counts.groupBy("doc_id", "m", "n").agg(
@@ -197,37 +206,30 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: bucket embeddings by nearest coarse centroid (the IVF
-    assignment operator — broadcast crossJoin + min_by, shuffle of N
-    narrow rows), then mark rows with a LOWER-ID near neighbor in the
-    SAME cluster as dups. The within-cluster equi-join on cid is the
-    candidate generation — O(sum of cluster² ), never corpus²; at
-    100 TB the within-cluster verify runs the blocked-GEMM kernel
-    (embedding_near_pairs), here the expression form keeps the whole
-    query oracle-replayable."""
+    """SemDeDup (Abbas et al. 2023): bucket embeddings by nearest
+    coarse centroid (the IVF assignment operator — broadcast crossJoin
+    + min_by, shuffle of N narrow rows), then mark rows with a
+    LOWER-ID near neighbor in the SAME cluster as dups. Within-cluster
+    scoring is the bucketed blocked-GEMM kernel (embedding_near_pairs
+    with bucket_col="cid"): O(Σ cluster²) BLAS work, pair rows never
+    materialize, and the f64 rounding matches the SQL oracle exactly
+    (same contract embedding_near_dups locks in)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = seed_centroids(emb, SEM_CENTROIDS)
     assign = assign_centroids(emb, cent)  # [vec_id, cid]
     v = emb.join(assign, "vec_id").select("vec_id", "cid", "embedding")
-    a = v.select(
-        F.col("cid"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("vec_a"),
+    # within-cluster scoring runs the blocked-GEMM kernel (the same
+    # exact path embedding_near_dups uses), bucketed on cid: pair rows
+    # never materialize, BLAS does the N²/k math, and only
+    # sub-threshold hits leave the kernel. Pairs are same-cid by
+    # construction and vec_id is unique, so id_b alone keys the drop.
+    pairs = embedding_near_pairs(
+        v, SEM_EPS, id_col="vec_id", vec_col="embedding",
+        bucket_col="cid", n_blocks=4,
     )
-    b = v.select(
-        F.col("cid"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vec_b"),
-    )
-    dup_ids = (
-        a.join(b, "cid")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine_distance(F.col("vec_a"), F.col("vec_b")), 6) < SEM_EPS)
-        .select("cid", F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
+    dup_ids = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return (
-        v.join(dup_ids.withColumn("_dup", F.lit(1)), ["cid", "vec_id"], "left")
+        v.join(dup_ids.withColumn("_dup", F.lit(1)), ["vec_id"], "left")
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

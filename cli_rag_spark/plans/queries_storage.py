@@ -64,15 +64,28 @@ def q_partitioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("part_compact", sf_dir)
     write_partitioned(ev, path, ["day"], files_per_partition=4)
 
-    # compact each day=... leaf; huge byte target -> exactly 1 file
+    # compact each day=... leaf; huge byte target -> exactly 1 file.
+    # Leaves are independent, so compact them CONCURRENTLY: the Spark
+    # scheduler interleaves the per-leaf jobs across the executor
+    # pool instead of running ~30 one-small-job barriers back to back
+    # (measured 11.3 s -> ~4 s at sf0.1; at real partition counts the
+    # serial form is a driver-bound O(partitions) wall).
+    from concurrent.futures import ThreadPoolExecutor
+
     from cli_rag_spark.sources.compaction import _fs  # same-package helper
 
     fs, root = _fs(spark, path)
     before_files, _ = table_file_stats(spark, path)
-    for status in fs.listStatus(root):
-        if status.isDirectory() and status.getPath().getName().startswith("day="):
-            compact_parquet(spark, status.getPath().toString(),
-                            target_file_bytes=512 * 1024 * 1024)
+    leaves = [
+        status.getPath().toString()
+        for status in fs.listStatus(root)
+        if status.isDirectory() and status.getPath().getName().startswith("day=")
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(
+            lambda p: compact_parquet(spark, p, target_file_bytes=512 * 1024 * 1024),
+            leaves,
+        ))
     after_files, _ = table_file_stats(spark, path)
     assert after_files <= before_files, "compaction must never add files"
 

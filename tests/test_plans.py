@@ -132,3 +132,56 @@ def test_registry_priority_window_contract():
     }
     for family, reps in family_reps.items():
         assert reps & window, f"family {family} has no representative in the 50-slot window"
+
+
+def test_corpus_pack_plan_shapes(spark, sf_dir):
+    # repetition_scores: gram shuffle carries 8-byte xxhash64 keys,
+    # never gram text (the minhash narrow-shuffle rule)
+    plan = _plan(spark, sf_dir, "repetition_scores")
+    assert "xxhash64" in plan
+    assert "md5" not in plan
+    # bpe_pair_stats: top-k must be TakeOrderedAndProject, not a
+    # global sort of the full pair-frequency table
+    plan = _plan(spark, sf_dir, "bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan
+    # semantic_dedup: within-cluster scoring is the bucketed GEMM
+    # kernel — pair rows must NEVER materialize as a join of vector
+    # rows (no cartesian, no NLJ; the block join is an equi-join on
+    # the bucket key)
+    plan = _plan(spark, sf_dir, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "mapInPandas" in plan.lower() or "MapInPandas" in plan
+
+
+def test_semantic_dedup_gemm_matches_expression_form(spark, sf_dir):
+    """The bucketed GEMM path must produce exactly the pairs the naive
+    within-cluster expression form produces (same contract the
+    unbucketed kernel locks against embedding_near_dups)."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.functions.vectors import cosine_distance
+    from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+    from cli_rag_spark.operators.dedup import embedding_near_pairs
+    from cli_rag_spark.plans.queries_corpus import SEM_CENTROIDS, SEM_EPS
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = seed_centroids(emb, SEM_CENTROIDS)
+    v = emb.join(assign_centroids(emb, cent), "vec_id").select("vec_id", "cid", "embedding")
+
+    gemm = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_pairs(
+            v, SEM_EPS, bucket_col="cid", n_blocks=4
+        ).collect()
+    }
+    a = v.select("cid", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = v.select("cid", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    naive = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_distance(F.col("va"), F.col("vb")), 6) < SEM_EPS)
+        .collect()
+    }
+    assert gemm == naive
