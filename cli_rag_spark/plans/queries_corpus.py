@@ -56,6 +56,13 @@ BPE_TOP = 20
 SEM_CENTROIDS = 8
 SEM_EPS = 0.6  # same near-dup distance as embedding_near_dups
 
+LM_ALPHA = 0.5    # add-k smoothing for the bigram LM
+# fit to the fixture ppl spread (26.5-38.3, median ~30.1): keeps ~85%,
+# flags the high-perplexity tail — the flag SPLITS the corpus rather
+# than passing everything (same re-fit rationale as the Gopher
+# thresholds above)
+LM_PPL_MAX = 31.0
+
 _NS = (2, 3, 4)
 
 
@@ -240,6 +247,88 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2020), with the
+    corpus itself as the LM: train an add-k-smoothed bigram model on
+    the whole corpus, score every document by bigram perplexity, flag
+    outliers. (CCNet uses a pretrained KenLM; the distributable heavy
+    part — corpus-wide n-gram counts + per-doc scoring joins — is
+    exactly this. A real deployment would swap the count tables for
+    the pretrained model's, same plan shape.)
+
+    P(w2|w1) = (B(w1,w2) + a) / (U(w1) + a·V)
+
+    Plan: per-doc bigram multiplicities (one explode + groupBy) →
+    corpus bigram table B by re-aggregating those multiplicities (no
+    second scan) → corpus unigram table U + vocab size V → two
+    equi-joins on the gram keys → per-doc weighted average of
+    ln P → perplexity. Shuffles carry (w1, w2, count); V rides a
+    broadcast 1-row frame. At 100 TB the count tables are the
+    standard shuffle-join sides (or broadcast, if a pretrained vocab
+    is used instead).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+
+    doc_big = (
+        toked.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.struct(
+                            F.element_at("toks", i).alias("w1"),
+                            F.element_at("toks", i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+    )
+    corpus_big = doc_big.groupBy("w1", "w2").agg(F.sum("c_doc").alias("b"))
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))  # 1 row -> broadcast
+
+    logp = F.log(
+        (F.col("b") + F.lit(LM_ALPHA))
+        / (F.col("u") + F.lit(LM_ALPHA) * F.col("v"))
+    )
+    scored = (
+        doc_big.join(corpus_big, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").alias("n_bigrams"),
+            (F.sum(F.col("c_doc") * logp) / F.sum("c_doc")).alias("_avg"),
+        )
+    )
+    out = (
+        toked.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(F.coalesce(F.col("_avg"), F.lit(0.0)), 6).alias("avg_logp"),
+            F.round(F.exp(-F.coalesce(F.col("_avg"), F.lit(0.0))), 4).alias("ppl"),
+        )
+    )
+    return (
+        out.withColumn(
+            "lm_keep", (F.col("ppl") <= F.lit(LM_PPL_MAX)).cast("long")
+        ).orderBy("doc_id")
+    )
+
+
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension mean / std / min / max over the embedding matrix
     — posexplode → ONE groupBy(pos) with partial aggregation (the
@@ -266,6 +355,7 @@ QUERIES = {
     "dedup_canonical": q_dedup_canonical,
     "semantic_dedup": q_semantic_dedup,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 _TOKS = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')"
@@ -353,6 +443,44 @@ ORACLE = {
                CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM v LEFT JOIN dups d ON v.cid = d.cid AND v.vec_id = d.vec_id
         GROUP BY v.cid ORDER BY v.cid
+    """,
+    "lm_perplexity": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), doc_big AS (
+          SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2, count(*) AS c_doc
+          FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                          i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+            FROM t
+          ) GROUP BY ALL
+        ), corpus_big AS (
+          SELECT w1, w2, sum(c_doc) AS b FROM doc_big GROUP BY w1, w2
+        ), uni AS (
+          SELECT unnest(toks) AS w FROM t
+        ), uni_c AS (
+          SELECT w, count(*) AS u FROM uni GROUP BY w
+        ), vocab AS (SELECT count(*) AS v FROM uni_c),
+        scored AS (
+          SELECT d.doc_id,
+                 sum(d.c_doc) AS n_bigrams,
+                 sum(d.c_doc * ln((cb.b + {LM_ALPHA}) / (uc.u + {LM_ALPHA} * vocab.v)))
+                   / sum(d.c_doc) AS avg_raw
+          FROM doc_big d
+          JOIN corpus_big cb USING (w1, w2)
+          JOIN uni_c uc ON d.w1 = uc.w
+          CROSS JOIN vocab
+          GROUP BY d.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               round(coalesce(s.avg_raw, 0), 6) AS avg_logp,
+               round(exp(-coalesce(s.avg_raw, 0)), 4) AS ppl,
+               CAST(CASE WHEN round(exp(-coalesce(s.avg_raw, 0)), 4) <= {LM_PPL_MAX}
+                         THEN 1 ELSE 0 END AS BIGINT) AS lm_keep
+        FROM t LEFT JOIN scored s USING (doc_id)
+        ORDER BY t.doc_id
     """,
     "embedding_dim_stats": """
         WITH vals AS (

@@ -25,6 +25,7 @@ from cli_rag_spark.streaming.ops import (
     dedup_stream,
     enrich_stream,
     hourly_windows,
+    interval_join_stream,
     read_events_stream,
     run_to_memory,
     sessionize_stream,
@@ -75,7 +76,55 @@ def q_streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_memory(agg, "complete").orderBy("c_mktsegment")
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every (click → purchase) pair of
+    the same user with the purchase inside [click, click + 30 min] —
+    two live branches of the event stream joined with watermarked,
+    time-bounded state (the only stream-stream join shape whose state
+    is bounded). Each branch reads its own source instance (streaming
+    self-joins require unambiguous plans). The fixture replays in one
+    availableNow batch, so the emitted set equals the batch
+    inequality join — which IS the oracle; the 35-day watermark
+    out-spans the fixture exactly like streaming_dedup_keys, trading
+    state size for zero eviction mid-replay."""
+    clicks = (
+        read_events_stream(spark, f"{sf_dir}/events.parquet")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("l_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("lts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, f"{sf_dir}/events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("rts"),
+        )
+    )
+    joined = interval_join_stream(
+        clicks, purchases,
+        left_key="l_user_id", right_key="r_user_id",
+        left_ts="lts", right_ts="rts",
+        interval="30 minutes", watermark="35 days",
+    ).select(
+        F.col("l_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.round(
+            (F.unix_micros(F.col("rts")) - F.unix_micros(F.col("lts")))
+            / F.lit(1_000_000.0),
+            3,
+        ).alias("delay_sec"),
+    )
+    return run_to_memory(joined, "append").orderBy("user_id", "click_id", "purchase_id")
+
+
 QUERIES = {
+    "streaming_interval_join": q_streaming_interval_join,
     "streaming_enriched_segments": q_streaming_enriched_segments,
     "streaming_hourly_windows": q_streaming_hourly_windows,
     "streaming_sessionization": q_streaming_sessionization,
@@ -83,6 +132,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_interval_join": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               round(epoch_us(p.ts - c.ts) / 1000000.0, 3) AS delay_sec
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        ORDER BY c.user_id, click_id, purchase_id
+    """,
     "streaming_enriched_segments": """
         SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value
         FROM events LEFT JOIN customer ON user_id = c_custkey

@@ -28,10 +28,13 @@ from cli_rag_spark.operators.knn import (
     knn_join_gemm,
     knn_join_lsh,
 )
+from cli_rag_spark.operators.pq import build_pq_codebook, pq_adc_scores, pq_encode
 from cli_rag_spark.operators.quantize import dequantize, quantize_int8
 from cli_rag_spark.sources.documents import load_table
 
 K = 5
+PQ_M = 4    # subspaces (64-dim fixture → 16-dim sub-vectors)
+PQ_K = 16   # codewords per subspace
 IVF_CENTROIDS = 8
 IVF_PROBE = 2
 LSH_DIM = 64  # fixture embedding dim (FIXTURES.md)
@@ -145,6 +148,30 @@ def q_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = knn_join_gemm(queries, emb, k=3, exclude_self=True)
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py): vectors live
+    as M=4 codeword ids (~64× smaller than the reference's f64 rows,
+    vector-db.h:6); the query builds one M×K lookup table and every
+    vector's distance estimate is a sum of 4 table lookups — the scan
+    never touches an embedding. Seeded codebooks (sub-slices of the 16
+    lowest-id vectors) keep the whole pipeline — encode argmin, LUT,
+    ADC sum — exactly replayable in the DuckDB oracle. The codes
+    frame is cached: the codes ARE the persisted index (the point of
+    PQ), and without the barrier both the query path and any refine
+    would re-run the encode argmin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = build_pq_codebook(emb, PQ_M, PQ_K)
+    codes = pq_encode(emb, cb, PQ_M).cache()
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    return (
+        pq_adc_scores(codes, cb, q, PQ_M)
+        .orderBy(F.col("est_d2").asc(), F.col("vec_id").asc())
+        .limit(K)
+    )
 
 
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,6 +322,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "knn_join_ivf": q_knn_join_ivf,
     "cosine_topk": q_cosine_topk,
+    "pq_topk": q_pq_topk,
     "quantized_topk": q_quantized_topk,
     "ivf_topk": q_ivf_topk,
     "knn_join_lsh": q_knn_join_lsh,
@@ -350,6 +378,42 @@ def _lsh_oracle_sql() -> str:
 
 ORACLE = {
     "kmeans_clusters": _kmeans_oracle(KM_CENTROIDS, KM_ITERS, LSH_DIM),
+    # PQ: l2² replayed as list_sum(list_transform(...)) — the same
+    # left-to-right summation order as Spark's aggregate(zip_with);
+    # argmin tie-break by lowest code = min_by struct ordering
+    "pq_topk": f"""
+        WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        cb AS (
+            SELECT ms.m, e.vec_id AS code,
+                   (e.embedding::DOUBLE[])[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS cvec
+            FROM embeddings e, ms WHERE e.vec_id < {PQ_K}
+        ), subs AS (
+            SELECT e.vec_id, ms.m,
+                   (e.embedding::DOUBLE[])[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS subvec
+            FROM embeddings e, ms
+        ), codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT s.vec_id, s.m, c.code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                                     i -> (s.subvec[i]-c.cvec[i])*(s.subvec[i]-c.cvec[i]))), 6), c.code
+                       ) AS rn
+                FROM subs s JOIN cb c USING (m)
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ), lut AS (
+            SELECT c.m, c.code,
+                   round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> (c.cvec[i]-q.qv[c.m*{LSH_DIM // PQ_M}+i])*(c.cvec[i]-q.qv[c.m*{LSH_DIM // PQ_M}+i]))), 6) AS d2
+            FROM cb c, q
+        )
+        SELECT codes.vec_id, round(sum(l.d2), 6) AS est_d2
+        FROM codes JOIN lut l USING (m, code)
+        GROUP BY codes.vec_id
+        ORDER BY est_d2, codes.vec_id LIMIT {K}
+    """,
     "knn_join_ivf": f"""
         WITH cent AS (
             SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings

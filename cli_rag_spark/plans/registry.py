@@ -81,13 +81,14 @@ _PRIORITY = _SENTINELS + [
     "event_type_stats", "ordered_funnel", "rolling_user_value",
     "hourly_event_windows", "json_props", "user_running_value",
     "funnel_counts",
-    # (3) never driver-checked: new r3 storage + corpus-curation ops
+    # (3) never driver-checked: new r3 storage + corpus + vector +
+    # streaming ops
     "partitioned_compaction",
     "repetition_scores", "bpe_pair_stats", "dedup_canonical",
-    "semantic_dedup", "embedding_dim_stats",
+    "semantic_dedup", "embedding_dim_stats", "lm_perplexity",
+    "pq_topk", "streaming_interval_join",
     # (4) least-recently-verified fill (r1-only, rotated out in r2)
     "embedding_norms", "label_centroids", "returned_item_customers",
-    "price_percentiles", "returnflag_grouping_sets", "segment_nation_cube",
     "orders_upsert_stats",
 ]
 

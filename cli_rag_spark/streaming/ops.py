@@ -212,6 +212,40 @@ def enrich_stream(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    interval: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval: each left row
+    matches right rows of the same key with ``left_ts <= right_ts <=
+    left_ts + interval``. Column names must already be disjoint (the
+    caller renames) — streaming self-joins forbid ambiguous refs.
+
+    This is THE canonical bounded-state stream-stream join: both sides
+    are watermarked and the join condition carries an explicit event-
+    time bound, so each side's buffered state is evicted once the
+    other side's watermark passes the bound — state is
+    O(rows per key per interval+watermark window), never O(stream).
+    An unbounded condition (equi-key only) would be rejected by Spark
+    for exactly that reason. Batch analog: operators/temporal.py
+    `range_join` (which bucketizes instead of buffering).
+    """
+    return left.withWatermark(left_ts, watermark).join(
+        right.withWatermark(right_ts, watermark),
+        F.expr(
+            f"{left_key} = {right_key} AND {right_ts} >= {left_ts} "
+            f"AND {right_ts} <= {left_ts} + interval {interval}"
+        ),
+        "inner",
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: list[str],

@@ -141,3 +141,53 @@ def test_multibatch_enrich_matches_batch_join(spark, split_events_dir):
         )
     )
     assert got == want
+
+
+def test_multibatch_interval_join_matches_batch(spark, split_events_dir):
+    """Stream-stream interval join across micro-batches: a click in
+    batch 0 must still match a purchase arriving in batch 1 (the
+    buffered-state path), and the total emitted set must equal the
+    batch inequality join."""
+
+    def branch(event_type, key, idc, tsc):
+        return (
+            ops.read_events_stream(spark, split_events_dir, max_files_per_trigger=1)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(key),
+                F.col("event_id").alias(idc),
+                F.col("ts").alias(tsc),
+            )
+        )
+
+    joined = ops.interval_join_stream(
+        branch("click", "l_user_id", "click_id", "lts"),
+        branch("purchase", "r_user_id", "purchase_id", "rts"),
+        left_key="l_user_id", right_key="r_user_id",
+        left_ts="lts", right_ts="rts",
+        interval="30 minutes", watermark="35 days",
+    ).select("l_user_id", "click_id", "purchase_id")
+    got = sorted(map(tuple, ops.run_to_memory(joined, "append").collect()))
+
+    ev = spark.read.parquet(split_events_dir)
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            c.join(p, "u")
+            .where(
+                (F.col("pts") >= F.col("cts"))
+                & (F.col("pts") <= F.col("cts") + F.expr("interval 30 minutes"))
+            )
+            .select("u", "click_id", "purchase_id")
+            .collect(),
+        )
+    )
+    assert got and got == want
