@@ -87,6 +87,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and rebuilds a proper TimestampType column by integer-dividing to
     microseconds — the same truncation DuckDB applies, so the two
     engines see identical values.
+
+    Also normalizes TIMESTAMP_NTZ columns (parquet timestamps written
+    without isAdjustedToUTC, which Spark 4 infers as NTZ) to plain
+    TimestampType under a UTC session zone: DuckDB treats the same
+    bytes as naive wall-clock and ``epoch()`` interprets them as UTC,
+    so casting NTZ -> LTZ with session tz pinned to UTC makes
+    ``unix_micros`` / window-range arithmetic agree byte-for-byte with
+    the oracle, independent of the host timezone.
     """
     path = f"{sf_dir}/{name}.parquet"
     ns_cols: list[str] = []
@@ -102,10 +110,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ]
     except Exception:
         pass  # directory datasets / remote stores: plain read below
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _normalize_ntz(spark, df)
+
+
+def _normalize_ntz(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TimestampType under UTC.
+
+    The session zone is pinned to UTC *before* the cast so the naive
+    wall-clock value is reinterpreted as a UTC instant — exactly what
+    DuckDB's ``epoch(ts)`` does to the same parquet bytes.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz:
+        return df
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
