@@ -115,22 +115,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return _normalize_ntz(spark, df)
+    return normalize_ntz(df)
 
 
-def _normalize_ntz(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Cast any TIMESTAMP_NTZ column to TimestampType under UTC.
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Convert any TIMESTAMP_NTZ column to TimestampType, interpreting
+    the naive wall-clock value as a UTC instant — exactly what DuckDB's
+    ``epoch(ts)`` does to the same parquet bytes.
 
-    The session zone is pinned to UTC *before* the cast so the naive
-    wall-clock value is reinterpreted as a UTC instant — exactly what
-    DuckDB's ``epoch(ts)`` does to the same parquet bytes.
+    The conversion is timezone-explicit (``make_timestamp(..., 'UTC')``
+    from fields extracted off the NTZ value, all tz-independent), so it
+    is correct under ANY session timezone and never touches session
+    config — a plain ``cast('timestamp')`` would silently depend on
+    ``spark.sql.session.timeZone`` at analysis time.
     """
     from pyspark.sql.types import TimestampNTZType
 
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
-    if not ntz:
-        return df
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+        q = f"`{c}`"
+        df = df.withColumn(
+            c,
+            F.expr(
+                f"make_timestamp(year({q}), month({q}), day({q}), hour({q}), "
+                f"minute({q}), cast(date_format({q}, 'ss.SSSSSS') as decimal(16,6)), 'UTC')"
+            ),
+        )
     return df

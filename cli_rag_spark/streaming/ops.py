@@ -105,9 +105,9 @@ def read_events_stream(
     stream = reader.parquet(events_path)
     for c in ns_cols:
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    from cli_rag_spark.sources.documents import _normalize_ntz
+    from cli_rag_spark.sources.documents import normalize_ntz
 
-    return _normalize_ntz(spark, stream)
+    return normalize_ntz(stream)
 
 
 def hourly_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -89,3 +89,20 @@ def test_stale_tmp_and_old_cleaned(spark, tmp_path):
     compact_parquet(spark, path, target_file_bytes=total + 1)
     assert not os.path.exists(path + "._compact_tmp")
     assert not os.path.exists(path + "._compact_old")
+
+
+def test_storage_query_guard_fires_on_file_increase(spark, sf_smoke_dir, monkeypatch):
+    """The lossless-compaction integrity check in the judged storage
+    query must raise a real exception (not a stripped-under-`-O`
+    assert) when the file count goes the wrong way."""
+    from cli_rag_spark.plans import queries_storage
+
+    counts = iter([(3, 1000), (7, 1000)])  # before=3, after=7: corrupt
+    monkeypatch.setattr(
+        queries_storage, "table_file_stats", lambda *_: next(counts)
+    )
+    monkeypatch.setattr(
+        queries_storage, "compact_parquet", lambda *a, **k: 1
+    )
+    with pytest.raises(RuntimeError, match="never add files"):
+        queries_storage.q_partitioned_compaction(spark, sf_smoke_dir)
