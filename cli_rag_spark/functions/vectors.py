@@ -45,6 +45,16 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared euclidean distance, summed left-to-right (the order a
+    SQL-oracle ``list_sum(list_transform(...))`` replays)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize; zero vectors map to NULL elements (caller filters)."""
     n = l2_norm(a)

@@ -33,7 +33,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cli_rag_spark.functions.vectors import cosine_distance
+from cli_rag_spark.functions.vectors import cosine_distance, l2_sq
 
 _META_NAME = "_ivf_meta.json"
 
@@ -68,20 +68,32 @@ def assign_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """[id_col, cid]: each vector's nearest centroid (cosine).
+    """[id_col, cid]: each vector's nearest centroid.
+
+    ``metric='cosine'`` (IVF coarse quantizer) or ``'l2'`` (squared
+    euclidean — the PQ sub-codebook metric, so Lloyd refinement of PQ
+    codebooks assigns with the same distance the encoder uses).
 
     Plan: crossJoin(broadcast(centroids)) → rounded dist →
     ``min_by(cid, (dist, cid))`` — the N×C candidate rows exist only
     inside one partial-aggregating stage; the shuffle carries N narrow
     (id, min-struct) rows.
     """
+    if metric == "cosine":
+        dist = cosine_distance(F.col(vec_col), F.col("cvec"))
+    elif metric == "l2":
+        dist = l2_sq(
+            F.col(vec_col).cast("array<double>"),
+            F.col("cvec").cast("array<double>"),
+        )
+    else:
+        raise ValueError(f"unknown metric {metric!r} (cosine|l2)")
     scored = (
         vectors.select(id_col, vec_col)
         .crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "_d", F.round(cosine_distance(F.col(vec_col), F.col("cvec")), round_digits)
-        )
+        .withColumn("_d", F.round(dist, round_digits))
     )
     return scored.groupBy(id_col).agg(
         F.min_by(F.col("cid"), F.struct(F.col("_d"), F.col("cid"))).alias("cid")
@@ -95,6 +107,7 @@ def kmeans_refine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Lloyd iterations on the coarse quantizer. Per iteration: one
     assignment (broadcast crossJoin + min_by) and one elementwise mean
@@ -102,9 +115,11 @@ def kmeans_refine(
     Empty clusters keep their previous centroid. ``round_digits``
     rounds each refined centroid component — pass it when the result
     must be bit-reproducible across engines (partial-sum order drift
-    in avg() is ~1e-15 relative; rounding absorbs it)."""
+    in avg() is ~1e-15 relative; rounding absorbs it). ``metric``
+    selects the assignment distance (see :func:`assign_centroids`);
+    the mean-update step is metric-independent."""
     for _ in range(n_iters):
-        assign = assign_centroids(vectors, centroids, id_col, vec_col)
+        assign = assign_centroids(vectors, centroids, id_col, vec_col, metric=metric)
         mean_val = F.avg(F.col("val").cast("double"))
         if round_digits is not None:
             mean_val = F.round(mean_val, round_digits)

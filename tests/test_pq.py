@@ -89,3 +89,100 @@ def test_encode_deterministic_across_partitionings(spark, sf_dir):
         (r.vec_id, r.m, r.code) for r in pq_encode(emb.repartition(17), cb, M).collect()
     )
     assert a == b
+
+
+def test_persisted_index_round_trip_and_validation(spark, sf_dir, tmp_path):
+    """build_pq_index → read_pq_index returns exactly the codes the
+    on-the-fly encode computes, and the O(1) metadata check rejects a
+    geometry-mismatched open before any Spark job runs."""
+    import pytest
+
+    from cli_rag_spark.operators.pq import build_pq_index, read_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq_index")
+    build_pq_index(emb, path, M, KC)
+    codes, cb = read_pq_index(spark, path, m_subspaces=M, k_codes=KC)
+    want = sorted(
+        (r.vec_id, r.m, r.code)
+        for r in pq_encode(emb, build_pq_codebook(emb, M, KC), M).collect()
+    )
+    got = sorted((r.vec_id, r.m, r.code) for r in codes.collect())
+    assert got == want
+    assert cb.count() == M * KC
+
+    with pytest.raises(ValueError, match="m_subspaces=4"):
+        read_pq_index(spark, path, m_subspaces=8)
+    with pytest.raises(ValueError, match="k_codes=16"):
+        read_pq_index(spark, path, k_codes=32)
+    with pytest.raises(ValueError, match="dim="):
+        read_pq_index(spark, path, dim=1024)
+    with pytest.raises(ValueError, match="not a build_pq_index output"):
+        read_pq_index(spark, str(tmp_path / "nowhere"))
+
+
+def _mean_recall_at_50(emb, cb, codes, qids=range(5)):
+    """Mean recall@50 vs exact L2 over several query vectors — a
+    single query's recall is too noisy to compare codebooks on."""
+    total = 0.0
+    for qid in qids:
+        q = emb.where(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("query_vec")
+        )
+        adc_top = [
+            r.vec_id
+            for r in pq_adc_scores(codes, cb, q, M)
+            .orderBy("est_d2", "vec_id").limit(50).collect()
+        ]
+        exact_top = [
+            r.vec_id
+            for r in emb.crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                l2_sq(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("query_vec").cast("array<double>"),
+                ).alias("d2"),
+            )
+            .orderBy("d2", "vec_id").limit(50).collect()
+        ]
+        total += len(set(adc_top) & set(exact_top)) / 50.0
+    return total / len(list(qids))
+
+
+def test_refined_codebook_recall_at_least_seeded(spark, sf_dir, tmp_path):
+    """Lloyd-refining the per-subspace codebooks (L2 metric, the one
+    the encoder uses) must not lose recall vs the seeded codebook —
+    the VERDICT r3 acceptance bar for the refine path. Measured at
+    sf0.01 (mean recall@50, query ids 0–4): seeded 0.384,
+    refined(1 iter) 0.436, refined(2) 0.408."""
+    from cli_rag_spark.operators.pq import build_pq_index, read_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeded_cb = build_pq_codebook(emb, M, KC)
+    seeded_codes = pq_encode(emb, seeded_cb, M).cache()
+    seeded = _mean_recall_at_50(emb, seeded_cb, seeded_codes)
+
+    path = str(tmp_path / "pq_refined")
+    build_pq_index(emb, path, M, KC, refine_iters=1)
+    codes, cb = read_pq_index(spark, path, m_subspaces=M, k_codes=KC)
+    refined = _mean_recall_at_50(emb, cb, codes.cache())
+    assert refined >= seeded, (refined, seeded)
+
+
+def test_refined_codebook_deterministic(spark, sf_dir):
+    """Refined codebooks must be identical under different source
+    partitionings (component rounding absorbs partial-sum drift)."""
+    from cli_rag_spark.operators.pq import refine_pq_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = build_pq_codebook(emb, M, KC)
+    a = sorted(
+        (r.m, r.code, tuple(r.cvec))
+        for r in refine_pq_codebook(emb.repartition(3), cb, M, n_iters=1).collect()
+    )
+    b = sorted(
+        (r.m, r.code, tuple(r.cvec))
+        for r in refine_pq_codebook(emb.repartition(17), cb, M, n_iters=1).collect()
+    )
+    assert a == b
