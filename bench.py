@@ -116,11 +116,20 @@ def main() -> None:
     # was observed (BENCH.md); the min of N runs measures the plan,
     # not the noisy neighbor. Every run rebuilds the DataFrame, so
     # query-construction cost (incl. any driver-side iteration) is
-    # inside the timer each time. The two GEMM kNN queries get extra
-    # runs: their measured 7-run spread is 1.1-2.9 s (IQR ~1.3 s,
-    # BENCH.md "r2 regression attribution"), so best-of-2 regularly
-    # reports a noisy-neighbor number for them.
-    N_RUNS = {"knn_join_all": 4, "knn_join": 4}
+    # inside the timer each time. EVERY GEMM-backed query gets extra
+    # runs (VERDICT r3 "Next round #1"): the Arrow+BLAS tasks are the
+    # measured noisy-neighbor victims — 7-run spreads at sf0.1 are
+    # knn_join_all 1.1-2.9 s (IQR ~1.3 s), knn_join_lsh 1.3-6.1 s
+    # (IQR 0.42 s), embedding_near_dups 1.0-1.9 s (IQR 0.23 s),
+    # semantic_dedup 1.5-2.4 s (IQR 0.19 s) — full ledger in BENCH.md
+    # "GEMM variance attribution".
+    N_RUNS = {
+        "knn_join_all": 4,
+        "knn_join": 4,
+        "knn_join_lsh": 4,
+        "embedding_near_dups": 4,
+        "semantic_dedup": 4,
+    }
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")

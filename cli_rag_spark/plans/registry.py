@@ -39,17 +39,29 @@ _PACKS = [
 #      verified every round so a regression in any family is caught
 #      the round it happens;
 #   2. every query whose implementation or oracle CHANGED since its
-#      last verdict (this round: the three sessionization oracles
-#      re-typed to BIGINT, and decimal_exact_totals re-typed to
-#      double — VERDICT r2 "What's wrong #1" / commit 663ae48);
-#   3. every query that has NEVER had a driver verdict (this round:
-#      the 17 carried from r1/r2 — all seven r2 LLM-pipeline ops,
-#      three relational, seven events — plus the six new r3 queries:
-#      partitioned_compaction and the corpus-curation pack);
-#   4. remaining slots filled least-recently-verified-first (r1-only
-#      queries, rotated out of the r2 window).
-# After this round every one of the 96 registered queries has a green
-# verdict in r1 ∪ r2 ∪ r3.
+#      last verdict;
+#   3. every query that has NEVER had a driver verdict;
+#   4. remaining slots filled least-recently-verified-first.
+#
+# STALENESS INVARIANT (VERDICT r3 "Next round #3"): target is that no
+# query's latest green verdict is older than ~2 rounds. All 99
+# registered queries have a green verdict in r1 ∪ r2 ∪ r3, and every
+# query is also value-exactly replayed against its DuckDB oracle
+# locally every test run (tests/test_parity.py — the stronger,
+# all-99 gate); the driver window is the independent external sample,
+# rotated so staleness stays bounded.
+#
+# Round-4 window: 17 sentinels; the r4-changed queries (pq_topk's
+# persisted-index rewrite, partitioned_compaction's raise guard,
+# ivf_topk/kmeans_clusters via the assign_centroids/kmeans_refine
+# metric threading); the two r3-kernel queries the verdict named as
+# stale (embedding_near_dups, dedup_near_count: shared kernel gained
+# bucket_col after their r2 verdicts); the remaining GEMM siblings
+# under the new best-of-4 bench protocol (knn_join_lsh, knn_join_all);
+# the seven r2-verified timestamp carriers (NTZ normalization became
+# timezone-explicit this round); and all 18 r1-verified queries (the
+# stalest cohort — 3 rounds old). The ~19 remaining r2-verified
+# queries plus knn_join_ivf/semantic_dedup rotate into the r5 window.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -70,26 +82,31 @@ _SENTINELS = [
     "hamming_topk",               # binary vectors (BINARY_VECTOR)
 ]
 _PRIORITY = _SENTINELS + [
-    # (2) changed since last verdict: oracle re-typed in 663ae48
-    "sessionization", "session_log", "decimal_exact_totals",
-    # (3) never driver-checked: r2 LLM-pipeline additions
-    "kmeans_clusters", "knn_join_ivf", "vocab_topk",
-    "gopher_quality_flags", "pii_redaction_stats", "dedup_incremental",
-    "mixture_sample_counts",
-    # (3) never driver-checked: relational + events carried from r1
-    "large_orders", "cheapest_supplier_per_part", "top_revenue_suppliers",
-    "event_type_stats", "ordered_funnel", "rolling_user_value",
-    "hourly_event_windows", "json_props", "user_running_value",
-    "funnel_counts",
-    # (3) never driver-checked: new r3 storage + corpus + vector +
-    # streaming ops
-    "partitioned_compaction",
-    "repetition_scores", "bpe_pair_stats", "dedup_canonical",
-    "semantic_dedup", "embedding_dim_stats", "lm_perplexity",
-    "pq_topk", "streaming_interval_join",
-    # (4) least-recently-verified fill (r1-only, rotated out in r2)
-    "embedding_norms", "label_centroids", "returned_item_customers",
-    "orders_upsert_stats",
+    # (2) changed since last verdict — round-4 code changes
+    "pq_topk",                  # persisted index build/read path (r4)
+    "partitioned_compaction",   # integrity guard assert -> raise (r4)
+    "ivf_topk",                 # assign_centroids metric threading (r2 verdict)
+    "kmeans_clusters",          # kmeans_refine metric threading (r3 verdict)
+    # (2) changed after their r2 verdicts: shared near-dup kernel
+    # gained bucket_col in r3 (VERDICT r3 "Next round #3")
+    "embedding_near_dups", "dedup_near_count",
+    # (2) GEMM siblings newly under the best-of-4 bench protocol
+    "knn_join_lsh", "knn_join_all",
+    # (2) r2-verified timestamp carriers: NTZ normalization became
+    # timezone-explicit this round (sources/documents.py)
+    "approx_price_quantiles", "retention_cohorts", "salted_top_events",
+    "range_click_burst", "streaming_dedup_keys",
+    "streaming_enriched_segments", "streaming_hourly_windows",
+    # (4) least-recently-verified: the full r1-verified cohort
+    # (3 rounds stale — the staleness-invariant priority)
+    "active_high_value_orders", "brand_size_pivot",
+    "customer_balance_quartiles", "customer_order_distribution",
+    "customer_set_ops", "idle_suppliers", "local_supplier_volume",
+    "nation_trade_volume", "order_priority_rollup", "part_supplier_agg",
+    "parts_above_brand_avg", "price_percentiles", "promo_revenue_ratio",
+    "returnflag_grouping_sets", "revenue_forecast",
+    "scalar_function_breadth", "segment_nation_cube",
+    "top_parts_per_brand",
 ]
 
 
