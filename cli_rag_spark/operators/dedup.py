@@ -367,11 +367,14 @@ def embedding_near_pairs(
         import pandas as pd
 
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                ids_a = np.array([r["id"] for r in row["rows_a"]], dtype=np.int64)
-                mat_a = np.array([r["vec"] for r in row["rows_a"]], dtype=np.float64)
-                ids_b = np.array([r["id"] for r in row["rows_b"]], dtype=np.int64)
-                mat_b = np.array([r["vec"] for r in row["rows_b"]], dtype=np.float64)
+            # itertuples, not iterrows: no per-row Series construction
+            # (rows here are block pairs, so counts are tiny, but the
+            # kernel shouldn't model the slow idiom)
+            for row in pdf.itertuples(index=False):
+                ids_a = np.array([r["id"] for r in row.rows_a], dtype=np.int64)
+                mat_a = np.array([r["vec"] for r in row.rows_a], dtype=np.float64)
+                ids_b = np.array([r["id"] for r in row.rows_b], dtype=np.int64)
+                mat_b = np.array([r["vec"] for r in row.rows_b], dtype=np.float64)
                 # same f64 formula as the oracle: 1 - dot/(|a||b|)
                 dots = mat_a @ mat_b.T
                 norms = np.outer(
@@ -379,7 +382,7 @@ def embedding_near_pairs(
                 )
                 with np.errstate(divide="ignore", invalid="ignore"):
                     dist = 1.0 - dots / norms
-                if row["blk_a"] == row["blk_b"]:
+                if row.blk_a == row.blk_b:
                     sel = ids_a[:, None] < ids_b[None, :]
                 else:
                     # distinct blocks → every unordered pair appears in

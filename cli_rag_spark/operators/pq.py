@@ -52,7 +52,7 @@ import json
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cli_rag_spark.functions.vectors import l2_sq
+from cli_rag_spark.functions.vectors import cosine_distance, l2_sq
 from cli_rag_spark.operators.ann import _hadoop_fs, kmeans_refine
 
 __all__ = [
@@ -63,6 +63,7 @@ __all__ = [
     "refine_pq_codebook",
     "build_pq_index",
     "read_pq_index",
+    "ivfpq_topk",
 ]
 
 _META_NAME = "_pq_meta.json"
@@ -165,6 +166,75 @@ def pq_adc_scores(
         codes.join(F.broadcast(lut), ["m", "code"])
         .groupBy(id_col)
         .agg(F.round(F.sum("d2"), round_digits).alias("est_d2"))
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    n_centroids: int,
+    n_probe: int,
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "query_vec",
+    round_digits: int = 6,
+    codes: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou, Douze, Schmid 2011 §IV): the composition of the
+    IVF coarse quantizer and PQ residual-free ADC scoring — the
+    canonical billion-scale ANN layout. The query probes its
+    ``n_probe`` nearest coarse lists (cosine, the engine's coarse
+    metric), then ADC-scores ONLY the codes of vectors assigned to
+    those lists: per-query cost is O(n_probe/n_centroids · N) table
+    lookups over ~M bytes/vector — no embedding is ever read at query
+    time, and the scan that is read is both list-pruned (IVF) and
+    ~64× narrower (PQ).
+
+    Pass ``codes``/``codebook`` from :func:`read_pq_index` and a
+    persisted cid-carrying ``assign`` frame (e.g. ann.read_ivf_index
+    output) to run fully against persisted artifacts; anything omitted
+    is computed on the fly from ``vectors`` with the deterministic
+    seeded initializers, keeping the whole operator SQL-replayable.
+
+    Reference parity: this supersedes the reference's whole-index scan
+    (vector-db.c:165-170) twice over — IVF prunes the rows, PQ shrinks
+    the bytes; output [id_col, est_d2] matches pq_adc_scores' shape
+    with the same (est_d2, id) deterministic ordering.
+    """
+    from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+
+    cent = seed_centroids(vectors, n_centroids, id_col, vec_col)
+    if assign is None:
+        assign = assign_centroids(vectors, cent, id_col, vec_col, round_digits)
+    if codebook is None:
+        codebook = build_pq_codebook(vectors, m_subspaces, k_codes, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(vectors, codebook, m_subspaces, id_col, vec_col, round_digits)
+    probed = (
+        cent.crossJoin(F.broadcast(query))
+        .select(
+            "cid",
+            F.round(
+                cosine_distance(F.col("cvec"), F.col(query_col)), round_digits
+            ).alias("_d"),
+        )
+        .orderBy(F.col("_d").asc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    cand = (
+        codes.join(assign.select(id_col, "cid"), id_col)
+        .join(F.broadcast(probed), "cid", "semi")
+    )
+    return (
+        pq_adc_scores(cand, codebook, query, m_subspaces, id_col, query_col, round_digits)
+        .orderBy(F.col("est_d2").asc(), F.col(id_col).asc())
+        .limit(k)
     )
 
 

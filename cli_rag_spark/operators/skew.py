@@ -103,3 +103,41 @@ def salted_topk_per_key(
         survivors.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
     )
+
+
+def broadcast_head_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    weight_col: str,
+    head_k: int = 1000,
+) -> DataFrame:
+    """Hybrid broadcast+shuffle inner equi-join for Zipf-skewed
+    dimension tables (word/n-gram count tables being the canonical
+    case: on real text the head tokens — "the", "of" — concentrate a
+    large share of FACT rows on a few keys, and at 100 TB those
+    shuffle-join partitions become stragglers).
+
+    The ``head_k`` heaviest dim rows (by ``weight_col``, ties broken
+    by key for determinism) are broadcast, so every fact row carrying
+    a hot key is joined MAP-SIDE and never enters a shuffle; the tail
+    — huge in keys but near-uniform in fact-row load — takes the
+    normal shuffle path. Head and tail key sets are disjoint
+    (anti-join), so the union is exactly the inner join.
+
+    This is the standard hybrid plan for power-law keys: AQE's
+    skew-join splitting can break up an oversized partition after the
+    shuffle, but the broadcast head prevents the hot keys' fact rows
+    from being shuffled at all. ``head_k`` bounds driver/executor
+    memory for the broadcast (head_k rows of the dim schema).
+
+    The dim lineage appears in three subtrees (head, anti, tail
+    join); when dim is an aggregation over a shuffle, Spark's
+    ReusedExchange serves all three from one shuffle write — persist
+    dim only if its lineage is wider than one exchange.
+    """
+    head = dim.orderBy(
+        F.col(weight_col).desc(), *[F.col(k) for k in keys]
+    ).limit(head_k)
+    tail = dim.join(F.broadcast(head.select(*keys)), keys, "anti")
+    return fact.join(F.broadcast(head), keys).unionByName(fact.join(tail, keys))

@@ -28,7 +28,12 @@ from cli_rag_spark.operators.knn import (
     knn_join_gemm,
     knn_join_lsh,
 )
-from cli_rag_spark.operators.pq import build_pq_index, pq_adc_scores, read_pq_index
+from cli_rag_spark.operators.pq import (
+    build_pq_index,
+    ivfpq_topk,
+    pq_adc_scores,
+    read_pq_index,
+)
 from cli_rag_spark.operators.quantize import dequantize, quantize_int8
 from cli_rag_spark.sources.documents import load_table
 
@@ -185,6 +190,33 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (operators/pq.py ivfpq_topk): IVF list pruning composed
+    with PQ ADC scoring — probe the 2 nearest of 8 coarse lists, then
+    estimate distances from the persisted PQ codes of just those
+    lists. The 100 TB query path in full: the scan is 2/8 of the rows
+    at ~4 B each, embeddings untouched. Codes + codebook come from the
+    persisted metadata-validated PQ index; coarse assignment is the
+    deterministic seeded quantizer, so the entire approximate result
+    is oracle-replayed (assignment argmin, probe, encode argmin, LUT,
+    ADC sum — all in SQL)."""
+    import hashlib
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_ivfpq_{tag}"
+    build_pq_index(emb, path, PQ_M, PQ_K)
+    codes, cb = read_pq_index(spark, path, m_subspaces=PQ_M, k_codes=PQ_K)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(
+        emb, q, k=K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+        m_subspaces=PQ_M, k_codes=PQ_K, codes=codes, codebook=cb,
+    )
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized index top-k (operators/quantize.py): embeddings
     are stored as array<tinyint> + per-vector scale (~8x smaller than
@@ -334,6 +366,7 @@ QUERIES = {
     "knn_join_ivf": q_knn_join_ivf,
     "cosine_topk": q_cosine_topk,
     "pq_topk": q_pq_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "quantized_topk": q_quantized_topk,
     "ivf_topk": q_ivf_topk,
     "knn_join_lsh": q_knn_join_lsh,
@@ -422,6 +455,62 @@ ORACLE = {
         )
         SELECT codes.vec_id, round(sum(l.d2), 6) AS est_d2
         FROM codes JOIN lut l USING (m, code)
+        GROUP BY codes.vec_id
+        ORDER BY est_d2, codes.vec_id LIMIT {K}
+    """,
+    # IVFADC = the pq_topk encode/LUT replay restricted to the
+    # ivf_topk assignment/probe replay's candidate lists
+    "ivfpq_topk": f"""
+        WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        cb AS (
+            SELECT ms.m, e.vec_id AS code,
+                   (e.embedding::DOUBLE[])[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS cvec
+            FROM embeddings e, ms WHERE e.vec_id < {PQ_K}
+        ), subs AS (
+            SELECT e.vec_id, ms.m,
+                   (e.embedding::DOUBLE[])[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS subvec
+            FROM embeddings e, ms
+        ), codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT s.vec_id, s.m, c.code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                                     i -> (s.subvec[i]-c.cvec[i])*(s.subvec[i]-c.cvec[i]))), 6), c.code
+                       ) AS rn
+                FROM subs s JOIN cb c USING (m)
+            ) WHERE rn = 1
+        ), cent AS (
+            SELECT vec_id AS cid, embedding AS ccvec FROM embeddings
+            WHERE vec_id < {IVF_CENTROIDS}
+        ), q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ), assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.ccvec::DOUBLE[]), 6), c.cid
+                       ) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        ), probe AS (
+            SELECT cid FROM cent, q
+            ORDER BY round(1 - list_cosine_similarity(ccvec::DOUBLE[], qv::DOUBLE[]), 6), cid
+            LIMIT {IVF_PROBE}
+        ), qd AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ), lut AS (
+            SELECT c.m, c.code,
+                   round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> (c.cvec[i]-qd.qv[c.m*{LSH_DIM // PQ_M}+i])*(c.cvec[i]-qd.qv[c.m*{LSH_DIM // PQ_M}+i]))), 6) AS d2
+            FROM cb c, qd
+        )
+        SELECT codes.vec_id, round(sum(l.d2), 6) AS est_d2
+        FROM codes
+        JOIN assign a ON codes.vec_id = a.vec_id
+        JOIN probe p ON a.cid = p.cid
+        JOIN lut l USING (m, code)
         GROUP BY codes.vec_id
         ORDER BY est_d2, codes.vec_id LIMIT {K}
     """,

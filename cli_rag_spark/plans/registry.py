@@ -82,6 +82,8 @@ _SENTINELS = [
     "hamming_topk",               # binary vectors (BINARY_VECTOR)
 ]
 _PRIORITY = _SENTINELS + [
+    # (3) never driver-checked: new r4 operator (IVFADC)
+    "ivfpq_topk",
     # (2) changed since last verdict — round-4 code changes
     "pq_topk",                  # persisted index build/read path (r4)
     "partitioned_compaction",   # integrity guard assert -> raise (r4)
@@ -106,7 +108,8 @@ _PRIORITY = _SENTINELS + [
     "parts_above_brand_avg", "price_percentiles", "promo_revenue_ratio",
     "returnflag_grouping_sets", "revenue_forecast",
     "scalar_function_breadth", "segment_nation_cube",
-    "top_parts_per_brand",
+    # top_parts_per_brand (r1) displaced by ivfpq_topk (never-verified
+    # outranks the staleness fill) -> r5 window
 ]
 
 

@@ -36,6 +36,12 @@ _REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
 
+# Local mode puts every executor thread in the driver JVM; the default
+# 1g heap GC-thrashes on the 10x gram explosions (observed: GCLocker
+# retry failure in repetition_scores at 10x). Must be set before the
+# JVM launches.
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 24g pyspark-shell")
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from cli_rag_spark.functions.hashing import _splitmix64  # noqa: E402
@@ -55,7 +61,52 @@ QUERIES = [
     "knn_join_lsh",
     "embedding_near_dups",
     "bm25_topk",
+    # r3 operators (VERDICT r3 "Next round #4")
+    "repetition_scores",
+    "lm_perplexity",
+    "semantic_dedup",
+    "pq_topk",
 ]
+
+
+def _semantic_dedup_scaled_k(m: int):
+    """SemDeDup with k GROWING with N (8·m centroids at m×): the
+    per-cluster O((N/k)²) contract says constant cluster size keeps
+    within-cluster GEMM work LINEAR in N — this variant demonstrates
+    it, next to the registry query's fixed-k=8 run whose within-
+    cluster work is O(N²/k)."""
+    from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+    from cli_rag_spark.operators.dedup import embedding_near_pairs
+    from cli_rag_spark.plans.queries_corpus import SEM_EPS
+    from cli_rag_spark.sources.documents import load_table
+
+    def run(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent = seed_centroids(emb, 8 * m)
+        assign = assign_centroids(emb, cent)
+        v = emb.join(assign, "vec_id").select("vec_id", "cid", "embedding")
+        pairs = embedding_near_pairs(
+            v, SEM_EPS, id_col="vec_id", vec_col="embedding",
+            bucket_col="cid", n_blocks=4,
+        )
+        dup_ids = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+        return (
+            v.join(dup_ids.withColumn("_dup", F.lit(1)), ["vec_id"], "left")
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dropped"),
+            )
+        )
+
+    return run
+
+
+# name -> factory(m) -> callable(spark, sf_dir); measured alongside
+# the registry queries but with scale-aware parameters
+SCALED_QUERIES = {
+    "semantic_dedup_k_scaled": _semantic_dedup_scaled_k,
+}
 
 
 def _rotated(alpha: str, i: int) -> str:
@@ -124,13 +175,15 @@ def main() -> None:
     qs["minhash_candidates"](spark, dirs[1]).write.mode("overwrite").format("noop").save()
 
     results = {}
-    for name in QUERIES:
+    for name in QUERIES + list(SCALED_QUERIES):
+        factory = SCALED_QUERIES.get(name)
         per_scale = {}
         for m in MULTIPLES:
+            fn = factory(m) if factory else (lambda s, d, _n=name: qs[_n](s, d))
             best = math.inf
             for _ in range(args.runs):
                 t0 = time.perf_counter()
-                qs[name](spark, dirs[m]).write.mode("overwrite").format("noop").save()
+                fn(spark, dirs[m]).write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
             per_scale[m] = round(best, 3)
         # least-squares slope of log(t) vs log(m)

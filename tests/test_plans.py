@@ -128,7 +128,7 @@ def test_registry_priority_window_contract():
         "training": {"hash_split_counts", "stratified_sample", "pack_chunks_stats"},
         "streaming": {"streaming_hourly_windows", "streaming_sessionization"},
         "approx": {"approx_distinct_users"},
-        "events": {"sessionization", "session_log"},
+        "events": {"sessionization", "session_log", "retention_cohorts"},
     }
     for family, reps in family_reps.items():
         assert reps & window, f"family {family} has no representative in the 50-slot window"
@@ -185,3 +185,16 @@ def test_semantic_dedup_gemm_matches_expression_form(spark, sf_dir):
         .collect()
     }
     assert gemm == naive
+
+
+def test_lm_perplexity_hybrid_broadcast_head(spark, sf_dir):
+    """The Zipf mitigation (VERDICT r3 #4): both count-table joins go
+    through broadcast_head_join, so the plan must carry broadcast
+    joins for the gram heads and the head∪tail union — and never a
+    cartesian. (At sf0.01 AQE broadcasts the tails too; at scale the
+    tails degrade gracefully to shuffle joins while the hot keys stay
+    map-side.)"""
+    plan = _plan(spark, sf_dir, "lm_perplexity")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Union" in plan

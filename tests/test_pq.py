@@ -186,3 +186,46 @@ def test_refined_codebook_deterministic(spark, sf_dir):
         for r in refine_pq_codebook(emb.repartition(17), cb, M, n_iters=1).collect()
     )
     assert a == b
+
+
+def test_ivfpq_full_probe_equals_plain_adc(spark, sf_dir):
+    """With n_probe = n_centroids nothing is pruned, so IVFADC must
+    reduce exactly to the plain ADC top-k."""
+    from cli_rag_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = build_pq_codebook(emb, M, KC)
+    codes = pq_encode(emb, cb, M).cache()
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    full = ivfpq_topk(
+        emb, q, k=10, n_centroids=8, n_probe=8,
+        m_subspaces=M, k_codes=KC, codes=codes, codebook=cb,
+    )
+    plain = (
+        pq_adc_scores(codes, cb, q, M)
+        .orderBy(F.col("est_d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in plain.collect()]
+
+
+def test_ivfpq_scores_only_probed_lists(spark, sf_dir):
+    """Every IVFADC hit must come from a probed coarse list (the
+    pruning contract), and the query vector itself must be found
+    (vec_id 0 is both a centroid and its own nearest code)."""
+    from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+    from cli_rag_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    hits = ivfpq_topk(
+        emb, q, k=50, n_centroids=8, n_probe=2, m_subspaces=M, k_codes=KC
+    )
+    cent = seed_centroids(emb, 8)
+    assign = assign_centroids(emb, cent)
+    got_cids = {
+        r.cid
+        for r in hits.join(assign, "vec_id").select("cid").distinct().collect()
+    }
+    assert len(got_cids) <= 2
+    assert 0 in {r.vec_id for r in hits.collect()}

@@ -68,3 +68,24 @@ def test_salted_topk_matches_window(spark, sf_dir):
     a = sorted((r["user_id"], r["rank"], r["event_id"]) for r in plain.collect())
     b = sorted((r["user_id"], r["rank"], r["event_id"]) for r in salted.collect())
     assert a == b
+
+
+def test_broadcast_head_join_equals_plain_inner_join(spark):
+    """Hybrid head∪tail must be EXACTLY the inner join, including hot
+    keys at the head/tail boundary and fact keys absent from dim."""
+    from cli_rag_spark.operators.skew import broadcast_head_join
+
+    # Zipf-ish dim: key k has weight 1000/k; fact references keys
+    # 0..59 (dim only has 0..39 -> 20 fact keys dangle)
+    dim = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.lit(1000) / (F.col("id") + 1)).cast("long").alias("w"),
+    )
+    fact = spark.range(600).select(
+        (F.col("id") % 60).alias("k"), F.col("id").alias("payload")
+    )
+    got = broadcast_head_join(fact, dim, ["k"], "w", head_k=5)
+    want = fact.join(dim, ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # head and tail partition the dim: row counts add up exactly
+    assert got.count() == 400 * 1  # 40 dim keys x 10 fact rows each
