@@ -64,6 +64,7 @@ __all__ = [
     "build_pq_index",
     "read_pq_index",
     "ivfpq_topk",
+    "pq_knn_join",
 ]
 
 _META_NAME = "_pq_meta.json"
@@ -235,6 +236,71 @@ def ivfpq_topk(
         pq_adc_scores(cand, codebook, query, m_subspaces, id_col, query_col, round_digits)
         .orderBy(F.col("est_d2").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def pq_knn_join(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int,
+    m_subspaces: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Batch kNN JOIN on the PQ index — the 5th E7 physical strategy
+    next to knn_join (exact window), knn_join_gemm (exact BLAS),
+    knn_join_lsh (hyperplane bands), and knn_join_ivf (list pruning):
+    this is the MEMORY-bound path, where the index is the ~M-byte/row
+    codes table and no embedding is read per query.
+
+    Plan: one LUT frame of Q·M·K rows (queries × codebook — tiny:
+    every query's per-subspace codeword distances), broadcast; the
+    codes scan equi-joins it on (m, code) and partial-aggregates the
+    ADC sums per (query, id) — the Q-way fan-out lives inside one
+    map-side-combining stage, the shuffle carries Q·N narrow sum rows;
+    then the per-query top-k window, same deterministic
+    (est_d2, id) contract as every other strategy.
+
+    Scale: for large Q compose with IVF — pass the codes of the
+    probed lists only (ivfpq_topk's candidate shape) or block the
+    query side like knn_join_gemm. Output [query_id, id_col, est_d2,
+    rank].
+    """
+    from pyspark.sql import Window
+
+    ds = _d_sub(F.col(query_vec).cast("array<double>"), m_subspaces)
+    lut = (
+        codebook.crossJoin(queries.select(query_id, query_vec))
+        .select(
+            query_id,
+            "m",
+            "code",
+            F.round(
+                l2_sq(
+                    F.col("cvec"),
+                    F.slice(
+                        F.col(query_vec).cast("array<double>"),
+                        F.col("m") * ds + 1,
+                        ds,
+                    ),
+                ),
+                round_digits,
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("est_d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy(query_id, id_col)
+        .agg(F.round(F.sum("d2"), round_digits).alias("est_d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "est_d2", "rank")
     )
 
 

@@ -112,11 +112,61 @@ def q_partitioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the events table through a Z-order clustered rewrite
+    (sources/zorder.py — the lakehouse OPTIMIZE ZORDER analog), then
+    answer a two-column slice aggregate from the maintained copy:
+
+    1. write 16 files clustered along the Morton curve of
+       (user_id, value) — rank-uniform buckets interleaved to a z-key,
+       range-partitioned + sorted so each file is one curve segment;
+    2. read back and aggregate a slice that filters on BOTH curve
+       columns — at 100 TB the point of the layout: either predicate
+       alone prunes most files via parquet min/max stats, where a
+       single-column sort would only serve one of them.
+
+    The oracle computes the same aggregate on the ORIGINAL parquet —
+    a green row proves the clustered rewrite is lossless through the
+    driver's own channel (same contract as partitioned_compaction).
+    The clustering quality itself (per-file extents ≪ global extent
+    on both columns) is asserted in tests/test_zorder.py.
+    """
+    from cli_rag_spark.sources.zorder import write_zordered
+
+    ev = load_table(spark, sf_dir, "events")
+    path = _scratch("zorder", sf_dir)
+    write_zordered(ev, path, ["user_id", "value"], n_files=16)
+    back = spark.read.parquet(path)
+    return (
+        back.where((F.col("user_id") % 10 == 3) & (F.col("value") > 50.0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "partitioned_compaction": q_partitioned_compaction,
+    "zorder_roundtrip": q_zorder_roundtrip,
 }
 
 ORACLE = {
+    "zorder_roundtrip": """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE user_id % 10 = 3 AND value > 50.0
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "partitioned_compaction": f"""
         SELECT event_type,
                count(*) AS n,

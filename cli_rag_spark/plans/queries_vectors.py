@@ -32,6 +32,7 @@ from cli_rag_spark.operators.pq import (
     build_pq_index,
     ivfpq_topk,
     pq_adc_scores,
+    pq_knn_join,
     read_pq_index,
 )
 from cli_rag_spark.operators.quantize import dequantize, quantize_int8
@@ -217,6 +218,30 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join on the persisted PQ index (operators/pq.py
+    pq_knn_join) — the 5th E7 physical strategy: per-query codeword
+    LUTs broadcast (Q·M·K tiny rows), ADC sums partial-aggregated per
+    (query, id) over the ~4 B/vector codes scan, per-query top-3
+    window. No embedding is read per query — the memory-bound
+    complement to the compute-bound GEMM path."""
+    import hashlib
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_pqknn_{tag}"
+    build_pq_index(emb, path, PQ_M, PQ_K)
+    codes, cb = read_pq_index(spark, path, m_subspaces=PQ_M, k_codes=PQ_K)
+    queries = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_knn_join(queries, codes, cb, k=3, m_subspaces=PQ_M)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized index top-k (operators/quantize.py): embeddings
     are stored as array<tinyint> + per-vector scale (~8x smaller than
@@ -367,6 +392,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "knn_join_pq": q_knn_join_pq,
     "quantized_topk": q_quantized_topk,
     "ivf_topk": q_ivf_topk,
     "knn_join_lsh": q_knn_join_lsh,
@@ -457,6 +483,50 @@ ORACLE = {
         FROM codes JOIN lut l USING (m, code)
         GROUP BY codes.vec_id
         ORDER BY est_d2, codes.vec_id LIMIT {K}
+    """,
+    # batch ADC: the pq_topk encode replay + one LUT per query +
+    # per-query top-3 window
+    "knn_join_pq": f"""
+        WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        cb AS (
+            SELECT ms.m, e.vec_id AS code,
+                   (e.embedding::DOUBLE[])[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS cvec
+            FROM embeddings e, ms WHERE e.vec_id < {PQ_K}
+        ), subs AS (
+            SELECT e.vec_id, ms.m,
+                   (e.embedding::DOUBLE[])[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS subvec
+            FROM embeddings e, ms
+        ), codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT s.vec_id, s.m, c.code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                                     i -> (s.subvec[i]-c.cvec[i])*(s.subvec[i]-c.cvec[i]))), 6), c.code
+                       ) AS rn
+                FROM subs s JOIN cb c USING (m)
+            ) WHERE rn = 1
+        ), qs AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < {LSH_QUERIES}
+        ), lut AS (
+            SELECT qs.query_id, c.m, c.code,
+                   round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> (c.cvec[i]-qs.qv[c.m*{LSH_DIM // PQ_M}+i])*(c.cvec[i]-qs.qv[c.m*{LSH_DIM // PQ_M}+i]))), 6) AS d2
+            FROM cb c, qs
+        ), scored AS (
+            SELECT l.query_id, codes.vec_id, round(sum(l.d2), 6) AS est_d2
+            FROM codes JOIN lut l USING (m, code)
+            GROUP BY l.query_id, codes.vec_id
+        )
+        SELECT query_id, vec_id, est_d2, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY est_d2, vec_id
+            ) AS rank
+            FROM scored
+        )
+        WHERE rank <= 3
+        ORDER BY query_id, rank
     """,
     # IVFADC = the pq_topk encode/LUT replay restricted to the
     # ivf_topk assignment/probe replay's candidate lists

@@ -45,11 +45,12 @@ _PACKS = [
 #
 # STALENESS INVARIANT (VERDICT r3 "Next round #3"): target is that no
 # query's latest green verdict is older than ~2 rounds. All 99
-# registered queries have a green verdict in r1 ∪ r2 ∪ r3, and every
-# query is also value-exactly replayed against its DuckDB oracle
-# locally every test run (tests/test_parity.py — the stronger,
-# all-99 gate); the driver window is the independent external sample,
-# rotated so staleness stays bounded.
+# queries registered before r4 have a green verdict in r1 ∪ r2 ∪ r3
+# (the 3 r4 additions enter this round's window), and every query is
+# also value-exactly replayed against its DuckDB oracle locally every
+# test run (tests/test_parity.py — the stronger, all-query gate); the
+# driver window is the independent external sample, rotated so
+# staleness stays bounded.
 #
 # Round-4 window: 17 sentinels; the r4-changed queries (pq_topk's
 # persisted-index rewrite, partitioned_compaction's raise guard,
@@ -82,8 +83,9 @@ _SENTINELS = [
     "hamming_topk",               # binary vectors (BINARY_VECTOR)
 ]
 _PRIORITY = _SENTINELS + [
-    # (3) never driver-checked: new r4 operator (IVFADC)
-    "ivfpq_topk",
+    # (3) never driver-checked: new r4 operators (IVFADC, batch ADC
+    # join, Z-order clustered rewrite)
+    "ivfpq_topk", "knn_join_pq", "zorder_roundtrip",
     # (2) changed since last verdict — round-4 code changes
     "pq_topk",                  # persisted index build/read path (r4)
     "partitioned_compaction",   # integrity guard assert -> raise (r4)
@@ -107,8 +109,8 @@ _PRIORITY = _SENTINELS + [
     "nation_trade_volume", "order_priority_rollup", "part_supplier_agg",
     "parts_above_brand_avg", "price_percentiles", "promo_revenue_ratio",
     "returnflag_grouping_sets", "revenue_forecast",
-    "scalar_function_breadth", "segment_nation_cube",
-    # top_parts_per_brand (r1) displaced by ivfpq_topk (never-verified
+    # scalar_function_breadth, segment_nation_cube, top_parts_per_brand
+    # (r1) displaced by the never-verified r4 operators (rule 3
     # outranks the staleness fill) -> r5 window
 ]
 

@@ -229,3 +229,32 @@ def test_ivfpq_scores_only_probed_lists(spark, sf_dir):
     }
     assert len(got_cids) <= 2
     assert 0 in {r.vec_id for r in hits.collect()}
+
+
+def test_pq_knn_join_matches_per_query_adc(spark, sf_dir):
+    """The batch ADC join must produce, for each query, exactly the
+    single-query ADC operator's top-k (same scores, same tie-break)."""
+    from cli_rag_spark.operators.pq import pq_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = build_pq_codebook(emb, M, KC)
+    codes = pq_encode(emb, cb, M).cache()
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = {
+        (r.query_id, r.rank): (r.vec_id, r.est_d2)
+        for r in pq_knn_join(queries, codes, cb, k=5, m_subspaces=M).collect()
+    }
+    for qid in range(3):
+        q = emb.where(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("query_vec")
+        )
+        single = (
+            pq_adc_scores(codes, cb, q, M)
+            .orderBy(F.col("est_d2").asc(), F.col("vec_id").asc())
+            .limit(5)
+            .collect()
+        )
+        for rank, r in enumerate(single, start=1):
+            assert batch[(qid, rank)] == (r.vec_id, r.est_d2), (qid, rank)

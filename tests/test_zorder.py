@@ -1,0 +1,73 @@
+"""Z-order clustered layout (sources/zorder.py): losslessness,
+clustering quality (the min/max-pruning payoff), key properties."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_rag_spark.sources.documents import load_table
+from cli_rag_spark.sources.zorder import (
+    clustering_spread,
+    write_zordered,
+    zorder_key,
+)
+
+
+def test_roundtrip_lossless(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(str(tmp_path), "z.parquet")
+    write_zordered(ev, path, ["user_id", "value"], n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    a = ev.agg(F.sum("event_id"), F.sum(F.hash("props"))).collect()
+    b = back.agg(F.sum("event_id"), F.sum(F.hash("props"))).collect()
+    assert a == b
+
+
+def test_files_cluster_both_columns(spark, sf_dir, tmp_path):
+    """The payoff claim: after z-ordering on (user_id, value), the
+    mean per-file extent of EACH column is a small fraction of its
+    global extent — that fraction is exactly what a min/max-pruned
+    scan filtering on either column gets to skip. An unclustered
+    (random) layout sits at ~1.0 on both."""
+    ev = load_table(spark, sf_dir, "events")
+    base = os.path.join(str(tmp_path), "plain.parquet")
+    ev.repartition(8).write.parquet(base)
+    zpath = os.path.join(str(tmp_path), "z.parquet")
+    write_zordered(ev, zpath, ["user_id", "value"], n_files=8)
+
+    plain = clustering_spread(spark, base, ["user_id", "value"])
+    z = clustering_spread(spark, zpath, ["user_id", "value"])
+    # random layout: every file spans most of the domain (value's
+    # long-tail max keeps its plain spread ~0.73, user_id's ~1.0)
+    assert plain["user_id"] > 0.6 and plain["value"] > 0.6, plain
+    # z-ordered: both columns simultaneously clustered — measured at
+    # sf0.01 with 8 files: user_id 0.58, value 0.25 (Morton segments
+    # are rectangular, not square, so axes trade off around the
+    # 1/sqrt(8) ideal). Assert the measured level with headroom AND
+    # strict improvement over the random layout on both axes.
+    assert z["user_id"] < 0.75, z
+    assert z["value"] < 0.45, z
+    assert z["user_id"] < plain["user_id"] and z["value"] < plain["value"]
+
+
+def test_zorder_key_deterministic_and_bounded(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    k1 = sorted(
+        r.z for r in ev.select(zorder_key(ev, ["user_id", "value"]).alias("z")).collect()
+    )
+    k2 = sorted(
+        r.z for r in ev.repartition(7)
+        .select(zorder_key(ev, ["user_id", "value"]).alias("z")).collect()
+    )
+    assert k1 == k2
+    assert 0 <= k1[0] and k1[-1] < (1 << 16)  # 2 cols x 8 bits
+
+
+def test_col_count_validation(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="2-4 columns"):
+        zorder_key(ev, ["user_id"])
