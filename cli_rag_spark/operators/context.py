@@ -49,6 +49,34 @@ def assemble_context(
     )
 
 
+def assemble_contexts_grouped(
+    hits: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    text_col: str = "text",
+    out_col: str = "context",
+) -> DataFrame:
+    """Batch E10: one assembled context string PER QUERY from a kNN
+    JOIN result — the scale form of :func:`assemble_context` (the
+    reference serves one query at a time, multirag.c:394-456; a batch
+    RAG pipeline assembles thousands of prompts in one pass). One
+    groupBy on the query key; each group is k rows, so collect_list
+    state is bounded by k·chunk_size regardless of corpus size."""
+    return hits.groupBy(query_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col(rank_col).alias("r"), F.col(text_col).alias("t"))
+                    )
+                ),
+                lambda s: context_piece(s["r"], s["t"]),
+            ),
+            CONTEXT_SEP,
+        ).alias(out_col)
+    )
+
+
 def rag_prompt(
     context: Column,
     user_input: Column,

@@ -11,7 +11,10 @@ from pyspark.sql import functions as F
 
 from cli_rag_spark.functions.vectors import cosine_distance
 from cli_rag_spark.operators.chunk import chunk_fixed
-from cli_rag_spark.operators.context import assemble_context
+from cli_rag_spark.operators.context import (
+    assemble_context,
+    assemble_contexts_grouped,
+)
 from cli_rag_spark.operators.embed import (
     DEFAULT_DIM,
     mock_embedding_expr,
@@ -72,6 +75,41 @@ def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_context(hits, rank_col="rank", text_col="text")
 
 
+RAG_BATCH_QUERIES = 5  # lowest-id documents double as the query set
+
+
+def q_rag_contexts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch E10∘E7: assemble a per-query 'Context i:' prompt block
+    for MANY queries in one pass (the scale form of rag_context — the
+    reference's REPL answers one query per round-trip,
+    multirag.c:394-456; a training-data or eval pipeline assembles
+    millions). The 5 lowest-id documents act as queries; each is
+    kNN-joined (k=3, window top-k per query, self-match included —
+    rank 1 is the query itself, exactly what a leakage check wants to
+    see) and its hits are folded into one context string by
+    assemble_contexts_grouped. Mock embeddings keep every stage —
+    embed, join, rank, fold — DuckDB-replayable."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "embedding", mock_embedding_expr(F.col("text"), DEFAULT_DIM)
+    )
+    queries = docs.where(F.col("doc_id") < RAG_BATCH_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("doc_id").asc()
+    )
+    hits = (
+        docs.select("doc_id", "text", "embedding")
+        .crossJoin(F.broadcast(queries))
+        .withColumn(
+            "dist", F.round(cosine_distance(F.col("embedding"), F.col("query_vec")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+    return assemble_contexts_grouped(hits).orderBy("query_id")
+
+
 def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E11: synthesize a binary payload column from text (the fixture
     has no true binary table) and extract JVM-side metadata — length,
@@ -130,6 +168,7 @@ QUERIES = {
     "mock_index_topk": q_mock_index_topk,
     "audio_window_stats": q_audio_window_stats,
     "rag_context": q_rag_context,
+    "rag_contexts_batch": q_rag_contexts_batch,
     "binary_metadata": q_binary_metadata,
     "image_decode_stats": q_image_decode_stats,
 }
@@ -172,6 +211,30 @@ ORACLE = {
         SELECT string_agg('Context ' || rank || ':' || chr(10) || text, ' ' || chr(10) || ' '
                           ORDER BY rank) AS context
         FROM hits
+    """,
+    "rag_contexts_batch": f"""
+        WITH emb AS (
+          SELECT doc_id, text,
+                 {mock_embedding_sql("text", DEFAULT_DIM)} AS embedding
+          FROM documents
+        ), qs AS (
+          SELECT doc_id AS query_id, embedding AS qv FROM emb WHERE doc_id < 5
+        ), hits AS (
+          SELECT query_id, text, rank FROM (
+            SELECT q.query_id, e.text,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY round(1 - list_cosine_similarity(e.embedding, q.qv), 6), e.doc_id
+                   ) AS rank
+            FROM emb e, qs q
+          ) WHERE rank <= 3
+        )
+        SELECT query_id,
+               string_agg('Context ' || rank || ':' || chr(10) || text, ' ' || chr(10) || ' '
+                          ORDER BY rank) AS context
+        FROM hits
+        GROUP BY query_id
+        ORDER BY query_id
     """,
     "binary_metadata": """
         SELECT doc_id,

@@ -29,6 +29,7 @@ from cli_rag_spark.streaming.ops import (
     read_events_stream,
     run_to_memory,
     sessionize_stream,
+    upsert_totals_stream,
 )
 
 
@@ -123,7 +124,43 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "append").orderBy("user_id", "click_id", "purchase_id")
 
 
+def q_streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming→storage bridge (streaming/ops.py
+    upsert_totals_stream): the events stream is replayed as FOUR
+    micro-batches (fragmented source + maxFilesPerTrigger=1) and each
+    batch is MERGED into a persisted per-user totals parquet table via
+    foreachBatch — write-then-swap per commit, batch-id side file for
+    replay idempotency, DECIMAL accumulation so the running totals are
+    exact under any batch boundary. The final table must equal the
+    one-shot batch aggregation of the ORIGINAL events — which is the
+    oracle; four sequential upserts with any lost/doubled row break
+    the value hash."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"{tempfile.gettempdir()}/cli_rag_spark_upsert_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/events_fragmented"
+    table = f"{base}/totals"
+    # fragment the source so availableNow + maxFilesPerTrigger=1
+    # replays as 4 distinct micro-batch commits
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    totals = upsert_totals_stream(spark, stream, table)
+    return (
+        totals.select(
+            "user_id",
+            "n_events",
+            F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
+    "streaming_upsert_totals": q_streaming_upsert_totals,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_enriched_segments": q_streaming_enriched_segments,
     "streaming_hourly_windows": q_streaming_hourly_windows,
@@ -132,6 +169,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_upsert_totals": """
+        SELECT user_id,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "streaming_interval_join": """
         SELECT c.user_id,
                c.event_id AS click_id,

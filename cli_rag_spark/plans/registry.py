@@ -84,8 +84,10 @@ _SENTINELS = [
 ]
 _PRIORITY = _SENTINELS + [
     # (3) never driver-checked: new r4 operators (IVFADC, batch ADC
-    # join, Z-order clustered rewrite)
+    # join, Z-order clustered rewrite, batch RAG contexts, streaming
+    # foreachBatch upsert bridge)
     "ivfpq_topk", "knn_join_pq", "zorder_roundtrip",
+    "rag_contexts_batch", "streaming_upsert_totals",
     # (2) changed since last verdict — round-4 code changes
     "pq_topk",                  # persisted index build/read path (r4)
     "partitioned_compaction",   # integrity guard assert -> raise (r4)
@@ -108,10 +110,10 @@ _PRIORITY = _SENTINELS + [
     "customer_set_ops", "idle_suppliers", "local_supplier_volume",
     "nation_trade_volume", "order_priority_rollup", "part_supplier_agg",
     "parts_above_brand_avg", "price_percentiles", "promo_revenue_ratio",
-    "returnflag_grouping_sets", "revenue_forecast",
+    # returnflag_grouping_sets, revenue_forecast,
     # scalar_function_breadth, segment_nation_cube, top_parts_per_brand
-    # (r1) displaced by the never-verified r4 operators (rule 3
-    # outranks the staleness fill) -> r5 window
+    # (r1) displaced by the five never-verified r4 operators (rule 3
+    # outranks the staleness fill) -> head of the r5 window
 ]
 
 

@@ -279,3 +279,93 @@ def run_to_memory(streaming_df: DataFrame, output_mode: str) -> DataFrame:
     )
     q.awaitTermination()
     return streaming_df.sparkSession.table(name)
+
+
+def upsert_totals_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    path: str,
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming→storage bridge: maintain a per-key totals table in
+    parquet, upserted once per micro-batch via ``foreachBatch`` — the
+    standard pattern for sinks Structured Streaming cannot write
+    transactionally itself.
+
+    Exactly-once across retries: the committed ``batch_id`` is
+    persisted in a ``._last_batch`` side file and REPLAYED batches
+    (foreachBatch's at-least-once contract after a failure) are
+    skipped — the idempotent-sink recipe from the Structured
+    Streaming programming guide. Each commit is write-then-swap (the
+    compaction pattern), so readers never observe a half-written
+    table and a crash between renames is recoverable.
+
+    Cross-batch sums accumulate in DECIMAL(28,6): batch boundaries
+    change double summation order, decimals make the totals exact and
+    batch-count-independent (and equal to any batch engine's answer).
+    State is the table itself — O(distinct keys), no streaming state
+    store involved.
+    """
+    from cli_rag_spark.sources.compaction import _fs
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        jvm = sp._jvm
+        fs, root = _fs(sp, path)
+        marker = jvm.org.apache.hadoop.fs.Path(path + "._last_batch")
+        if fs.exists(marker):
+            ins = fs.open(marker)
+            try:
+                last = int(bytes(ins.readAllBytes()).decode("ascii"))
+            finally:
+                ins.close()
+            if batch_id <= last:  # replayed after failure: already in
+                return
+        agg = batch.groupBy(key).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("total_value"),
+        )
+        if fs.exists(root):
+            cur = sp.read.parquet(path)
+            merged = (
+                cur.unionByName(agg)
+                .groupBy(key)
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        else:
+            merged = agg
+        merged = merged.select(
+            key,
+            "n_events",
+            F.col("total_value").cast("decimal(28,6)").alias("total_value"),
+        )
+        jtmp = jvm.org.apache.hadoop.fs.Path(path + "._upsert_tmp")
+        jold = jvm.org.apache.hadoop.fs.Path(path + "._upsert_old")
+        merged.write.mode("overwrite").parquet(path + "._upsert_tmp")
+        if fs.exists(jold):
+            fs.delete(jold, True)
+        if fs.exists(root):
+            if not fs.rename(root, jold):
+                raise IOError(f"upsert swap: cannot move {path} aside")
+        if not fs.rename(jtmp, root):
+            fs.rename(jold, root)  # roll back
+            raise IOError(f"upsert swap: cannot install new table at {path}")
+        fs.delete(jold, True)
+        out = fs.create(marker, True)
+        try:
+            out.write(bytearray(str(batch_id).encode("ascii")))
+        finally:
+            out.close()
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(path)

@@ -198,3 +198,19 @@ def test_lm_perplexity_hybrid_broadcast_head(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Union" in plan
+
+
+def test_pq_family_plan_shapes(spark, sf_dir):
+    """The r4 ANN additions must keep the PQ scale contract: every
+    join broadcast (codes⋈LUT, codes⋈assign — the big side never
+    shuffles for a join), the only wide exchanges the partial-agg
+    groupBys / windows, and never a cartesian or sort-merge join."""
+    for name in ("ivfpq_topk", "knn_join_pq"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    # zorder write: the clustering shuffle is ONE range partitioning
+    plan = _plan(spark, sf_dir, "zorder_roundtrip")
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert "CartesianProduct" not in plan

@@ -191,3 +191,43 @@ def test_multibatch_interval_join_matches_batch(spark, split_events_dir):
         )
     )
     assert got and got == want
+
+
+def test_upsert_totals_replay_is_idempotent(spark, sf_smoke_dir, tmp_path):
+    """The ._last_batch marker must make re-delivered micro-batches
+    no-ops: replaying the WHOLE stream against the committed table
+    (fresh query, batch ids restart at 0 <= committed 3) leaves the
+    totals byte-identical — the foreachBatch exactly-once contract."""
+    import os
+
+    from cli_rag_spark.sources.documents import load_table
+    from cli_rag_spark.streaming.ops import read_events_stream, upsert_totals_stream
+
+    src = os.path.join(str(tmp_path), "frag")
+    load_table(spark, sf_smoke_dir, "events").repartition(4).write.parquet(src)
+    table = os.path.join(str(tmp_path), "totals")
+
+    first = upsert_totals_stream(
+        spark, read_events_stream(spark, src, max_files_per_trigger=1), table
+    )
+    snap1 = sorted(map(tuple, first.collect()))
+    # full replay: same source, same table, new query (batch ids 0..3)
+    second = upsert_totals_stream(
+        spark, read_events_stream(spark, src, max_files_per_trigger=1), table
+    )
+    snap2 = sorted(map(tuple, second.collect()))
+    assert snap1 == snap2
+    # and the totals equal the one-shot batch aggregate
+    from pyspark.sql import functions as F
+
+    batch = (
+        load_table(spark, sf_smoke_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("total_value"),
+        )
+    )
+    assert snap1 == sorted(map(tuple, batch.collect()))
