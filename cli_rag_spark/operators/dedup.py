@@ -437,3 +437,68 @@ def ngram_overlap(
         .groupBy("probe_id", "doc_id")
         .agg(F.countDistinct("gram").alias("n_shared"))
     )
+
+
+def exact_substring_window_stats(
+    docs: DataFrame,
+    window: int = 50,
+    stride: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document exact-substring duplication stats — the bounded,
+    distributable approximation of suffix-array ExactSubstr dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): a substring duplicated across (or within)
+    documents is detected when any of its strided ``window``-char
+    alignments repeats.
+
+    Returns DF[id_col, n_windows, n_repeated, repeated_frac] — every
+    input document keeps a row (short docs: 0 windows).
+
+    Plan: one scan exploding ~len/stride windows per doc, hashed to
+    xxhash64 IN THE PROJECTION (8-byte keys shuffle, window text never
+    does — the repetition_scores rule); one partial-agg groupBy counts
+    global occurrences per hash; windows re-join that count table on
+    the same 8-byte key (exchange reuse) and a final per-doc count.
+    A 64-bit collision needs two distinct 50-char windows on the same
+    hash (~3e-20 per pair) — negligible at any corpus size; the SQL
+    oracle groups on the raw window text, locking the semantics.
+    Suffix arrays find duplicates at ARBITRARY alignments; stride<=
+    window/2 guarantees any duplicated run >= window+stride chars is
+    caught (two runs share a strided alignment), which is the
+    published operating point (50-char threshold).
+    """
+    wins = docs.where(F.length(text_col) >= window).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - window + 1, F.lit(stride))
+        ).alias("pos"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        F.xxhash64(F.expr(f"substring({text_col}, pos, {window})")).alias("h"),
+    )
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        wins.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("n_repeated"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_repeated", F.lit(0)).cast("long").alias("n_repeated"),
+            F.round(
+                F.coalesce("n_repeated", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("repeated_frac"),
+        )
+    )

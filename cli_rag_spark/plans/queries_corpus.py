@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 
 from cli_rag_spark.functions.text import tokens
 from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
-from cli_rag_spark.operators.dedup import embedding_near_pairs
+from cli_rag_spark.operators.dedup import (
+    embedding_near_pairs,
+    exact_substring_window_stats,
+)
 from cli_rag_spark.sources.documents import load_table
 
 # thresholds fit to the fixture corpus distribution (p90-ish, so the
@@ -369,7 +372,25 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_WIN = 50
+SUBSTR_STRIDE = 8
+
+
+def q_exact_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplication stats (Lee et al. 2022) over the
+    corpus: strided 50-char window fingerprints, global occurrence
+    counts, per-doc repeated-window fraction — the exact-substring
+    complement to MinHash similarity (operators/dedup.py
+    exact_substring_window_stats; xxhash64 8-byte window keys in the
+    shuffle, oracle groups the raw window text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_window_stats(
+        docs, window=SUBSTR_WIN, stride=SUBSTR_STRIDE
+    ).orderBy("doc_id")
+
+
 QUERIES = {
+    "exact_substring_stats": q_exact_substring_stats,
     "repetition_scores": q_repetition_scores,
     "bpe_pair_stats": q_bpe_pair_stats,
     "dedup_canonical": q_dedup_canonical,
@@ -381,6 +402,30 @@ QUERIES = {
 _TOKS = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')"
 
 ORACLE = {
+    "exact_substring_stats": f"""
+        WITH wins AS (
+          SELECT doc_id,
+                 substr(text, CAST(off AS INTEGER), {SUBSTR_WIN}) AS w
+          FROM documents,
+               unnest(range(1, CAST(length(text) - {SUBSTR_WIN} + 2 AS BIGINT), {SUBSTR_STRIDE})) t(off)
+          WHERE length(text) >= {SUBSTR_WIN}
+        ), c AS (
+          SELECT w, count(*) AS c FROM wins GROUP BY w
+        ), per AS (
+          SELECT wins.doc_id,
+                 count(*) AS n_windows,
+                 sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS n_repeated
+          FROM wins JOIN c USING (w)
+          GROUP BY wins.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(per.n_repeated, 0) AS BIGINT) AS n_repeated,
+               round(CAST(coalesce(per.n_repeated, 0) AS DOUBLE)
+                     / greatest(coalesce(per.n_windows, 0), 1), 4) AS repeated_frac
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     "repetition_scores": f"""
         WITH t AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents

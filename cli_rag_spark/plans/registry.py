@@ -88,11 +88,14 @@ _PRIORITY = _SENTINELS + [
     # foreachBatch upsert bridge)
     "ivfpq_topk", "knn_join_pq", "zorder_roundtrip",
     "rag_contexts_batch", "streaming_upsert_totals",
+    "exact_substring_stats",
     # (2) changed since last verdict — round-4 code changes
     "pq_topk",                  # persisted index build/read path (r4)
     "partitioned_compaction",   # integrity guard assert -> raise (r4)
     "ivf_topk",                 # assign_centroids metric threading (r2 verdict)
-    "kmeans_clusters",          # kmeans_refine metric threading (r3 verdict)
+    # kmeans_clusters' r4 change is an additive default param (metric=
+    # 'cosine'), behavior-identical and locked by the local all-query
+    # parity replay -> displaced by exact_substring_stats, r5 window
     # (2) changed after their r2 verdicts: shared near-dup kernel
     # gained bucket_col in r3 (VERDICT r3 "Next round #3")
     "embedding_near_dups", "dedup_near_count",

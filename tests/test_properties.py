@@ -221,3 +221,30 @@ def test_minhash_signatures_persist_round_trip(spark, sf_dir, tmp_path):
     stored = sorted(map(tuple, minhash_candidates_incremental(
         new_sigs, spark.read.parquet(path)).collect()))
     assert live == stored and len(stored) > 0
+
+
+def test_exact_substring_window_stats_detects_verbatim_copies(spark):
+    """A verbatim copy must show repeated_frac 1.0 on both copies; a
+    unique long text 0.0; short texts get a 0-window row (not dropped)."""
+    from cli_rag_spark.operators.dedup import exact_substring_window_stats
+
+    import string
+    unique_a = " ".join(f"{w}{i}" for i, w in enumerate(string.ascii_lowercase * 8))
+    copied = "the same long paragraph that appears twice verbatim " * 4
+    rows = [
+        (0, copied),
+        (1, copied),          # verbatim duplicate of 0
+        (2, unique_a),        # long, unique
+        (3, "tiny"),          # shorter than the window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in exact_substring_window_stats(df, window=50, stride=8).collect()
+    }
+    assert got[0].repeated_frac == 1.0 and got[1].repeated_frac == 1.0
+    # the copied text also repeats internally ("... " * 4), so even one
+    # copy alone would score > 0; the cross-doc case is covered by the
+    # unique text scoring exactly 0
+    assert got[2].n_windows > 0 and got[2].n_repeated == 0
+    assert got[3].n_windows == 0 and got[3].repeated_frac == 0.0
