@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_components",          # iterative: min-label propagation to fixpoint
     "repetition_scores",         # corpus: Gopher repetition filters (r3)
     "semantic_dedup",            # corpus: SemDeDup via bucketed GEMM (r3)
+    "exact_substring_stats",     # corpus: ExactSubstr window dedup (r4)
 ]
 
 
