@@ -119,6 +119,14 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash here, in the projection, not in the lambda: codegen
         .select("doc_id", "m", F.col("gr.n").alias("n"),
                 F.xxhash64(F.col("gr.g")).alias("h"))
+        # ONE shuffle serves all three aggregations: every groupBy key
+        # below contains doc_id, and HashPartitioning(doc_id)
+        # satisfies each ClusteredDistribution, so pre-partitioning on
+        # the shared prefix removes the 2nd and 3rd Exchange (3 → 1,
+        # plan-asserted; measured 1.96 → 1.42 s at sf0.1, ledger #0c).
+        # Volume is unchanged — a doc's grams sit in one input split,
+        # so the removed shuffles carried already-combined rows.
+        .repartition("doc_id")
     )
     counts = exploded.groupBy("doc_id", "m", "n", "h").agg(F.count(F.lit(1)).alias("c"))
     per_n = counts.groupBy("doc_id", "m", "n").agg(
@@ -284,6 +292,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew. (With a pretrained vocab the whole count table broadcasts,
     as the CCNet deployment note above says — this is the same plan
     with head_k = |vocab|.)
+
+    The count tables are deliberately NOT cached here: an A/B at
+    sf0.1 measured caching SLOWER (2.29 vs 2.05 s best-of-4 — the
+    eager materialization barriers outweigh recomputing small aggs;
+    BENCH.md ledger #0d). At real scale the question disappears: the
+    count tables are the TRAINED MODEL and live as persisted parquet
+    (exactly the pretrained-KenLM swap the paragraph above
+    describes), so no query-time lineage ever recomputes them.
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))

@@ -140,6 +140,8 @@ def test_corpus_pack_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "repetition_scores")
     assert "xxhash64" in plan
     assert "md5" not in plan
+    # one doc_id repartition serves all three aggregations (ledger #0c)
+    assert plan.count("Exchange hashpartitioning") == 1
     # bpe_pair_stats: top-k must be TakeOrderedAndProject, not a
     # global sort of the full pair-frequency table
     plan = _plan(spark, sf_dir, "bpe_pair_stats")
