@@ -405,7 +405,59 @@ def q_exact_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus-curation pipeline as one judged funnel —
+    the composition every training-data run executes: Gopher quality
+    gate (functions/quality.py) → exact dedup (operators/dedup.py,
+    min-id per fingerprint among the quality survivors) → source
+    mixture sampling (operators/training.py). Output: per-source doc
+    counts at each stage (raw → quality → dedup → sampled).
+
+    Each stage is individually green against its own oracle
+    (gopher_quality_flags, dedup_exact_count, mixture_sample_counts);
+    this query proves the COMPOSITION — stage order matters (dedup
+    runs on the quality-kept set only), and the oracle replays the
+    whole chain in one SQL.
+
+    Scale shape: the chain is three narrow shuffles (quality is a
+    pure map; dedup shuffles 32-char fingerprints + a semi-join on
+    ids; mixture is a map-side filter) over ONE corpus scan — exactly
+    how the 100 TB run is shaped, no stage rereads the raw text."""
+    from cli_rag_spark.functions.quality import with_quality_metrics
+    from cli_rag_spark.operators.dedup import dedup_exact
+    from cli_rag_spark.operators.training import mixture_sample
+    from cli_rag_spark.plans.queries_training import (
+        MIX_DEFAULT,
+        MIX_RATES,
+        MIX_SALT,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = with_quality_metrics(docs).where(F.col("keep")).select(*docs.columns)
+    surv = dedup_exact(kept)
+    sampled = mixture_sample(surv, "source", MIX_RATES, MIX_DEFAULT, salt=MIX_SALT)
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        stage(docs, "n_raw")
+        .join(stage(kept, "n_quality"), "source", "left")
+        .join(stage(surv, "n_dedup"), "source", "left")
+        .join(stage(sampled, "n_sampled"), "source", "left")
+        .select(
+            "source",
+            F.col("n_raw").cast("long").alias("n_raw"),
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("n_dedup", F.lit(0)).cast("long").alias("n_dedup"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "curation_funnel": q_curation_funnel,
     "exact_substring_stats": q_exact_substring_stats,
     "repetition_scores": q_repetition_scores,
     "bpe_pair_stats": q_bpe_pair_stats,
@@ -417,7 +469,83 @@ QUERIES = {
 
 _TOKS = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')"
 
+def _curation_funnel_sql() -> str:
+    """Compose the three stage oracles (each individually green) into
+    the one-chain replay: quality keep → min-id-per-fingerprint dedup
+    among the kept → mixture bucket filter."""
+    from cli_rag_spark.functions.quality import (
+        MAX_DUP_WORD_FRACTION,
+        MAX_TOP_WORD_FRACTION,
+        MAX_WORDS,
+        MEAN_WORD_LEN_RANGE,
+        MIN_ALPHA_WORD_FRACTION,
+        MIN_STOPWORDS,
+        MIN_WORDS,
+    )
+    from cli_rag_spark.plans.queries_text import _EN_STOP, _WS_TOKENS
+    from cli_rag_spark.plans.queries_training import _MIX_BOUND, _MIX_BUCKET
+
+    toks = _WS_TOKENS.format(col="text")
+    ltoks = _WS_TOKENS.format(col="lower(text)")
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, source, text, {toks} AS toks, {ltoks} AS ltoks
+          FROM documents
+        ), m AS (
+          SELECT doc_id, source, text,
+                 len(toks)::BIGINT AS n_words,
+                 CASE WHEN len(toks) > 0
+                      THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS mwl,
+                 CASE WHEN len(toks) > 0
+                      THEN list_max(list_transform(list_distinct(toks),
+                                                   d -> len(list_filter(toks, x -> x = d))))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS topf,
+                 CASE WHEN len(toks) > 0
+                      THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS dupf,
+                 len(list_filter(ltoks, x -> x IN ({_EN_STOP})))::BIGINT AS n_stop,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS alphaf
+          FROM t
+        ), kept AS (
+          SELECT doc_id, source, text FROM m
+          WHERE n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+            AND mwl >= {MEAN_WORD_LEN_RANGE[0]} AND mwl <= {MEAN_WORD_LEN_RANGE[1]}
+            AND topf <= {MAX_TOP_WORD_FRACTION} AND dupf <= {MAX_DUP_WORD_FRACTION}
+            AND n_stop >= {MIN_STOPWORDS} AND alphaf >= {MIN_ALPHA_WORD_FRACTION}
+        ), surv AS (
+          SELECT doc_id, source FROM kept
+          WHERE doc_id IN (
+            SELECT min(doc_id)
+            FROM (SELECT doc_id,
+                         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                  FROM kept)
+            GROUP BY fp
+          )
+        ), samp AS (
+          SELECT doc_id, source FROM surv WHERE {_MIX_BUCKET} < {_MIX_BOUND}
+        ),
+        raw_c AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+        k_c AS (SELECT source, count(*) AS n_quality FROM kept GROUP BY source),
+        s_c AS (SELECT source, count(*) AS n_dedup FROM surv GROUP BY source),
+        p_c AS (SELECT source, count(*) AS n_sampled FROM samp GROUP BY source)
+        SELECT raw_c.source,
+               CAST(raw_c.n_raw AS BIGINT) AS n_raw,
+               CAST(coalesce(k_c.n_quality, 0) AS BIGINT) AS n_quality,
+               CAST(coalesce(s_c.n_dedup, 0) AS BIGINT) AS n_dedup,
+               CAST(coalesce(p_c.n_sampled, 0) AS BIGINT) AS n_sampled
+        FROM raw_c
+        LEFT JOIN k_c USING (source)
+        LEFT JOIN s_c USING (source)
+        LEFT JOIN p_c USING (source)
+        ORDER BY raw_c.source
+    """
+
+
 ORACLE = {
+    "curation_funnel": _curation_funnel_sql(),
     "exact_substring_stats": f"""
         WITH wins AS (
           SELECT doc_id,
