@@ -27,6 +27,23 @@ def context_piece(rank: Column, text: Column) -> Column:
     return F.concat(F.format_string(CONTEXT_HEADER_FMT, rank), text)
 
 
+def _context_agg(rank_col: str, text_col: str, out_col: str) -> Column:
+    """The shared aggregation column: collect (rank, text) structs,
+    sort by rank (order-insensitive under any partitioning), render
+    each as a 'Context i:' piece, join with the reference separator."""
+    return F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(rank_col).alias("r"), F.col(text_col).alias("t"))
+                )
+            ),
+            lambda s: context_piece(s["r"], s["t"]),
+        ),
+        CONTEXT_SEP,
+    ).alias(out_col)
+
+
 def assemble_context(
     hits: DataFrame,
     rank_col: str = "rank",
@@ -36,17 +53,7 @@ def assemble_context(
     """k hit rows → 1 row with the assembled context string, ordered
     by rank regardless of partitioning (sort_array over the collected
     struct makes the aggregation order-insensitive)."""
-    return hits.select(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col(rank_col).alias("r"), F.col(text_col).alias("t")))
-                ),
-                lambda s: context_piece(s["r"], s["t"]),
-            ),
-            CONTEXT_SEP,
-        ).alias(out_col)
-    )
+    return hits.select(_context_agg(rank_col, text_col, out_col))
 
 
 def assemble_contexts_grouped(
@@ -62,19 +69,7 @@ def assemble_contexts_grouped(
     RAG pipeline assembles thousands of prompts in one pass). One
     groupBy on the query key; each group is k rows, so collect_list
     state is bounded by k·chunk_size regardless of corpus size."""
-    return hits.groupBy(query_col).agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(F.col(rank_col).alias("r"), F.col(text_col).alias("t"))
-                    )
-                ),
-                lambda s: context_piece(s["r"], s["t"]),
-            ),
-            CONTEXT_SEP,
-        ).alias(out_col)
-    )
+    return hits.groupBy(query_col).agg(_context_agg(rank_col, text_col, out_col))
 
 
 def rag_prompt(

@@ -128,16 +128,24 @@ def broadcast_head_join(
     This is the standard hybrid plan for power-law keys: AQE's
     skew-join splitting can break up an oversized partition after the
     shuffle, but the broadcast head prevents the hot keys' fact rows
-    from being shuffled at all. ``head_k`` bounds driver/executor
-    memory for the broadcast (head_k rows of the dim schema).
+    from being shuffled at all. ``head_k`` bounds the broadcast at
+    head_k KEYS (≈ head_k dim rows for the aggregated count tables
+    this serves; a key's duplicate dim rows, if any, all travel with
+    it — selecting whole keys, not rows, is what keeps head ∪ tail
+    exactly the inner join even when duplicates straddle the cut).
 
-    The dim lineage appears in three subtrees (head, anti, tail
-    join); when dim is an aggregation over a shuffle, Spark's
-    ReusedExchange serves all three from one shuffle write — persist
-    dim only if its lineage is wider than one exchange.
+    The dim lineage appears in several subtrees (head keys, head
+    join, tail join); when dim is an aggregation over a shuffle,
+    Spark's ReusedExchange serves them from one shuffle write —
+    persist dim only if its lineage is wider than one exchange.
     """
-    head = dim.orderBy(
-        F.col(weight_col).desc(), *[F.col(k) for k in keys]
-    ).limit(head_k)
-    tail = dim.join(F.broadcast(head.select(*keys)), keys, "anti")
+    head_keys = (
+        dim.groupBy(*keys)
+        .agg(F.max(F.col(weight_col)).alias("_w"))
+        .orderBy(F.col("_w").desc(), *[F.col(k) for k in keys])
+        .limit(head_k)
+        .select(*keys)
+    )
+    head = dim.join(F.broadcast(head_keys), keys, "semi")
+    tail = dim.join(F.broadcast(head_keys), keys, "anti")
     return fact.join(F.broadcast(head), keys).unionByName(fact.join(tail, keys))

@@ -218,7 +218,8 @@ ORACLE = {
                  {mock_embedding_sql("text", DEFAULT_DIM)} AS embedding
           FROM documents
         ), qs AS (
-          SELECT doc_id AS query_id, embedding AS qv FROM emb WHERE doc_id < 5
+          SELECT doc_id AS query_id, embedding AS qv FROM emb
+          WHERE doc_id < {RAG_BATCH_QUERIES}
         ), hits AS (
           SELECT query_id, text, rank FROM (
             SELECT q.query_id, e.text,

@@ -148,7 +148,12 @@ def q_streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replays as 4 distinct micro-batch commits
     load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
     stream = read_events_stream(spark, src, max_files_per_trigger=1)
-    totals = upsert_totals_stream(spark, stream, table)
+    # persistent checkpoint under the same (wiped-per-run) scratch
+    # base: marker and batch-id numbering reset together, and a
+    # growing source would continue with new batch ids
+    totals = upsert_totals_stream(
+        spark, stream, table, checkpoint_dir=f"{base}/checkpoint"
+    )
     return (
         totals.select(
             "user_id",

@@ -114,16 +114,27 @@ def clustering_spread(spark, path: str, cols: list[str]) -> dict[str, float]:
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 name = col.path_in_schema
-                if name in per_file and col.statistics is not None:
-                    st = col.statistics
-                    lo[name] = min(lo.get(name, st.min), st.min)
-                    hi[name] = max(hi.get(name, st.max), st.max)
+                if name not in per_file:
+                    continue
+                st = col.statistics
+                # stats object present but min/max unset (all-NULL
+                # chunk, writers that skip bounds) must not crash the
+                # diagnostic — skip the chunk
+                if st is None or st.min is None or st.max is None:
+                    continue
+                lo[name] = min(lo.get(name, st.min), st.min)
+                hi[name] = max(hi.get(name, st.max), st.max)
         for c in cols:
             if c in lo:
                 per_file[c].append((float(lo[c]), float(hi[c])))
     out = {}
     for c in cols:
         spans = per_file[c]
+        if not spans:
+            # no usable statistics anywhere: a pruned scan can skip
+            # nothing, which is exactly what 1.0 (unclustered) means
+            out[c] = 1.0
+            continue
         glo = min(l for l, _ in spans)
         ghi = max(h for _, h in spans)
         width = (ghi - glo) or 1.0

@@ -287,19 +287,32 @@ def upsert_totals_stream(
     path: str,
     key: str = "user_id",
     value_col: str = "value",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Streaming→storage bridge: maintain a per-key totals table in
     parquet, upserted once per micro-batch via ``foreachBatch`` — the
     standard pattern for sinks Structured Streaming cannot write
     transactionally itself.
 
-    Exactly-once across retries: the committed ``batch_id`` is
-    persisted in a ``._last_batch`` side file and REPLAYED batches
-    (foreachBatch's at-least-once contract after a failure) are
-    skipped — the idempotent-sink recipe from the Structured
-    Streaming programming guide. Each commit is write-then-swap (the
-    compaction pattern), so readers never observe a half-written
-    table and a crash between renames is recoverable.
+    Exactly-once across retries: the committed ``batch_id`` lives in a
+    ``_last_batch`` file INSIDE the table directory and is written
+    into the staging directory BEFORE the swap — data and marker
+    become visible in the same atomic rename, so there is no crash
+    window where the data is installed but the marker is not (which
+    would double-count the replayed batch). REPLAYED batches
+    (foreachBatch's at-least-once contract after a failure) see
+    ``batch_id <= marker`` and no-op; a crash that moved the table
+    aside without installing the new one is recovered at the next
+    commit (old moved back). The leading underscore keeps the marker
+    invisible to parquet readers.
+
+    Batch-id monotonicity — what the idempotency rides on — is the
+    STREAMING CHECKPOINT's guarantee: pass a persistent
+    ``checkpoint_dir`` when the source grows across invocations, so
+    new files arrive as NEW batch ids. Without one (temp checkpoint),
+    every invocation renumbers from 0, which is only safe as a full
+    replay of the SAME source file set (then skipping everything is
+    exactly right — locked by the replay-idempotency test).
 
     Cross-batch sums accumulate in DECIMAL(28,6): batch boundaries
     change double summation order, decimals make the totals exact and
@@ -309,19 +322,31 @@ def upsert_totals_stream(
     """
     from cli_rag_spark.sources.compaction import _fs
 
+    MARKER = "_last_batch"
+
+    def read_marker(fs, jvm) -> int:
+        m = jvm.org.apache.hadoop.fs.Path(f"{path}/{MARKER}")
+        if not fs.exists(m):
+            return -1
+        ins = fs.open(m)
+        try:
+            return int(bytes(ins.readAllBytes()).decode("ascii"))
+        finally:
+            ins.close()
+
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
         jvm = sp._jvm
         fs, root = _fs(sp, path)
-        marker = jvm.org.apache.hadoop.fs.Path(path + "._last_batch")
-        if fs.exists(marker):
-            ins = fs.open(marker)
-            try:
-                last = int(bytes(ins.readAllBytes()).decode("ascii"))
-            finally:
-                ins.close()
-            if batch_id <= last:  # replayed after failure: already in
-                return
+        jtmp = jvm.org.apache.hadoop.fs.Path(path + "._upsert_tmp")
+        jold = jvm.org.apache.hadoop.fs.Path(path + "._upsert_old")
+        # crash recovery: a previous commit moved the table aside but
+        # died before installing its replacement
+        if not fs.exists(root) and fs.exists(jold):
+            if not fs.rename(jold, root):
+                raise IOError(f"upsert recovery: cannot restore {path}")
+        if batch_id <= read_marker(fs, jvm):
+            return  # replayed after failure: already committed
         agg = batch.groupBy(key).agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(F.col(value_col).cast("decimal(18,6)")).alias("total_value"),
@@ -343,9 +368,13 @@ def upsert_totals_stream(
             "n_events",
             F.col("total_value").cast("decimal(28,6)").alias("total_value"),
         )
-        jtmp = jvm.org.apache.hadoop.fs.Path(path + "._upsert_tmp")
-        jold = jvm.org.apache.hadoop.fs.Path(path + "._upsert_old")
         merged.write.mode("overwrite").parquet(path + "._upsert_tmp")
+        # marker goes INTO the staging dir: one rename commits both
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{path}._upsert_tmp/{MARKER}"), True)
+        try:
+            out.write(bytearray(str(batch_id).encode("ascii")))
+        finally:
+            out.close()
         if fs.exists(jold):
             fs.delete(jold, True)
         if fs.exists(root):
@@ -355,17 +384,10 @@ def upsert_totals_stream(
             fs.rename(jold, root)  # roll back
             raise IOError(f"upsert swap: cannot install new table at {path}")
         fs.delete(jold, True)
-        out = fs.create(marker, True)
-        try:
-            out.write(bytearray(str(batch_id).encode("ascii")))
-        finally:
-            out.close()
 
-    q = (
-        stream.writeStream.foreachBatch(commit_batch)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(path)

@@ -89,3 +89,20 @@ def test_broadcast_head_join_equals_plain_inner_join(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     # head and tail partition the dim: row counts add up exactly
     assert got.count() == 400 * 1  # 40 dim keys x 10 fact rows each
+
+
+def test_broadcast_head_join_duplicate_keys_straddling_head(spark):
+    """Head selection is per KEY, not per row: a key whose duplicate
+    dim rows would straddle the head_k row cut must travel whole —
+    the code-review counterexample (3 rows of key 0 vs head_k=2)."""
+    from cli_rag_spark.operators.skew import broadcast_head_join
+
+    dim = spark.createDataFrame(
+        [(0, 10, "a"), (0, 10, "b"), (0, 10, "c"), (1, 5, "d"), (2, 1, "e")],
+        "k long, w long, tag string",
+    )
+    fact = spark.createDataFrame([(0, 100), (1, 101), (2, 102)], "k long, payload long")
+    got = broadcast_head_join(fact, dim, ["k"], "w", head_k=2)
+    want = fact.join(dim, ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 5

@@ -71,3 +71,19 @@ def test_col_count_validation(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError, match="2-4 columns"):
         zorder_key(ev, ["user_id"])
+
+
+def test_clustering_spread_survives_missing_stats(spark, tmp_path):
+    """An all-NULL z-column (no min/max in any chunk) must report 1.0
+    (nothing prunable), not crash the diagnostic."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(str(tmp_path), "nulls.parquet")
+    spark.range(100).select(
+        F.col("id"), F.lit(None).cast("double").alias("v")
+    ).repartition(4).write.parquet(path)
+    spread = clustering_spread(spark, path, ["id", "v"])
+    assert spread["v"] == 1.0
+    assert 0.0 < spread["id"] <= 1.0
