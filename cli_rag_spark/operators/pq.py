@@ -64,6 +64,7 @@ __all__ = [
     "build_pq_index",
     "read_pq_index",
     "ivfpq_topk",
+    "ivfpq_residual_topk",
     "pq_knn_join",
 ]
 
@@ -234,6 +235,96 @@ def ivfpq_topk(
     )
     return (
         pq_adc_scores(cand, codebook, query, m_subspaces, id_col, query_col, round_digits)
+        .orderBy(F.col("est_d2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivfpq_residual_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    n_centroids: int,
+    n_probe: int,
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "query_vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the full Jégou §IV formulation
+    (:func:`ivfpq_topk` encodes raw vectors; production IVFADC encodes
+    ``x − centroid(x)``): residuals concentrate near the origin, so a
+    K-codeword budget spends its resolution on the within-list
+    displacement instead of re-describing the coarse structure the
+    centroid already captured — better distance estimates from the
+    same ~M bytes/vector.
+
+    The query-side cost of residuals is the LUT becoming per-LIST:
+    ``||q − x||² ≈ ||(q − c) − r_x||²`` needs the query residual
+    against EACH probed centroid, so the lookup table is
+    n_probe·M·K rows (still tiny, still broadcast) keyed by
+    (cid, m, code), and candidates join it on their list id.
+
+    Fully deterministic (seeded centroids, lowest-id residual seeds,
+    rounded argmins) — the entire pipeline, residuals included, is
+    SQL-oracle-replayable. Scale shape identical to ivfpq_topk:
+    candidates are the probed lists' narrow code rows; embeddings are
+    touched only at one-time build.
+    """
+    from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+
+    cent = seed_centroids(vectors, n_centroids, id_col, vec_col)
+    assign = assign_centroids(vectors, cent, id_col, vec_col, round_digits)
+    v = vectors.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    resid = (
+        v.join(assign, id_col)
+        .join(cent.select("cid", F.col("cvec").cast("array<double>").alias("_c")), "cid")
+        .select(
+            id_col,
+            "cid",
+            F.zip_with("_v", "_c", lambda x, c: x - c).alias("_r"),
+        )
+    )
+    codebook = build_pq_codebook(resid, m_subspaces, k_codes, id_col, "_r")
+    codes = pq_encode(resid, codebook, m_subspaces, id_col, "_r", round_digits).join(
+        assign, id_col
+    )
+
+    probed = (
+        cent.crossJoin(F.broadcast(query))
+        .select(
+            "cid",
+            F.col("cvec").cast("array<double>").alias("_c"),
+            F.round(
+                cosine_distance(F.col("cvec"), F.col(query_col)), round_digits
+            ).alias("_d"),
+            F.col(query_col).cast("array<double>").alias("_q"),
+        )
+        .orderBy(F.col("_d").asc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid", F.zip_with("_q", "_c", lambda q, c: q - c).alias("_qr"))
+    )
+    ds = _d_sub(F.col("_qr"), m_subspaces)
+    lut = (
+        codebook.crossJoin(F.broadcast(probed))
+        .select(
+            "cid",
+            "m",
+            "code",
+            F.round(
+                l2_sq(F.col("cvec"), F.slice("_qr", F.col("m") * ds + 1, ds)),
+                round_digits,
+            ).alias("d2"),
+        )
+    )
+    return (
+        codes.join(F.broadcast(lut), ["cid", "m", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d2"), round_digits).alias("est_d2"))
         .orderBy(F.col("est_d2").asc(), F.col(id_col).asc())
         .limit(k)
     )

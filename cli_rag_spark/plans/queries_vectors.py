@@ -30,6 +30,7 @@ from cli_rag_spark.operators.knn import (
 )
 from cli_rag_spark.operators.pq import (
     build_pq_index,
+    ivfpq_residual_topk,
     ivfpq_topk,
     pq_adc_scores,
     pq_knn_join,
@@ -220,6 +221,25 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVFADC (operators/pq.py ivfpq_residual_topk)
+    — the full Jégou §IV formulation: PQ codes describe x − centroid,
+    so the codeword budget resolves within-list displacement instead
+    of re-describing the coarse structure; the LUT becomes per-probed-
+    list (n_probe·M·K rows, still broadcast). Measured mean recall@50
+    over 5 queries at sf0.01: 0.588 residual vs 0.508 raw-vector
+    IVFADC (locked ≥ in tests/test_pq.py). Deterministic end to end —
+    residuals, argmins, per-list LUTs all SQL-oracle-replayed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_residual_topk(
+        emb, q, k=K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+        m_subspaces=PQ_M, k_codes=PQ_K,
+    )
+
+
 def q_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN join on the persisted PQ index (operators/pq.py
     pq_knn_join) — the 5th E7 physical strategy: per-query codeword
@@ -387,6 +407,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "knn_join_pq": q_knn_join_pq,
     "quantized_topk": q_quantized_topk,
     "ivf_topk": q_ivf_topk,
@@ -522,6 +543,69 @@ ORACLE = {
         )
         WHERE rank <= 3
         ORDER BY query_id, rank
+    """,
+    # residual IVFADC: the ivfpq replay with residual vectors feeding
+    # the codebook/encode and a per-probed-list LUT on query residuals
+    "ivfpq_residual_topk": f"""
+        WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+            WHERE vec_id < {IVF_CENTROIDS}
+        ), assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6), c.cid
+                       ) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        ), resid AS (
+            SELECT e.vec_id, a.cid,
+                   list_transform(range(1, {LSH_DIM} + 1),
+                                  i -> (e.embedding::DOUBLE[])[i] - c.cvec[i]) AS r
+            FROM embeddings e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN cent c ON a.cid = c.cid
+        ), cb AS (
+            SELECT ms.m, r0.vec_id AS code,
+                   r0.r[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS cvec
+            FROM resid r0, ms WHERE r0.vec_id < {PQ_K}
+        ), subs AS (
+            SELECT r0.vec_id, r0.cid, ms.m,
+                   r0.r[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS subvec
+            FROM resid r0, ms
+        ), codes AS (
+            SELECT vec_id, cid, m, code FROM (
+                SELECT s.vec_id, s.cid, s.m, c.code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                                     i -> (s.subvec[i]-c.cvec[i])*(s.subvec[i]-c.cvec[i]))), 6), c.code
+                       ) AS rn
+                FROM subs s JOIN cb c USING (m)
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ), probe AS (
+            SELECT cid, cvec FROM cent, q
+            ORDER BY round(1 - list_cosine_similarity(cvec, qv), 6), cid
+            LIMIT {IVF_PROBE}
+        ), qres AS (
+            SELECT p.cid,
+                   list_transform(range(1, {LSH_DIM} + 1), i -> q.qv[i] - p.cvec[i]) AS qr
+            FROM probe p, q
+        ), lut AS (
+            SELECT qres.cid, c.m, c.code,
+                   round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> (c.cvec[i]-qres.qr[c.m*{LSH_DIM // PQ_M}+i])*(c.cvec[i]-qres.qr[c.m*{LSH_DIM // PQ_M}+i]))), 6) AS d2
+            FROM cb c, qres
+        )
+        SELECT codes.vec_id, round(sum(l.d2), 6) AS est_d2
+        FROM codes
+        JOIN lut l ON codes.cid = l.cid AND codes.m = l.m AND codes.code = l.code
+        GROUP BY codes.vec_id
+        ORDER BY est_d2, codes.vec_id LIMIT {K}
     """,
     # IVFADC = the pq_topk encode/LUT replay restricted to the
     # ivf_topk assignment/probe replay's candidate lists

@@ -86,8 +86,8 @@ _PRIORITY = _SENTINELS + [
     # (3) never driver-checked: new r4 operators (IVFADC, batch ADC
     # join, Z-order clustered rewrite, batch RAG contexts, streaming
     # foreachBatch upsert bridge)
-    "ivfpq_topk", "knn_join_pq", "zorder_roundtrip",
-    "rag_contexts_batch", "streaming_upsert_totals",
+    "ivfpq_topk", "ivfpq_residual_topk", "knn_join_pq",
+    "zorder_roundtrip", "rag_contexts_batch", "streaming_upsert_totals",
     "exact_substring_stats", "curation_funnel",
     # (2) changed since last verdict — round-4 code changes
     "pq_topk",                  # persisted index build/read path (r4)
@@ -112,11 +112,12 @@ _PRIORITY = _SENTINELS + [
     "customer_balance_quartiles", "customer_order_distribution",
     "customer_set_ops", "idle_suppliers", "local_supplier_volume",
     "nation_trade_volume", "order_priority_rollup", "part_supplier_agg",
-    "parts_above_brand_avg", "price_percentiles",
-    # promo_revenue_ratio, returnflag_grouping_sets, revenue_forecast,
-    # scalar_function_breadth, segment_nation_cube, top_parts_per_brand
-    # (r1) displaced by the never-verified r4 operators (rule 3
-    # outranks the staleness fill) -> head of the r5 window
+    "parts_above_brand_avg",
+    # price_percentiles, promo_revenue_ratio, returnflag_grouping_sets,
+    # revenue_forecast, scalar_function_breadth, segment_nation_cube,
+    # top_parts_per_brand (r1) displaced by the never-verified r4
+    # operators (rule 3 outranks the staleness fill) -> head of the
+    # r5 window
 ]
 
 

@@ -258,3 +258,42 @@ def test_pq_knn_join_matches_per_query_adc(spark, sf_dir):
         )
         for rank, r in enumerate(single, start=1):
             assert batch[(qid, rank)] == (r.vec_id, r.est_d2), (qid, rank)
+
+
+def test_residual_ivfpq_recall_at_least_raw(spark, sf_dir):
+    """Residual encoding must not lose recall vs raw-vector IVFADC —
+    the point of Jégou §IV's formulation (codewords resolve within-
+    list displacement). Measured at sf0.01, mean recall@50 over query
+    ids 0-4: residual 0.588 vs raw 0.508."""
+    from cli_rag_spark.operators.pq import ivfpq_residual_topk, ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def mean_recall(fn):
+        total = 0.0
+        for qid in range(5):
+            q = emb.where(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("query_vec")
+            )
+            approx = [
+                r.vec_id
+                for r in fn(emb, q, k=50, n_centroids=8, n_probe=2).collect()
+            ]
+            exact = [
+                r.vec_id
+                for r in emb.crossJoin(F.broadcast(q))
+                .select(
+                    "vec_id",
+                    l2_sq(
+                        F.col("embedding").cast("array<double>"),
+                        F.col("query_vec").cast("array<double>"),
+                    ).alias("d2"),
+                )
+                .orderBy("d2", "vec_id").limit(50).collect()
+            ]
+            total += len(set(approx) & set(exact)) / 50.0
+        return total / 5
+
+    raw = mean_recall(ivfpq_topk)
+    residual = mean_recall(ivfpq_residual_topk)
+    assert residual >= raw, (residual, raw)
