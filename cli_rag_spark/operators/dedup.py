@@ -481,7 +481,10 @@ def exact_substring_window_stats(
         F.col(text_col),
     ).select(
         id_col,
-        F.xxhash64(F.expr(f"substring({text_col}, pos, {window})")).alias("h"),
+        # F.substring (Column pos) rather than an interpolated F.expr:
+        # column names needing backticks must not break the parse
+        # (ADVICE r4; matches the quoting convention in sources/)
+        F.xxhash64(F.substring(F.col(text_col), F.col("pos"), F.lit(window))).alias("h"),
     )
     with_counts = wins.withColumn(
         "c", F.count(F.lit(1)).over(Window.partitionBy("h"))

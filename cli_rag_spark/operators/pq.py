@@ -186,6 +186,7 @@ def ivfpq_topk(
     codes: DataFrame | None = None,
     codebook: DataFrame | None = None,
     assign: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou, Douze, Schmid 2011 §IV): the composition of the
     IVF coarse quantizer and PQ residual-free ADC scoring — the
@@ -197,11 +198,17 @@ def ivfpq_topk(
     time, and the scan that is read is both list-pruned (IVF) and
     ~64× narrower (PQ).
 
-    Pass ``codes``/``codebook`` from :func:`read_pq_index` and a
+    Pass ``codes``/``codebook`` from :func:`read_pq_index`, a
     persisted cid-carrying ``assign`` frame (e.g. ann.read_ivf_index
-    output) to run fully against persisted artifacts; anything omitted
-    is computed on the fly from ``vectors`` with the deterministic
-    seeded initializers, keeping the whole operator SQL-replayable.
+    output), and the ``centroids`` frame [cid, cvec] that BUILT that
+    assignment to run fully against persisted artifacts; anything
+    omitted is computed on the fly from ``vectors`` with the
+    deterministic seeded initializers, keeping the whole operator
+    SQL-replayable. Supplying ``assign`` without its ``centroids``
+    would probe Lloyd-refined lists with seeded coarse coordinates —
+    a silent recall degradation (ADVICE r4) — so the coarse quantizer
+    travels with its assignment, and when both are supplied
+    ``vectors`` is never scanned at query time.
 
     Reference parity: this supersedes the reference's whole-index scan
     (vector-db.c:165-170) twice over — IVF prunes the rows, PQ shrinks
@@ -210,7 +217,11 @@ def ivfpq_topk(
     """
     from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
 
-    cent = seed_centroids(vectors, n_centroids, id_col, vec_col)
+    cent = (
+        centroids
+        if centroids is not None
+        else seed_centroids(vectors, n_centroids, id_col, vec_col)
+    )
     if assign is None:
         assign = assign_centroids(vectors, cent, id_col, vec_col, round_digits)
     if codebook is None:
@@ -473,6 +484,17 @@ def build_pq_index(
         codebook = refine_pq_codebook(
             vectors, codebook, m_subspaces, refine_iters, id_col, vec_col, round_digits
         )
+    # bounded 1-row probe, BEFORE any write: an empty vectors frame
+    # (or absent seed ids) yields an empty seeded codebook, and writing
+    # it would leave a partial index (empty codes/codebook, no
+    # _pq_meta.json) behind an opaque TypeError (ADVICE r4)
+    probe = codebook.select(F.size("cvec").alias("ds")).first()
+    if probe is None:
+        raise ValueError(
+            "build_pq_index: seeded codebook is empty (no input vectors, "
+            "or the k_codes lowest-id seed rows are absent) — refusing to "
+            "write an empty index"
+        )
     codebook.write.mode("overwrite").parquet(f"{path}/codebook")
     spark = vectors.sparkSession
     # re-read the persisted codebook so encode scores against exactly
@@ -482,8 +504,9 @@ def build_pq_index(
     codes = pq_encode(vectors, codebook, m_subspaces, id_col, vec_col, round_digits)
     codes.write.mode("overwrite").parquet(f"{path}/codes")
 
-    # bounded 1-row lookup: sub-vector length off the persisted codebook
-    d_sub = codebook.select(F.size("cvec").alias("ds")).first()["ds"]
+    # sub-vector length from the pre-write probe (same geometry as the
+    # persisted bytes — the write is a verbatim copy of that lineage)
+    d_sub = probe["ds"]
     fs, root = _hadoop_fs(spark, path)
     meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
     out = fs.create(meta_path, True)

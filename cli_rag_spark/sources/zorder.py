@@ -68,6 +68,14 @@ def zorder_key(df: DataFrame, cols: list[str], n_buckets: int = 1 << BITS) -> Co
     never a shuffle)."""
     if not 2 <= len(cols) <= 4:
         raise ValueError("z-order needs 2-4 columns")
+    # _interleave extracts exactly BITS bits per bucket id; a bucket id
+    # >= 1<<BITS would silently alias (256 interleaves as 0) and
+    # degrade the curve with no error, so reject it here (ADVICE r4)
+    if not 2 <= n_buckets <= 1 << BITS:
+        raise ValueError(
+            f"n_buckets must be in [2, {1 << BITS}] (= 1<<BITS: "
+            f"_interleave extracts {BITS} bits per column); got {n_buckets}"
+        )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     casted = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
     buckets = []

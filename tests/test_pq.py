@@ -297,3 +297,67 @@ def test_residual_ivfpq_recall_at_least_raw(spark, sf_dir):
     raw = mean_recall(ivfpq_topk)
     residual = mean_recall(ivfpq_residual_topk)
     assert residual >= raw, (residual, raw)
+
+
+def test_build_pq_index_empty_input_raises_before_writing(spark, sf_dir, tmp_path):
+    """An empty vectors frame must fail with a clear ValueError BEFORE
+    any index file is written — no partial codes/codebook parquet with
+    a missing _pq_meta.json left behind (ADVICE r4)."""
+    import os
+
+    import pytest
+
+    from cli_rag_spark.operators.pq import build_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 0)
+    path = str(tmp_path / "pq_empty")
+    with pytest.raises(ValueError, match="codebook is empty"):
+        build_pq_index(emb, path, M, KC)
+    assert not os.path.exists(path)
+
+
+def test_ivfpq_topk_explicit_centroids(spark, sf_dir):
+    """Passing the coarse quantizer explicitly must (a) reproduce the
+    default seeded result when given the seeded centroids, and (b) be
+    honored as THE probe geometry when given a refined quantizer with
+    its matching assignment — every hit's list id must be probed under
+    those refined centroids (ADVICE r4: a persisted index's actual
+    coarse quantizer travels with its assign frame)."""
+    from cli_rag_spark.operators.ann import assign_centroids, kmeans_refine, seed_centroids
+    from cli_rag_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    seeded = seed_centroids(emb, 8)
+    default_out = [tuple(r) for r in ivfpq_topk(emb, q, 10, 8, 2).collect()]
+    explicit_out = [
+        tuple(r) for r in ivfpq_topk(emb, q, 10, 8, 2, centroids=seeded).collect()
+    ]
+    assert explicit_out == default_out
+
+    refined = kmeans_refine(emb, seeded, n_iters=1)
+    assign = assign_centroids(emb, refined)
+    out = ivfpq_topk(emb, q, 10, 8, 2, assign=assign, centroids=refined)
+    hit_cids = {
+        r.cid
+        for r in assign.join(
+            out.select("vec_id"), "vec_id"
+        ).select("cid").collect()
+    }
+    from cli_rag_spark.functions.vectors import cosine_distance
+
+    probed = {
+        r.cid
+        for r in refined.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            F.round(
+                cosine_distance(F.col("cvec"), F.col("query_vec")), 6
+            ).alias("_d"),
+        )
+        .orderBy(F.col("_d").asc(), F.col("cid").asc())
+        .limit(2)
+        .select("cid")
+        .collect()
+    }
+    assert hit_cids and hit_cids <= probed

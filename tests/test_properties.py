@@ -248,3 +248,20 @@ def test_exact_substring_window_stats_detects_verbatim_copies(spark):
     # unique text scoring exactly 0
     assert got[2].n_windows > 0 and got[2].n_repeated == 0
     assert got[3].n_windows == 0 and got[3].repeated_frac == 0.0
+
+
+def test_exact_substring_window_stats_quoted_column_names(spark):
+    """Column names that need backtick quoting must not break (or
+    mis-parse) the substring projection (ADVICE r4): results under a
+    hyphenated column name equal results under a plain one."""
+    from cli_rag_spark.operators.dedup import exact_substring_window_stats
+
+    copied = "the same long paragraph that appears twice verbatim " * 4
+    rows = [(0, copied), (1, copied), (2, "tiny")]
+    plain = spark.createDataFrame(rows, "doc_id long, text string")
+    funky = plain.withColumnRenamed("text", "text-col")
+    want = sorted(map(tuple, exact_substring_window_stats(plain).collect()))
+    got = sorted(
+        map(tuple, exact_substring_window_stats(funky, text_col="text-col").collect())
+    )
+    assert got == want and want[0][1] > 0

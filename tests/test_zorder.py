@@ -87,3 +87,14 @@ def test_clustering_spread_survives_missing_stats(spark, tmp_path):
     spread = clustering_spread(spark, path, ["id", "v"])
     assert spread["v"] == 1.0
     assert 0.0 < spread["id"] <= 1.0
+
+
+def test_n_buckets_validation(spark, sf_dir):
+    """n_buckets beyond 1<<BITS would silently alias bucket ids in the
+    Morton interleave (bucket 256 -> 0), degrading the curve with no
+    error (ADVICE r4) — reject it up front."""
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="n_buckets"):
+        zorder_key(ev, ["user_id", "value"], n_buckets=512)
+    with pytest.raises(ValueError, match="n_buckets"):
+        zorder_key(ev, ["user_id", "value"], n_buckets=1)
