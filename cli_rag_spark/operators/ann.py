@@ -206,6 +206,55 @@ def read_ivf_index(
     return spark.read.parquet(path)
 
 
+def append_ivf_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+) -> None:
+    """Append a batch of new vectors to a persisted IVF index WITHOUT
+    rebuilding it — the index-maintenance path a streaming-ingest
+    corpus needs at 100 TB, where re-clustering N existing vectors to
+    admit a batch of n ≪ N is an O(N) write nobody can afford.
+
+    The batch is assigned against the index's EXISTING coarse
+    quantizer, reconstructed from the index itself: build_ivf_index's
+    seeded contract is that centroids are the ``n_centroids`` lowest-id
+    vectors of the base build, and those rows live in the index, so the
+    quantizer is recovered exactly with one pruned scan and no sidecar
+    state. New rows land in ``mode("append")`` partition directories —
+    only the touched cid leaves gain files; existing files are never
+    rewritten. The metadata is unchanged (same quantizer), so
+    :func:`read_ivf_index` validation keeps working, and the appended
+    index is row-for-row identical to a one-shot build over the union
+    (locked in tests/test_ann.py).
+
+    Caller contract (same as any append-only ingest): batch ids are
+    new — the operator does not dedupe against the existing index
+    (compose with dedup_incremental upstream when ingest can replay).
+    """
+    fs, root = _hadoop_fs(spark, path)
+    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
+    if not fs.exists(meta_path):
+        raise ValueError(f"no {_META_NAME} at {path}: not a build_ivf_index output")
+    stream = fs.open(meta_path)
+    try:
+        meta = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    index = spark.read.parquet(path)
+    centroids = index.where(F.col(id_col) < meta["n_centroids"]).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    assigned = new_vectors.join(
+        assign_centroids(new_vectors, centroids, id_col, vec_col), id_col
+    )
+    # column order must match the existing files (append does not
+    # reconcile schemas by name)
+    assigned = assigned.select(*index.columns)
+    assigned.write.mode("append").partitionBy("cid").parquet(path)
+
+
 def ivf_topk(
     vectors: DataFrame,
     query_vec_df: DataFrame,

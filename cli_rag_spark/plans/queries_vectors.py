@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cli_rag_spark.functions.vectors import cosine_distance, l2_norm
 from cli_rag_spark.operators.ann import (
+    append_ivf_index,
     assign_centroids,
     build_ivf_index,
     ivf_topk,
@@ -322,6 +323,43 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_append_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (operators/ann.py
+    append_ivf_index): build the index over a base slice, append the
+    held-out batch against the EXISTING coarse quantizer (no rebuild —
+    only touched cid leaves gain files), then aggregate per-list
+    membership from the appended index. The oracle assigns the FULL
+    corpus to the same seeded centroids in one shot, so a green row
+    proves base+append ≡ one-shot build row-for-row (nothing lost,
+    duplicated, or re-quantized) through the driver's own channel.
+    The held-out batch is every 4th id (ids 0-7 stay in the base so
+    the seeded quantizer is identical to the one-shot build's).
+
+    Reference parity: the reference rebuilds its whole .vdb file to add
+    vectors (vector-db.c write path); at 100 TB admission must be
+    O(batch), which is exactly this operator's contract."""
+    import hashlib
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where((F.col("vec_id") < IVF_CENTROIDS) | (F.col("vec_id") % 4 != 0))
+    batch = emb.where((F.col("vec_id") >= IVF_CENTROIDS) & (F.col("vec_id") % 4 == 0))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_ivfapp_{tag}"
+    build_ivf_index(base, path, n_centroids=IVF_CENTROIDS)
+    append_ivf_index(spark, path, batch)
+    index = read_ivf_index(spark, path, n_centroids=IVF_CENTROIDS)
+    return (
+        index.groupBy(F.col("cid").cast("long").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("vec_id").alias("n_ids"),
+            F.sum("vec_id").alias("sum_ids"),
+        )
+        .orderBy("cid")
+    )
+
+
 KM_CENTROIDS = 8
 KM_ITERS = 2
 
@@ -404,6 +442,7 @@ def _kmeans_oracle(n_cent: int, iters: int, dim: int) -> str:
 QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "knn_join_ivf": q_knn_join_ivf,
+    "ivf_append_stats": q_ivf_append_stats,
     "cosine_topk": q_cosine_topk,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
@@ -464,6 +503,29 @@ def _lsh_oracle_sql() -> str:
 
 ORACLE = {
     "kmeans_clusters": _kmeans_oracle(KM_CENTROIDS, KM_ITERS, LSH_DIM),
+    # append ≡ one-shot: the oracle assigns the FULL corpus to the
+    # seeded centroids in one pass; the Spark side answers from the
+    # physically appended index (ids 0..7 are in the base slice, so
+    # both quantizers are identical by construction)
+    "ivf_append_stats": f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+            FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+        ), a AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6), c.cid
+                       ) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        )
+        SELECT cid, count(*) AS n_rows,
+               count(DISTINCT vec_id) AS n_ids,
+               CAST(sum(vec_id) AS BIGINT) AS sum_ids
+        FROM a GROUP BY cid ORDER BY cid
+    """,
     # PQ: l2² replayed as list_sum(list_transform(...)) — the same
     # left-to-right summation order as Spark's aggregate(zip_with);
     # argmin tie-break by lowest code = min_by struct ordering

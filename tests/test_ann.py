@@ -160,3 +160,42 @@ def test_knn_join_ivf_rejects_mismatched_cid(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="different coarse quantizer"):
         knn_join_ivf(q, persisted, k=3, n_centroids=4, n_probe=2)
+
+
+def test_append_ivf_index_equals_one_shot_build(spark, sf_dir, tmp_path):
+    """Base build + batch append must be row-for-row identical to a
+    one-shot build over the union — same cid assignment (the appended
+    batch is quantized by the ORIGINAL coarse quantizer, which seeded
+    centroids make identical to the union build's), same row contents,
+    and only the touched cid leaves gain files."""
+    from cli_rag_spark.operators.ann import append_ivf_index, read_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < 300)
+    batch = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+
+    inc_path = str(tmp_path / "ivf_inc")
+    build_ivf_index(base, inc_path, n_centroids=8)
+    files_before = set(glob.glob(f"{inc_path}/cid=*/*.parquet"))
+    append_ivf_index(spark, inc_path, batch)
+    files_after = set(glob.glob(f"{inc_path}/cid=*/*.parquet"))
+    assert files_before <= files_after  # append never rewrites a file
+
+    oneshot_path = str(tmp_path / "ivf_oneshot")
+    build_ivf_index(emb.where(F.col("vec_id") < 400), oneshot_path, n_centroids=8)
+
+    key = lambda df: sorted(
+        (r.vec_id, r.cid, tuple(r.embedding)) for r in df.collect()
+    )
+    inc = read_ivf_index(spark, inc_path, n_centroids=8)
+    assert key(inc) == key(read_ivf_index(spark, oneshot_path, n_centroids=8))
+
+
+def test_append_ivf_index_requires_index(spark, sf_dir, tmp_path):
+    import pytest
+
+    from cli_rag_spark.operators.ann import append_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="not a build_ivf_index output"):
+        append_ivf_index(spark, str(tmp_path / "nothing"), emb)
