@@ -103,6 +103,94 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def tfidf_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """Sparse TF-IDF document vectors: DF[id_col, term, w] with the
+    sklearn-style smoothed idf ``ln((1+N)/(1+df)) + 1`` (never
+    negative, never div-by-zero) and ``w = round(tf · idf, 6)``.
+
+    ``max_df_frac`` is the scale lever: terms appearing in more than
+    that fraction of documents are dropped BEFORE weighting — on real
+    corpora the df distribution is Zipf, and the handful of stopword
+    terms above the cutoff contribute ~nothing to cosine but dominate
+    posting-list sizes (exactly the skew that would make the
+    similarity join below straggle at 100 TB). The df table is a tiny
+    per-term aggregate, broadcast back onto the postings.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
+    )
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + 1.0
+    return w.select(
+        id_col, "term", F.round(F.col("tf") * idf, 6).alias("w")
+    )
+
+
+def tfidf_cosine_topk(
+    docs: DataFrame,
+    query_doc_id: int,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """Top-k documents most cosine-similar to ``query_doc_id`` in
+    TF-IDF space — the sparse lexical complement to the dense
+    embedding kNN operators (classic IR, public since Salton's SMART).
+
+    Scale shape: the query vector is a handful of (term, w) rows —
+    broadcast; the corpus postings are filtered to the query's terms
+    BY the broadcast-join itself before any aggregation, so the dot
+    product costs O(postings of query terms), never O(corpus tokens)
+    — the same posting-pruned shape as bm25_scores. Norms are one
+    narrow per-doc aggregate. With ``max_df_frac`` < 1 the stopword
+    posting lists never enter the join (see :func:`tfidf_weights`).
+    All intermediates round to 6 before the final division, so the
+    full ranking replays exactly in the SQL oracle.
+    """
+    vec = tfidf_weights(docs, text_col, id_col, max_df_frac)
+    n2 = vec.groupBy(id_col).agg(
+        F.round(F.sum(F.col("w") * F.col("w")), 6).alias("n2")
+    )
+    qvec = vec.where(F.col(id_col) == query_doc_id).select(
+        "term", F.col("w").alias("qw")
+    )
+    qn2 = n2.where(F.col(id_col) == query_doc_id).select(
+        F.col("n2").alias("qn2")
+    )
+    dots = (
+        vec.where(F.col(id_col) != query_doc_id)
+        .join(F.broadcast(qvec), "term")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("w") * F.col("qw")), 6).alias("dot"))
+    )
+    scored = (
+        dots.join(n2, id_col)
+        .crossJoin(F.broadcast(qn2))
+        .select(
+            id_col,
+            F.round(
+                F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2")), 6
+            ).alias("cosine"),
+        )
+    )
+    top = scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+    w_rank = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "doc_id",

@@ -130,6 +130,52 @@ def mixture_sample(
     return df.where(bucket < bound)
 
 
+DSIR_BUCKETS = 256
+
+
+def dsir_bucket(term: Column, n_buckets: int = DSIR_BUCKETS) -> Column:
+    """Hashed n-gram feature bucket (md5 % B) — the engine-replayable
+    hashing trick shared with split_assignment."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long") % n_buckets
+    )
+
+
+def dsir_logratios(
+    token_buckets: DataFrame,
+    is_target: Column,
+    n_buckets: int = DSIR_BUCKETS,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR bucket log-ratio table (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per hashed
+    feature bucket, ``ln p_target(b) − ln p_raw(b)`` with add-one
+    smoothing — the importance model that scores how much more likely
+    a feature is under the target domain than under the raw corpus.
+
+    ``token_buckets`` is DF[..., b] (one row per token occurrence,
+    bucket column ``b``); ``is_target`` marks the rows defining the
+    target distribution. Returns DF[b, lr] with ``lr`` rounded and
+    cast to DECIMAL(12,6) so downstream per-document sums are EXACT
+    (order-independent) in any engine — the table is ≤ n_buckets rows,
+    broadcast wherever it is joined.
+    """
+    counted = token_buckets.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("c_tgt"),
+    )
+    tots = counted.agg(
+        F.sum("c_raw").alias("raw_tot"), F.sum("c_tgt").alias("tgt_tot")
+    )
+    lr = F.log(
+        (F.col("c_tgt") + 1.0) / (F.col("tgt_tot") + float(n_buckets))
+    ) - F.log((F.col("c_raw") + 1.0) / (F.col("raw_tot") + float(n_buckets)))
+    return (
+        counted.crossJoin(F.broadcast(tots))
+        .select("b", F.round(lr, round_digits).cast("decimal(12,6)").alias("lr"))
+    )
+
+
 def pack_concat_chunks(
     df: DataFrame,
     cap: int,

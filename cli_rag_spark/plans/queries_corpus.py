@@ -456,7 +456,59 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the importance log-ratio of its hashed unigram features between
+    a target domain (here: the English slice) and the raw corpus, and
+    keep documents scoring above 0 (more likely under the target than
+    the raw distribution). Output: per-language document counts,
+    selected counts, and summed importance weight — the selected set
+    should (and does) concentrate on the target language, which the
+    oracle verifies value-exactly.
+
+    Scale shape (operators/training.py dsir_bucket/dsir_logratios):
+    one corpus scan explodes tokens to 8-byte bucket ids (text never
+    shuffles); the importance model is a ≤256-row log-ratio table
+    built with one partial-agg groupBy and broadcast back; per-doc
+    weights are one narrow (doc_id, bucket, count) aggregate joined
+    map-side against the broadcast model. Log-ratios round to
+    DECIMAL(12,6), so per-doc sums are exact and order-independent —
+    the whole selection replays bit-for-bit in the SQL oracle. The
+    selection rule (weight > 0) is a pure map — no global sort; a
+    top-fraction variant would threshold on an approxQuantile of the
+    weight instead (bounded driver list), never a global row_number.
+    """
+    from cli_rag_spark.operators.training import dsir_bucket, dsir_logratios
+
+    docs = load_table(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    ).select("doc_id", "lang", dsir_bucket(F.col("term")).alias("b"))
+    lr = dsir_logratios(tb, F.col("lang") == DSIR_TARGET_LANG)
+    per_doc = (
+        tb.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("n") * F.col("lr")).alias("wt"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("wt") > 0, 1).otherwise(0)).alias("n_selected"),
+            F.round(F.sum("wt"), 4).cast("double").alias("sum_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
+    "dsir_selection": q_dsir_selection,
     "curation_funnel": q_curation_funnel,
     "exact_substring_stats": q_exact_substring_stats,
     "repetition_scores": q_repetition_scores,
@@ -545,6 +597,43 @@ def _curation_funnel_sql() -> str:
 
 
 ORACLE = {
+    "dsir_selection": f"""
+        WITH tb AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(term), 1, 15))::BIGINT % 256 AS b
+          FROM (
+            SELECT doc_id, lang,
+                   unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents
+          )
+        ), counted AS (
+          SELECT b, count(*) AS c_raw,
+                 CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+          FROM tb GROUP BY b
+        ), tots AS (
+          SELECT CAST(sum(c_raw) AS BIGINT) AS raw_tot,
+                 CAST(sum(c_tgt) AS BIGINT) AS tgt_tot
+          FROM counted
+        ), lr AS (
+          SELECT b,
+                 CAST(round(ln((c_tgt + 1.0) / (tgt_tot + 256.0))
+                          - ln((c_raw + 1.0) / (raw_tot + 256.0)), 6)
+                      AS DECIMAL(12,6)) AS lr
+          FROM counted, tots
+        ), per_doc AS (
+          SELECT doc_id, lang, sum(n * lr.lr) AS wt
+          FROM (
+            SELECT doc_id, lang, b, count(*) AS n
+            FROM tb GROUP BY doc_id, lang, b
+          ) db JOIN lr USING (b)
+          GROUP BY doc_id, lang
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+               CAST(round(sum(wt), 4) AS DOUBLE) AS sum_weight
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """,
     "curation_funnel": _curation_funnel_sql(),
     "exact_substring_stats": f"""
         WITH wins AS (

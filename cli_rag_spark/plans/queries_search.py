@@ -20,6 +20,7 @@ from cli_rag_spark.operators.text_search import (
     RRF_K,
     bm25_topk,
     rrf_fuse,
+    tfidf_cosine_topk,
 )
 from cli_rag_spark.sources.documents import load_table
 
@@ -64,9 +65,26 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_QUERY_DOC = 0
+
+
+def q_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity search (operators/text_search.py
+    tfidf_cosine_topk): the 10 documents most similar to document 0 in
+    TF-IDF space — the classic lexical near-dup / more-like-this
+    ranking next to BM25 (keyword relevance) and the dense kNN family.
+    The query vector broadcasts and prunes the corpus postings by
+    term, so the dot product is O(query-term postings), never
+    O(corpus tokens); every intermediate rounds to 6, so the full
+    ranking value-replays in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_topk(docs, TFIDF_QUERY_DOC, TOPK).orderBy("rank")
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "tfidf_cosine_topk": q_tfidf_cosine_topk,
 }
 
 _TERMS = ", ".join(f"'{t}'" for t in sorted(set(QUERY.split())))
@@ -114,6 +132,37 @@ _COS_RANKED = f"""
         )"""
 
 ORACLE = {
+    "tfidf_cosine_topk": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        ), dfc AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), stats AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), vec AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * (ln((1.0 + s.n_docs) / (1.0 + d.df)) + 1.0), 6) AS w
+          FROM tf JOIN dfc d USING (term), stats s
+        ), n2 AS (
+          SELECT doc_id, round(sum(w * w), 6) AS n2 FROM vec GROUP BY doc_id
+        ), q AS (
+          SELECT term, w AS qw FROM vec WHERE doc_id = {TFIDF_QUERY_DOC}
+        ), qn AS (
+          SELECT n2 AS qn2 FROM n2 WHERE doc_id = {TFIDF_QUERY_DOC}
+        ), dots AS (
+          SELECT v.doc_id, round(sum(v.w * q.qw), 6) AS dot
+          FROM vec v JOIN q USING (term)
+          WHERE v.doc_id <> {TFIDF_QUERY_DOC} GROUP BY v.doc_id
+        ), scored AS (
+          SELECT d.doc_id, round(d.dot / sqrt(n2.n2 * qn.qn2), 6) AS cosine
+          FROM dots d JOIN n2 USING (doc_id), qn
+        )
+        SELECT doc_id, cosine,
+               row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+        FROM scored ORDER BY cosine DESC, doc_id ASC LIMIT {TOPK}
+    """,
     "bm25_topk": f"""
         WITH {_BM25_RANKED}
         SELECT doc_id, score, rank FROM bm25 ORDER BY rank

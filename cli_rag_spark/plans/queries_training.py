@@ -85,7 +85,55 @@ def q_mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.3          # temperature exponent (multinomial sampling)
+TOKEN_BUDGET = 10_000_000  # tokens the training run will consume
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights — the sampling-weight
+    computation of multilingual/multi-corpus pretraining (the
+    p_i ∝ share_i^α multinomial temperature of XLM-R / mT5, public
+    method): per source, token counts, raw share, α=0.3 temperature
+    weight, and the implied epochs over each source for a fixed token
+    budget (epochs > 1 ⇒ the source is upsampled/repeated; the
+    low-resource boost temperature sampling exists to provide).
+
+    Scale shape: one corpus scan → per-source token totals (partial-
+    agg, ~sources rows); the normalizer is a second aggregate over
+    that tiny frame, broadcast back — no row-level data moves twice.
+    Float ops (pow/divide) are identical IEEE expressions in both
+    engines; rounding bounds the libm ulp drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    from cli_rag_spark.functions.text import token_count
+
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    tots = per.agg(F.sum("n_tokens").alias("tot_tokens"))
+    raw = per.crossJoin(F.broadcast(tots)).withColumn(
+        "share", F.col("n_tokens").cast("double") / F.col("tot_tokens")
+    ).withColumn("pw", F.pow(F.col("share"), F.lit(MIX_ALPHA)))
+    z = raw.agg(F.sum("pw").alias("z"))
+    return (
+        raw.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("share", 6).alias("raw_share"),
+            F.round(F.col("pw") / F.col("z"), 6).alias("weight"),
+            F.round(
+                F.lit(TOKEN_BUDGET) * (F.col("pw") / F.col("z")) / F.col("n_tokens"),
+                4,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "mixture_weights": q_mixture_weights,
     "hash_split_counts": q_hash_split_counts,
     "pack_chunks_stats": q_pack_chunks_stats,
     "stratified_sample": q_stratified_sample,
@@ -102,6 +150,28 @@ _MIX_BOUND = "CASE source " + " ".join(
 ) + f" ELSE {int(round(MIX_DEFAULT * 10000))} END"
 
 ORACLE = {
+    "mixture_weights": f"""
+        WITH per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                          x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), tots AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per
+        ), raw AS (
+          SELECT source, n_docs, n_tokens,
+                 CAST(n_tokens AS DOUBLE) / tot_tokens AS share,
+                 pow(CAST(n_tokens AS DOUBLE) / tot_tokens, {MIX_ALPHA}) AS pw
+          FROM per, tots
+        ), z AS (
+          SELECT sum(pw) AS z FROM raw
+        )
+        SELECT source, n_docs, n_tokens,
+               round(share, 6) AS raw_share,
+               round(pw / z, 6) AS weight,
+               round({TOKEN_BUDGET} * (pw / z) / n_tokens, 4) AS epochs
+        FROM raw, z ORDER BY source
+    """,
     "mixture_sample_counts": f"""
         SELECT source, count(*) AS n_kept,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -1,0 +1,229 @@
+"""Versioned snapshot tables — time travel + bucket-level
+copy-on-write upserts (the lakehouse table-format core, à la the
+public Iceberg/Delta designs, re-expressed as plain parquet + JSON
+manifests so the engine needs nothing beyond Spark itself).
+
+Why this exists at 100 TB: a mutable table needs (a) readers that see
+a CONSISTENT version while writers commit, (b) upserts that do not
+rewrite the other 99.99% of the data, and (c) the ability to query
+yesterday's state (reproducing a training run, auditing a dedup pass).
+Plain ``mode("overwrite")`` gives none of those.
+
+Layout::
+
+    <path>/data/v{N}/bucket={b}/*.parquet   -- only buckets vN rewrote
+    <path>/_manifest_v{N}.json              -- the COMMIT POINT
+
+A manifest maps every bucket to the version that owns its current
+files (``owners``). Version N's data directory contains only the
+buckets N rewrote; untouched buckets keep pointing at older data dirs
+— file-level sharing, so an upsert touching k of B buckets costs
+O(k/B · table), not O(table).
+
+Commit protocol: data files first, manifest last, manifest written
+atomically (tmp + rename). A crash before the manifest write leaves an
+orphaned ``data/v{N}`` directory that no manifest references — readers
+never see it, and the next attempt at version N overwrites it. Readers
+resolve "latest" by listing manifests, so a half-written commit is
+simply invisible.
+
+Bucketing is the md5(key) % B pattern shared with operators/training.py
+— deterministic, engine-replayable (the DuckDB oracle reproduces
+bucket routing exactly), and stable under data growth, so a key's
+bucket never moves between versions.
+
+Reference parity: the reference's storage is a single rewritten-in-full
+.vdb file (vector-db.c write path); versioned bucket-CoW is what that
+contract must become at petabyte scale.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS_DEFAULT = 16
+_BUCKET_COL = "bucket"
+_MODULUS = 10_000  # md5 bucket space, shared convention with training.py
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def bucket_of(key, n_buckets: int):
+    """Deterministic bucket id of a key column: md5(key) % B via the
+    same 15-hex-digit prefix trick as training.split_assignment —
+    replayable in any engine with md5."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+        % _MODULUS
+        % n_buckets
+    )
+
+
+def _manifest_path(spark: SparkSession, path: str, version: int):
+    return spark._jvm.org.apache.hadoop.fs.Path(path, f"_manifest_v{version}.json")
+
+
+def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    """Write the manifest atomically: tmp file + rename. The rename is
+    the commit — a reader either sees the complete manifest or no
+    manifest at all."""
+    fs, root = _fs(spark, path)
+    version = manifest["version"]
+    final = _manifest_path(spark, path, version)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(
+        path, f"._manifest_v{version}.json.tmp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(final, False)  # idempotent re-commit of the same version
+    if not fs.rename(tmp, final):
+        raise RuntimeError(f"manifest commit failed for version {version} at {path}")
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    fs, _ = _fs(spark, path)
+    mp = _manifest_path(spark, path, version)
+    if not fs.exists(mp):
+        raise ValueError(f"no snapshot version {version} at {path}")
+    stream = fs.open(mp)
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def latest_version(spark: SparkSession, path: str) -> int:
+    """Highest committed version, resolved by listing manifests (the
+    only authority — orphaned data dirs don't count)."""
+    fs, root = _fs(spark, path)
+    if not fs.exists(root):
+        raise ValueError(f"no snapshot table at {path}")
+    versions = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("_manifest_v") and name.endswith(".json"):
+            versions.append(int(name[len("_manifest_v"):-len(".json")]))
+    if not versions:
+        raise ValueError(f"no committed snapshot at {path}")
+    return max(versions)
+
+
+def write_snapshot(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> int:
+    """Create version 1 of a snapshot table: all buckets written under
+    ``data/v1``, manifest committed last. Returns the version (1)."""
+    if _BUCKET_COL in df.columns:
+        raise ValueError(f"input already has a {_BUCKET_COL!r} column")
+    spark = df.sparkSession
+    (
+        df.withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET_COL)
+        .parquet(f"{path}/data/v1")
+    )
+    _write_manifest(spark, path, {
+        "version": 1,
+        "key_col": key_col,
+        "n_buckets": n_buckets,
+        "columns": df.columns,
+        "owners": {str(b): 1 for b in range(n_buckets)},
+    })
+    return 1
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot AS OF ``version`` (default: latest). Buckets are
+    gathered from each owning version's data dir with a bucket filter
+    — partition pruning keeps the read to exactly the owned leaves."""
+    if version is None:
+        version = latest_version(spark, path)
+    manifest = _read_manifest(spark, path, version)
+    by_owner: dict[int, list[int]] = {}
+    for b, v in manifest["owners"].items():
+        by_owner.setdefault(int(v), []).append(int(b))
+    parts = []
+    for v, buckets in sorted(by_owner.items()):
+        part = (
+            spark.read.parquet(f"{path}/data/v{v}")
+            .where(F.col(_BUCKET_COL).isin(buckets))
+        )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*manifest["columns"])
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    version: int | None = None,
+) -> int:
+    """Commit a new version applying MERGE semantics (update wins on
+    key match, new keys insert) with bucket-level copy-on-write: only
+    buckets containing an updated key are rewritten; every other
+    bucket's files are shared with the parent version via the manifest.
+
+    The touched-bucket list is one bounded collect (≤ n_buckets rows).
+    Returns the new version number."""
+    if version is None:
+        version = latest_version(spark, path)
+    manifest = _read_manifest(spark, path, version)
+    key_col, n_buckets = manifest["key_col"], manifest["n_buckets"]
+    if set(updates.columns) != set(manifest["columns"]):
+        raise ValueError(
+            f"updates columns {sorted(updates.columns)} != table columns "
+            f"{sorted(manifest['columns'])}"
+        )
+    new_version = version + 1
+
+    upd = updates.withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
+    touched = sorted(
+        r[_BUCKET_COL]
+        for r in upd.select(_BUCKET_COL).distinct().collect()
+    )
+    if touched:
+        current = (
+            read_snapshot(spark, path, version)
+            .withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
+            .where(F.col(_BUCKET_COL).isin(touched))
+        )
+        cols = manifest["columns"] + [_BUCKET_COL]
+        merged = (
+            current.join(upd.select(key_col), key_col, "left_anti")
+            .select(*cols)
+            .unionByName(upd.select(*cols))
+        )
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(f"{path}/data/v{new_version}")
+        )
+    owners = dict(manifest["owners"])
+    for b in touched:
+        owners[str(b)] = new_version
+    _write_manifest(spark, path, {
+        "version": new_version,
+        "key_col": key_col,
+        "n_buckets": n_buckets,
+        "columns": manifest["columns"],
+        "owners": owners,
+    })
+    return new_version

@@ -83,3 +83,38 @@ def test_ngram_overlap_decontamination(spark):
     hits3 = {(r.probe_id, r.doc_id): r.n_shared for r in ngram_overlap(corpus, probes, n=3).collect()}
     assert set(hits3) == {(100, 0), (100, 1)}
     assert hits3[(100, 0)] == 3  # all three 3-grams of the probe
+
+
+def test_tfidf_identical_doc_scores_cosine_one(spark):
+    """A verbatim copy of the query doc must rank first with cosine
+    1.0; a vocabulary-disjoint doc must not appear at all."""
+    from cli_rag_spark.operators.text_search import tfidf_cosine_topk
+
+    rows = [
+        (0, "alpha beta beta gamma"),
+        (1, "alpha beta beta gamma"),      # identical -> cosine 1.0
+        (2, "alpha gamma delta"),          # partial overlap
+        (3, "zeta eta theta"),             # disjoint -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tfidf_cosine_topk(df, 0, 10).collect()}
+    assert got[1].cosine == 1.0 and got[1].rank == 1
+    assert 3 not in got
+    assert 0.0 < got[2].cosine < 1.0
+
+
+def test_tfidf_max_df_pruning(spark):
+    """Terms above the df cutoff must not contribute: with 'common' in
+    every doc and max_df_frac=0.5, similarity via 'common' alone
+    disappears."""
+    from cli_rag_spark.operators.text_search import tfidf_cosine_topk
+
+    rows = [
+        (0, "common rare1"),
+        (1, "common rare1"),   # shares a rare term with 0
+        (2, "common other"),   # shares only the pruned stopword
+        (3, "common other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in tfidf_cosine_topk(df, 0, 10, max_df_frac=0.5).collect()}
+    assert kept == {1}

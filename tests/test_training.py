@@ -77,3 +77,34 @@ def test_packing_rejects_bad_cap(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="cap"):
         pack_concat_chunks(docs, 0, shard_col="lang")
+
+
+def test_dsir_weights_separate_target_from_offdomain(spark):
+    """With disjoint vocabularies, target-domain docs must get positive
+    importance weights and off-domain docs negative ones (Xie 2023
+    semantics: log p_target - log p_raw)."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.functions.text import tokens
+    from cli_rag_spark.operators.training import dsir_bucket, dsir_logratios
+
+    rows = (
+        [(i, "en", "alpha beta gamma delta " * 5) for i in range(10)]
+        + [(i + 10, "xx", "omega psi chi phi " * 5) for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    tb = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    ).select("doc_id", "lang", dsir_bucket(F.col("term")).alias("b"))
+    lr = dsir_logratios(tb, F.col("lang") == "en")
+    wt = {
+        r.doc_id: float(r.wt)
+        for r in tb.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("lr")).alias("wt"))
+        .collect()
+    }
+    assert all(wt[i] > 0 for i in range(10))
+    assert all(wt[i + 10] < 0 for i in range(10))
