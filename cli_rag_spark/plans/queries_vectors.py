@@ -439,7 +439,93 @@ def _kmeans_oracle(n_cent: int, iters: int, dim: int) -> str:
     """
 
 
+COV_DIMS = 8  # judged slice; the full-width float path is tests/test_pca.py
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the first COV_DIMS embedding
+    dimensions — the oracle bridge for the distributed PCA operator
+    (operators/pca.py).
+
+    This judged form is the decimal-exact single-scan aggregate: the
+    dim slice is extracted as plain columns (no explode — N rows stay
+    N rows), every sum and cross-product sum accumulates in
+    decimal(27,12) so the result is independent of partial-sum order
+    (the float Gram path in pca.py is last-ulp nondeterministic by
+    design and is numpy-checked in pytest instead). One scan, one
+    partial-aggregated reduce of 45 decimals, zero joins — the same
+    single-pass sufficient-statistics shape pca.gram_partials uses at
+    full width.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in range(COV_DIMS)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(COV_DIMS):
+        aggs.append(F.sum(F.col(f"x{i}").cast("decimal(27,12)")).alias(f"s{i}"))
+        for j in range(i, COV_DIMS):
+            aggs.append(
+                F.sum((F.col(f"x{i}") * F.col(f"x{j}")).cast("decimal(27,12)")).alias(
+                    f"p{i}_{j}"
+                )
+            )
+    stats = base.agg(*aggs)
+    n = F.col("n")
+    entries = []
+    for i in range(COV_DIMS):
+        for j in range(i, COV_DIMS):
+            # identical double expression tree on the oracle side:
+            # exact decimal sums -> double, then (pij - si*sj/n)/(n-1)
+            cov = (
+                F.col(f"p{i}_{j}").cast("double")
+                - F.col(f"s{i}").cast("double") * F.col(f"s{j}").cast("double") / n
+            ) / (n - F.lit(1))
+            entries.append(
+                F.struct(
+                    F.lit(i).cast("long").alias("dim_i"),
+                    F.lit(j).cast("long").alias("dim_j"),
+                    F.round(cov, 10).alias("cov"),
+                )
+            )
+    return (
+        stats.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.*")
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+def _covariance_oracle_sql() -> str:
+    """The same decimal-exact sufficient statistics in DuckDB; the
+    final covariance arithmetic is the same double expression tree, so
+    the values match bit-for-bit (dyadic float products can never tie
+    at the 10th decimal, so round() tie-rule differences are moot)."""
+    xs = ", ".join(
+        f"embedding[{i + 1}]::DOUBLE AS x{i}" for i in range(COV_DIMS)
+    )
+    sums = [f"count(*) AS n"]
+    for i in range(COV_DIMS):
+        sums.append(f"sum(CAST(x{i} AS DECIMAL(27,12))) AS s{i}")
+        for j in range(i, COV_DIMS):
+            sums.append(f"sum(CAST(x{i} * x{j} AS DECIMAL(27,12))) AS p{i}_{j}")
+    selects = []
+    for i in range(COV_DIMS):
+        for j in range(i, COV_DIMS):
+            selects.append(
+                f"SELECT CAST({i} AS BIGINT) AS dim_i, CAST({j} AS BIGINT) AS dim_j, "
+                f"round((CAST(p{i}_{j} AS DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / n) / (n - 1), 10) AS cov "
+                f"FROM stats"
+            )
+    return f"""
+        WITH base AS (SELECT {xs} FROM embeddings),
+        stats AS (SELECT {", ".join(sums)} FROM base)
+        {" UNION ALL ".join(selects)}
+        ORDER BY dim_i, dim_j
+    """
+
+
 QUERIES = {
+    "embedding_covariance": q_embedding_covariance,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_join_ivf": q_knn_join_ivf,
     "ivf_append_stats": q_ivf_append_stats,
@@ -502,6 +588,7 @@ def _lsh_oracle_sql() -> str:
 
 
 ORACLE = {
+    "embedding_covariance": _covariance_oracle_sql(),
     "kmeans_clusters": _kmeans_oracle(KM_CENTROIDS, KM_ITERS, LSH_DIM),
     # append ≡ one-shot: the oracle assigns the FULL corpus to the
     # seeded centroids in one pass; the Spark side answers from the
