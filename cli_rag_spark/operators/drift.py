@@ -1,0 +1,122 @@
+"""Distribution-drift statistics between two document populations.
+
+Not in the reference (no statistics beyond per-query cosine); drift
+detection is the standard guardrail a continuously-ingesting 100 TB
+corpus needs — "did this crawl's length/quality distribution move?"
+gates retraining and filter re-tuning (the monitoring step of every
+production data pipeline).
+
+Two-sample Kolmogorov–Smirnov, computed as a plan, not a collect:
+
+1. tag rows with their population (a/b) — pure map;
+2. ``groupBy(value)`` count per population — the ONLY data-sized
+   shuffle, with map-side partial aggregation; N rows collapse to
+   the distinct-value table;
+3. cumulative counts via a window over the distinct-value table and
+   D = max |F_a − F_b| via one TakeOrderedAndProject.
+
+Scale note: step 3's window is unpartitioned — fine iff the
+distinct-value table is bounded. For continuous scores pass
+``round_digits`` to bin values first (ECDF error ≤ one bin width,
+distinct values ≤ 10^round_digits·range); integer-valued metrics
+(lengths, token counts) are naturally bounded. That two-level shape
+(big keyed reduce → tiny ordered pass) is the same pattern as
+approx-quantile sketch merges; the alternative — a global sort of N
+raw rows — is exactly what this avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ks_statistic(
+    df: DataFrame,
+    value: Column,
+    in_group_a: Column,
+    in_group_b: Column,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """1-row frame (n_a, n_b, ks_d, ks_at): the two-sample KS distance
+    and the smallest value attaining it.
+
+    Determinism: cumulative counts are exact longs; each ECDF gap is
+    one IEEE double expression from those longs, so the max and its
+    arg are replayable bit-for-bit in a SQL oracle (ties on the gap
+    break to the smallest value).
+    """
+    v = value.cast("double")
+    if round_digits is not None:
+        v = F.round(v, round_digits)
+    tagged = df.select(
+        v.alias("v"),
+        in_group_a.cast("long").alias("in_a"),
+        in_group_b.cast("long").alias("in_b"),
+    ).where((F.col("in_a") + F.col("in_b")) > 0)
+    counts = tagged.groupBy("v").agg(
+        F.sum("in_a").alias("ca"), F.sum("in_b").alias("cb")
+    )
+    totals = counts.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    gaps = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "v",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.sum("ca").over(w).cast("double") / F.col("n_a").cast("double")
+                - F.sum("cb").over(w).cast("double") / F.col("n_b").cast("double")
+            ).alias("gap"),
+        )
+    )
+    return (
+        gaps.orderBy(F.col("gap").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.round(F.col("gap"), 8).alias("ks_d"),
+            F.col("v").alias("ks_at"),
+        )
+    )
+
+
+def ks_oracle_sql(
+    value_sql: str,
+    in_a_sql: str,
+    in_b_sql: str,
+    table: str = "documents",
+    round_digits: int | None = None,
+) -> str:
+    """DuckDB replay of :func:`ks_statistic` — the identical two-level
+    plan (distinct-value counts → windowed ECDF gap → top-1)."""
+    v = f"CAST(({value_sql}) AS DOUBLE)"
+    if round_digits is not None:
+        v = f"round({v}, {round_digits})"
+    return f"""
+        WITH tagged AS (
+          SELECT {v} AS v,
+                 CAST(({in_a_sql}) AS BIGINT) AS in_a,
+                 CAST(({in_b_sql}) AS BIGINT) AS in_b
+          FROM {table}
+          WHERE CAST(({in_a_sql}) AS BIGINT) + CAST(({in_b_sql}) AS BIGINT) > 0
+        ), counts AS (
+          SELECT v, sum(in_a)::BIGINT AS ca, sum(in_b)::BIGINT AS cb
+          FROM tagged GROUP BY v
+        ), gaps AS (
+          SELECT v,
+                 (SELECT sum(ca)::BIGINT FROM counts) AS n_a,
+                 (SELECT sum(cb)::BIGINT FROM counts) AS n_b,
+                 abs(
+                   CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE)
+                     / CAST((SELECT sum(ca)::BIGINT FROM counts) AS DOUBLE)
+                   - CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE)
+                     / CAST((SELECT sum(cb)::BIGINT FROM counts) AS DOUBLE)
+                 ) AS gap
+          FROM counts
+        )
+        SELECT n_a, n_b, round(gap, 8) AS ks_d, v AS ks_at
+        FROM gaps ORDER BY gap DESC, v ASC LIMIT 1
+    """

@@ -507,7 +507,51 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift check (operators/drift.py)
+    between the even- and odd-numbered crawl sources — the monitoring
+    gate a continuously-ingesting corpus runs per batch: one row per
+    metric with the KS distance and the value attaining it.
+
+    Metrics: document length (n_chars) and whitespace token count —
+    both integer-valued, so the distinct-value table the ECDF window
+    runs over is naturally bounded (the drift.py scale contract; a
+    continuous score would pass round_digits to bin first).
+    """
+    from cli_rag_spark.functions.text import token_count
+    from cli_rag_spark.operators.drift import ks_statistic
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("long")
+    in_a, in_b = src_num % 2 == 0, src_num % 2 == 1
+    out = []
+    for metric, value in [
+        ("n_chars", F.col("n_chars")),
+        ("ws_tokens", token_count(F.col("text"))),
+    ]:
+        out.append(
+            ks_statistic(docs, value, in_a, in_b).select(
+                F.lit(metric).alias("metric"), "n_a", "n_b", "ks_d", "ks_at"
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("metric")
+
+
+def _quality_drift_sql() -> str:
+    from cli_rag_spark.operators.drift import ks_oracle_sql
+
+    in_a = r"CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END"
+    in_b = r"CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END"
+    ws_tokens = r"len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))"
+    parts = [
+        f"SELECT '{metric}' AS metric, n_a, n_b, ks_d, ks_at FROM ({ks_oracle_sql(value, in_a, in_b)})"
+        for metric, value in [("n_chars", "n_chars"), ("ws_tokens", ws_tokens)]
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY metric"
+
+
 QUERIES = {
+    "quality_drift_ks": q_quality_drift_ks,
     "dsir_selection": q_dsir_selection,
     "curation_funnel": q_curation_funnel,
     "exact_substring_stats": q_exact_substring_stats,
@@ -597,6 +641,7 @@ def _curation_funnel_sql() -> str:
 
 
 ORACLE = {
+    "quality_drift_ks": _quality_drift_sql(),
     "dsir_selection": f"""
         WITH tb AS (
           SELECT doc_id, lang,

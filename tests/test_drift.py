@@ -1,0 +1,61 @@
+"""Two-sample KS drift (operators/drift.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cli_rag_spark.operators.drift import ks_statistic
+
+
+def _ks(spark, a, b, **kw):
+    rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, g string")
+    out = ks_statistic(
+        df, F.col("v"), F.col("g") == "a", F.col("g") == "b", **kw
+    ).collect()[0]
+    return out
+
+
+def test_identical_populations_zero(spark):
+    out = _ks(spark, [1, 2, 3, 4], [1, 2, 3, 4])
+    assert out["ks_d"] == 0.0
+    assert (out["n_a"], out["n_b"]) == (4, 4)
+
+
+def test_disjoint_populations_one(spark):
+    out = _ks(spark, [1, 2, 3], [10, 11])
+    assert out["ks_d"] == 1.0
+    assert out["ks_at"] == 3.0  # smallest value attaining the sup
+
+
+def test_matches_scipy_definition(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 1, 200)
+    b = rng.normal(0.5, 1, 150)
+    out = _ks(spark, a, b)
+    # hand ECDF sup-diff evaluated at pooled sample points
+    pooled = np.sort(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), pooled, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pooled, side="right") / len(b)
+    assert abs(out["ks_d"] - np.max(np.abs(fa - fb))) < 1e-8
+
+
+def test_round_digits_bins_values(spark):
+    # with 0-digit binning 0.4 and 0.6 collapse away from each other:
+    # a={0.4}, b={0.6} -> binned to {0,1}, still disjoint, D=1
+    out = _ks(spark, [0.4], [0.6], round_digits=0)
+    assert out["ks_d"] == 1.0 and out["ks_at"] == 0.0
+    # same bin -> identical distributions
+    out = _ks(spark, [0.44], [0.41], round_digits=1)
+    assert out["ks_d"] == 0.0
+
+
+def test_rows_outside_both_groups_ignored(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b"), (9.0, "c")], "v double, g string"
+    )
+    out = ks_statistic(
+        df, F.col("v"), F.col("g") == "a", F.col("g") == "b"
+    ).collect()[0]
+    assert (out["n_a"], out["n_b"]) == (1, 1)
