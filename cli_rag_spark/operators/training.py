@@ -210,3 +210,49 @@ def pack_concat_chunks(
     bin_hi = bin_lo + cap
     bin_tokens = F.least(F.col("tok_end"), bin_hi) - F.greatest(F.col("tok_start"), bin_lo)
     return d.withColumn("bin_tokens", bin_tokens).drop("tok_end")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    budget: int,
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-group TOKEN-budget subsampling — the unit pretraining mixes
+    are actually specified in ("cap source X at B tokens"), as opposed
+    to the row-count quota of :func:`stratified_sample_hash`.
+
+    Greedy hash-ordered prefix: within each group, rows are ranked by
+    md5(salt|id) (a uniform, engine-replayable shuffle) and kept while
+    the PRECEDING rows' token total is still under ``budget`` — so the
+    budget may overshoot by at most one document (the standard greedy
+    contract; an exact cut would have to split a document). Groups
+    whose total is under budget keep everything.
+
+    Plan shape: ONE shuffle on the group key, a per-group sort for the
+    running sum, a pushed-down filter. At extreme per-group
+    cardinality, pre-prune with a hash threshold before the exact
+    window (keep rows with bucket < c·budget/avg_tokens for a safety
+    factor c, then rank exactly) — the two-phase top-k trick; the
+    exact window then runs on O(budget/avg_tokens) rows per group.
+
+    Adds ``n_tokens`` (the per-row token count used against the
+    budget). Deterministic across engines, reruns, and retried tasks.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n_tok = F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    d = df.withColumn("n_tokens", n_tok.cast("long"))
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.withColumn("_cum", cum).where(
+        F.col("_cum") - F.col("n_tokens") < budget
+    ).drop("_cum")

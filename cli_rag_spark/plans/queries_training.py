@@ -132,7 +132,36 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TB_BUDGET = 2000  # tokens per source
+TB_SALT = "budget"
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget cap (operators/training.py
+    token_budget_sample): each source keeps a deterministic
+    hash-ordered prefix of documents until ~2000 tokens — the unit a
+    pretraining mix spec is written in. Per source: kept docs, kept
+    tokens, and the kept-id sum (exact-membership witness: any row
+    swapped for another breaks it)."""
+    from cli_rag_spark.operators.training import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = token_budget_sample(
+        docs, "source", "doc_id", TB_BUDGET, salt=TB_SALT
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "token_budget_sample": q_token_budget_sample,
     "mixture_weights": q_mixture_weights,
     "hash_split_counts": q_hash_split_counts,
     "pack_chunks_stats": q_pack_chunks_stats,
@@ -150,6 +179,26 @@ _MIX_BOUND = "CASE source " + " ".join(
 ) + f" ELSE {int(round(MIX_DEFAULT * 10000))} END"
 
 ORACLE = {
+    "token_budget_sample": f"""
+        WITH toks AS (
+          SELECT source, doc_id,
+                 CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), ranked AS (
+          SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{TB_SALT}' || '|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS cum
+          FROM toks
+        )
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM ranked WHERE cum - n_tokens < {TB_BUDGET}
+        GROUP BY source ORDER BY source
+    """,
     "mixture_weights": f"""
         WITH per AS (
           SELECT source, count(*) AS n_docs,

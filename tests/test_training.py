@@ -108,3 +108,53 @@ def test_dsir_weights_separate_target_from_offdomain(spark):
     }
     assert all(wt[i] > 0 for i in range(10))
     assert all(wt[i + 10] < 0 for i in range(10))
+
+
+def test_token_budget_sample_contract(spark, sf_dir):
+    """Greedy prefix semantics: preceding-kept tokens < budget for
+    every kept row; the first excluded row per group would have
+    crossed it; under-budget groups keep everything."""
+    from cli_rag_spark.operators.training import token_budget_sample
+    from cli_rag_spark.sources.documents import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 1500
+    kept = token_budget_sample(docs, "source", "doc_id", budget, salt="t")
+    rows = kept.groupBy("source").agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    # total per group may overshoot by at most the last doc; check via
+    # per-row recompute: every kept row's cum-minus-self < budget
+    import pandas as pd
+    pdf = kept.select("source", "doc_id", "n_tokens").toPandas()
+    import hashlib
+    pdf["h"] = pdf["doc_id"].map(
+        lambda i: hashlib.md5(f"t|{i}".encode()).hexdigest()
+    )
+    for src, grp in pdf.sort_values(["h", "doc_id"]).groupby("source"):
+        cum = grp["n_tokens"].cumsum() - grp["n_tokens"]
+        assert (cum < budget).all()
+    # determinism: second run identical
+    again = token_budget_sample(docs, "source", "doc_id", budget, salt="t")
+    assert again.select("doc_id").subtract(kept.select("doc_id")).count() == 0
+    assert kept.count() == again.count()
+
+
+def test_token_budget_sample_under_budget_keeps_all(spark, sf_smoke_dir):
+    from cli_rag_spark.operators.training import token_budget_sample
+    from cli_rag_spark.sources.documents import load_table
+
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    kept = token_budget_sample(docs, "source", "doc_id", 10_000_000)
+    assert kept.count() == docs.count()
+
+
+def test_token_budget_sample_validates(spark, sf_smoke_dir):
+    import pytest as _pytest
+    from cli_rag_spark.operators.training import token_budget_sample
+    from cli_rag_spark.sources.documents import load_table
+
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    with _pytest.raises(ValueError, match="budget"):
+        token_budget_sample(docs, "source", "doc_id", 0)
