@@ -439,6 +439,42 @@ def _kmeans_oracle(n_cent: int, iters: int, dim: int) -> str:
     """
 
 
+MRL_COARSE = 16  # Matryoshka prefix width (of the 64-dim fixture)
+MRL_SHORT = 25   # coarse-stage shortlist
+
+
+def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Matryoshka funnel (operators/topk.py matryoshka_topk):
+    coarse rank on the 16-dim embedding prefix → 25-row shortlist →
+    full-width rerank → top-K. Both stages are TakeOrderedAndProject
+    bounded heaps; deterministic tie-breaks make the whole funnel
+    (shortlist membership included) oracle-exact."""
+    from cli_rag_spark.operators.topk import matryoshka_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return matryoshka_topk(
+        emb, qv, k=K, coarse_dims=MRL_COARSE, shortlist=MRL_SHORT
+    ).select("vec_id", "coarse_dist", "dist")
+
+
+_MATRYOSHKA_SQL = f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), coarse AS (
+      SELECT e.vec_id, e.embedding,
+             round(1 - list_cosine_similarity(e.embedding[1:{MRL_COARSE}]::DOUBLE[],
+                                              q.qv[1:{MRL_COARSE}]), 6) AS coarse_dist
+      FROM embeddings e, q
+      ORDER BY coarse_dist ASC, e.vec_id ASC LIMIT {MRL_SHORT}
+    )
+    SELECT c.vec_id, c.coarse_dist,
+           round(1 - list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS dist
+    FROM coarse c, q
+    ORDER BY dist ASC, c.vec_id ASC LIMIT {K}
+"""
+
+
 COV_DIMS = 8  # judged slice; the full-width float path is tests/test_pca.py
 
 
@@ -525,6 +561,7 @@ def _covariance_oracle_sql() -> str:
 
 
 QUERIES = {
+    "matryoshka_topk": q_matryoshka_topk,
     "embedding_covariance": q_embedding_covariance,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_join_ivf": q_knn_join_ivf,
@@ -588,6 +625,7 @@ def _lsh_oracle_sql() -> str:
 
 
 ORACLE = {
+    "matryoshka_topk": _MATRYOSHKA_SQL,
     "embedding_covariance": _covariance_oracle_sql(),
     "kmeans_clusters": _kmeans_oracle(KM_CENTROIDS, KM_ITERS, LSH_DIM),
     # append ≡ one-shot: the oracle assigns the FULL corpus to the

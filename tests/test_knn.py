@@ -130,3 +130,36 @@ def test_gemm_zero_norm_vectors_dont_poison_batch(spark):
     rows = sorted(knn_join_gemm(q, index, k=3).collect(), key=lambda r: r["rank"])
     assert [r["vec_id"] for r in rows] == [1, 3, 2]
     assert all(r["vec_id"] != 0 for r in rows)
+
+
+def test_matryoshka_funnel_recall_and_guards(spark, sf_dir):
+    """Full-width rerank restores most of the exact top-k even through
+    a 16/64-dim coarse stage; guards reject bad shapes."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from cli_rag_spark.operators.topk import matryoshka_topk, topk
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    exact = {r["vec_id"] for r in topk(emb, qv, 5).collect()}
+    # fixture embeddings are random — a 16/64 prefix carries only 1/4
+    # of the signal (an MRL-TRAINED prefix concentrates it, which is
+    # the operator's deployment premise), so the shortlist must be
+    # generous for high recall on this data: 10% shortlist -> >=0.8
+    mrl = {
+        r["vec_id"]
+        for r in matryoshka_topk(emb, qv, 5, coarse_dims=16, shortlist=200).collect()
+    }
+    assert len(mrl & exact) >= 4  # recall@5 >= 0.8 through the funnel
+    # degenerate funnel = exact search: shortlist >= N, full coarse width
+    n = emb.count()
+    full = {
+        r["vec_id"]
+        for r in matryoshka_topk(emb, qv, 5, coarse_dims=64, shortlist=n).collect()
+    }
+    assert full == exact
+    with _pytest.raises(ValueError, match="coarse_dims"):
+        matryoshka_topk(emb, qv, 5, coarse_dims=0, shortlist=10)
+    with _pytest.raises(ValueError, match="shortlist"):
+        matryoshka_topk(emb, qv, 5, coarse_dims=16, shortlist=3)
