@@ -173,7 +173,50 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LEAK_SALT = "leak"
+LEAK_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_leakproof_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof train/val/test split (operators/training.py
+    leakproof_split): the split unit is the MinHash near-dup CLUSTER
+    (same banding as dedup_components), so near-duplicates can never
+    straddle train and test. Per split: docs, distinct split groups,
+    id-sum membership witness — plus n_cross_split_edges, the leakage
+    count the construction forces to zero, carried as a checked value
+    (the oracle recomputes it from its own closure)."""
+    from cli_rag_spark.operators.training import leakproof_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_candidates(
+        docs, shingle_words=SHINGLE_WORDS, n_hashes=N_HASHES, n_bands=N_BANDS
+    )
+    out = leakproof_split(
+        docs, edges, "doc_id", LEAK_FRACTIONS, salt=LEAK_SALT
+    ).select("doc_id", "split_group", "split")
+    assign = out.select("doc_id", "split")
+    leaks = (
+        edges.join(assign.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("split", "split_a")
+        .join(assign.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("split", "split_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).alias("n_cross_split_edges"))
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split_group").alias("n_groups"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .orderBy("split")
+    )
+
+
 QUERIES = {
+    "leakproof_split_counts": q_leakproof_split_counts,
     "dedup_exact_count": q_dedup_exact_count,
     "decontamination": q_decontamination,
     "dedup_components": q_dedup_components,
@@ -288,6 +331,51 @@ ORACLE = {
         SELECT probe_id, count(*) AS n_docs,
                CAST(sum(n_shared) AS BIGINT) AS total_shared
         FROM hits GROUP BY probe_id ORDER BY probe_id
+    """,
+    "leakproof_split_counts": f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, {_SHINGLES} AS sh FROM documents
+        ), sig AS (
+          SELECT doc_id, [{_MINHASH}] AS sig FROM sh WHERE len(sh) >= 1
+        ), banded AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, {b} AS band, {_band_key(b, N_HASHES // N_BANDS)} AS key FROM sig"
+              for b in range(N_BANDS)
+          )}
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l
+          JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM cand
+          UNION
+          SELECT id_b AS a, id_a AS b FROM cand
+        ), reach AS (
+          SELECT DISTINCT a AS node, a AS r FROM edges
+          UNION
+          SELECT reach.node, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+        ), comp AS (
+          SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+        ), grouped AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_group
+          FROM documents d LEFT JOIN comp c USING (doc_id)
+        ), assigned AS (
+          SELECT doc_id, split_group,
+                 CASE WHEN ('0x' || substr(md5('{LEAK_SALT}' || '|' || CAST(split_group AS VARCHAR)), 1, 15))::BIGINT % 10000 < 8000 THEN 'train'
+                      WHEN ('0x' || substr(md5('{LEAK_SALT}' || '|' || CAST(split_group AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9000 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM grouped
+        ), leaks AS (
+          SELECT count(*) AS n_cross FROM cand e
+          JOIN assigned x ON e.id_a = x.doc_id
+          JOIN assigned y ON e.id_b = y.doc_id
+          WHERE x.split <> y.split
+        )
+        SELECT split, count(*) AS n_docs,
+               count(DISTINCT split_group) AS n_groups,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               (SELECT CAST(n_cross AS BIGINT) FROM leaks) AS n_cross_split_edges
+        FROM assigned GROUP BY split ORDER BY split
     """,
     "dedup_components": f"""
         WITH RECURSIVE sh AS (

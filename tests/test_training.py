@@ -158,3 +158,36 @@ def test_token_budget_sample_validates(spark, sf_smoke_dir):
     docs = load_table(spark, sf_smoke_dir, "documents")
     with _pytest.raises(ValueError, match="budget"):
         token_budget_sample(docs, "source", "doc_id", 0)
+
+
+def test_leakproof_split_no_cluster_straddles(spark, sf_dir):
+    """Every connected component lands in exactly one split; singletons
+    keep their own id as group; fractions roughly honored."""
+    from pyspark.sql import functions as F
+    from cli_rag_spark.operators.dedup import minhash_candidates
+    from cli_rag_spark.operators.training import leakproof_split
+    from cli_rag_spark.sources.documents import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_candidates(docs, shingle_words=3, n_hashes=8, n_bands=4)
+    out = leakproof_split(
+        docs, edges, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    # a group maps to exactly one split
+    assert (
+        out.groupBy("split_group")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # no candidate edge crosses splits
+    a = out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    crossed = edges.join(a, "id_a").join(b, "id_b").where(F.col("sa") != F.col("sb"))
+    assert crossed.count() == 0
+    # all docs assigned, each exactly once
+    assert out.count() == docs.count()
+    shares = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert shares["train"] / n > 0.6  # hash noise tolerance at small N
