@@ -215,13 +215,118 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(1).unionByName(stats(2)).orderBy("version")
 
 
+def q_snapshot_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between snapshot versions
+    (sources/snapshots.py snapshot_changes) over a 3-version history:
+
+    v1 = orders; v2 = MERGE (every 7th order updated, a key-shifted
+    insert slice); v3 = DELETE of every 11th current key. The diff
+    reads ONLY owner-divergent buckets (manifest pruning — identical
+    owner entries are physically the same files and are skipped), so
+    CDC cost scales with the write, not the table.
+
+    Output: per (from_version, change_type): row count, key sum
+    (exact membership witness) and decimal-exact image price total.
+    The oracle replays the merge and delete relationally — a green row
+    proves insert/update/delete classification and both pre/post
+    images through the driver's channel.
+    """
+    from cli_rag_spark.sources.snapshots import (
+        _fs,
+        delete_snapshot,
+        snapshot_changes,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch("snapshot_cdc", sf_dir)
+    fs, root = _fs(spark, path)
+    fs.delete(root, True)
+    write_snapshot(orders, path, "o_orderkey")
+
+    updates = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    )
+    inserts = orders.where(F.col("o_orderkey") % 501 == 5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000)
+    )
+    upsert_snapshot(spark, path, updates.unionByName(inserts))
+
+    from cli_rag_spark.sources.snapshots import read_snapshot
+
+    del_keys = (
+        read_snapshot(spark, path, 2)
+        .where(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey")
+    )
+    delete_snapshot(spark, path, del_keys)
+
+    def stats(from_v: int, to_v: int) -> DataFrame:
+        diff = snapshot_changes(spark, path, from_v, to_v)
+        return diff.groupBy("change_type").agg(
+            F.lit(from_v).cast("long").alias("from_version"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("image_price"),
+        )
+
+    return (
+        stats(1, 2)
+        .unionByName(stats(2, 3))
+        .select("from_version", "change_type", "n", "key_sum", "image_price")
+        .orderBy("from_version", "change_type")
+    )
+
+
 QUERIES = {
     "partitioned_compaction": q_partitioned_compaction,
     "zorder_roundtrip": q_zorder_roundtrip,
     "snapshot_time_travel": q_snapshot_time_travel,
+    "snapshot_cdc_stats": q_snapshot_cdc_stats,
 }
 
 ORACLE = {
+    "snapshot_cdc_stats": """
+        WITH batch AS (
+          SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+                 o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey + 1000000, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 501 = 5
+        ), v2 AS (
+          SELECT * FROM orders
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+          UNION ALL SELECT * FROM batch
+        ), cdc12 AS (
+          -- v1 -> v2: the merge batch classified against v1 membership
+          SELECT b.o_orderkey,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'insert' ELSE 'update' END AS change_type,
+                 b.o_totalprice
+          FROM batch b LEFT JOIN orders o USING (o_orderkey)
+        ), cdc23 AS (
+          -- v2 -> v3: deletes carry the PRE image
+          SELECT o_orderkey, 'delete' AS change_type, o_totalprice
+          FROM v2 WHERE o_orderkey % 11 = 0
+        ), all_changes AS (
+          SELECT 1 AS from_version, * FROM cdc12
+          UNION ALL
+          SELECT 2, * FROM cdc23
+        )
+        SELECT CAST(from_version AS BIGINT) AS from_version, change_type,
+               count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS image_price
+        FROM all_changes
+        GROUP BY from_version, change_type
+        ORDER BY from_version, change_type
+    """,
     "snapshot_time_travel": """
         WITH batch AS (
           SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,

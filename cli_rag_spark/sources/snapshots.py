@@ -227,3 +227,116 @@ def upsert_snapshot(
         "owners": owners,
     })
     return new_version
+
+
+def delete_snapshot(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    version: int | None = None,
+) -> int:
+    """Commit a new version with the given keys DELETED, bucket-level
+    copy-on-write: only buckets containing a deleted key are rewritten
+    (anti-join inside the touched slice); everything else stays shared
+    with the parent version. ``keys`` is a 1-column frame of key
+    values. Same commit protocol as upsert_snapshot — data first,
+    manifest rename last. Returns the new version."""
+    if len(keys.columns) != 1:
+        raise ValueError(f"keys must have exactly 1 column, got {keys.columns}")
+    if version is None:
+        version = latest_version(spark, path)
+    manifest = _read_manifest(spark, path, version)
+    key_col, n_buckets = manifest["key_col"], manifest["n_buckets"]
+    new_version = version + 1
+
+    dk = keys.toDF(key_col).withColumn(
+        _BUCKET_COL, bucket_of(F.col(key_col), n_buckets)
+    )
+    touched = sorted(
+        r[_BUCKET_COL] for r in dk.select(_BUCKET_COL).distinct().collect()
+    )
+    if touched:
+        current = (
+            read_snapshot(spark, path, version)
+            .withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
+            .where(F.col(_BUCKET_COL).isin(touched))
+        )
+        cols = manifest["columns"] + [_BUCKET_COL]
+        remaining = current.join(dk.select(key_col), key_col, "left_anti").select(*cols)
+        (
+            remaining.write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(f"{path}/data/v{new_version}")
+        )
+    owners = dict(manifest["owners"])
+    for b in touched:
+        owners[str(b)] = new_version
+    _write_manifest(spark, path, {
+        "version": new_version,
+        "key_col": key_col,
+        "n_buckets": n_buckets,
+        "columns": manifest["columns"],
+        "owners": owners,
+    })
+    return new_version
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """CDC between two committed versions: one row per changed key with
+    ``change_type`` ∈ insert / update / delete and the post-image
+    columns (pre-image for deletes).
+
+    The manifests make this cheap: a bucket whose owner entry is the
+    SAME in both versions is physically the same files — it cannot
+    contain a change and is never read. Only owner-divergent buckets
+    are scanned and full-outer-joined on the key (bucket-colocated on
+    both sides, so at scale the join shuffles only rewritten buckets).
+    Rows rewritten byte-identically (co-resident in a touched bucket)
+    compare equal and are filtered out — the diff is semantic, not
+    physical.
+    """
+    if from_version >= to_version:
+        raise ValueError(f"need from < to, got {from_version} >= {to_version}")
+    mf = _read_manifest(spark, path, from_version)
+    mt = _read_manifest(spark, path, to_version)
+    key_col = mt["key_col"]
+    cols = [c for c in mt["columns"] if c != key_col]
+    changed = sorted(
+        int(b)
+        for b in set(mf["owners"]) | set(mt["owners"])
+        if mf["owners"].get(b) != mt["owners"].get(b)
+    )
+    n_buckets = mt["n_buckets"]
+
+    def _slice(version: int) -> DataFrame:
+        return (
+            read_snapshot(spark, path, version)
+            .withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
+            .where(F.col(_BUCKET_COL).isin(changed))
+            .drop(_BUCKET_COL)
+        )
+
+    old = _slice(from_version).select(
+        F.col(key_col), F.struct(*cols).alias("_pre")
+    )
+    new = _slice(to_version).select(
+        F.col(key_col), F.struct(*cols).alias("_post")
+    )
+    joined = old.join(new, key_col, "full_outer")
+    change = (
+        F.when(F.col("_pre").isNull(), F.lit("insert"))
+        .when(F.col("_post").isNull(), F.lit("delete"))
+        .when(F.col("_pre") != F.col("_post"), F.lit("update"))
+    )
+    image = F.coalesce(F.col("_post"), F.col("_pre"))
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(F.col(key_col), F.col("change_type"), image.alias("_img"))
+        .select(key_col, "change_type", "_img.*")
+    )

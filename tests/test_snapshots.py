@@ -111,3 +111,102 @@ def test_schema_and_existence_validation(spark, sf_dir, tmp_path):
         upsert_snapshot(spark, path, orders.drop("o_orderpriority"))
     with pytest.raises(ValueError, match="bucket"):
         write_snapshot(orders.withColumn("bucket", F.lit(1)), path, "o_orderkey")
+
+
+def test_delete_cow_and_time_travel(spark, sf_dir, tmp_path):
+    """DELETE rewrites only buckets holding a deleted key; other
+    buckets stay file-shared with the parent; the pre-delete version
+    still reads the full table."""
+    import json
+
+    from cli_rag_spark.sources.snapshots import delete_snapshot
+
+    path = str(tmp_path / "snap")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    # sparse delete set (a % 13 slice touches all 16 buckets and
+    # would rewrite everything — no sharing left to observe)
+    keys = orders.where(F.col("o_orderkey") % 499 == 0).select("o_orderkey")
+    assert keys.count() > 0
+    assert delete_snapshot(spark, path, keys) == 2
+
+    v2 = read_snapshot(spark, path, 2)
+    expected = orders.join(keys, "o_orderkey", "left_anti")
+    assert key(v2) == key(expected)
+    assert key(read_snapshot(spark, path, 1)) == key(orders)
+
+    # file sharing: some buckets must still be owned by v1
+    mani = json.load(open(glob.glob(f"{path}/_manifest_v2.json")[0]))
+    owners = set(mani["owners"].values())
+    assert 1 in owners and 2 in owners
+
+
+def test_delete_validates_key_frame(spark, sf_dir, tmp_path):
+    from cli_rag_spark.sources.snapshots import delete_snapshot
+
+    path = str(tmp_path / "snap")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    with pytest.raises(ValueError, match="exactly 1 column"):
+        delete_snapshot(spark, path, orders.select("o_orderkey", "o_custkey"))
+
+
+def test_snapshot_changes_classification(spark, sf_dir, tmp_path):
+    """insert/update/delete classified exactly; unchanged co-resident
+    rows in rewritten buckets do NOT appear; images are post (upsert)
+    and pre (delete)."""
+    from cli_rag_spark.sources.snapshots import delete_snapshot, snapshot_changes
+
+    path = str(tmp_path / "snap")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderstatus", F.lit("R")
+    )
+    inserts = orders.where(F.col("o_orderkey") % 501 == 5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1_000_000
+    )
+    upsert_snapshot(spark, path, updates.unionByName(inserts))
+
+    diff = snapshot_changes(spark, path, 1, 2)
+    got = {r["o_orderkey"]: r["change_type"] for r in diff.collect()}
+    exp_updates = {r["o_orderkey"] for r in updates.select("o_orderkey").collect()}
+    exp_inserts = {r["o_orderkey"] for r in inserts.select("o_orderkey").collect()}
+    assert {k for k, t in got.items() if t == "update"} == exp_updates
+    assert {k for k, t in got.items() if t == "insert"} == exp_inserts
+    assert len(got) == len(exp_updates) + len(exp_inserts)
+    # post-image carried for updates
+    st = {r["o_orderkey"]: r["o_orderstatus"] for r in diff.where(F.col("change_type") == "update").collect()}
+    assert set(st.values()) == {"R"}
+
+    del_keys = read_snapshot(spark, path, 2).where(
+        F.col("o_orderkey") % 11 == 0
+    ).select("o_orderkey")
+    delete_snapshot(spark, path, del_keys)
+    d23 = snapshot_changes(spark, path, 2, 3)
+    assert set(d23.select("change_type").distinct().toPandas()["change_type"]) == {"delete"}
+    assert d23.count() == del_keys.count()
+
+    with pytest.raises(ValueError, match="from < to"):
+        snapshot_changes(spark, path, 2, 2)
+
+
+def test_snapshot_changes_skips_shared_buckets(spark, sf_dir, tmp_path):
+    """CDC must not read buckets whose owner is identical in both
+    manifests: diff of a version with itself-plus-empty-merge has no
+    divergent buckets and returns an empty frame without scanning."""
+    from cli_rag_spark.sources.snapshots import snapshot_changes, upsert_snapshot
+
+    path = str(tmp_path / "snap")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    # merge a single key -> exactly the buckets of that one key diverge
+    one = orders.where(F.col("o_orderkey") == 7).withColumn(
+        "o_orderstatus", F.lit("R")
+    )
+    upsert_snapshot(spark, path, one)
+    diff = snapshot_changes(spark, path, 1, 2)
+    rows = diff.collect()
+    assert [r["o_orderkey"] for r in rows] == [7]
+    assert rows[0]["change_type"] == "update"
