@@ -145,37 +145,103 @@ def kmeans_refine(
     return centroids
 
 
+_CENTROID_DIR = "_centroids"
+
+
 def build_ivf_index(
     vectors: DataFrame,
     path: str,
     n_centroids: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Write the IVF-partitioned index: parquet ``partitionBy(cid)``.
     Readers filtering on cid scan only the probed lists (partition
     pruning — verified in tests via the input-files count).
 
-    Build metadata (n_centroids, column names) is persisted alongside
-    as ``_ivf_meta.json`` (leading underscore → invisible to parquet
-    readers), so :func:`read_ivf_index` can verify at open time that a
-    probe's ``n_centroids`` matches the build — a persisted index
-    probed with a different coarse quantizer silently degrades recall
-    (ADVICE r2)."""
+    ``refine_iters > 0`` Lloyd-refines the seeded coarse quantizer
+    (:func:`kmeans_refine`, components rounded to ``round_digits`` so
+    the refined centroids stay engine-replayable) — the production
+    quality knob; ``0`` keeps the pure seeded contract.
+
+    The ACTUAL coarse quantizer is persisted as a parquet sidecar
+    ``<path>/_centroids`` (underscore prefix → invisible to parquet
+    directory readers, like ``_metadata``), and build metadata
+    (n_centroids, refine_iters, column names) as ``_ivf_meta.json`` —
+    so :func:`read_ivf_index` can verify at open time that a probe's
+    ``n_centroids`` matches the build (a persisted index probed with a
+    different coarse quantizer silently degrades recall, ADVICE r2),
+    and probing/appending NEVER re-derives centroids from data (the
+    r4-advice hazard of probing a refined assignment against re-seeded
+    centroids, fixed at the root: the quantizer travels with the
+    index)."""
     centroids = seed_centroids(vectors, n_centroids, id_col, vec_col)
-    assigned = vectors.join(assign_centroids(vectors, centroids, id_col, vec_col), id_col)
+    if refine_iters > 0:
+        centroids = kmeans_refine(
+            vectors, centroids, n_iters=refine_iters,
+            id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        )
+    centroids = centroids.select(
+        "cid", F.col("cvec").cast("array<double>").alias("cvec")
+    )
+    assigned = vectors.join(
+        assign_centroids(vectors, centroids, id_col, vec_col), id_col
+    )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/{_CENTROID_DIR}")
     spark = vectors.sparkSession
     fs, root = _hadoop_fs(spark, path)
     meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
     out = fs.create(meta_path, True)
     try:
         out.write(bytearray(json.dumps(
-            {"n_centroids": n_centroids, "id_col": id_col, "vec_col": vec_col}
+            {
+                "n_centroids": n_centroids,
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "refine_iters": refine_iters,
+            }
         ).encode("utf-8")))
     finally:
         out.close()
     return centroids
+
+
+def read_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
+    """The persisted coarse quantizer of an IVF index — the sidecar
+    written by :func:`build_ivf_index`. Falls back to the seeded
+    recovery (lowest-id index rows) for pre-sidecar indexes, which is
+    only correct when the index was built unrefined — raise otherwise."""
+    fs, root = _hadoop_fs(spark, path)
+    cdir = spark._jvm.org.apache.hadoop.fs.Path(root, _CENTROID_DIR)
+    if fs.exists(cdir):
+        return spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    meta = _read_ivf_meta(spark, path)
+    if meta.get("refine_iters", 0) > 0:
+        raise ValueError(
+            f"index at {path} was Lloyd-refined but has no centroid "
+            "sidecar — rebuild with this version of build_ivf_index"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    index = spark.read.parquet(path)
+    return index.where(F.col(id_col) < meta["n_centroids"]).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+
+
+def _read_ivf_meta(spark: SparkSession, path: str) -> dict:
+    fs, root = _hadoop_fs(spark, path)
+    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
+    if not fs.exists(meta_path):
+        raise ValueError(f"no {_META_NAME} at {path}: not a build_ivf_index output")
+    stream = fs.open(meta_path)
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
 
 
 def read_ivf_index(
@@ -188,16 +254,7 @@ def read_ivf_index(
     no-Spark-job guard against probing the wrong lists. Returns the
     cid-carrying DataFrame ready for :func:`knn_join_ivf` /
     partition-pruned scans."""
-    fs, root = _hadoop_fs(spark, path)
-    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
-    if not fs.exists(meta_path):
-        raise ValueError(f"no {_META_NAME} at {path}: not a build_ivf_index output")
-    stream = fs.open(meta_path)
-    try:
-        raw = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
-    meta = json.loads(raw.decode("utf-8"))
+    meta = _read_ivf_meta(spark, path)
     if n_centroids is not None and meta["n_centroids"] != n_centroids:
         raise ValueError(
             f"IVF index at {path} was built with n_centroids="
@@ -217,11 +274,11 @@ def append_ivf_index(
     admit a batch of n ≪ N is an O(N) write nobody can afford.
 
     The batch is assigned against the index's EXISTING coarse
-    quantizer, reconstructed from the index itself: build_ivf_index's
-    seeded contract is that centroids are the ``n_centroids`` lowest-id
-    vectors of the base build, and those rows live in the index, so the
-    quantizer is recovered exactly with one pruned scan and no sidecar
-    state. New rows land in ``mode("append")`` partition directories —
+    quantizer — the ``_centroids`` sidecar build_ivf_index persists
+    (works for seeded AND Lloyd-refined builds); for pre-sidecar
+    indexes :func:`read_ivf_centroids` falls back to the seeded
+    recovery (the ``n_centroids`` lowest-id rows still live in the
+    index). New rows land in ``mode("append")`` partition directories —
     only the touched cid leaves gain files; existing files are never
     rewritten. The metadata is unchanged (same quantizer), so
     :func:`read_ivf_index` validation keeps working, and the appended
@@ -232,20 +289,12 @@ def append_ivf_index(
     new — the operator does not dedupe against the existing index
     (compose with dedup_incremental upstream when ingest can replay).
     """
-    fs, root = _hadoop_fs(spark, path)
-    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
-    if not fs.exists(meta_path):
-        raise ValueError(f"no {_META_NAME} at {path}: not a build_ivf_index output")
-    stream = fs.open(meta_path)
-    try:
-        meta = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
-    finally:
-        stream.close()
+    meta = _read_ivf_meta(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     index = spark.read.parquet(path)
-    centroids = index.where(F.col(id_col) < meta["n_centroids"]).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    # the index's ACTUAL quantizer: sidecar when present (required for
+    # refined builds), seeded recovery for legacy unrefined indexes
+    centroids = read_ivf_centroids(spark, path)
     assigned = new_vectors.join(
         assign_centroids(new_vectors, centroids, id_col, vec_col), id_col
     )
@@ -379,4 +428,53 @@ def knn_join_ivf(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id, index_id, dist_col, "rank")
+    )
+
+
+def ivf_topk_persisted(
+    spark: SparkSession,
+    path: str,
+    query_vec_df: DataFrame,
+    k: int,
+    n_probe: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k against a PERSISTED IVF index, fully from its artifacts:
+    the ``_centroids`` sidecar picks the probe lists, the cid-pruned
+    parquet scan supplies candidates, the exact kernel rescoring stays
+    deterministic ((dist, id) ordering). Nothing is re-derived from
+    the raw vectors — probing a Lloyd-refined index uses the refined
+    quantizer it was built with, by construction.
+
+    Plan shape at scale: centroid sidecar is tiny (C rows, broadcast);
+    the candidate read is a PartitionFilters-pruned scan of
+    ``n_probe`` cid leaves; top-k is TakeOrderedAndProject.
+    """
+    meta = _read_ivf_meta(spark, path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    centroids = read_ivf_centroids(spark, path)
+    probed = (
+        centroids.crossJoin(F.broadcast(query_vec_df))
+        .select(
+            "cid",
+            F.round(
+                cosine_distance(F.col("cvec"), F.col("query_vec")), round_digits
+            ).alias("_d"),
+        )
+        .orderBy(F.col("_d").asc(), F.col("cid").asc())
+        .limit(n_probe)
+    )
+    probe_cids = [r["cid"] for r in probed.collect()]
+    index = spark.read.parquet(path)
+    candidates = index.where(F.col("cid").isin(probe_cids))
+    return (
+        candidates.crossJoin(F.broadcast(query_vec_df))
+        .select(
+            id_col,
+            F.round(
+                cosine_distance(F.col(vec_col), F.col("query_vec")), round_digits
+            ).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -391,22 +391,23 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(n_cent: int, iters: int, dim: int) -> str:
+def _assign_cte(name: str, cent: str) -> str:
+    return f"""{name} AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6), c.cid
+                   ) AS rn
+            FROM embeddings e, {cent} c
+        ) WHERE rn = 1
+    )"""
+
+
+def _kmeans_cte_chain(n_cent: int, iters: int, dim: int) -> list[str]:
     """The full Lloyd loop as chained CTEs (assignment → per-position
-    mean → coalesce empty clusters), mirroring kmeans_refine exactly."""
-
-    def assign_cte(name: str, cent: str) -> str:
-        return f"""{name} AS (
-            SELECT vec_id, cid FROM (
-                SELECT e.vec_id, c.cid,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6), c.cid
-                       ) AS rn
-                FROM embeddings e, {cent} c
-            ) WHERE rn = 1
-        )"""
-
+    mean → coalesce empty clusters), mirroring kmeans_refine exactly;
+    ends with ``af`` (final assignment) against ``cent{iters}``."""
     ctes = [
         f"""cent0 AS (
             SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
@@ -414,7 +415,7 @@ def _kmeans_oracle(n_cent: int, iters: int, dim: int) -> str:
         )"""
     ]
     for i in range(iters):
-        ctes.append(assign_cte(f"a{i}", f"cent{i}"))
+        ctes.append(_assign_cte(f"a{i}", f"cent{i}"))
         ctes.append(f"""means{i} AS (
             SELECT cid, list(val ORDER BY pos) AS cvec FROM (
                 SELECT a.cid, gs AS pos, round(avg(e.embedding[gs]::DOUBLE), 6) AS val
@@ -427,7 +428,12 @@ def _kmeans_oracle(n_cent: int, iters: int, dim: int) -> str:
             SELECT c.cid, COALESCE(m.cvec, c.cvec) AS cvec
             FROM cent{i} c LEFT JOIN means{i} m USING (cid)
         )""")
-    ctes.append(assign_cte("af", f"cent{iters}"))
+    ctes.append(_assign_cte("af", f"cent{iters}"))
+    return ctes
+
+
+def _kmeans_oracle(n_cent: int, iters: int, dim: int) -> str:
+    ctes = _kmeans_cte_chain(n_cent, iters, dim)
     return f"""
         WITH {", ".join(ctes)}
         SELECT a.cid, count(*) AS n_vectors,
@@ -436,6 +442,57 @@ def _kmeans_oracle(n_cent: int, iters: int, dim: int) -> str:
         JOIN af a USING (vec_id)
         JOIN cent{iters} c USING (cid)
         GROUP BY a.cid ORDER BY a.cid
+    """
+
+
+IVF_REFINE_ITERS = 2
+
+
+def q_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K against a PERSISTED, Lloyd-REFINED IVF index — the full
+    production path (operators/ann.py): build_ivf_index(refine_iters=2)
+    persists the refined quantizer as the _centroids sidecar +
+    metadata; ivf_topk_persisted probes the sidecar and scans only the
+    probed cid leaves. Nothing is re-derived from raw vectors at query
+    time — this is the query that proves the persisted artifacts are
+    self-sufficient AND that the refined quantizer (not a re-seeded
+    one) picks the lists. Oracle replays the exact Lloyd chain (the
+    kmeans_clusters CTE builder) + probe + rescore."""
+    import hashlib
+    import tempfile
+
+    from cli_rag_spark.operators.ann import build_ivf_index, ivf_topk_persisted
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_ivfref_{tag}"
+    build_ivf_index(
+        emb, path, IVF_CENTROIDS, refine_iters=IVF_REFINE_ITERS
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk_persisted(spark, path, q, k=K, n_probe=IVF_PROBE)
+
+
+def _ivf_refined_oracle(n_cent: int, iters: int, dim: int, probe: int, k: int) -> str:
+    ctes = _kmeans_cte_chain(n_cent, iters, dim)
+    return f"""
+        WITH {", ".join(ctes)},
+        q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ), probed AS (
+          SELECT c.cid FROM cent{iters} c, q
+          ORDER BY round(1 - list_cosine_similarity(c.cvec, q.qv), 6) ASC, c.cid ASC
+          LIMIT {probe}
+        )
+        SELECT e.vec_id,
+               round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS dist
+        FROM embeddings e
+        JOIN af a USING (vec_id)
+        JOIN probed p ON a.cid = p.cid
+        CROSS JOIN q
+        ORDER BY dist ASC, e.vec_id ASC LIMIT {k}
     """
 
 
@@ -561,6 +618,7 @@ def _covariance_oracle_sql() -> str:
 
 
 QUERIES = {
+    "ivf_refined_topk": q_ivf_refined_topk,
     "matryoshka_topk": q_matryoshka_topk,
     "embedding_covariance": q_embedding_covariance,
     "kmeans_clusters": q_kmeans_clusters,
@@ -625,6 +683,7 @@ def _lsh_oracle_sql() -> str:
 
 
 ORACLE = {
+    "ivf_refined_topk": _ivf_refined_oracle(IVF_CENTROIDS, IVF_REFINE_ITERS, LSH_DIM, IVF_PROBE, K),
     "matryoshka_topk": _MATRYOSHKA_SQL,
     "embedding_covariance": _covariance_oracle_sql(),
     "kmeans_clusters": _kmeans_oracle(KM_CENTROIDS, KM_ITERS, LSH_DIM),

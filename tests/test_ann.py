@@ -199,3 +199,80 @@ def test_append_ivf_index_requires_index(spark, sf_dir, tmp_path):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="not a build_ivf_index output"):
         append_ivf_index(spark, str(tmp_path / "nothing"), emb)
+
+
+def test_refined_build_persists_quantizer_sidecar(spark, sf_dir, tmp_path):
+    """refine_iters>0: the _centroids sidecar holds the REFINED
+    quantizer (differs from seeds), is invisible to the index read,
+    and ivf_topk_persisted probes with it end to end."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.ann import (
+        build_ivf_index,
+        ivf_topk_persisted,
+        read_ivf_centroids,
+        read_ivf_index,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_ref")
+    returned = build_ivf_index(emb, path, n_centroids=8, refine_iters=2)
+    assert _glob.glob(f"{path}/_centroids/*.parquet")
+
+    side = read_ivf_centroids(spark, path)
+    assert side.count() == 8
+    # sidecar == what build returned, != the raw seeds
+    got = {r["cid"]: tuple(r["cvec"]) for r in side.collect()}
+    ret = {r["cid"]: tuple(r["cvec"]) for r in returned.collect()}
+    assert got == ret
+    seeds = {
+        r["cid"]: tuple(float(x) for x in r["cvec"])
+        for r in seed_centroids(emb, 8).collect()
+    }
+    assert got != seeds
+    # index read does NOT surface sidecar rows
+    idx = read_ivf_index(spark, path, n_centroids=8)
+    assert idx.count() == emb.count()
+    # persisted probe answers sanely (exact nearest must appear at k=1
+    # when the probe covers its list; just check determinism + shape)
+    q = emb.where(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("query_vec")
+    )
+    r1 = [tuple(r) for r in ivf_topk_persisted(spark, path, q, 5, 2).collect()]
+    r2 = [tuple(r) for r in ivf_topk_persisted(spark, path, q, 5, 2).collect()]
+    assert r1 == r2 and len(r1) == 5
+    assert r1[0][0] == 3  # self is its own nearest neighbour
+
+
+def test_append_uses_refined_quantizer(spark, sf_dir, tmp_path):
+    """Appending to a refined index must assign against the persisted
+    refined centroids — base+append == one-shot refined build."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.ann import append_ivf_index, build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    base = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300)
+
+    inc_path = str(tmp_path / "ivf_ref_inc")
+    build_ivf_index(base, inc_path, n_centroids=8, refine_iters=2)
+    append_ivf_index(spark, inc_path, batch)
+
+    # one-shot: refine on BASE (the quantizer the incremental index
+    # owns), then assign the full set — replicating what the two-step
+    # path must equal
+    from cli_rag_spark.operators.ann import (
+        assign_centroids,
+        kmeans_refine,
+        seed_centroids,
+    )
+
+    cent = kmeans_refine(base, seed_centroids(base, 8), n_iters=2, round_digits=6)
+    expected = emb.join(assign_centroids(emb, cent), "vec_id")
+    key = lambda df: sorted((r["vec_id"], r["cid"]) for r in df.collect())
+    got = spark.read.parquet(inc_path).select("vec_id", "cid")
+    assert key(got) == key(expected)
