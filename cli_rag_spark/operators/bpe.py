@@ -1,0 +1,131 @@
+"""BPE merge training — the iterative tokenizer-training loop
+(Sennrich et al. 2016), distributed.
+
+``bpe_pair_stats`` (plans/queries_corpus.py) measures iteration 0;
+this module runs the actual LOOP: repeatedly find the corpus-wide
+most frequent adjacent symbol pair and merge it everywhere. The
+distributable heavy step per iteration is the weighted pair count —
+one explode + partial-aggregated groupBy over the DISTINCT-WORD table
+(BPE's standard compression: the corpus collapses to (word, freq)
+once, so iteration cost scales with vocabulary, not corpus size).
+The argmax is a 1-row TakeOrderedAndProject collect; the merge is a
+pure-map literal string replace.
+
+Symbol sequences are pipe-wrapped strings — every symbol carries
+its own delimiters (``|c||h||a||r|``) — and a merge of pair (a, b)
+is ``replace("|a||b|", "|ab|")`` — literal
+``replace`` is left-to-right non-overlapping in Spark AND DuckDB,
+which is exactly BPE's scan order, so the whole loop replays in the
+SQL oracle as chained CTE stages. Words are restricted to
+``^[a-z]+$`` so the delimiter can never collide with a symbol.
+
+Ties on the pair count break lexicographically (a asc, b asc) —
+deterministic across engines and cluster sizes.
+
+At 100 TB: the word-freq table is the only corpus-sized aggregation
+(one shuffle on the word key); each of the V merge iterations then
+touches only |vocab| rows. This is why production BPE trainers are
+feasible at web scale — and the structure survives here: nothing in
+the loop scans the corpus twice.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cli_rag_spark.functions.text import tokens
+
+_SEP = "|"
+_SEP_RE = re.escape(_SEP)
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over lowercase alphabetic tokens — the corpus
+    compression every BPE iteration reuses."""
+    toks = tokens(F.lower(F.col(text_col)))
+    words = docs.select(F.explode(toks).alias("word")).where(
+        F.col("word").rlike(r"^[a-z]+$")
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _initial_symbols(word) -> F.Column:
+    # each symbol carries BOTH its delimiters ("|a||b|", not "|a|b|"):
+    # with a shared boundary pipe, consecutive merges would fail —
+    # replace consumes the boundary of the next candidate ("aaaa" with
+    # pair (a,a) must give |aa||aa|, not |aa|a|a|)
+    return F.array_join(
+        F.transform(F.split(word, ""), lambda c: F.concat(F.lit(_SEP), c, F.lit(_SEP))),
+        "",
+    )
+
+
+def pair_counts(syms_freq: DataFrame) -> DataFrame:
+    """(a, b, n): corpus-weighted adjacent-pair frequencies of the
+    current symbol sequences. explode + groupBy — map-side combined."""
+    arr = F.filter(F.split(F.col("syms"), _SEP_RE), lambda x: x != "")
+    pairs = syms_freq.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.size(arr) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.struct(
+                        F.element_at(arr, i).alias("a"),
+                        F.element_at(arr, i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("freq").alias("n")
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> tuple[list[dict], DataFrame]:
+    """Run ``n_merges`` BPE iterations; returns (merges, final symbol
+    table). Each merge dict: {step, a, b, n}.
+
+    Driver work per iteration is ONE collected row (the argmax pair) —
+    the same driver/cluster split as Lloyd's k-means (operators/ann.py
+    kmeans_refine): tiny decisions on the driver, heavy counts on the
+    cluster.
+    """
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    wf = word_frequencies(docs, text_col)
+    syms = wf.select(_initial_symbols(F.col("word")).alias("syms"), "freq")
+    # the word table is the only corpus-derived state and is reused
+    # every iteration — persist once; each merge stacks a pure-map
+    # string replace on top, so lineage stays n_merges maps deep
+    syms = syms.persist()
+    merges: list[dict] = []
+    for step in range(1, n_merges + 1):
+        best_rows = (
+            pair_counts(syms)
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best_rows:
+            break
+        best = best_rows[0]
+        merges.append(
+            {"step": step, "a": best["a"], "b": best["b"], "n": best["n"]}
+        )
+        syms = syms.select(
+            F.replace(
+                F.col("syms"),
+                F.lit(f"{_SEP}{best['a']}{_SEP}{_SEP}{best['b']}{_SEP}"),
+                F.lit(f"{_SEP}{best['a']}{best['b']}{_SEP}"),
+            ).alias("syms"),
+            "freq",
+        )
+    return merges, syms

@@ -550,7 +550,72 @@ def _quality_drift_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY metric"
 
 
+BPE_MERGES = 3
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL BPE training loop (operators/bpe.py), 3 iterations:
+    per step, the corpus-wide argmax adjacent symbol pair (weighted by
+    word frequency) and its count, with the merge applied before the
+    next step — so steps 2 and 3 prove the merge REWRITE is right, not
+    just the counting (step 2's winner can only exist if step 1's
+    merge produced the merged symbol). Driver decisions are one
+    collected row per step; the heavy count is a distributed explode +
+    partial-agg over the distinct-word table."""
+    from cli_rag_spark.operators.bpe import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train_merges(docs, n_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        [(m["step"], m["a"], m["b"], m["n"]) for m in merges],
+        "step long, a string, b string, n long",
+    ).orderBy("step")
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    """The identical loop as chained CTE stages: pair-count ->
+    argmax -> literal replace (left-to-right non-overlapping in both
+    engines — BPE's scan order) -> next stage."""
+    ctes = [
+        r"""words AS (
+          SELECT word, count(*)::BIGINT AS freq FROM (
+            SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS word
+            FROM documents
+          ) WHERE regexp_matches(word, '^[a-z]+$')
+          GROUP BY word
+        )""",
+        """s0 AS (
+          SELECT '|' || array_to_string(regexp_split_to_array(word, ''), '||') || '|' AS syms, freq
+          FROM words
+        )""",
+    ]
+    for i in range(n_merges):
+        ctes.append(f"""p{i} AS (
+          SELECT p['a'] AS a, p['b'] AS b, sum(freq)::BIGINT AS n FROM (
+            SELECT freq, unnest(list_transform(range(1, len(l)), j -> {{'a': l[j], 'b': l[j+1]}})) AS p
+            FROM (SELECT list_filter(string_split(syms, '|'), x -> x <> '') AS l, freq FROM s{i})
+          ) GROUP BY 1, 2
+        )""")
+        ctes.append(
+            f"b{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+        )
+        if i + 1 < n_merges:
+            ctes.append(f"""s{i + 1} AS (
+              SELECT replace(syms,
+                             '|' || (SELECT a FROM b{i}) || '||' || (SELECT b FROM b{i}) || '|',
+                             '|' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || '|') AS syms,
+                     freq
+              FROM s{i}
+            )""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, a, b, n FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"WITH {', '.join(ctes)} {finals} ORDER BY step"
+
+
 QUERIES = {
+    "bpe_merges": q_bpe_merges,
     "quality_drift_ks": q_quality_drift_ks,
     "dsir_selection": q_dsir_selection,
     "curation_funnel": q_curation_funnel,
@@ -641,6 +706,7 @@ def _curation_funnel_sql() -> str:
 
 
 ORACLE = {
+    "bpe_merges": _bpe_merges_sql(BPE_MERGES),
     "quality_drift_ks": _quality_drift_sql(),
     "dsir_selection": f"""
         WITH tb AS (
