@@ -57,6 +57,12 @@ HEADLINE = [
     "repetition_scores",         # corpus: Gopher repetition filters (r3)
     "semantic_dedup",            # corpus: SemDeDup via bucketed GEMM (r3)
     "exact_substring_stats",     # corpus: ExactSubstr window dedup (r4)
+    "matryoshka_topk",           # vector: MRL prefix funnel (r5)
+    "tfidf_cosine_topk",         # search: sparse TF-IDF more-like-this (r5)
+    "quality_drift_ks",          # corpus: two-sample KS drift (r5)
+    "dsir_selection",            # corpus: DSIR importance selection (r5)
+    "token_budget_sample",       # training: per-source token budget (r5)
+    "bpe_merges",                # corpus: iterative BPE trainer (r5)
 ]
 
 

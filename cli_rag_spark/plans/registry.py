@@ -44,25 +44,21 @@ _PACKS = [
 #   4. remaining slots filled least-recently-verified-first.
 #
 # STALENESS INVARIANT (VERDICT r3 "Next round #3"): target is that no
-# query's latest green verdict is older than ~2 rounds. All 99
-# queries registered before r4 have a green verdict in r1 ∪ r2 ∪ r3
-# (the 3 r4 additions enter this round's window), and every query is
-# also value-exactly replayed against its DuckDB oracle locally every
-# test run (tests/test_parity.py — the stronger, all-query gate); the
-# driver window is the independent external sample, rotated so
-# staleness stays bounded.
+# query's latest green verdict is older than ~2 rounds. With 121
+# registered queries and 33 rotating slots behind the 17 sentinels, a
+# full rotation takes ~3 rounds — the invariant is enforced as
+# "oldest verdicts fill first", and every query is ALSO value-exactly
+# replayed against its DuckDB oracle locally on every test run
+# (tests/test_parity.py — the stronger, all-query gate); the driver
+# window is the independent external sample, rotated so staleness
+# stays bounded.
 #
-# Round-4 window: 17 sentinels; the r4-changed queries (pq_topk's
-# persisted-index rewrite, partitioned_compaction's raise guard,
-# ivf_topk/kmeans_clusters via the assign_centroids/kmeans_refine
-# metric threading); the two r3-kernel queries the verdict named as
-# stale (embedding_near_dups, dedup_near_count: shared kernel gained
-# bucket_col after their r2 verdicts); the remaining GEMM siblings
-# under the new best-of-4 bench protocol (knn_join_lsh, knn_join_all);
-# the seven r2-verified timestamp carriers (NTZ normalization became
-# timezone-explicit this round); and all 18 r1-verified queries (the
-# stalest cohort — 3 rounds old). The ~19 remaining r2-verified
-# queries plus knn_join_ivf/semantic_dedup rotate into the r5 window.
+# Round-5 window: 17 sentinels; the FOURTEEN never-verified round-5
+# operators (rule 3 dominates this round); the two r3-verified
+# queries touched by the r5 ann.py rework; then the stalest fill —
+# all 7 remaining r1-verified queries and 10 of the 19 r2-verified.
+# After this round every r1 verdict has been refreshed; the 9
+# remaining r2-verified queries head the r6 fill.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -83,41 +79,39 @@ _SENTINELS = [
     "hamming_topk",               # binary vectors (BINARY_VECTOR)
 ]
 _PRIORITY = _SENTINELS + [
-    # (3) never driver-checked: new r4 operators (IVFADC, batch ADC
-    # join, Z-order clustered rewrite, batch RAG contexts, streaming
-    # foreachBatch upsert bridge)
-    "ivfpq_topk", "ivfpq_residual_topk", "knn_join_pq",
-    "zorder_roundtrip", "rag_contexts_batch", "streaming_upsert_totals",
-    "exact_substring_stats", "curation_funnel",
-    # (2) changed since last verdict — round-4 code changes
-    "pq_topk",                  # persisted index build/read path (r4)
-    "partitioned_compaction",   # integrity guard assert -> raise (r4)
-    "ivf_topk",                 # assign_centroids metric threading (r2 verdict)
-    # kmeans_clusters' r4 change is an additive default param (metric=
-    # 'cosine'), behavior-identical and locked by the local all-query
-    # parity replay -> displaced by exact_substring_stats, r5 window
-    # (2) changed after their r2 verdicts: shared near-dup kernel
-    # gained bucket_col in r3 (VERDICT r3 "Next round #3")
-    "embedding_near_dups", "dedup_near_count",
-    # (2) GEMM siblings newly under the best-of-4 bench protocol
-    "knn_join_lsh", "knn_join_all",
-    # (2) r2-verified timestamp carriers: NTZ normalization became
-    # timezone-explicit this round (sources/documents.py)
-    "approx_price_quantiles", "retention_cohorts", "salted_top_events",
-    "range_click_burst", "streaming_dedup_keys",
-    "streaming_enriched_segments", "streaming_hourly_windows",
-    # (4) least-recently-verified: the full r1-verified cohort
-    # (3 rounds stale — the staleness-invariant priority)
-    "active_high_value_orders", "brand_size_pivot",
-    "customer_balance_quartiles", "customer_order_distribution",
-    "customer_set_ops", "idle_suppliers", "local_supplier_volume",
-    "nation_trade_volume", "order_priority_rollup", "part_supplier_agg",
-    "parts_above_brand_avg",
-    # price_percentiles, promo_revenue_ratio, returnflag_grouping_sets,
-    # revenue_forecast, scalar_function_breadth, segment_nation_cube,
-    # top_parts_per_brand (r1) displaced by the never-verified r4
-    # operators (rule 3 outranks the staleness fill) -> head of the
-    # r5 window
+    # (3) never driver-checked: the 14 round-5 operators — snapshots/
+    # time travel + CDC/delete, TF-IDF more-like-this, DSIR selection,
+    # mixture weights, incremental IVF append, refined-IVF persisted
+    # probe, distributed-PCA covariance bridge, KS drift, token-budget
+    # sampling, Matryoshka funnel, leak-proof splits, iterative BPE,
+    # streaming MinHash ingest
+    "snapshot_time_travel", "snapshot_cdc_stats", "tfidf_cosine_topk",
+    "dsir_selection", "mixture_weights", "ivf_append_stats",
+    "ivf_refined_topk", "embedding_covariance", "quality_drift_ks",
+    "token_budget_sample", "matryoshka_topk", "leakproof_split_counts",
+    "bpe_merges", "streaming_incremental_dedup",
+    # (2) changed since last verdict: the r5 ann.py rework (sidecar
+    # quantizer, shared _kmeans_cte_chain oracle builder) touches the
+    # kmeans/IVF family — ivf_topk is already a sentinel; these two
+    # carry r3 verdicts
+    "kmeans_clusters", "knn_join_ivf",
+    # (4) least-recently-verified fill, oldest first: the 7 remaining
+    # r1-verified queries (4 rounds stale — displaced from the r4
+    # window by its never-verified cohort)...
+    "revenue_forecast", "promo_revenue_ratio", "segment_nation_cube",
+    "price_percentiles", "top_parts_per_brand",
+    "returnflag_grouping_sets", "scalar_function_breadth",
+    # ...then 10 of the 19 r2-verified (3 rounds stale)
+    "quantized_topk", "cosine_histogram", "token_counts",
+    "quality_scores", "lang_id_confusion", "fingerprint_dups",
+    "chunk_fixed", "chunk_clean_stats", "dedup_exact_count",
+    "decontamination",
+    # the remaining 9 r2-verified (ngram_jaccard, simhash_groups,
+    # shipping_priority, top_customers_per_nation, binary_metadata,
+    # audio_window_stats, hybrid_rrf_topk, stratified_sample,
+    # pack_chunks_stats) head the r6 fill; every r3/r4-verified query
+    # is ≤ 2 rounds stale and all 121 replay value-exact in the local
+    # all-query parity gate every test run (tests/test_parity.py)
 ]
 
 

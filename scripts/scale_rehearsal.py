@@ -66,6 +66,13 @@ QUERIES = [
     "lm_perplexity",
     "semantic_dedup",
     "pq_topk",
+    # r5 operators: sparse lexical ranking (df-capped posting join),
+    # DSIR (hashed-bucket log-ratio broadcast), iterative BPE (the
+    # only corpus-scan is the word-freq build; 3 merge rounds then
+    # touch vocabulary-sized state only)
+    "tfidf_cosine_topk",
+    "dsir_selection",
+    "bpe_merges",
 ]
 
 
