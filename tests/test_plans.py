@@ -216,3 +216,44 @@ def test_pq_family_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "zorder_roundtrip")
     assert plan.count("Exchange rangepartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_r5_plan_shapes(spark, sf_dir):
+    """Round-5 operators: the scale-critical plan properties."""
+    # Matryoshka: both funnel stages are bounded heaps, never a full sort
+    plan = _plan(spark, sf_dir, "matryoshka_topk")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    # KS drift: the ECDF window runs over the reduced distinct-value
+    # table — exactly one data-sized aggregate per metric arm, and the
+    # totals frame joins as a broadcast
+    plan = _plan(spark, sf_dir, "quality_drift_ks")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # token budget: one window partitioned by the group key, no
+    # unpartitioned global window anywhere
+    plan = _plan(spark, sf_dir, "token_budget_sample")
+    assert "Window" in plan
+    # covariance bridge: single-scan aggregate, no joins at all
+    plan = _plan(spark, sf_dir, "embedding_covariance")
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+    # TF-IDF: the query-side posting list joins broadcast (small side)
+    plan = _plan(spark, sf_dir, "tfidf_cosine_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_covariance_shuffle_is_dim_bounded(spark, sf_dir):
+    """The Gram reduce must shuffle keyed partials (d²+d+1 positions),
+    never row data: the exchange hashes on `pos` after the mapInPandas
+    stage."""
+    from cli_rag_spark.operators.pca import gram_partials
+    from cli_rag_spark.sources.documents import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = gram_partials(emb, "embedding", 64).select(
+        F.posexplode(F.col("gram")).alias("pos", "val")
+    ).groupBy("pos").agg(F.sum("val"))
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(pos" in plan
