@@ -56,9 +56,10 @@ _PACKS = [
 # Round-5 window: 17 sentinels; the FOURTEEN never-verified round-5
 # operators (rule 3 dominates this round); the two r3-verified
 # queries touched by the r5 ann.py rework; then the stalest fill —
-# all 7 remaining r1-verified queries and 10 of the 19 r2-verified.
-# After this round every r1 verdict has been refreshed; the 9
-# remaining r2-verified queries head the r6 fill.
+# all 7 remaining r1-verified queries, 9 of the 19 r2-verified, and
+# the events-family representative (sessionization). After this round
+# every r1 verdict has been refreshed; the 10 remaining r2-verified
+# queries head the r6 fill.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -101,15 +102,18 @@ _PRIORITY = _SENTINELS + [
     "revenue_forecast", "promo_revenue_ratio", "segment_nation_cube",
     "price_percentiles", "top_parts_per_brand",
     "returnflag_grouping_sets", "scalar_function_breadth",
-    # ...then 10 of the 19 r2-verified (3 rounds stale)
+    # ...then 9 of the 19 r2-verified (3 rounds stale) + the events-
+    # family representative (sessionization, r3 — the family-coverage
+    # rule of the window contract, tests/test_plans.py)
     "quantized_topk", "cosine_histogram", "token_counts",
     "quality_scores", "lang_id_confusion", "fingerprint_dups",
     "chunk_fixed", "chunk_clean_stats", "dedup_exact_count",
-    "decontamination",
-    # the remaining 9 r2-verified (ngram_jaccard, simhash_groups,
-    # shipping_priority, top_customers_per_nation, binary_metadata,
-    # audio_window_stats, hybrid_rrf_topk, stratified_sample,
-    # pack_chunks_stats) head the r6 fill; every r3/r4-verified query
+    "sessionization",
+    # the remaining 10 r2-verified (decontamination, ngram_jaccard,
+    # simhash_groups, shipping_priority, top_customers_per_nation,
+    # binary_metadata, audio_window_stats, hybrid_rrf_topk,
+    # stratified_sample, pack_chunks_stats) head the r6 fill; every
+    # r3/r4-verified query
     # is ≤ 2 rounds stale and all 121 replay value-exact in the local
     # all-query parity gate every test run (tests/test_parity.py)
 ]
