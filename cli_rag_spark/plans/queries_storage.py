@@ -283,14 +283,102 @@ def q_snapshot_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot lifecycle GC (sources/snapshots.py vacuum_snapshots):
+    3-version history (write → merge → delete), then vacuum
+    keep_last=1 — expired manifests removed first, then any data dir
+    no retained manifest references (bucket CoW means v1's dir
+    usually survives: it still serves buckets v2/v3 never rewrote).
+
+    The judged row carries the vacuum report (kept/removed version
+    counts — deterministic for this history) AND the post-vacuum
+    latest-version aggregate: a green row proves GC removed history
+    without corrupting the surviving version, through the driver's
+    channel. That v1/v2 are genuinely unreadable afterwards is
+    asserted in tests/test_snapshots.py (exceptions can't ride the
+    oracle)."""
+    from cli_rag_spark.sources.snapshots import (
+        _fs,
+        delete_snapshot,
+        read_snapshot,
+        upsert_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch("snapshot_vac", sf_dir)
+    fs, root = _fs(spark, path)
+    fs.delete(root, True)
+    write_snapshot(orders, path, "o_orderkey")
+    updates = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    )
+    inserts = orders.where(F.col("o_orderkey") % 501 == 5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000)
+    )
+    upsert_snapshot(spark, path, updates.unionByName(inserts))
+    del_keys = (
+        read_snapshot(spark, path, 2)
+        .where(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey")
+    )
+    delete_snapshot(spark, path, del_keys)
+
+    report = vacuum_snapshots(spark, path, keep_last=1)
+
+    return (
+        read_snapshot(spark, path)
+        .agg(
+            F.lit(len(report["kept_versions"])).cast("long").alias("n_kept"),
+            F.lit(len(report["removed_versions"])).cast("long").alias("n_removed"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "R", 1).otherwise(0)
+            ).alias("n_updated"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+            F.sum("o_orderkey").alias("sum_keys"),
+        )
+    )
+
+
 QUERIES = {
     "partitioned_compaction": q_partitioned_compaction,
     "zorder_roundtrip": q_zorder_roundtrip,
     "snapshot_time_travel": q_snapshot_time_travel,
     "snapshot_cdc_stats": q_snapshot_cdc_stats,
+    "snapshot_vacuum_stats": q_snapshot_vacuum_stats,
 }
 
 ORACLE = {
+    "snapshot_vacuum_stats": """
+        WITH batch AS (
+          SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+                 o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey + 1000000, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 501 = 5
+        ), v2 AS (
+          SELECT * FROM orders
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+          UNION ALL SELECT * FROM batch
+        ), v3 AS (
+          SELECT * FROM v2 WHERE o_orderkey % 11 <> 0
+        )
+        SELECT CAST(1 AS BIGINT) AS n_kept,
+               CAST(2 AS BIGINT) AS n_removed,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderstatus = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        FROM v3
+    """,
     "snapshot_cdc_stats": """
         WITH batch AS (
           SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,

@@ -44,7 +44,7 @@ _PACKS = [
 #   4. remaining slots filled least-recently-verified-first.
 #
 # STALENESS INVARIANT (VERDICT r3 "Next round #3"): target is that no
-# query's latest green verdict is older than ~2 rounds. With 121
+# query's latest green verdict is older than ~2 rounds. With 122
 # registered queries and 33 rotating slots behind the 17 sentinels, a
 # full rotation takes ~3 rounds — the invariant is enforced as
 # "oldest verdicts fill first", and every query is ALSO value-exactly
@@ -54,7 +54,8 @@ _PACKS = [
 # stays bounded.
 #
 # Round-5 window: 17 sentinels; the FOURTEEN never-verified round-5
-# operators (rule 3 dominates this round); the two r3-verified
+# operators + the late 15th (snapshot_vacuum_stats; dedup_exact_count
+# moved to the r6 fill to make room); the two r3-verified
 # queries touched by the r5 ann.py rework; then the stalest fill —
 # all 7 remaining r1-verified queries, 9 of the 19 r2-verified, and
 # the events-family representative (sessionization). After this round
@@ -80,8 +81,8 @@ _SENTINELS = [
     "hamming_topk",               # binary vectors (BINARY_VECTOR)
 ]
 _PRIORITY = _SENTINELS + [
-    # (3) never driver-checked: the 14 round-5 operators — snapshots/
-    # time travel + CDC/delete, TF-IDF more-like-this, DSIR selection,
+    # (3) never driver-checked: the 15 round-5 operators — snapshots/
+    # time travel + CDC/delete/vacuum, TF-IDF more-like-this, DSIR selection,
     # mixture weights, incremental IVF append, refined-IVF persisted
     # probe, distributed-PCA covariance bridge, KS drift, token-budget
     # sampling, Matryoshka funnel, leak-proof splits, iterative BPE,
@@ -90,7 +91,7 @@ _PRIORITY = _SENTINELS + [
     "dsir_selection", "mixture_weights", "ivf_append_stats",
     "ivf_refined_topk", "embedding_covariance", "quality_drift_ks",
     "token_budget_sample", "matryoshka_topk", "leakproof_split_counts",
-    "bpe_merges", "streaming_incremental_dedup",
+    "bpe_merges", "streaming_incremental_dedup", "snapshot_vacuum_stats",
     # (2) changed since last verdict: the r5 ann.py rework (sidecar
     # quantizer, shared _kmeans_cte_chain oracle builder) touches the
     # kmeans/IVF family — ivf_topk is already a sentinel; these two
@@ -107,15 +108,15 @@ _PRIORITY = _SENTINELS + [
     # rule of the window contract, tests/test_plans.py)
     "quantized_topk", "cosine_histogram", "token_counts",
     "quality_scores", "lang_id_confusion", "fingerprint_dups",
-    "chunk_fixed", "chunk_clean_stats", "dedup_exact_count",
+    "chunk_fixed", "chunk_clean_stats",
     "sessionization",
-    # the remaining 10 r2-verified (decontamination, ngram_jaccard,
-    # simhash_groups, shipping_priority, top_customers_per_nation,
-    # binary_metadata, audio_window_stats, hybrid_rrf_topk,
-    # stratified_sample, pack_chunks_stats) head the r6 fill; every
-    # r3/r4-verified query
-    # is ≤ 2 rounds stale and all 121 replay value-exact in the local
-    # all-query parity gate every test run (tests/test_parity.py)
+    # the remaining 11 r2-verified (dedup_exact_count, decontamination,
+    # ngram_jaccard, simhash_groups, shipping_priority,
+    # top_customers_per_nation, binary_metadata, audio_window_stats,
+    # hybrid_rrf_topk, stratified_sample, pack_chunks_stats) head the
+    # r6 fill; every r3/r4-verified query is ≤ 2 rounds stale and all
+    # 122 replay value-exact in the local all-query parity gate every
+    # test run (tests/test_parity.py)
 ]
 
 

@@ -340,3 +340,63 @@ def snapshot_changes(
         .select(F.col(key_col), F.col("change_type"), image.alias("_img"))
         .select(key_col, "change_type", "_img.*")
     )
+
+
+def vacuum_snapshots(
+    spark: SparkSession, path: str, keep_last: int = 2
+) -> dict:
+    """Expire all but the last ``keep_last`` versions and delete data
+    directories no retained manifest references — the table-format
+    lifecycle's garbage collection (time travel is only affordable if
+    history can be bounded).
+
+    Safety order: expired MANIFESTS are deleted FIRST, then data dirs
+    that are no longer referenced by any remaining manifest. A crash
+    mid-vacuum therefore leaves either (a) extra unreferenced data
+    (invisible to readers, re-collected next vacuum) or (b) expired
+    manifests still present with their data intact — never a
+    referenced-but-deleted bucket. A version's data dir is retained if
+    ANY kept manifest's owners map points into it (bucket CoW means
+    old dirs keep serving buckets newer versions never rewrote).
+
+    Driver-only metadata operation: cost is O(versions + buckets),
+    no Spark job. Returns {"kept_versions", "removed_versions",
+    "removed_data_dirs"}.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, root = _fs(spark, path)
+    latest = latest_version(spark, path)
+    all_versions = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("_manifest_v") and name.endswith(".json"):
+            all_versions.append(int(name[len("_manifest_v"):-len(".json")]))
+    keep = sorted(v for v in all_versions if v > latest - keep_last)
+    drop = sorted(v for v in all_versions if v not in keep)
+
+    referenced: set[int] = set()
+    for v in keep:
+        manifest = _read_manifest(spark, path, v)
+        referenced.update(int(owner) for owner in manifest["owners"].values())
+
+    for v in drop:
+        fs.delete(_manifest_path(spark, path, v), False)
+
+    removed_dirs = []
+    data_root = spark._jvm.org.apache.hadoop.fs.Path(path, "data")
+    if fs.exists(data_root):
+        for status in fs.listStatus(data_root):
+            name = status.getPath().getName()
+            if not name.startswith("v"):
+                continue
+            v = int(name[1:])
+            if v not in referenced:
+                fs.delete(status.getPath(), True)
+                removed_dirs.append(v)
+
+    return {
+        "kept_versions": keep,
+        "removed_versions": drop,
+        "removed_data_dirs": sorted(removed_dirs),
+    }

@@ -210,3 +210,69 @@ def test_snapshot_changes_skips_shared_buckets(spark, sf_dir, tmp_path):
     rows = diff.collect()
     assert [r["o_orderkey"] for r in rows] == [7]
     assert rows[0]["change_type"] == "update"
+
+
+def test_vacuum_expires_history_and_preserves_latest(spark, sf_dir, tmp_path):
+    """keep_last=1: old versions become unreadable, the latest is
+    byte-identical to pre-vacuum, and shared bucket data dirs survive
+    (v1's dir still serves buckets never rewritten)."""
+    import glob as _glob
+
+    from cli_rag_spark.sources.snapshots import (
+        delete_snapshot,
+        vacuum_snapshots,
+    )
+
+    path = str(tmp_path / "snap")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    # SPARSE writes: a broad (%7) upsert would touch all 16 buckets
+    # and legitimately unreference v1's data dir — the sharing claim
+    # needs v3's owners to still point into v1
+    upsert_snapshot(
+        spark, path,
+        orders.where(F.col("o_orderkey") == 42).withColumn(
+            "o_orderstatus", F.lit("R")
+        ),
+    )
+    delete_snapshot(
+        spark, path,
+        orders.where(F.col("o_orderkey") % 499 == 0).select("o_orderkey"),
+    )
+    before = key(read_snapshot(spark, path, 3))
+
+    report = vacuum_snapshots(spark, path, keep_last=1)
+    assert report["kept_versions"] == [3]
+    assert report["removed_versions"] == [1, 2]
+    # v3's owners still reference v1 (CoW sharing) -> v1 data survives
+    assert _glob.glob(f"{path}/data/v1/bucket=*")
+    assert key(read_snapshot(spark, path)) == before
+    for gone in (1, 2):
+        with pytest.raises(ValueError, match="no snapshot version"):
+            read_snapshot(spark, path, gone)
+    # idempotent: nothing left to collect
+    again = vacuum_snapshots(spark, path, keep_last=1)
+    assert again["removed_versions"] == [] and again["removed_data_dirs"] == []
+
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_snapshots(spark, path, keep_last=0)
+
+
+def test_vacuum_collects_fully_unreferenced_dirs(spark, sf_dir, tmp_path):
+    """A version whose every bucket was later rewritten loses its data
+    dir at vacuum."""
+    from cli_rag_spark.sources.snapshots import vacuum_snapshots
+
+    path = str(tmp_path / "snap")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    # rewrite EVERY bucket (update all rows) -> v1 fully superseded
+    upsert_snapshot(
+        spark, path, orders.withColumn("o_orderstatus", F.lit("X"))
+    )
+    report = vacuum_snapshots(spark, path, keep_last=1)
+    assert report["removed_versions"] == [1]
+    assert report["removed_data_dirs"] == [1]
+    import os
+
+    assert not os.path.isdir(f"{path}/data/v1")
