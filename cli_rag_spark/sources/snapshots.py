@@ -146,22 +146,33 @@ def write_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """Read a snapshot AS OF ``version`` (default: latest). Buckets are
-    gathered from each owning version's data dir with a bucket filter
-    — partition pruning keeps the read to exactly the owned leaves."""
+    gathered from each owning version's data dir with a filter on the
+    PARTITION column — partition pruning keeps the read to exactly the
+    owned leaves. ``buckets`` restricts the read to a subset of bucket
+    ids (still via the partition column, so the pruning composes —
+    the CDC reader's manifest-pruned scan rides this)."""
     if version is None:
         version = latest_version(spark, path)
     manifest = _read_manifest(spark, path, version)
     by_owner: dict[int, list[int]] = {}
     for b, v in manifest["owners"].items():
+        if buckets is not None and int(b) not in buckets:
+            continue
         by_owner.setdefault(int(v), []).append(int(b))
+    if not by_owner:
+        empty = spark.read.parquet(f"{path}/data/v1").where(F.lit(False))
+        return empty.select(*manifest["columns"])
     parts = []
-    for v, buckets in sorted(by_owner.items()):
+    for v, owned in sorted(by_owner.items()):
         part = (
             spark.read.parquet(f"{path}/data/v{v}")
-            .where(F.col(_BUCKET_COL).isin(buckets))
+            .where(F.col(_BUCKET_COL).isin(owned))
         )
         parts.append(part)
     out = parts[0]
@@ -311,15 +322,12 @@ def snapshot_changes(
         for b in set(mf["owners"]) | set(mt["owners"])
         if mf["owners"].get(b) != mt["owners"].get(b)
     )
-    n_buckets = mt["n_buckets"]
 
     def _slice(version: int) -> DataFrame:
-        return (
-            read_snapshot(spark, path, version)
-            .withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
-            .where(F.col(_BUCKET_COL).isin(changed))
-            .drop(_BUCKET_COL)
-        )
+        # restriction goes through read_snapshot's partition-column
+        # filter — the owner-divergent buckets are PRUNED at the scan,
+        # not filtered after a full read (plan-asserted in tests)
+        return read_snapshot(spark, path, version, buckets=changed)
 
     old = _slice(from_version).select(
         F.col(key_col), F.struct(*cols).alias("_pre")
