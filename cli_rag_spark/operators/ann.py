@@ -39,12 +39,12 @@ _META_NAME = "_ivf_meta.json"
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
-    """(hadoop FileSystem for the path's scheme, hadoop Path) — same
-    pattern as sources/compaction.py so local, HDFS and s3a:// all
-    work; never driver-local ``os`` calls."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+    """Delegates to the package's one FileSystem helper
+    (sources/compaction.py) so local, HDFS and s3a:// all work; never
+    driver-local ``os`` calls."""
+    from cli_rag_spark.sources.compaction import _fs
+
+    return _fs(spark, path)
 
 
 def seed_centroids(
@@ -183,15 +183,22 @@ def build_ivf_index(
             vectors, centroids, n_iters=refine_iters,
             id_col=id_col, vec_col=vec_col, round_digits=round_digits,
         )
-    centroids = centroids.select(
-        "cid", F.col("cvec").cast("array<double>").alias("cvec")
-    )
+    # materialize the quantizer ONCE: the refine lineage (per-iteration
+    # full-corpus assignment + means) would otherwise re-execute for
+    # the sidecar write after already running inside the assignment
+    # job. C rows of d doubles collect in microseconds and re-enter as
+    # a literal local frame (broadcast-sized by construction).
+    spark = vectors.sparkSession
+    rows = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in centroids.collect()
+    ]
+    centroids = spark.createDataFrame(rows, "cid long, cvec array<double>")
     assigned = vectors.join(
         assign_centroids(vectors, centroids, id_col, vec_col), id_col
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/{_CENTROID_DIR}")
-    spark = vectors.sparkSession
     fs, root = _hadoop_fs(spark, path)
     meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
     out = fs.create(meta_path, True)

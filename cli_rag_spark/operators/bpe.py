@@ -103,9 +103,15 @@ def bpe_train_merges(
     wf = word_frequencies(docs, text_col)
     syms = wf.select(_initial_symbols(F.col("word")).alias("syms"), "freq")
     # the word table is the only corpus-derived state and is reused
-    # every iteration — persist once; each merge stacks a pure-map
-    # string replace on top, so lineage stays n_merges maps deep
-    syms = syms.persist()
+    # every iteration — persist once. Each merge stacks a pure-map
+    # string replace on the persisted base; every CHECKPOINT_EVERY
+    # merges the current frame is localCheckpoint-ed (same lineage
+    # discipline as operators/components.py), so a long merge schedule
+    # costs O(n_merges) replace evaluations total, not O(n_merges²)
+    # replays of the whole chain per pair count.
+    base = syms.persist()
+    syms = base
+    CHECKPOINT_EVERY = 8
     merges: list[dict] = []
     for step in range(1, n_merges + 1):
         best_rows = (
@@ -128,4 +134,12 @@ def bpe_train_merges(
             ).alias("syms"),
             "freq",
         )
+        if step % CHECKPOINT_EVERY == 0:
+            syms = syms.localCheckpoint(eager=True)
+    if merges and len(merges) >= CHECKPOINT_EVERY:
+        # the returned frame no longer depends on the cached base
+        syms = syms.localCheckpoint(eager=True)
+    base.unpersist(blocking=False)  # repeated trainer calls must not
+    # accumulate session-lifetime cached copies (review r5); short
+    # schedules recompute the word table on later use — one scan
     return merges, syms

@@ -480,20 +480,25 @@ def build_pq_index(
     pruning means the ADC path never touches an embedding byte.
     """
     codebook = build_pq_codebook(vectors, m_subspaces, k_codes, id_col, vec_col)
-    if refine_iters > 0:
-        codebook = refine_pq_codebook(
-            vectors, codebook, m_subspaces, refine_iters, id_col, vec_col, round_digits
-        )
-    # bounded 1-row probe, BEFORE any write: an empty vectors frame
-    # (or absent seed ids) yields an empty seeded codebook, and writing
-    # it would leave a partial index (empty codes/codebook, no
-    # _pq_meta.json) behind an opaque TypeError (ADVICE r4)
+    # bounded 1-row probe on the SEEDED codebook, BEFORE refinement and
+    # BEFORE any write: an empty vectors frame (or absent seed ids)
+    # yields an empty seeded codebook, and writing it would leave a
+    # partial index (empty codes/codebook, no _pq_meta.json) behind an
+    # opaque TypeError (ADVICE r4). Probing pre-refinement matters:
+    # first() on the refined frame would execute the full per-iteration
+    # corpus-assignment lineage once for the probe and AGAIN for the
+    # write — the seeded frame is a k-row slice, and refinement
+    # preserves both emptiness and sub-vector geometry.
     probe = codebook.select(F.size("cvec").alias("ds")).first()
     if probe is None:
         raise ValueError(
             "build_pq_index: seeded codebook is empty (no input vectors, "
             "or the k_codes lowest-id seed rows are absent) — refusing to "
             "write an empty index"
+        )
+    if refine_iters > 0:
+        codebook = refine_pq_codebook(
+            vectors, codebook, m_subspaces, refine_iters, id_col, vec_col, round_digits
         )
     codebook.write.mode("overwrite").parquet(f"{path}/codebook")
     spark = vectors.sparkSession

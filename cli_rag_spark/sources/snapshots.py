@@ -50,20 +50,21 @@ _MODULUS = 10_000  # md5 bucket space, shared convention with training.py
 
 
 def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+    """Canonical Hadoop FileSystem helper — one implementation for the
+    whole package (compaction, snapshots, streaming bridges import
+    this name; operators/ann.py delegates here too)."""
+    from cli_rag_spark.sources.compaction import _fs as _compaction_fs
+
+    return _compaction_fs(spark, path)
 
 
 def bucket_of(key, n_buckets: int):
     """Deterministic bucket id of a key column: md5(key) % B via the
     same 15-hex-digit prefix trick as training.split_assignment —
     replayable in any engine with md5."""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
-        % _MODULUS
-        % n_buckets
-    )
+    from cli_rag_spark.functions.hashing import md5_int60
+
+    return md5_int60(key.cast("string")) % _MODULUS % n_buckets
 
 
 def _manifest_path(spark: SparkSession, path: str, version: int):
@@ -166,7 +167,26 @@ def read_snapshot(
             continue
         by_owner.setdefault(int(v), []).append(int(b))
     if not by_owner:
-        empty = spark.read.parquet(f"{path}/data/v1").where(F.lit(False))
+        # schema must come from a data dir that still exists (vacuum
+        # may have collected v1): any dir referenced by THIS manifest,
+        # else any surviving data/v* dir
+        fs, _ = _fs(spark, path)
+        candidates = sorted({int(v) for v in manifest["owners"].values()})
+        if not candidates:
+            data_root = spark._jvm.org.apache.hadoop.fs.Path(path, "data")
+            if fs.exists(data_root):
+                candidates = sorted(
+                    int(st.getPath().getName()[1:])
+                    for st in fs.listStatus(data_root)
+                    if st.getPath().getName().startswith("v")
+                )
+        if not candidates:
+            raise ValueError(
+                f"snapshot at {path} has no data files to derive a schema from"
+            )
+        empty = spark.read.parquet(
+            f"{path}/data/v{candidates[-1]}"
+        ).where(F.lit(False))
         return empty.select(*manifest["columns"])
     parts = []
     for v, owned in sorted(by_owner.items()):
@@ -211,11 +231,13 @@ def upsert_snapshot(
         for r in upd.select(_BUCKET_COL).distinct().collect()
     )
     if touched:
-        current = (
-            read_snapshot(spark, path, version)
-            .withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
-            .where(F.col(_BUCKET_COL).isin(touched))
-        )
+        # the touched slice rides read_snapshot's PARTITION-column
+        # filter (pruned scan of the touched leaves only — the
+        # O(k/B · table) contract; the bucket column is re-derived
+        # afterwards purely for the partitioned write)
+        current = read_snapshot(
+            spark, path, version, buckets=touched
+        ).withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
         cols = manifest["columns"] + [_BUCKET_COL]
         merged = (
             current.join(upd.select(key_col), key_col, "left_anti")
@@ -266,22 +288,39 @@ def delete_snapshot(
     touched = sorted(
         r[_BUCKET_COL] for r in dk.select(_BUCKET_COL).distinct().collect()
     )
+    emptied: set[int] = set()
     if touched:
-        current = (
-            read_snapshot(spark, path, version)
-            .withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
-            .where(F.col(_BUCKET_COL).isin(touched))
-        )
+        # pruned read of the touched leaves only (same contract as
+        # upsert_snapshot)
+        current = read_snapshot(
+            spark, path, version, buckets=touched
+        ).withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
         cols = manifest["columns"] + [_BUCKET_COL]
         remaining = current.join(dk.select(key_col), key_col, "left_anti").select(*cols)
-        (
-            remaining.write.mode("overwrite")
-            .partitionBy(_BUCKET_COL)
-            .parquet(f"{path}/data/v{new_version}")
-        )
+        # a delete can empty SOME or ALL touched buckets. A partition
+        # missing from the new data dir reads as zero rows (fine), but
+        # a dir with NO part files at all fails schema inference on
+        # read — so fully-emptied buckets leave the owners map instead
+        # of pointing at a fileless dir, and if nothing remains the
+        # dir isn't written. One extra narrow aggregate per delete
+        # commit pays for the guarantee.
+        kept_buckets = {
+            r[_BUCKET_COL]
+            for r in remaining.select(_BUCKET_COL).distinct().collect()
+        }
+        emptied = set(touched) - kept_buckets
+        if kept_buckets:
+            (
+                remaining.write.mode("overwrite")
+                .partitionBy(_BUCKET_COL)
+                .parquet(f"{path}/data/v{new_version}")
+            )
     owners = dict(manifest["owners"])
     for b in touched:
-        owners[str(b)] = new_version
+        if b in emptied:
+            owners.pop(str(b), None)  # bucket has no rows in this version
+        else:
+            owners[str(b)] = new_version
     _write_manifest(spark, path, {
         "version": new_version,
         "key_col": key_col,
@@ -393,13 +432,22 @@ def vacuum_snapshots(
 
     removed_dirs = []
     data_root = spark._jvm.org.apache.hadoop.fs.Path(path, "data")
+    newest_kept = max(keep) if keep else 0
     if fs.exists(data_root):
         for status in fs.listStatus(data_root):
             name = status.getPath().getName()
             if not name.startswith("v"):
                 continue
             v = int(name[1:])
-            if v not in referenced:
+            # version-ordering gate: a dir NEWER than the newest kept
+            # manifest may be an IN-FLIGHT commit (data written,
+            # manifest rename pending — the documented commit order),
+            # so it is never collected here; once a later manifest
+            # commits, a crashed orphan falls behind and is collected
+            # on the next vacuum. This is the age-gating real table
+            # formats apply to orphan deletion, keyed on the version
+            # counter instead of mtime.
+            if v not in referenced and v <= newest_kept:
                 fs.delete(status.getPath(), True)
                 removed_dirs.append(v)
 

@@ -299,3 +299,67 @@ def test_snapshot_changes_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     pfs = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pfs and all("bucket" in pf for pf in pfs)
     assert diff.count() == 1
+
+
+def test_delete_that_empties_a_bucket_keeps_table_readable(spark, sf_dir, tmp_path):
+    """Review r5 (confirmed repro): deleting every row of a touched
+    bucket must not commit a fileless data dir — the emptied bucket
+    leaves the owners map, reads skip it, and a later insert recreates
+    it."""
+    from cli_rag_spark.sources.snapshots import (
+        bucket_of,
+        delete_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    # every key of ONE bucket
+    b0 = (
+        orders.withColumn("b", bucket_of(F.col("o_orderkey"), 16))
+        .where(F.col("b") == 3)
+        .select("o_orderkey")
+    )
+    n_b0 = b0.count()
+    assert n_b0 > 0
+    delete_snapshot(spark, path, b0)
+
+    v2 = read_snapshot(spark, path)  # must not crash on schema inference
+    assert v2.count() == orders.count() - n_b0
+    expected = orders.join(b0, "o_orderkey", "left_anti")
+    assert key(v2) == key(expected)
+    # the bucket comes back on insert
+    back = orders.join(b0, "o_orderkey", "semi").limit(3)
+    upsert_snapshot(spark, path, back)
+    v3 = read_snapshot(spark, path)
+    assert v3.count() == orders.count() - n_b0 + 3
+
+
+def test_vacuum_spares_inflight_newer_data_dir(spark, sf_dir, tmp_path):
+    """Review r5: a data dir NEWER than the newest kept manifest may be
+    an in-flight commit (data written, manifest rename pending) and
+    must survive vacuum; it is collected only once later manifests
+    supersede it."""
+    from cli_rag_spark.sources.snapshots import vacuum_snapshots
+
+    path = str(tmp_path / "snap")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    upsert_snapshot(
+        spark, path,
+        orders.where(F.col("o_orderkey") == 42).withColumn(
+            "o_orderstatus", F.lit("R")
+        ),
+    )
+    # simulate writer mid-commit of v3: data present, manifest not yet
+    orders.limit(5).withColumn("bucket", F.lit(0)).write.partitionBy(
+        "bucket"
+    ).parquet(f"{path}/data/v3")
+
+    report = vacuum_snapshots(spark, path, keep_last=1)
+    import os
+
+    assert os.path.isdir(f"{path}/data/v3")  # spared: newer than kept v2
+    assert 3 not in report["removed_data_dirs"]
+    # the in-flight writer can now finish: nothing it references is gone
+    assert key(read_snapshot(spark, path)) == key(read_snapshot(spark, path, 2))
