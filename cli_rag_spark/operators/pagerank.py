@@ -1,0 +1,106 @@
+"""Distributed PageRank — fixed-iteration damped rank propagation.
+
+Joins the iterative family (components.py min-label propagation) with
+the other classic: importance scoring over a weighted directed graph
+(Page & Brin 1998). A training-data pipeline uses it to weight
+documents by citation/link centrality before sampling.
+
+Scale shape per iteration (the canonical dataframe PageRank):
+* ranks ⋈ edges equi-join on ``src`` — the one shuffle; edges are
+  narrow (two longs + a weight) and can be pre-partitioned on src so
+  every iteration reuses the same exchange;
+* contributions partial-aggregate into ``groupBy(dst)`` (map-side
+  combine keeps the shuffle at O(distinct dst per partition));
+* ``localCheckpoint`` after every iteration truncates lineage —
+  same rationale as components.py:44;
+* dangling mass (nodes with no out-edges) is one scalar aggregate,
+  redistributed uniformly — the standard correction, O(1) rows.
+
+Cross-engine float determinism (the oracle gate): double addition is
+not associative, and Spark's aggregation order is partition-
+nondeterministic — summing raw double contributions would make rank
+bits run-dependent. Every rank and contribution is therefore snapped
+to the DYADIC grid k/2^30 (``_dyadic``): floor(x * 2^30) / 2^30.
+Dyadic doubles of magnitude <= 1 are integers scaled by 2^-30, so
+their sums are EXACT in IEEE double as long as the summed integer
+mass stays below 2^53 (in-degree < 2^23 of full-rank neighbors —
+comfortably beyond any real graph's hot node at rank scale 1/N;
+beyond that, raise the grid to 2^-24). Exact sums are associative,
+so aggregation order stops mattering and DuckDB replays the chain
+bit-identically: floor(double) and multiply/divide by a power of two
+are exact IEEE ops in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DYADIC_BITS = 30
+_GRID = float(1 << DYADIC_BITS)
+
+
+def _dyadic(col: Column) -> Column:
+    """Snap a non-negative double to the k/2^30 grid (exact-summable)."""
+    return F.floor(col * F.lit(_GRID)) / F.lit(_GRID)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """DF[node, rank] after ``iters`` damped iterations from the
+    uniform start 1/N. ``edges`` is directed; ``weight`` (optional)
+    weights each edge's share of its source's out-mass. Nodes are
+    every id appearing as src or dst. Dangling mass is redistributed
+    uniformly."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = e.join(outw, "src").localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+
+    ranks = nodes.withColumn("rank", _dyadic(F.lit(1.0 / n_nodes)))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(e, ranks.node == e.src)
+            .select(F.col("dst").alias("node"), _dyadic(F.col("rank") * F.col("w") / F.col("outw")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # dangling: rank mass sitting on nodes with no out-edges
+        dangling = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                _dyadic(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dmass") / F.lit(float(n_nodes)))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

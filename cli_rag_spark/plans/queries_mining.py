@@ -1,0 +1,284 @@
+"""Mining pack — the round-5 late additions: exact set-similarity
+join (prefix filtering), PageRank, exact heavy hitters, Bloom-filter
+decontamination, weighted sampling. Each operator's oracle is its
+SPEC (brute force / plain semi-join / plain wordcount / the same
+closed-form formula), so the driver verifies the optimization lemmas
+themselves, not just row plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_rag_spark.functions.text import word_shingles
+from cli_rag_spark.operators.bloom import bloom_semi_join
+from cli_rag_spark.operators.heavy import frequent_tokens
+from cli_rag_spark.operators.pagerank import DYADIC_BITS, pagerank
+from cli_rag_spark.operators.setsim import setsim_join
+from cli_rag_spark.operators.training import weighted_sample
+from cli_rag_spark.sources.documents import load_table
+
+# --- exact set-similarity join (PPJoin-style prefix filtering) -------
+
+SETSIM_TAU = 0.5
+SETSIM_SHINGLE = 3
+
+
+def q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-set Jaccard join at tau=0.5 via prefix filtering
+    (operators/setsim.py): every pair sharing >= half their 3-word
+    shingle sets, with the exact overlap — no MinHash false negatives,
+    no all-pairs scan. The oracle is the brute-force self-join spec,
+    so a green row proves the prefix + length filters lost nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        setsim_join(docs, "doc_id", "text", SETSIM_TAU, shingle_words=SETSIM_SHINGLE)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- PageRank --------------------------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_TOPN = 20
+_G = float(1 << DYADIC_BITS)
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional customer<->supplier trade graph: node 2*custkey
+    for customers, 2*suppkey+1 for suppliers; weight = lineitems
+    shipped between the pair. Bidirectional => no dangling nodes."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ed = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return ed.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
+    ).unionByName(
+        ed.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w")
+    )
+
+
+def q_pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (operators/pagerank.py) over the customer-
+    supplier trade graph, 3 iterations — the 20 most central parties.
+    Rank arithmetic runs on the dyadic k/2^30 grid, so double sums are
+    exact and order-free and the oracle replays every iteration as a
+    chained CTE, bit-identically."""
+    pr = pagerank(
+        _trade_edges(spark, sf_dir), weight="w", damping=PR_DAMPING, iters=PR_ITERS
+    )
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(PR_TOPN)
+        .select("node", F.round("rank", 6).alias("pr"))
+    )
+
+
+# --- exact heavy hitters ---------------------------------------------
+
+HH_PHI_PPM = 2000  # tokens covering >= 0.2% of the corpus
+
+
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (operators/heavy.py): tokens with
+    frequency >= 0.2%, via the per-partition pigeonhole prefilter —
+    the full token stream never shuffles; the oracle is the plain
+    wordcount-HAVING spec, proving the candidate pass lost nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return frequent_tokens(docs, "text", HH_PHI_PPM).orderBy(
+        F.col("count").desc(), F.col("token").asc()
+    )
+
+
+# --- Bloom-filter decontamination ------------------------------------
+
+DECON_MOD = 37  # doc_id % 37 == 0 -> the held-out "benchmark" docs
+DECON_SHINGLE = 3
+BLOOM_BITS = 1 << 15
+
+
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-probe-set decontamination (operators/bloom.py): corpus
+    documents sharing any 3-word shingle with the held-out benchmark
+    split, found by broadcasting a distributively-built Bloom bitmap
+    over the benchmark's shingle fingerprints instead of the
+    fingerprints themselves. The exact confirm join kills the
+    filter's false positives, so the oracle is the plain semi-join —
+    a green row proves no-false-negatives end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), DECON_SHINGLE))
+        ).alias("sh"),
+    ).withColumn("fp", F.md5("sh")).drop("sh")
+    probes = sh.where(F.col("doc_id") % DECON_MOD == 0).select("fp").distinct()
+    corpus = sh.where(F.col("doc_id") % DECON_MOD != 0)
+    matched = bloom_semi_join(corpus, probes, "fp", n_bits=BLOOM_BITS)
+    return (
+        matched.select("doc_id", "source")
+        .distinct()
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- weighted sampling (Efraimidis-Spirakis) -------------------------
+
+WS_N = 50
+WS_SALT = "wsample"
+
+
+def q_weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus draw (operators/training.py
+    weighted_sample, A-ES): 50 docs with probability proportional to
+    n_chars, deterministically. Per-source count + id-sum is the
+    exact-membership witness; the oracle re-derives the full sample
+    from the same key formula."""
+    docs = load_table(spark, sf_dir, "documents")
+    sample = weighted_sample(docs, "doc_id", "n_chars", WS_N, salt=WS_SALT)
+    return (
+        sample.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "setsim_pairs": q_setsim_pairs,
+    "pagerank_top_nodes": q_pagerank_top_nodes,
+    "heavy_hitter_terms": q_heavy_hitter_terms,
+    "bloom_decontamination": q_bloom_decontamination,
+    "weighted_sample_stats": q_weighted_sample_stats,
+}
+
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
+_SH3 = (
+    "list_distinct(list_transform(range(1, greatest(len({t}) - %d + 2, 1)), "
+    "i -> array_to_string({t}[i:i+%d], ' ')))"
+    % (SETSIM_SHINGLE, SETSIM_SHINGLE - 1)
+).format(t=_TOKS)
+
+
+def _pagerank_oracle() -> str:
+    it = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        it.append(f"""
+        c{i} AS (
+          SELECT e.dst AS node,
+                 sum(floor(r.rank * e.w / e.outw * {_G})/{_G}) AS contrib
+          FROM {prev} r JOIN e ON r.node = e.src GROUP BY e.dst
+        ), r{i} AS (
+          SELECT n.node,
+                 floor(((1.0 - {PR_DAMPING})/nn.n + {PR_DAMPING} * coalesce(c.contrib, 0.0)) * {_G})/{_G} AS rank
+          FROM nodes n LEFT JOIN c{i} c ON n.node = c.node, nn
+        )""")
+        prev = f"r{i}"
+    iters = ",".join(it)
+    return f"""
+        WITH ed AS (
+          SELECT 2*o_custkey AS c_node, 2*l_suppkey + 1 AS s_node,
+                 CAST(count(*) AS DOUBLE) AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_custkey, l_suppkey
+        ), edges AS (
+          SELECT c_node AS src, s_node AS dst, w FROM ed
+          UNION ALL
+          SELECT s_node AS src, c_node AS dst, w FROM ed
+        ), outw AS (
+          SELECT src, sum(w) AS outw FROM edges GROUP BY src
+        ), e AS (
+          SELECT edges.src, edges.dst, edges.w, outw.outw
+          FROM edges JOIN outw USING (src)
+        ), nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), nn AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        ), r0 AS (
+          SELECT node, floor(1.0/nn.n * {_G})/{_G} AS rank FROM nodes, nn
+        ),{iters}
+        SELECT node, round(rank, 6) AS pr
+        FROM {prev} ORDER BY rank DESC, node ASC LIMIT {PR_TOPN}
+    """
+
+
+ORACLE = {
+    "setsim_pairs": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_SH3}) AS token FROM documents
+        ), sz AS (
+          SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+               round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM pairs
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= {SETSIM_TAU}
+        ORDER BY id_a, id_b
+    """,
+    "pagerank_top_nodes": _pagerank_oracle(),
+    "heavy_hitter_terms": f"""
+        WITH tok AS (
+          SELECT unnest({_TOKS}) AS token FROM documents
+        ), tot AS (
+          SELECT count(*) AS n FROM tok
+        ), cnt AS (
+          SELECT token, count(*) AS count FROM tok GROUP BY token
+        )
+        SELECT token, CAST(count AS BIGINT) AS count,
+               round(CAST(count AS DOUBLE)/n, 6) AS freq
+        FROM cnt, tot
+        WHERE count * 1000000 >= {HH_PHI_PPM} * n
+        ORDER BY count DESC, token ASC
+    """,
+    "bloom_decontamination": f"""
+        WITH sh AS (
+          SELECT doc_id, source, md5(s) AS fp
+          FROM (SELECT doc_id, source, unnest({_SH3}) AS s FROM documents)
+        ), probes AS (
+          SELECT DISTINCT fp FROM sh WHERE doc_id % {DECON_MOD} = 0
+        ), hits AS (
+          SELECT DISTINCT doc_id, source
+          FROM sh
+          WHERE doc_id % {DECON_MOD} <> 0
+            AND fp IN (SELECT fp FROM probes)
+        )
+        SELECT source, count(*) AS n_contaminated,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM hits GROUP BY source ORDER BY source
+    """,
+    "weighted_sample_stats": f"""
+        WITH keyed AS (
+          SELECT doc_id, source,
+                 -ln((('0x' || substr(md5('{WS_SALT}' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                     / {float(1 << 60)}) / CAST(n_chars AS DOUBLE) AS es_key
+          FROM documents WHERE n_chars > 0
+        ), top AS (
+          SELECT doc_id, source FROM keyed
+          ORDER BY es_key ASC, doc_id ASC LIMIT {WS_N}
+        )
+        SELECT source, count(*) AS n_sampled,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM top GROUP BY source ORDER BY source
+    """,
+}

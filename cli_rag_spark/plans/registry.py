@@ -26,6 +26,7 @@ _PACKS = [
     "cli_rag_spark.plans.queries_streaming",
     "cli_rag_spark.plans.queries_storage",
     "cli_rag_spark.plans.queries_corpus",
+    "cli_rag_spark.plans.queries_mining",
 ]
 
 # Registry ORDER is part of the external contract: the external audit
@@ -44,7 +45,7 @@ _PACKS = [
 #   4. remaining slots filled least-recently-verified-first.
 #
 # STALENESS INVARIANT (VERDICT r3 "Next round #3"): target is that no
-# query's latest green verdict is older than ~2 rounds. With 122
+# query's latest green verdict is older than ~2 rounds. With 127
 # registered queries and 33 rotating slots behind the 17 sentinels, a
 # full rotation takes ~3 rounds — the invariant is enforced as
 # "oldest verdicts fill first", and every query is ALSO value-exactly
@@ -55,12 +56,16 @@ _PACKS = [
 #
 # Round-5 window: 17 sentinels; the FOURTEEN never-verified round-5
 # operators + the late 15th (snapshot_vacuum_stats; dedup_exact_count
-# moved to the r6 fill to make room); the two r3-verified
+# moved to the r6 fill to make room) + the FIVE late-r5 mining
+# operators (setsim/pagerank/heavy-hitters/bloom/weighted-sample —
+# never-verified outranks stale per the policy); the two r3-verified
 # queries touched by the r5 ann.py rework; then the stalest fill —
-# all 7 remaining r1-verified queries, 9 of the 19 r2-verified, and
+# all 7 remaining r1-verified queries, 4 of the 19 r2-verified, and
 # the events-family representative (sessionization). After this round
-# every r1 verdict has been refreshed; the 10 remaining r2-verified
-# queries head the r6 fill.
+# every r1 verdict has been refreshed; the 15 remaining r2-verified
+# queries (incl. quantized_topk, cosine_histogram, token_counts,
+# quality_scores, lang_id_confusion — displaced by the mining five)
+# head the r6 fill.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -92,6 +97,9 @@ _PRIORITY = _SENTINELS + [
     "ivf_refined_topk", "embedding_covariance", "quality_drift_ks",
     "token_budget_sample", "matryoshka_topk", "leakproof_split_counts",
     "bpe_merges", "streaming_incremental_dedup", "snapshot_vacuum_stats",
+    # (3) never driver-checked: the late-r5 mining pack
+    "setsim_pairs", "pagerank_top_nodes", "heavy_hitter_terms",
+    "bloom_decontamination", "weighted_sample_stats",
     # (2) changed since last verdict: the r5 ann.py rework (sidecar
     # quantizer, shared _kmeans_cte_chain oracle builder) touches the
     # kmeans/IVF family — ivf_topk is already a sentinel; these two
@@ -103,20 +111,19 @@ _PRIORITY = _SENTINELS + [
     "revenue_forecast", "promo_revenue_ratio", "segment_nation_cube",
     "price_percentiles", "top_parts_per_brand",
     "returnflag_grouping_sets", "scalar_function_breadth",
-    # ...then 9 of the 19 r2-verified (3 rounds stale) + the events-
+    # ...then 4 of the 19 r2-verified (3 rounds stale) + the events-
     # family representative (sessionization, r3 — the family-coverage
     # rule of the window contract, tests/test_plans.py)
-    "quantized_topk", "cosine_histogram", "token_counts",
-    "quality_scores", "lang_id_confusion", "fingerprint_dups",
-    "chunk_fixed", "chunk_clean_stats",
+    "fingerprint_dups", "chunk_fixed", "chunk_clean_stats",
     "sessionization",
-    # the remaining 11 r2-verified (dedup_exact_count, decontamination,
+    # the remaining 15 r2-verified (dedup_exact_count, decontamination,
     # ngram_jaccard, simhash_groups, shipping_priority,
     # top_customers_per_nation, binary_metadata, audio_window_stats,
-    # hybrid_rrf_topk, stratified_sample, pack_chunks_stats) head the
-    # r6 fill; every r3/r4-verified query is ≤ 2 rounds stale and all
-    # 122 replay value-exact in the local all-query parity gate every
-    # test run (tests/test_parity.py)
+    # hybrid_rrf_topk, stratified_sample, pack_chunks_stats,
+    # quantized_topk, cosine_histogram, token_counts, quality_scores,
+    # lang_id_confusion) head the r6 fill; every r3/r4-verified query
+    # is ≤ 2 rounds stale and all 127 replay value-exact in the local
+    # all-query parity gate every test run (tests/test_parity.py)
 ]
 
 

@@ -257,3 +257,30 @@ def test_pca_covariance_shuffle_is_dim_bounded(spark, sf_dir):
     ).groupBy("pos").agg(F.sum("val"))
     plan = flat._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(pos" in plan
+
+
+def test_mining_pack_plan_shapes(spark, sf_dir):
+    # setsim: prefix/verify joins are all equi-joins — a regression to
+    # an unguarded cartesian would be the classic setsim scale-killer
+    plan = _plan(spark, sf_dir, "setsim_pairs")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+
+    # heavy hitters: candidates come from the python prefilter pass
+    # (mapInPandas) and confirm via a BROADCAST join — the full token
+    # stream must never hash-shuffle unfiltered
+    plan = _plan(spark, sf_dir, "heavy_hitter_terms")
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+
+    # bloom: the membership test is codegen bit arithmetic on the
+    # broadcast bitmap (shiftright), not a python UDF; the exact
+    # confirm join stays an equi-join
+    plan = _plan(spark, sf_dir, "bloom_decontamination")
+    assert "shiftright" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    # weighted sample: global top-n must be TakeOrderedAndProject
+    # (per-partition heaps), never a full global sort
+    plan = _plan(spark, sf_dir, "weighted_sample_stats")
+    assert "TakeOrderedAndProject" in plan
