@@ -63,6 +63,10 @@ HEADLINE = [
     "dsir_selection",            # corpus: DSIR importance selection (r5)
     "token_budget_sample",       # training: per-source token budget (r5)
     "bpe_merges",                # corpus: iterative BPE trainer (r5)
+    "setsim_pairs",              # mining: prefix-filtered exact setsim (r5)
+    "pagerank_top_nodes",        # mining: dyadic PageRank, 3 iters (r5)
+    "heavy_hitter_terms",        # mining: two-pass exact heavy hitters (r5)
+    "bloom_decontamination",     # mining: Bloom prefilter semi-join (r5)
 ]
 
 

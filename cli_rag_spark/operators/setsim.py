@@ -3,42 +3,52 @@
 The E8 dedup family (dedup.py) finds near-dups *approximately*
 (MinHash banding) or over *dense* vectors (GEMM). This operator is
 the third classic shape: the EXACT token-set Jaccard join — all pairs
-with Jaccard(tokens(a), tokens(b)) >= tau, no false negatives, no
-false positives — computed without the O(N^2) all-pairs scan.
+with Jaccard(set(a), set(b)) >= tau, no false negatives, no false
+positives — computed without the O(N^2) all-pairs scan.
 
 Public algorithm (Chaudhuri et al. SSJoin / Xiao et al. PPJoin,
 prefix-filtering family):
 
-1. canonicalize every document's token set under a GLOBAL total
-   order: ascending document frequency, ties by token string —
-   rarest tokens first;
+1. canonicalize every document's element set under a GLOBAL total
+   order: ascending document frequency, ties by element — rarest
+   elements first;
 2. PREFIX LEMMA: if |a ∩ b| / |a ∪ b| >= tau, the two ordered sets
-   must share at least one token among each side's first
-   ``|s| - ceil(tau * |s|) + 1`` tokens. Only those prefix tokens
+   must share at least one element among each side's first
+   ``|s| - ceil(tau * |s|) + 1`` elements. Only those prefix elements
    enter the inverted index, and prefixes are dominated by RARE
-   tokens (low df), so posting lists — and therefore candidate
+   elements (low df), so posting lists — and therefore candidate
    pairs — stay small even on Zipfian text;
 3. LENGTH FILTER: Jaccard >= tau forces
    tau * |a| <= |b| <= |a| / tau; applied inside the join condition
    so oversize pairs never materialize;
 4. exact verify on the candidate pairs only: array_intersect on the
-   two (distinct-token) arrays, Jaccard from the exact overlap.
+   two element arrays, Jaccard from the exact overlap.
 
-Scale shape at 100 TB: one scan tokenizes; the df table is a
-partial-agg wordcount; the prefix inverted index shuffles only
-``prefix_len`` (<< |s| for high tau) 8-byte-hashable tokens per doc;
-the candidate equi-join is on the token key (the standard inverted-
-index join); verification touches candidate pairs only, each with
-two bounded token arrays. The df-ordering join on ``token`` carries
-Zipf skew, but only DISTINCT per-doc tokens ride it, and head tokens
-almost never enter prefixes (they sort last) — AQE skew-split covers
-the ordering join; see lm_perplexity's broadcast_head_join for the
-hybrid pattern if a corpus demands it.
+Every element is collapsed to its ``xxhash64`` ONCE at tokenization —
+the same 8-byte-key discipline as the Gopher repetition filters
+(queries_corpus.py): the df wordcount, the per-doc ordered arrays,
+the prefix inverted index, and the verify intersections all move
+longs, never shingle text. Set identity is therefore exact up to
+64-bit collisions: with D distinct elements the expected number of
+colliding PAIRS is ~D^2/2^65 (~3e-8 at the 1M distinct shingles of
+sf0.1) — the documented trade the corpus pack already makes; the
+judged DuckDB oracle computes on the raw strings, so a collision
+would surface as a red row rather than hide.
+
+Scale shape at 100 TB: one scan tokenizes+hashes; the df table is a
+partial-agg count on longs; per-doc arrays shuffle once for the
+(df, h) sort; the candidate equi-join is on the 8-byte key (the
+standard inverted-index join); verification touches candidate pairs
+only. The df-ordering join carries Zipf skew, but only DISTINCT
+per-doc elements ride it and head elements almost never enter
+prefixes (they sort last) — AQE skew-split covers it; see
+lm_perplexity's broadcast_head_join for the hybrid pattern if a
+corpus demands more.
 
 The PREFIX + LENGTH filters are pure optimizations — the result is
 definitionally identical to brute force. The judged oracle
-(queries_dedup.py) IS the brute-force spec, so the driver verifies
-the lemma end-to-end, not just row counts.
+(queries_mining.py) IS the brute-force spec, so the driver verifies
+the lemma end-to-end, not just row plumbing.
 """
 
 from __future__ import annotations
@@ -49,32 +59,32 @@ from pyspark.sql import functions as F
 from cli_rag_spark.functions.text import tokens, word_shingles
 
 
-def _token_set(text: Column, shingle_words: int | None) -> Column:
-    if shingle_words is None:
-        return F.array_distinct(tokens(text))
-    return F.array_distinct(word_shingles(text, shingle_words))
+def _element_hashes(text: Column, shingle_words: int | None) -> Column:
+    """Distinct xxhash64 keys of the doc's element set (whitespace
+    tokens, or ``shingle_words``-word shingles — the near-dup unit,
+    matching dedup.jaccard_pairs)."""
+    elems = tokens(text) if shingle_words is None else word_shingles(text, shingle_words)
+    return F.array_distinct(F.transform(elems, lambda e: F.xxhash64(e)))
 
 
 def ordered_token_sets(
     df: DataFrame, id_col: str, text_col: str, shingle_words: int | None = None
 ) -> DataFrame:
-    """DF[id, toks, sz] — the doc's distinct element set (whitespace
-    tokens, or ``shingle_words``-word shingles — the near-dup unit,
-    matching dedup.jaccard_pairs), sorted by (global df ASC, element
-    ASC); sz = |set|. Empty docs drop out (a set of size 0 cannot
-    reach any tau > 0)."""
+    """DF[id, toks: array<long>, sz] — the doc's element-hash set
+    sorted by (global df ASC, hash ASC); sz = |set|. Empty docs drop
+    out (a set of size 0 cannot reach any tau > 0)."""
     tok = df.select(
         F.col(id_col).alias("id"),
-        F.explode(_token_set(F.col(text_col), shingle_words)).alias("token"),
+        F.explode(_element_hashes(F.col(text_col), shingle_words)).alias("h"),
     )
-    dfc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dfc = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (
-        tok.join(dfc, "token")
+        tok.join(dfc, "h")
         .groupBy("id")
         .agg(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("df", "token"))),
-                lambda s: s.token,
+                F.sort_array(F.collect_list(F.struct("df", "h"))),
+                lambda s: s.h,
             ).alias("toks")
         )
         .withColumn("sz", F.size("toks"))
@@ -89,8 +99,8 @@ def setsim_join(
     shingle_words: int | None = None,
 ) -> DataFrame:
     """DF[id_a, id_b, inter, jaccard] (id_a < id_b) — ALL pairs with
-    exact token-set Jaccard >= threshold. See module docstring for the
-    prefix-filtering plan."""
+    exact element-set Jaccard >= threshold. See module docstring for
+    the prefix-filtering plan."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sets = ordered_token_sets(df, id_col, text_col, shingle_words)
@@ -98,7 +108,7 @@ def setsim_join(
     # prefix length |s| - ceil(tau*|s|) + 1 (>= 1 for any non-empty set)
     pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + F.lit(1)
     prefixes = sets.select(
-        "id", "sz", F.explode(F.slice("toks", F.lit(1), pref_len)).alias("token")
+        "id", "sz", F.explode(F.slice("toks", F.lit(1), pref_len)).alias("h")
     )
 
     a = prefixes.alias("a")
@@ -106,7 +116,7 @@ def setsim_join(
     cand = (
         a.join(
             b,
-            (F.col("a.token") == F.col("b.token"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.id") < F.col("b.id"))
             # length filter: tau*|a| <= |b| and tau*|b| <= |a|
             & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz"))
@@ -139,14 +149,14 @@ def setsim_join_brute(
     shingle_words: int | None = None,
 ) -> DataFrame:
     """Brute-force spec twin (test + small-data path): every pair via
-    the exploded-token self-join. O(sum of posting^2) — fine for
+    the exploded-element self-join. O(sum of posting^2) — fine for
     tests; the prefix-filtered plan above is the scale path."""
     sets = ordered_token_sets(df, id_col, text_col, shingle_words)
-    tok = sets.select("id", "sz", F.explode("toks").alias("token"))
+    tok = sets.select("id", "sz", F.explode("toks").alias("h"))
     a = tok.alias("a")
     b = tok.alias("b")
     pairs = (
-        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

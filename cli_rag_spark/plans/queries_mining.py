@@ -74,7 +74,13 @@ def q_pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact and order-free and the oracle replays every iteration as a
     chained CTE, bit-identically."""
     pr = pagerank(
-        _trade_edges(spark, sf_dir), weight="w", damping=PR_DAMPING, iters=PR_ITERS
+        _trade_edges(spark, sf_dir),
+        weight="w",
+        damping=PR_DAMPING,
+        iters=PR_ITERS,
+        # the rank table is |customers|+|suppliers| rows vs ~30x more
+        # edges — broadcast it and the iteration loses its edge shuffle
+        broadcast_ranks=True,
     )
     return (
         pr.orderBy(F.col("rank").desc(), F.col("node").asc())

@@ -283,6 +283,67 @@ def q_snapshot_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVOLVE_MOD = 13
+
+
+def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-COLUMN schema evolution on the snapshot table format
+    (sources/snapshots.py upsert_snapshot(allow_evolution=True)):
+
+    1. commit v1 of orders (6 columns);
+    2. commit v2 as a MERGE of every 13th order carrying a NEW column
+       ``priority_class`` (first char of o_orderpriority) — a
+       metadata-only evolution: no historical file is rewritten, the
+       manifest records the appended column + its type;
+    3. read BOTH versions: v1 must surface its original 6-column
+       schema (time travel across the evolution boundary shows each
+       version's true schema); v2 must surface 7 columns with the new
+       one NULL for every row the evolving batch did not touch —
+       including whole buckets still owned by v1's files, which the
+       reader backfills from the manifest's recorded type.
+
+    Output per version: column count (the schema witness), row count,
+    non-NULL count of the added column, and the key sum of the rows
+    that DO carry a value (exact membership witness: the NULL/value
+    frontier must match the %13 update set, bucket layout
+    notwithstanding). The oracle replays the merge relationally."""
+    from cli_rag_spark.sources.snapshots import (
+        _fs,
+        read_snapshot,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch("snapevo", sf_dir)
+    fs, root = _fs(spark, path)
+    fs.delete(root, True)
+    write_snapshot(orders, path, "o_orderkey")
+
+    updates = orders.where(F.col("o_orderkey") % EVOLVE_MOD == 0).withColumn(
+        "priority_class", F.substring("o_orderpriority", 1, 1)
+    )
+    upsert_snapshot(spark, path, updates, allow_evolution=True)
+
+    def stats(version: int) -> DataFrame:
+        snap = read_snapshot(spark, path, version)
+        has_class = "priority_class" in snap.columns
+        class_col = (
+            F.col("priority_class") if has_class else F.lit(None).cast("string")
+        )
+        return snap.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.lit(len(snap.columns)).cast("long").alias("n_cols"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(class_col.isNotNull().cast("long")).alias("n_with_class"),
+            F.sum(
+                F.when(class_col.isNotNull(), F.col("o_orderkey")).otherwise(0)
+            ).alias("class_key_sum"),
+        )
+
+    return stats(1).unionByName(stats(2)).orderBy("version")
+
+
 def q_snapshot_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot lifecycle GC (sources/snapshots.py vacuum_snapshots):
     3-version history (write → merge → delete), then vacuum
@@ -350,6 +411,7 @@ QUERIES = {
     "partitioned_compaction": q_partitioned_compaction,
     "zorder_roundtrip": q_zorder_roundtrip,
     "snapshot_time_travel": q_snapshot_time_travel,
+    "snapshot_schema_evolution": q_snapshot_schema_evolution,
     "snapshot_cdc_stats": q_snapshot_cdc_stats,
     "snapshot_vacuum_stats": q_snapshot_vacuum_stats,
 }
@@ -439,6 +501,26 @@ ORACLE = {
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
                CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         FROM versions GROUP BY version ORDER BY version
+    """,
+    "snapshot_schema_evolution": f"""
+        WITH v2 AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % {EVOLVE_MOD} = 0
+                      THEN substr(o_orderpriority, 1, 1) END AS priority_class
+          FROM orders
+        ), versions AS (
+          SELECT 1 AS version, 6 AS n_cols, o_orderkey,
+                 CAST(NULL AS VARCHAR) AS priority_class
+          FROM orders
+          UNION ALL
+          SELECT 2, 7, o_orderkey, priority_class FROM v2
+        )
+        SELECT CAST(version AS BIGINT) AS version,
+               CAST(n_cols AS BIGINT) AS n_cols,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN priority_class IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_class,
+               CAST(sum(CASE WHEN priority_class IS NOT NULL THEN o_orderkey ELSE 0 END) AS BIGINT) AS class_key_sum
+        FROM versions GROUP BY version, n_cols ORDER BY version
     """,
     "zorder_roundtrip": """
         SELECT event_type,

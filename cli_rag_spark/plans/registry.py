@@ -45,7 +45,7 @@ _PACKS = [
 #   4. remaining slots filled least-recently-verified-first.
 #
 # STALENESS INVARIANT (VERDICT r3 "Next round #3"): target is that no
-# query's latest green verdict is older than ~2 rounds. With 127
+# query's latest green verdict is older than ~2 rounds. With 128
 # registered queries and 33 rotating slots behind the 17 sentinels, a
 # full rotation takes ~3 rounds — the invariant is enforced as
 # "oldest verdicts fill first", and every query is ALSO value-exactly
@@ -97,9 +97,11 @@ _PRIORITY = _SENTINELS + [
     "ivf_refined_topk", "embedding_covariance", "quality_drift_ks",
     "token_budget_sample", "matryoshka_topk", "leakproof_split_counts",
     "bpe_merges", "streaming_incremental_dedup", "snapshot_vacuum_stats",
-    # (3) never driver-checked: the late-r5 mining pack
+    # (3) never driver-checked: the late-r5 mining pack + the
+    # snapshot add-column evolution query
     "setsim_pairs", "pagerank_top_nodes", "heavy_hitter_terms",
     "bloom_decontamination", "weighted_sample_stats",
+    "snapshot_schema_evolution",
     # (2) changed since last verdict: the r5 ann.py rework (sidecar
     # quantizer, shared _kmeans_cte_chain oracle builder) touches the
     # kmeans/IVF family — ivf_topk is already a sentinel; these two
@@ -114,16 +116,17 @@ _PRIORITY = _SENTINELS + [
     # ...then 4 of the 19 r2-verified (3 rounds stale) + the events-
     # family representative (sessionization, r3 — the family-coverage
     # rule of the window contract, tests/test_plans.py)
-    "fingerprint_dups", "chunk_fixed", "chunk_clean_stats",
+    "chunk_fixed", "chunk_clean_stats",
     "sessionization",
-    # the remaining 15 r2-verified (dedup_exact_count, decontamination,
+    # the remaining 16 r2-verified (dedup_exact_count, decontamination,
     # ngram_jaccard, simhash_groups, shipping_priority,
     # top_customers_per_nation, binary_metadata, audio_window_stats,
     # hybrid_rrf_topk, stratified_sample, pack_chunks_stats,
     # quantized_topk, cosine_histogram, token_counts, quality_scores,
-    # lang_id_confusion) head the r6 fill; every r3/r4-verified query
-    # is ≤ 2 rounds stale and all 127 replay value-exact in the local
-    # all-query parity gate every test run (tests/test_parity.py)
+    # lang_id_confusion, fingerprint_dups) head the r6 fill; every
+    # r3/r4-verified query is ≤ 2 rounds stale and all 128 replay
+    # value-exact in the local all-query parity gate every test run
+    # (tests/test_parity.py)
 ]
 
 

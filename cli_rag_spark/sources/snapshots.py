@@ -67,6 +67,13 @@ def bucket_of(key, n_buckets: int):
     return md5_int60(key.cast("string")) % _MODULUS % n_buckets
 
 
+def _column_types(df: DataFrame) -> dict[str, str]:
+    """Column -> Spark DDL type string, recorded in the manifest so
+    readers can backfill columns that predate a bucket's files (see
+    read_snapshot's schema-evolution path)."""
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
 def _manifest_path(spark: SparkSession, path: str, version: int):
     return spark._jvm.org.apache.hadoop.fs.Path(path, f"_manifest_v{version}.json")
 
@@ -141,6 +148,7 @@ def write_snapshot(
         "key_col": key_col,
         "n_buckets": n_buckets,
         "columns": df.columns,
+        "column_types": _column_types(df),
         "owners": {str(b): 1 for b in range(n_buckets)},
     })
     return 1
@@ -187,7 +195,7 @@ def read_snapshot(
         empty = spark.read.parquet(
             f"{path}/data/v{candidates[-1]}"
         ).where(F.lit(False))
-        return empty.select(*manifest["columns"])
+        return _conform(empty, manifest)
     parts = []
     for v, owned in sorted(by_owner.items()):
         part = (
@@ -197,8 +205,29 @@ def read_snapshot(
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(*manifest["columns"])
+        # allowMissingColumns: buckets written before an add-column
+        # evolution lack the added columns; the union NULL-fills them
+        out = out.unionByName(p, allowMissingColumns=True)
+    return _conform(out, manifest)
+
+
+def _conform(df: DataFrame, manifest: dict) -> DataFrame:
+    """Project ``df`` to the manifest's schema, backfilling columns no
+    read file carried (possible when every read bucket predates an
+    add-column evolution) as typed NULLs from the manifest's recorded
+    column types."""
+    missing = [c for c in manifest["columns"] if c not in df.columns]
+    if missing:
+        types = manifest.get("column_types") or {}
+        untyped = [c for c in missing if c not in types]
+        if untyped:
+            raise ValueError(
+                f"cannot backfill columns {untyped}: no recorded types "
+                "(manifest predates schema-evolution support)"
+            )
+        for c in missing:
+            df = df.withColumn(c, F.lit(None).cast(types[c]))
+    return df.select(*manifest["columns"])
 
 
 def upsert_snapshot(
@@ -206,11 +235,22 @@ def upsert_snapshot(
     path: str,
     updates: DataFrame,
     version: int | None = None,
+    allow_evolution: bool = False,
 ) -> int:
     """Commit a new version applying MERGE semantics (update wins on
     key match, new keys insert) with bucket-level copy-on-write: only
     buckets containing an updated key are rewritten; every other
     bucket's files are shared with the parent version via the manifest.
+
+    ``allow_evolution=True`` permits ADD-COLUMN schema evolution — the
+    metadata-only kind real table formats allow by default: ``updates``
+    may carry columns the table does not have yet. Added columns are
+    appended to the table schema in the manifest; existing rows
+    (untouched buckets AND unmatched rows inside touched buckets) read
+    back as NULL for them — no historical file is rewritten. Drops and
+    renames stay errors (they would be silent data loss under CoW file
+    sharing). Old versions keep their own column list, so time travel
+    across the evolution boundary shows each version's true schema.
 
     The touched-bucket list is one bounded collect (≤ n_buckets rows).
     Returns the new version number."""
@@ -218,10 +258,19 @@ def upsert_snapshot(
         version = latest_version(spark, path)
     manifest = _read_manifest(spark, path, version)
     key_col, n_buckets = manifest["key_col"], manifest["n_buckets"]
-    if set(updates.columns) != set(manifest["columns"]):
+    added = [c for c in updates.columns if c not in manifest["columns"]]
+    missing = [c for c in manifest["columns"] if c not in updates.columns]
+    if missing or (added and not allow_evolution):
         raise ValueError(
             f"updates columns {sorted(updates.columns)} != table columns "
             f"{sorted(manifest['columns'])}"
+            + (" (pass allow_evolution=True to add columns)" if added and not missing else "")
+        )
+    table_columns = manifest["columns"] + added
+    column_types = dict(manifest.get("column_types") or {})
+    if added:
+        column_types.update(
+            {c: t for c, t in _column_types(updates).items() if c in added}
         )
     new_version = version + 1
 
@@ -238,11 +287,16 @@ def upsert_snapshot(
         current = read_snapshot(
             spark, path, version, buckets=touched
         ).withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
-        cols = manifest["columns"] + [_BUCKET_COL]
+        cols = table_columns + [_BUCKET_COL]
         merged = (
             current.join(upd.select(key_col), key_col, "left_anti")
+            # evolution: surviving current rows lack the added columns
+            # and take NULLs; the final select pins the column order
+            .unionByName(
+                upd.select(*[c for c in cols if c in upd.columns]),
+                allowMissingColumns=True,
+            )
             .select(*cols)
-            .unionByName(upd.select(*cols))
         )
         (
             merged.write.mode("overwrite")
@@ -256,7 +310,8 @@ def upsert_snapshot(
         "version": new_version,
         "key_col": key_col,
         "n_buckets": n_buckets,
-        "columns": manifest["columns"],
+        "columns": table_columns,
+        "column_types": column_types,
         "owners": owners,
     })
     return new_version
@@ -326,6 +381,7 @@ def delete_snapshot(
         "key_col": key_col,
         "n_buckets": n_buckets,
         "columns": manifest["columns"],
+        "column_types": manifest.get("column_types"),
         "owners": owners,
     })
     return new_version

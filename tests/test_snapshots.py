@@ -363,3 +363,83 @@ def test_vacuum_spares_inflight_newer_data_dir(spark, sf_dir, tmp_path):
     assert 3 not in report["removed_data_dirs"]
     # the in-flight writer can now finish: nothing it references is gone
     assert key(read_snapshot(spark, path)) == key(read_snapshot(spark, path, 2))
+
+
+def test_schema_evolution_add_column(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "snapevo")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "flag", F.lit("X")
+    )
+    # without the flag, evolution is rejected
+    with pytest.raises(ValueError, match="allow_evolution"):
+        upsert_snapshot(spark, path, updates)
+    upsert_snapshot(spark, path, updates, allow_evolution=True)
+
+    # v1 keeps its original schema across the boundary
+    v1 = read_snapshot(spark, path, 1)
+    assert "flag" not in v1.columns
+    # v2: new column present, NULL exactly outside the update set
+    v2 = read_snapshot(spark, path, 2)
+    assert v2.columns[-1] == "flag"
+    flagged = {r.o_orderkey for r in v2.where(F.col("flag").isNotNull()).collect()}
+    want = {r.o_orderkey for r in orders.where(F.col("o_orderkey") % 10 == 0).collect()}
+    assert flagged == want
+    assert v2.count() == orders.count()
+
+
+def test_schema_evolution_backfills_old_buckets(spark, sf_dir, tmp_path):
+    # read restricted to buckets the evolving commit never touched:
+    # no read file carries the column, so the manifest's recorded type
+    # must backfill it (the _conform path)
+    from cli_rag_spark.sources.snapshots import _read_manifest
+
+    path = str(tmp_path / "snapevo2")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    one_key = orders.select("o_orderkey").orderBy("o_orderkey").limit(1)
+    updates = orders.join(one_key, "o_orderkey").withColumn("score", F.lit(1.5))
+    upsert_snapshot(spark, path, updates, allow_evolution=True)
+
+    m = _read_manifest(spark, path, 2)
+    untouched = [int(b) for b, v in m["owners"].items() if v == 1][:2]
+    assert untouched, "expected v1-owned buckets to survive a 1-key evolution"
+    sl = read_snapshot(spark, path, 2, buckets=untouched)
+    assert dict(sl.dtypes)["score"] == "double"  # lit(1.5) commits as double
+    assert sl.where(F.col("score").isNotNull()).count() == 0
+
+
+def test_schema_evolution_rejects_missing_columns(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "snapevo3")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    bad = orders.drop("o_orderdate").withColumn("flag", F.lit(1))
+    with pytest.raises(ValueError):
+        upsert_snapshot(spark, path, bad, allow_evolution=True)
+
+
+def test_schema_evolution_then_delete_keeps_types(spark, sf_dir, tmp_path):
+    from cli_rag_spark.sources.snapshots import delete_snapshot
+
+    path = str(tmp_path / "snapevo4")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "flag", F.lit("X")
+    )
+    upsert_snapshot(spark, path, updates, allow_evolution=True)
+    delete_snapshot(
+        spark, path, orders.where(F.col("o_orderkey") % 4 == 0).select("o_orderkey")
+    )
+    v3 = read_snapshot(spark, path, 3)
+    assert "flag" in v3.columns
+    flagged = {r.o_orderkey for r in v3.where(F.col("flag").isNotNull()).collect()}
+    want = {
+        r.o_orderkey
+        for r in orders.where(
+            (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 4 != 0)
+        ).collect()
+    }
+    assert flagged == want
