@@ -67,6 +67,7 @@ HEADLINE = [
     "pagerank_top_nodes",        # mining: dyadic PageRank, 3 iters (r5)
     "heavy_hitter_terms",        # mining: two-pass exact heavy hitters (r5)
     "bloom_decontamination",     # mining: Bloom prefilter semi-join (r5)
+    "maxsim_topk",               # retrieval: ColBERT-style late interaction (r5)
 ]
 
 

@@ -124,3 +124,47 @@ def matryoshka_topk(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def maxsim_topk(
+    parts: DataFrame,
+    qparts: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    qpart_col: str = "qpart_id",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim shape, Khattab &
+    Zaharia 2020): documents are MULTI-vector (one embedding per chunk
+    / token / passage in ``parts``), the query is multi-vector too
+    (``qparts``), and a document's score folds the full interaction
+    matrix: for every query part, the BEST-matching document part —
+    here as  maxsim_dist = Σ_qpart min_part cosine_distance , the
+    distance-form fold (identical ranking to the similarity form:
+    Σ max sim = |qparts| − Σ min dist; distances are what the rest of
+    the E5/E6 surface scores and value-replays).
+
+    Scale shape: qparts is tiny (query tokens) and BROADCAST — the
+    interaction matrix is a map-side crossJoin, never a shuffle of the
+    chunk index; the two folds are partial-agg groupBys that collapse
+    |parts|·|qparts| sims down to |docs| rows on the first shuffle
+    key (id, qpart). Top-k is TakeOrderedAndProject. At 100 TB this
+    is exactly the late-interaction scoring pass ColBERT runs AFTER
+    an ANN candidate stage — compose with ivf_topk/knn_join to
+    pre-select candidates and this operator reranks them.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    sim = F.round(cosine_distance(F.col(vec_col), F.col(qvec_col)), round_digits)
+    return (
+        parts.crossJoin(F.broadcast(qparts))
+        .withColumn("_d", sim)
+        .groupBy(id_col, qpart_col)
+        .agg(F.min("_d").alias("_best"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_best"), round_digits).alias("maxsim_dist"))
+        .orderBy(F.col("maxsim_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

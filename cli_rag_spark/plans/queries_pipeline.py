@@ -57,6 +57,30 @@ def q_mock_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAXSIM_K = 5
+
+
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval over the chunk index (operators/
+    topk.py maxsim_topk, the ColBERT MaxSim shape): the corpus is
+    multi-vector (one mock embedding per 128-char chunk), the query is
+    multi-vector (one embedding per query TOKEN), and each document
+    scores the sum over query tokens of its best-matching chunk — the
+    fine-grained interaction a single pooled vector (mock_index_topk)
+    cannot express. Query side broadcasts; the interaction matrix is
+    map-side; two partial-agg folds collapse it to one row per doc."""
+    from cli_rag_spark.operators.topk import maxsim_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = chunk_fixed(docs, PIPE_CHUNK).withColumn(
+        "embedding", mock_embedding_expr(F.col("chunk_text"), DEFAULT_DIM)
+    ).cache()  # same materialization barrier as mock_index_topk
+    qparts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(QUERY_TEXT.split())], ["qpart_id", "tok"]
+    ).withColumn("qvec", mock_embedding_expr(F.col("tok"), DEFAULT_DIM)).drop("tok")
+    return maxsim_topk(parts, qparts, MAXSIM_K, id_col="doc_id")
+
+
 def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E10: assemble the 'Context i:' prompt block from the top-3
     documents nearest the mock query (multirag.c:108-124 semantics)."""
@@ -168,6 +192,7 @@ QUERIES = {
     "mock_index_topk": q_mock_index_topk,
     "audio_window_stats": q_audio_window_stats,
     "rag_context": q_rag_context,
+    "maxsim_topk": q_maxsim_topk,
     "rag_contexts_batch": q_rag_contexts_batch,
     "binary_metadata": q_binary_metadata,
     "image_decode_stats": q_image_decode_stats,
@@ -184,6 +209,11 @@ _CHUNK_SQL = f"""
 
 _QVEC = mock_embedding_sql(f"'{QUERY_TEXT}'", DEFAULT_DIM)
 
+_MAXSIM_QTOKS = ",\n            ".join(
+    f"({i}, {mock_embedding_sql(repr(t), DEFAULT_DIM)})"
+    for i, t in enumerate(QUERY_TEXT.split())
+)
+
 ORACLE = {
     "mock_index_topk": f"""
         WITH chunks AS ({_CHUNK_SQL}),
@@ -197,6 +227,28 @@ ORACLE = {
         FROM embedded
         ORDER BY dist ASC, doc_id ASC, chunk_index ASC
         LIMIT {PIPE_K}
+    """,
+    "maxsim_topk": f"""
+        WITH chunks AS ({_CHUNK_SQL}),
+        embedded AS (
+          SELECT doc_id,
+                 {mock_embedding_sql("chunk_text", DEFAULT_DIM)} AS v
+          FROM chunks
+        ), q AS (
+          SELECT * FROM (VALUES
+            {_MAXSIM_QTOKS}
+          ) t(qpart_id, qv)
+        ), sims AS (
+          SELECT doc_id, qpart_id,
+                 round(1 - list_cosine_similarity(v, qv), 6) AS d
+          FROM embedded, q
+        ), best AS (
+          SELECT doc_id, qpart_id, min(d) AS best FROM sims
+          GROUP BY doc_id, qpart_id
+        )
+        SELECT doc_id, round(sum(best), 6) AS maxsim_dist
+        FROM best GROUP BY doc_id
+        ORDER BY maxsim_dist ASC, doc_id ASC LIMIT {MAXSIM_K}
     """,
     "rag_context": f"""
         WITH scored AS (

@@ -163,3 +163,54 @@ def test_matryoshka_funnel_recall_and_guards(spark, sf_dir):
         matryoshka_topk(emb, qv, 5, coarse_dims=0, shortlist=10)
     with _pytest.raises(ValueError, match="shortlist"):
         matryoshka_topk(emb, qv, 5, coarse_dims=16, shortlist=3)
+
+
+# ----------------------------------------------------- maxsim (late interaction)
+
+def test_maxsim_single_qpart_equals_topk(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from cli_rag_spark.operators.topk import maxsim_topk, topk
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), [float(x) for x in rng.normal(size=4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "embedding"])
+    q = [1.0, 0.5, -0.25, 0.125]
+    qparts = spark.createDataFrame([(0, q)], ["qpart_id", "qvec"])
+    # one query part and one part per doc: maxsim degenerates to topk
+    got = [(r.doc_id, r.maxsim_dist) for r in maxsim_topk(df, qparts, 5).collect()]
+    want = [
+        (r.doc_id, r.dist)
+        for r in topk(df, q, 5, id_col="doc_id").collect()
+    ]
+    assert got == want
+
+
+def test_maxsim_picks_best_chunk_per_query_part(spark):
+    from pyspark.sql import functions as F
+    from cli_rag_spark.operators.topk import maxsim_topk
+
+    e1, e2 = [1.0, 0.0], [0.0, 1.0]
+    parts = spark.createDataFrame(
+        [
+            (1, e1), (1, e2),   # doc 1 covers both directions
+            (2, e1), (2, e1),   # doc 2 only covers e1
+        ],
+        ["doc_id", "embedding"],
+    )
+    qparts = spark.createDataFrame(
+        [(0, e1), (1, e2)], ["qpart_id", "qvec"]
+    )
+    got = {r.doc_id: r.maxsim_dist for r in maxsim_topk(parts, qparts, 2).collect()}
+    # doc 1: best dist 0 for both query parts; doc 2: 0 for e1, 1 for e2
+    assert got[1] == 0.0 and got[2] == 1.0
+
+
+def test_maxsim_k_guard(spark):
+    import pytest
+    from cli_rag_spark.operators.topk import maxsim_topk
+
+    df = spark.createDataFrame([(1, [1.0])], ["doc_id", "embedding"])
+    qp = spark.createDataFrame([(0, [1.0])], ["qpart_id", "qvec"])
+    with pytest.raises(ValueError):
+        maxsim_topk(df, qp, 0)
