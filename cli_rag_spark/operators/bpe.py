@@ -143,3 +143,57 @@ def bpe_train_merges(
     # accumulate session-lifetime cached copies (review r5); short
     # schedules recompute the word table on later use — one scan
     return merges, syms
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    broadcast_dict: bool = False,
+) -> DataFrame:
+    """Apply a TRAINED merge list to the corpus — the inference half of
+    the tokenizer lifecycle — and return per-row token accounting:
+    DF[<docs columns...>, n_words, n_bpe_tokens].
+
+    Not a per-occurrence replace chain: encoding is a DICTIONARY JOIN.
+    The distinct-word table runs the merge chain once (pure-map literal
+    replaces, same rewrite the trainer applied), yielding
+    word -> final-symbol-count; the corpus then equi-joins its words
+    against that dictionary. Cost: one corpus scan + a vocabulary-sized
+    map side — exactly how production tokenizers amortize encode at
+    scale. ``broadcast_dict`` hints the dictionary broadcast (vocab
+    tables are MBs; default off keeps the decision explicit).
+
+    Same word model as training: lowercase ``^[a-z]+$`` tokens; other
+    tokens don't count (they never entered the merge statistics)."""
+    syms = word_frequencies(docs, text_col).select(
+        "word", _initial_symbols(F.col("word")).alias("syms")
+    )
+    for m in merges:
+        syms = syms.select(
+            "word",
+            F.replace(
+                F.col("syms"),
+                F.lit(f"{_SEP}{m['a']}{_SEP}{_SEP}{m['b']}{_SEP}"),
+                F.lit(f"{_SEP}{m['a']}{m['b']}{_SEP}"),
+            ).alias("syms"),
+        )
+    dictionary = syms.select(
+        "word",
+        F.size(F.filter(F.split(F.col("syms"), _SEP_RE), lambda x: x != ""))
+        .cast("long")
+        .alias("_n_sym"),
+    )
+    if broadcast_dict:
+        dictionary = F.broadcast(dictionary)
+    words = docs.select(
+        "*", F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+    ).where(F.col("word").rlike(r"^[a-z]+$"))
+    return (
+        words.join(dictionary, "word")
+        .groupBy(*docs.columns)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_sym").alias("n_bpe_tokens"),
+        )
+    )

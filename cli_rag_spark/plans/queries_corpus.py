@@ -572,10 +572,34 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
-def _bpe_merges_sql(n_merges: int) -> str:
-    """The identical loop as chained CTE stages: pair-count ->
-    argmax -> literal replace (left-to-right non-overlapping in both
-    engines — BPE's scan order) -> next stage."""
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the tokenizer lifecycle (operators/bpe.py
+    bpe_encode_counts): train 3 merges, then apply them to the whole
+    corpus as a dictionary join — the distinct-word table runs the
+    merge chain once, the corpus equi-joins word -> symbol count. Per
+    source: words encoded and total BPE tokens produced (exact longs).
+    The oracle re-derives the SAME merges in CTEs and re-applies them
+    relationally, so training AND inference replay end-to-end."""
+    from cli_rag_spark.operators.bpe import bpe_encode_counts, bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train_merges(docs, n_merges=BPE_MERGES)
+    enc = bpe_encode_counts(docs, merges, broadcast_dict=True)
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_cte_chain(n_merges: int) -> list[str]:
+    """The trainer loop as chained CTE stages: pair-count -> argmax ->
+    literal replace (left-to-right non-overlapping in both engines —
+    BPE's scan order) -> next stage. ``word`` rides the chain so the
+    final stage doubles as the encode dictionary (bpe_encode_stats)."""
     ctes = [
         r"""words AS (
           SELECT word, count(*)::BIGINT AS freq FROM (
@@ -585,7 +609,7 @@ def _bpe_merges_sql(n_merges: int) -> str:
           GROUP BY word
         )""",
         """s0 AS (
-          SELECT '|' || array_to_string(regexp_split_to_array(word, ''), '||') || '|' AS syms, freq
+          SELECT word, '|' || array_to_string(regexp_split_to_array(word, ''), '||') || '|' AS syms, freq
           FROM words
         )""",
     ]
@@ -599,14 +623,19 @@ def _bpe_merges_sql(n_merges: int) -> str:
         ctes.append(
             f"b{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
         )
-        if i + 1 < n_merges:
-            ctes.append(f"""s{i + 1} AS (
-              SELECT replace(syms,
-                             '|' || (SELECT a FROM b{i}) || '||' || (SELECT b FROM b{i}) || '|',
-                             '|' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || '|') AS syms,
-                     freq
-              FROM s{i}
-            )""")
+        ctes.append(f"""s{i + 1} AS (
+          SELECT word,
+                 replace(syms,
+                         '|' || (SELECT a FROM b{i}) || '||' || (SELECT b FROM b{i}) || '|',
+                         '|' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || '|') AS syms,
+                 freq
+          FROM s{i}
+        )""")
+    return ctes
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    ctes = _bpe_cte_chain(n_merges)
     finals = " UNION ALL ".join(
         f"SELECT CAST({i + 1} AS BIGINT) AS step, a, b, n FROM b{i}"
         for i in range(n_merges)
@@ -614,8 +643,31 @@ def _bpe_merges_sql(n_merges: int) -> str:
     return f"WITH {', '.join(ctes)} {finals} ORDER BY step"
 
 
+def _bpe_encode_sql(n_merges: int) -> str:
+    ctes = _bpe_cte_chain(n_merges)
+    return f"""
+        WITH {', '.join(ctes)},
+        dict AS (
+          SELECT word,
+                 CAST(len(list_filter(string_split(syms, '|'), x -> x <> '')) AS BIGINT) AS n_sym
+          FROM s{n_merges}
+        ), toks AS (
+          SELECT source,
+                 unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+          FROM documents
+        )
+        SELECT source,
+               count(*) AS n_words,
+               CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+        FROM toks JOIN dict USING (word)
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY source ORDER BY source
+    """
+
+
 QUERIES = {
     "bpe_merges": q_bpe_merges,
+    "bpe_encode_stats": q_bpe_encode_stats,
     "quality_drift_ks": q_quality_drift_ks,
     "dsir_selection": q_dsir_selection,
     "curation_funnel": q_curation_funnel,
@@ -707,6 +759,7 @@ def _curation_funnel_sql() -> str:
 
 ORACLE = {
     "bpe_merges": _bpe_merges_sql(BPE_MERGES),
+    "bpe_encode_stats": _bpe_encode_sql(BPE_MERGES),
     "quality_drift_ks": _quality_drift_sql(),
     "dsir_selection": f"""
         WITH tb AS (

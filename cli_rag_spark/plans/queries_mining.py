@@ -288,3 +288,79 @@ ORACLE = {
         FROM top GROUP BY source ORDER BY source
     """,
 }
+
+
+# --- closed-form OLS on exact integer sufficient statistics ----------
+
+
+def q_ols_token_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ordinary least squares of token count on character
+    count — the linear-model fit a corpus-statistics pass runs (is
+    chars-per-token stable across sources? outlier sources fall off
+    the line). Classic distributed closed form: ONE scan accumulates
+    the five integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    as EXACT longs (map-side partial aggs; no float accumulation →
+    no partition-order nondeterminism at any cluster size), then
+    slope/intercept/r² are scalar double expressions per group:
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+
+    The longs stay < 2^53, so their double casts are exact and both
+    engines compute identical IEEE results bit-for-bit."""
+    from cli_rag_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("long")
+    y = token_count(F.col("text")).cast("long")
+    agg = docs.select(
+        "source", x.alias("x"), y.alias("y")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den_x
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n").cast("double")
+    r2 = (num * num) / (den_x * den_y)
+    return agg.select(
+        "source",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("source")
+
+
+QUERIES["ols_token_chars"] = q_ols_token_chars
+
+ORACLE["ols_token_chars"] = f"""
+    WITH xy AS (
+      SELECT source,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS y
+      FROM documents
+    ), agg AS (
+      SELECT source, count(*) AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy
+      FROM xy GROUP BY source
+    ), d AS (
+      SELECT source, n,
+             CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+             CAST(n*sxx - sx*sx AS DOUBLE) AS den_x,
+             CAST(n*syy - sy*sy AS DOUBLE) AS den_y,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM agg
+    )
+    SELECT source, n,
+           round(num / den_x, 6) AS slope,
+           round((syd - (num / den_x) * sxd) / CAST(n AS DOUBLE), 6) AS intercept,
+           round((num * num) / (den_x * den_y), 6) AS r2
+    FROM d ORDER BY source
+"""

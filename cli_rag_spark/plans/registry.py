@@ -45,7 +45,7 @@ _PACKS = [
 #   4. remaining slots filled least-recently-verified-first.
 #
 # STALENESS INVARIANT (VERDICT r3 "Next round #3"): target is that no
-# query's latest green verdict is older than ~2 rounds. With 129
+# query's latest green verdict is older than ~2 rounds. With 131
 # registered queries and 33 rotating slots behind the 17 sentinels, a
 # full rotation takes ~3 rounds — the invariant is enforced as
 # "oldest verdicts fill first", and every query is ALSO value-exactly
@@ -56,17 +56,14 @@ _PACKS = [
 #
 # Round-5 window: 17 sentinels; the FOURTEEN never-verified round-5
 # operators + the late 15th (snapshot_vacuum_stats; dedup_exact_count
-# moved to the r6 fill to make room) + the SEVEN late-r5 additions
+# moved to the r6 fill to make room) + the NINE late-r5 additions
 # (setsim/pagerank/heavy-hitters/bloom/weighted-sample/schema-
-# evolution/maxsim — never-verified outranks stale per the policy);
+# evolution/maxsim/bpe-encode/ols — never-verified outranks stale);
 # the two r3-verified queries touched by the r5 ann.py rework; then
-# the stalest fill — all 7 remaining r1-verified queries, 2 of the 19
-# r2-verified, and the events-family representative (sessionization).
-# After this round every r1 verdict has been refreshed; the 17
-# remaining r2-verified queries (incl. the ones displaced by the
-# late-r5 additions: quantized_topk, cosine_histogram, token_counts,
-# quality_scores, lang_id_confusion, fingerprint_dups, chunk_fixed)
-# head the r6 fill.
+# the stalest fill — 6 of the 7 remaining r1-verified queries plus
+# the events-family representative (sessionization). The r6 fill is
+# headed by scalar_function_breadth (the one r1 displaced by the
+# late-r5 cohort) and the 19 remaining r2-verified queries.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -98,11 +95,13 @@ _PRIORITY = _SENTINELS + [
     "ivf_refined_topk", "embedding_covariance", "quality_drift_ks",
     "token_budget_sample", "matryoshka_topk", "leakproof_split_counts",
     "bpe_merges", "streaming_incremental_dedup", "snapshot_vacuum_stats",
-    # (3) never driver-checked: the late-r5 mining pack + the
-    # snapshot add-column evolution query
+    # (3) never driver-checked: the late-r5 cohort — mining pack,
+    # snapshot add-column evolution, MaxSim late interaction, BPE
+    # encode, exact-integer OLS
     "setsim_pairs", "pagerank_top_nodes", "heavy_hitter_terms",
     "bloom_decontamination", "weighted_sample_stats",
     "snapshot_schema_evolution", "maxsim_topk",
+    "bpe_encode_stats", "ols_token_chars",
     # (2) changed since last verdict: the r5 ann.py rework (sidecar
     # quantizer, shared _kmeans_cte_chain oracle builder) touches the
     # kmeans/IVF family — ivf_topk is already a sentinel; these two
@@ -113,21 +112,22 @@ _PRIORITY = _SENTINELS + [
     # window by its never-verified cohort)...
     "revenue_forecast", "promo_revenue_ratio", "segment_nation_cube",
     "price_percentiles", "top_parts_per_brand",
-    "returnflag_grouping_sets", "scalar_function_breadth",
-    # ...then 4 of the 19 r2-verified (3 rounds stale) + the events-
-    # family representative (sessionization, r3 — the family-coverage
-    # rule of the window contract, tests/test_plans.py)
-    "chunk_clean_stats",
+    "returnflag_grouping_sets",
+    # ...plus the events-family representative (sessionization, r3 —
+    # the family-coverage rule of the window contract,
+    # tests/test_plans.py)
     "sessionization",
-    # the remaining 17 r2-verified (dedup_exact_count, decontamination,
-    # ngram_jaccard, simhash_groups, shipping_priority,
-    # top_customers_per_nation, binary_metadata, audio_window_stats,
-    # hybrid_rrf_topk, stratified_sample, pack_chunks_stats,
-    # quantized_topk, cosine_histogram, token_counts, quality_scores,
-    # lang_id_confusion, fingerprint_dups, chunk_fixed) head the r6
-    # fill; every r3/r4-verified query is ≤ 2 rounds stale and all 129
-    # replay value-exact in the local all-query parity gate every test
-    # run (tests/test_parity.py)
+    # r6 fill head: scalar_function_breadth (r1, displaced by the
+    # late-r5 cohort) then the 18 remaining r2-verified
+    # (dedup_exact_count, decontamination, ngram_jaccard,
+    # simhash_groups, shipping_priority, top_customers_per_nation,
+    # binary_metadata, audio_window_stats, hybrid_rrf_topk,
+    # stratified_sample, pack_chunks_stats, quantized_topk,
+    # cosine_histogram, token_counts, quality_scores,
+    # lang_id_confusion, fingerprint_dups, chunk_fixed,
+    # chunk_clean_stats); every r3/r4-verified query is ≤ 2 rounds
+    # stale and all 131 replay value-exact in the local all-query
+    # parity gate every test run (tests/test_parity.py)
 ]
 
 

@@ -15,6 +15,10 @@ engine, not an artifact of duplicated data:
   splitmix64(i) is set — an isometry (norms and intra-replica cosine
   distances exactly preserved) that scrambles cross-replica cosine
   structure and LSH buckets.
+- orders/lineitem (the pagerank trade graph): replica i offsets every
+  key (orderkey/custkey/suppkey) by i x (max+1) — the replicated
+  graph is m disconnected copies, so per-iteration join/agg work
+  grows exactly with edges while the rank dynamics stay comparable.
 
 Usage: python scripts/scale_rehearsal.py [--runs 2]
 Prints one JSON line per query with per-scale seconds and the fitted
@@ -73,6 +77,16 @@ QUERIES = [
     "tfidf_cosine_topk",
     "dsir_selection",
     "bpe_merges",
+    # late-r5 mining pack: prefix-filtered setsim (inverted-index
+    # candidate join), two-pass heavy hitters (pigeonhole prefilter),
+    # bloom decontamination (broadcast bitmap), MaxSim late
+    # interaction (broadcast query parts), PageRank (per-iteration
+    # edge join over the replicated trade graph)
+    "setsim_pairs",
+    "heavy_hitter_terms",
+    "bloom_decontamination",
+    "maxsim_topk",
+    "pagerank_top_nodes",
 ]
 
 
@@ -131,8 +145,13 @@ def generate(spark, m: int) -> str:
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    orders = spark.read.parquet(os.path.join(BASE_SF, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(BASE_SF, "lineitem.parquet"))
     doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
     vec_off = emb.agg(F.max("vec_id")).first()[0] + 1
+    ord_off = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    cust_off = orders.agg(F.max("o_custkey")).first()[0] + 1
+    supp_off = li.agg(F.max("l_suppkey")).first()[0] + 1
     dim = len(emb.select("embedding").first()[0])
 
     lower, upper = string.ascii_lowercase, string.ascii_uppercase
@@ -154,13 +173,30 @@ def generate(spark, m: int) -> str:
             )
         e_parts.append(e)
 
-    d_all, e_all = d_parts[0], e_parts[0]
+    o_parts, l_parts = [], []
+    for i in range(m):
+        o_parts.append(
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * ord_off))
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * cust_off))
+        )
+        l_parts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * ord_off))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * supp_off))
+        )
+
+    d_all, e_all, o_all, l_all = d_parts[0], e_parts[0], o_parts[0], l_parts[0]
     for d in d_parts[1:]:
         d_all = d_all.unionByName(d)
     for e in e_parts[1:]:
         e_all = e_all.unionByName(e)
+    for o in o_parts[1:]:
+        o_all = o_all.unionByName(o)
+    for l in l_parts[1:]:
+        l_all = l_all.unionByName(l)
     d_all.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     e_all.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    o_all.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    l_all.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
     open(done, "w").close()
     return out
 
@@ -169,6 +205,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2, help="best-of-N per point")
     ap.add_argument("--fresh", action="store_true", help="regenerate synthetic data")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="restrict to these query names (default: all)")
     args = ap.parse_args()
     if args.fresh and os.path.isdir(WORK):
         shutil.rmtree(WORK)
@@ -182,7 +220,10 @@ def main() -> None:
     qs["minhash_candidates"](spark, dirs[1]).write.mode("overwrite").format("noop").save()
 
     results = {}
-    for name in QUERIES + list(SCALED_QUERIES):
+    names = QUERIES + list(SCALED_QUERIES)
+    if args.only:
+        names = [n for n in names if n in set(args.only)]
+    for name in names:
         factory = SCALED_QUERIES.get(name)
         per_scale = {}
         for m in MULTIPLES:

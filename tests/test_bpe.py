@@ -64,3 +64,28 @@ def test_weighted_counts_use_word_freq(spark):
 def test_validates_n_merges(spark):
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train_merges(_docs(spark, ["ab"]), 0)
+
+
+def test_bpe_encode_counts_matches_manual(spark):
+    from pyspark.sql import functions as F
+    from cli_rag_spark.operators.bpe import bpe_encode_counts, bpe_train_merges
+
+    # corpus: "aaab aaab ab xyz" — merge 1 is (a,a); with 2 merges the
+    # trainer picks a second pair; encode must reflect the rewrites
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "xyz ab aaab")], ["doc_id", "text"]
+    )
+    merges, _ = bpe_train_merges(docs, n_merges=1)
+    assert (merges[0]["a"], merges[0]["b"]) == ("a", "a")
+    enc = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in bpe_encode_counts(docs, merges).collect()}
+    # after (a,a)->aa: aaab = |aa||a||b| (3 syms, L2R non-overlap), ab = |a||b| (2), xyz = 3
+    assert enc[1] == (3, 3 + 3 + 2)
+    assert enc[2] == (3, 3 + 2 + 3)
+
+
+def test_bpe_encode_empty_merges_is_char_count(spark):
+    from cli_rag_spark.operators.bpe import bpe_encode_counts
+
+    docs = spark.createDataFrame([(1, "abc de")], ["doc_id", "text"])
+    enc = bpe_encode_counts(docs, []).collect()[0]
+    assert (enc.n_words, enc.n_bpe_tokens) == (2, 5)

@@ -205,3 +205,29 @@ def test_weighted_sample_excludes_nonpositive(spark):
     assert [r.id for r in weighted_sample(df, "id", "w", 10).collect()] == [3]
     with pytest.raises(ValueError):
         weighted_sample(df, "id", "w", 0)
+
+
+# ------------------------------------------------------------- OLS
+
+def test_ols_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from cli_rag_spark.plans.queries_mining import q_ols_token_chars
+    from cli_rag_spark.functions.text import tokens as tok_expr
+    from cli_rag_spark.sources.documents import load_table
+
+    got = {r.source: (r.slope, r.intercept, r.r2) for r in q_ols_token_chars(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", F.size(tok_expr(F.col("text"))).alias("y")
+    ).collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append((r.n_chars, r.y))
+    for src, pts in by_src.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        gs, gi, gr2 = got[src]
+        assert abs(gs - slope) < 1e-4, src
+        assert abs(gi - intercept) < 1e-3, src
+        assert abs(gr2 - r * r) < 1e-4, src
