@@ -1,0 +1,145 @@
+"""Exact edit-distance similarity join (ED-Join style) — record
+linkage without the all-pairs scan.
+
+``setsim_join`` (setsim.py) joins on SET overlap; this joins on EDIT
+DISTANCE — "the same entity, typo'd": levenshtein(a, b) <= d. The
+naive plan is O(N^2) levenshtein calls; the public prefix-filtering
+line for edit distance (Gravano et al. q-gram joins; Xiao et al.
+ED-Join) cuts candidate generation to an inverted-index equi-join:
+
+* Q-GRAM PREFIX LEMMA: one edit (insert/delete/substitute) destroys
+  at most q of a string's overlapping q-grams, so d edits destroy at
+  most q*d. Order every string's distinct grams by GLOBAL frequency
+  (rarest first): if ed(a, b) <= d, then b must contain at least one
+  of a's first q*d + 1 grams — so joining each string's PREFIX grams
+  against the full gram index finds every true pair (in at least one
+  direction; candidates are normalized to unordered pairs). Prefixes
+  are dominated by RARE grams, so the hot grams ("00" in every
+  Customer#... name) never drive the join.
+* LENGTH FILTER: ed <= d forces |len(a) - len(b)| <= d, applied
+  inside the join condition.
+* SHORT-STRING FALLBACK: a string with <= q*d grams (len <=
+  q*(d+1) - 1) can have its entire gram set destroyed by d edits, so
+  the lemma gives it no guarantee — those strings are compared
+  against every length-compatible string directly. The bucket is
+  strings shorter than ~2*q chars: negligible and broadcastable by
+  construction.
+* exact verify: built-in ``levenshtein`` (JVM codegen; identical
+  unit-cost DP in DuckDB) on candidates only.
+
+The filters are pure optimizations — the judged oracle
+(queries_mining.py) is the brute-force levenshtein join, so the
+driver verifies the q-gram lemma end-to-end.
+
+Scale shape at 100 TB: one scan grams each string; the df table is a
+partial-agg count; the prefix inverted index shuffles q*d + 1 grams
+per string; the candidate join is a narrow-key equi-join; verify
+touches candidates only. Zipf-hot grams sort to the END of the
+global order and stay out of prefixes — the same property that makes
+setsim_join's candidate volume data-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _grams(s: Column, q: int) -> Column:
+    """Distinct overlapping q-grams of ``s`` (strings shorter than q
+    yield their whole text as the single gram so they are indexable)."""
+    n = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(n - (q - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, q)))
+
+
+def fuzzy_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int,
+    q: int = 2,
+) -> DataFrame:
+    """DF[id_a, id_b, dist] (id_a < id_b) — ALL pairs with
+    levenshtein(str_a, str_b) <= max_dist, via q-gram prefix
+    filtering. NULL strings are excluded (no distance defined)."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    prefix_len = q * max_dist + 1
+
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(str_col).alias("s"),
+        F.length(str_col).alias("slen"),
+    ).where(F.col(str_col).isNotNull())
+
+    grams = s.select("id", "slen", F.explode(_grams(F.col("s"), q)).alias("g"))
+    dfc = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        grams.join(dfc, "g")
+        .groupBy("id", "slen")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "g"))), lambda x: x.g
+            ).alias("gs")
+        )
+    )
+
+    full = ordered.select("id", "slen", F.explode("gs").alias("g"))
+    pref = ordered.select(
+        "id", "slen", F.explode(F.slice("gs", 1, prefix_len)).alias("g")
+    )
+    a, b = pref.alias("a"), full.alias("b")
+    main = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.id") != F.col("b.id"))
+        & (F.abs(F.col("a.slen") - F.col("b.slen")) <= max_dist),
+    ).select(
+        F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+    )
+
+    # short strings: <= q*max_dist grams -> no prefix guarantee; pair
+    # them with every length-compatible string. len <= q*(d+1) - 1 is
+    # a constant-size class for any real corpus; broadcast it.
+    shorts = s.where(F.col("slen") - (q - 1) <= q * max_dist)
+    x = F.broadcast(shorts.select(F.col("id").alias("x_id"), F.col("slen").alias("x_len")))
+    y = s.select(F.col("id").alias("y_id"), F.col("slen").alias("y_len"))
+    fallback = x.join(
+        y,
+        (F.col("x_id") != F.col("y_id"))
+        & (F.abs(F.col("x_len") - F.col("y_len")) <= max_dist),
+    ).select(
+        F.least(F.col("x_id"), F.col("y_id")).alias("id_a"),
+        F.greatest(F.col("x_id"), F.col("y_id")).alias("id_b"),
+    )
+
+    cand = main.unionByName(fallback).distinct()
+    sa = s.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = s.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def fuzzy_join_brute(
+    df: DataFrame, id_col: str, str_col: str, max_dist: int
+) -> DataFrame:
+    """Brute-force spec twin (tests + small data): every pair."""
+    s = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s")).where(
+        F.col(str_col).isNotNull()
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("dist", F.levenshtein(F.col("a.s"), F.col("b.s")))
+        .where(F.col("dist") <= max_dist)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "dist")
+    )

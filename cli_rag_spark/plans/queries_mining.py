@@ -364,3 +364,50 @@ ORACLE["ols_token_chars"] = f"""
            round((num * num) / (den_x * den_y), 6) AS r2
     FROM d ORDER BY source
 """
+
+
+# --- exact edit-distance join (ED-Join q-gram prefix filtering) ------
+
+FUZZY_D = 1
+FUZZY_Q = 2
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage on customer names (operators/fuzzy.py): every
+    pair of c_name values within levenshtein distance 1 — the "same
+    entity, typo'd" join — via q-gram prefix filtering instead of the
+    O(N^2) scan. Output aggregates the pair set per distance with both
+    key sums as the exact-membership witness; the oracle is the
+    brute-force levenshtein join, so a green row proves the q-gram
+    prefix lemma lost no pair."""
+    from cli_rag_spark.operators.fuzzy import fuzzy_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_join(cust, "c_custkey", "c_name", FUZZY_D, q=FUZZY_Q)
+    return (
+        pairs.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("id_a").alias("sum_a"),
+            F.sum("id_b").alias("sum_b"),
+        )
+        .orderBy("dist")
+        .select(F.col("dist").cast("long").alias("dist"), "n_pairs", "sum_a", "sum_b")
+    )
+
+
+QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
+
+ORACLE["fuzzy_name_pairs"] = f"""
+    WITH pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             levenshtein(a.c_name, b.c_name) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE abs(length(a.c_name) - length(b.c_name)) <= {FUZZY_D}
+    )
+    SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs,
+           CAST(sum(id_a) AS BIGINT) AS sum_a,
+           CAST(sum(id_b) AS BIGINT) AS sum_b
+    FROM pairs WHERE dist <= {FUZZY_D}
+    GROUP BY dist ORDER BY dist
+"""

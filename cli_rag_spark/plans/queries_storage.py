@@ -283,6 +283,51 @@ def q_snapshot_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_optimize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the snapshot table format (sources/snapshots.py
+    optimize_snapshot): v1 is committed from an 8-task writer, so
+    every one of the 16 bucket directories holds 8 small part files
+    (the fragmentation CoW writers accumulate); OPTIMIZE coalesces
+    each to ONE file in a new version sharing the commit protocol.
+
+    The query re-reads the optimized table and answers the oracle's
+    aggregate over the ORIGINAL parquet — losslessness through the
+    driver's channel — plus the file-accounting witnesses (16 buckets
+    optimized, 16 files after). In-query guards raise if the file
+    counts do not actually shrink, so a silently-degraded OPTIMIZE
+    cannot return a green row."""
+    from cli_rag_spark.sources.snapshots import (
+        N_BUCKETS_DEFAULT,
+        _fs,
+        optimize_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch("snapopt", sf_dir)
+    fs, root = _fs(spark, path)
+    fs.delete(root, True)
+    write_snapshot(orders.repartition(8), path, "o_orderkey")
+
+    report = optimize_snapshot(spark, path)
+    if report["files_after"] >= report["files_before"]:
+        raise RuntimeError(f"optimize did not shrink files: {report}")
+    if report["files_after"] != N_BUCKETS_DEFAULT:
+        raise RuntimeError(f"expected 1 file per bucket, got {report}")
+
+    snap = read_snapshot(spark, path)
+    return snap.agg(
+        F.lit(len(report["optimized_buckets"])).cast("long").alias("n_optimized"),
+        F.lit(report["files_after"]).cast("long").alias("files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 EVOLVE_MOD = 13
 
 
@@ -412,6 +457,7 @@ QUERIES = {
     "zorder_roundtrip": q_zorder_roundtrip,
     "snapshot_time_travel": q_snapshot_time_travel,
     "snapshot_schema_evolution": q_snapshot_schema_evolution,
+    "snapshot_optimize_stats": q_snapshot_optimize_stats,
     "snapshot_cdc_stats": q_snapshot_cdc_stats,
     "snapshot_vacuum_stats": q_snapshot_vacuum_stats,
 }
@@ -501,6 +547,14 @@ ORACLE = {
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
                CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         FROM versions GROUP BY version ORDER BY version
+    """,
+    "snapshot_optimize_stats": """
+        SELECT CAST(16 AS BIGINT) AS n_optimized,
+               CAST(16 AS BIGINT) AS files_after,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+        FROM orders
     """,
     "snapshot_schema_evolution": f"""
         WITH v2 AS (

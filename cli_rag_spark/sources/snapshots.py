@@ -512,3 +512,110 @@ def vacuum_snapshots(
         "removed_versions": drop,
         "removed_data_dirs": sorted(removed_dirs),
     }
+
+
+def optimize_snapshot(
+    spark: SparkSession,
+    path: str,
+    max_files_per_bucket: int = 1,
+    version: int | None = None,
+) -> dict:
+    """OPTIMIZE — coalesce each bucket's small files into at most
+    ``max_files_per_bucket``, committed as a NEW version with
+    byte-identical data (the lakehouse maintenance op next to vacuum:
+    CoW rewrites and parallel writers leave every bucket as many part
+    files as tasks touched it; small files tax every subsequent scan).
+
+    Only buckets whose current file count exceeds the target are
+    rewritten — untouched buckets keep sharing their parent version's
+    files, so OPTIMIZE costs O(fragmented fraction), not O(table).
+    Same commit protocol as every other writer here: data first,
+    manifest rename last; a crash leaves an invisible orphan dir.
+
+    Returns {"version", "optimized_buckets", "files_before",
+    "files_after"} — version is unchanged (and nothing is written)
+    when no bucket is fragmented."""
+    if max_files_per_bucket < 1:
+        raise ValueError("max_files_per_bucket must be >= 1")
+    if version is None:
+        version = latest_version(spark, path)
+    manifest = _read_manifest(spark, path, version)
+    n_buckets = manifest["n_buckets"]
+    fs, _ = _fs(spark, path)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+
+    def _bucket_files(owner: int, b: int) -> int:
+        d = Path(f"{path}/data/v{owner}/{_BUCKET_COL}={b}")
+        if not fs.exists(d):
+            return 0
+        return sum(
+            1
+            for st in fs.listStatus(d)
+            if st.getPath().getName().endswith(".parquet")
+        )
+
+    counts = {
+        int(b): _bucket_files(int(v), int(b))
+        for b, v in manifest["owners"].items()
+    }
+    fragmented = sorted(b for b, c in counts.items() if c > max_files_per_bucket)
+    files_before = sum(counts.values())
+    if not fragmented:
+        return {
+            "version": version,
+            "optimized_buckets": [],
+            "files_before": files_before,
+            "files_after": files_before,
+        }
+
+    new_version = version + 1
+    cols = manifest["columns"] + [_BUCKET_COL]
+    data = (
+        read_snapshot(spark, path, version, buckets=fragmented)
+        .withColumn(
+            _BUCKET_COL, bucket_of(F.col(manifest["key_col"]), n_buckets)
+        )
+        .select(*cols)
+        # hash-repartition on the partition column (plus a
+        # deterministic key-derived salt when >1 file per bucket is
+        # allowed): every bucket lands in at most max_files_per_bucket
+        # tasks -> at most that many files per bucket dir
+        .repartition(
+            len(fragmented) * max_files_per_bucket,
+            F.col(_BUCKET_COL),
+            F.pmod(
+                F.xxhash64(F.col(manifest["key_col"])),
+                F.lit(max_files_per_bucket),
+            ),
+        )
+    )
+    data.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
+        f"{path}/data/v{new_version}"
+    )
+    owners = dict(manifest["owners"])
+    for b in fragmented:
+        owners[str(b)] = new_version
+    _write_manifest(spark, path, {
+        "version": new_version,
+        "key_col": manifest["key_col"],
+        "n_buckets": n_buckets,
+        "columns": manifest["columns"],
+        "column_types": manifest.get("column_types"),
+        "owners": owners,
+    })
+    after = {
+        b: (_bucket_files(new_version, b) if b in fragmented else c)
+        for b, c in counts.items()
+    }
+    files_after = sum(after.values())
+    bad = {b: c for b, c in after.items() if b in fragmented and c > max_files_per_bucket}
+    if bad:
+        raise RuntimeError(
+            f"optimize left fragmented buckets {bad} (> {max_files_per_bucket} files)"
+        )
+    return {
+        "version": new_version,
+        "optimized_buckets": fragmented,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -231,3 +231,42 @@ def test_ols_matches_numpy(spark, sf_dir):
         assert abs(gs - slope) < 1e-4, src
         assert abs(gi - intercept) < 1e-3, src
         assert abs(gr2 - r * r) < 1e-4, src
+
+
+# ------------------------------------------------------------- fuzzy join
+
+def test_fuzzy_join_equals_brute(spark, sf_smoke_dir):
+    from cli_rag_spark.operators.fuzzy import fuzzy_join, fuzzy_join_brute
+
+    cust = load_table(spark, sf_smoke_dir, "customer")
+    for d in (1, 2):
+        fast = sorted(map(tuple, fuzzy_join(cust, "c_custkey", "c_name", d).collect()))
+        brute = sorted(map(tuple, fuzzy_join_brute(cust, "c_custkey", "c_name", d).collect()))
+        assert fast == brute, f"d={d}"
+        assert len(fast) > 0
+
+
+def test_fuzzy_join_short_string_fallback(spark):
+    from cli_rag_spark.operators.fuzzy import fuzzy_join, fuzzy_join_brute
+
+    # "ab" vs "cd": zero shared 2-grams yet within distance 2 — only
+    # the short-string fallback can find it
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "cd"), (3, "wxyz"), (4, "wxya")], ["id", "s"]
+    )
+    fast = sorted(map(tuple, fuzzy_join(df, "id", "s", 2).collect()))
+    brute = sorted(map(tuple, fuzzy_join_brute(df, "id", "s", 2).collect()))
+    assert fast == brute
+    assert (1, 2, 2) in fast
+
+
+def test_fuzzy_join_validation_and_nulls(spark):
+    import pytest
+    from cli_rag_spark.operators.fuzzy import fuzzy_join
+
+    df = spark.createDataFrame([(1, "aa"), (2, None)], ["id", "s"])
+    assert fuzzy_join(df, "id", "s", 1).count() == 0  # null excluded
+    with pytest.raises(ValueError):
+        fuzzy_join(df, "id", "s", -1)
+    with pytest.raises(ValueError):
+        fuzzy_join(df, "id", "s", 1, q=0)

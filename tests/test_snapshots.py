@@ -443,3 +443,51 @@ def test_schema_evolution_then_delete_keeps_types(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert flagged == want
+
+
+def test_optimize_coalesces_and_preserves_data(spark, sf_dir, tmp_path):
+    import os
+    from cli_rag_spark.sources.snapshots import optimize_snapshot
+
+    path = str(tmp_path / "snapopt")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders.repartition(6), path, "o_orderkey")
+    before = key(read_snapshot(spark, path))
+    report = optimize_snapshot(spark, path)
+    assert report["version"] == 2
+    assert report["files_after"] < report["files_before"]
+    assert key(read_snapshot(spark, path)) == before  # lossless
+    assert key(read_snapshot(spark, path, 1)) == before  # v1 untouched
+    # every optimized bucket dir now holds exactly one file
+    for b in report["optimized_buckets"]:
+        d = f"{path}/data/v2/bucket={b}"
+        assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 1
+
+
+def test_optimize_noop_when_compact(spark, sf_dir, tmp_path):
+    from cli_rag_spark.sources.snapshots import optimize_snapshot
+
+    path = str(tmp_path / "snapopt2")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders.repartition(6), path, "o_orderkey")
+    optimize_snapshot(spark, path)
+    again = optimize_snapshot(spark, path)  # already 1 file/bucket
+    assert again["optimized_buckets"] == []
+    assert again["version"] == 2  # nothing written
+    with pytest.raises(ValueError):
+        optimize_snapshot(spark, path, max_files_per_bucket=0)
+
+
+def test_optimize_respects_max_files_target(spark, sf_dir, tmp_path):
+    import os
+    from cli_rag_spark.sources.snapshots import optimize_snapshot
+
+    path = str(tmp_path / "snapopt3")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders.repartition(8), path, "o_orderkey")
+    before = key(read_snapshot(spark, path))
+    report = optimize_snapshot(spark, path, max_files_per_bucket=2)
+    assert key(read_snapshot(spark, path)) == before
+    for b in report["optimized_buckets"]:
+        d = f"{path}/data/v2/bucket={b}"
+        assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) <= 2
