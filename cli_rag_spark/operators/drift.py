@@ -120,3 +120,106 @@ def ks_oracle_sql(
         SELECT n_a, n_b, round(gap, 8) AS ks_d, v AS ks_at
         FROM gaps ORDER BY gap DESC, v ASC LIMIT 1
     """
+
+
+def psi_statistic(
+    df: DataFrame,
+    value: Column,
+    in_group_a: Column,
+    in_group_b: Column,
+    bin_edges: list[float],
+) -> DataFrame:
+    """1-row frame (n_a, n_b, psi): Population Stability Index between
+    the two populations over FIXED bin edges —
+    PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), the banking/monitoring
+    complement to :func:`ks_statistic` (KS asks "did the distribution
+    move anywhere"; PSI weighs *how much* mass moved where, with the
+    conventional act thresholds at 0.1/0.25).
+
+    Fixed edges make the aggregation one partial-agg groupBy on the
+    bin id (the value table never materializes); Laplace-smoothed
+    (+1 per bin) proportions keep empty bins finite. Determinism: bin
+    counts are exact longs; the per-bin terms are scalar IEEE doubles
+    from those longs; the final Σ folds over the bin-SORTED array
+    (collect → sort_array → aggregate), so the double addition order
+    is fixed no matter how partitions land — the same trick as the
+    dyadic grid in pagerank.py, solved by ordering instead of
+    snapping (here the term count is tiny and known).
+    """
+    if not bin_edges or sorted(bin_edges) != list(bin_edges):
+        raise ValueError("bin_edges must be a non-empty ascending list")
+    v = value.cast("double")
+    bin_id = sum(
+        ((v >= F.lit(float(e))).cast("int")) for e in bin_edges
+    )
+    n_bins = len(bin_edges) + 1
+    tagged = df.select(
+        bin_id.alias("bin"),
+        in_group_a.cast("long").alias("in_a"),
+        in_group_b.cast("long").alias("in_b"),
+    ).where((F.col("in_a") + F.col("in_b")) > 0)
+    counts = tagged.groupBy("bin").agg(
+        F.sum("in_a").alias("ca"), F.sum("in_b").alias("cb")
+    )
+    totals = counts.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    pa = (F.col("t.ca") + 1).cast("double") / (F.col("n_a") + n_bins).cast("double")
+    pb = (F.col("t.cb") + 1).cast("double") / (F.col("n_b") + n_bins).cast("double")
+    terms = (
+        counts.alias("t")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.struct(F.col("t.bin").alias("bin"), ((pa - pb) * F.log(pa / pb)).alias("term")).alias("bt"),
+        )
+    )
+    return terms.groupBy("n_a", "n_b").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list("bt")),
+                F.lit(0.0),
+                lambda acc, x: acc + x.term,
+            ),
+            8,
+        ).alias("psi")
+    )
+
+
+def psi_oracle_sql(
+    value_sql: str,
+    in_a_sql: str,
+    in_b_sql: str,
+    bin_edges: list[float],
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of :func:`psi_statistic` — identical bin ids,
+    Laplace terms, and bin-ordered fold."""
+    edges = " + ".join(
+        f"CASE WHEN CAST(({value_sql}) AS DOUBLE) >= {float(e)} THEN 1 ELSE 0 END"
+        for e in bin_edges
+    )
+    n_bins = len(bin_edges) + 1
+    return f"""
+        WITH tagged AS (
+          SELECT ({edges}) AS bin,
+                 CAST(({in_a_sql}) AS BIGINT) AS in_a,
+                 CAST(({in_b_sql}) AS BIGINT) AS in_b
+          FROM {table}
+          WHERE CAST(({in_a_sql}) AS BIGINT) + CAST(({in_b_sql}) AS BIGINT) > 0
+        ), counts AS (
+          SELECT bin, sum(in_a)::BIGINT AS ca, sum(in_b)::BIGINT AS cb
+          FROM tagged GROUP BY bin
+        ), totals AS (
+          SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM counts
+        ), terms AS (
+          SELECT n_a, n_b, bin,
+                 (CAST(ca + 1 AS DOUBLE) / CAST(n_a + {n_bins} AS DOUBLE)
+                  - CAST(cb + 1 AS DOUBLE) / CAST(n_b + {n_bins} AS DOUBLE))
+                 * ln((CAST(ca + 1 AS DOUBLE) / CAST(n_a + {n_bins} AS DOUBLE))
+                      / (CAST(cb + 1 AS DOUBLE) / CAST(n_b + {n_bins} AS DOUBLE))) AS term
+          FROM counts, totals
+        )
+        SELECT n_a, n_b,
+               round(list_aggregate(list(term ORDER BY bin), 'sum'), 8) AS psi
+        FROM terms GROUP BY n_a, n_b
+    """

@@ -507,6 +507,26 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_EDGES = [100.0, 150.0, 200.0, 250.0, 300.0, 350.0, 400.0, 450.0, 500.0]
+
+
+def q_quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift gate (operators/drift.py
+    psi_statistic) between the even- and odd-numbered crawl sources
+    over fixed n_chars bins — the "how much mass moved where"
+    complement to the KS distance, scored against the conventional
+    0.1 / 0.25 monitoring thresholds. Exact integer bin counts, one
+    partial-agg shuffle, bin-ordered double fold (deterministic at
+    any partitioning)."""
+    from cli_rag_spark.operators.drift import psi_statistic
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("long")
+    return psi_statistic(
+        docs, F.col("n_chars"), src_num % 2 == 0, src_num % 2 == 1, PSI_EDGES
+    )
+
+
 def q_quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift check (operators/drift.py)
     between the even- and odd-numbered crawl sources — the monitoring
@@ -669,6 +689,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
     "quality_drift_ks": q_quality_drift_ks,
+    "quality_drift_psi": q_quality_drift_psi,
     "dsir_selection": q_dsir_selection,
     "curation_funnel": q_curation_funnel,
     "exact_substring_stats": q_exact_substring_stats,
@@ -757,10 +778,16 @@ def _curation_funnel_sql() -> str:
     """
 
 
+from cli_rag_spark.operators.drift import psi_oracle_sql as _psi_oracle_sql
+
+_PSI_IN_A = r"CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END"
+_PSI_IN_B = r"CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END"
+
 ORACLE = {
     "bpe_merges": _bpe_merges_sql(BPE_MERGES),
     "bpe_encode_stats": _bpe_encode_sql(BPE_MERGES),
     "quality_drift_ks": _quality_drift_sql(),
+    "quality_drift_psi": _psi_oracle_sql("n_chars", _PSI_IN_A, _PSI_IN_B, PSI_EDGES),
     "dsir_selection": f"""
         WITH tb AS (
           SELECT doc_id, lang,

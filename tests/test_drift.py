@@ -59,3 +59,36 @@ def test_rows_outside_both_groups_ignored(spark):
         df, F.col("v"), F.col("g") == "a", F.col("g") == "b"
     ).collect()[0]
     assert (out["n_a"], out["n_b"]) == (1, 1)
+
+
+def test_psi_identical_populations_is_near_zero(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from cli_rag_spark.operators.drift import psi_statistic
+    from cli_rag_spark.sources.documents import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # same population on both sides -> Laplace terms cancel exactly
+    row = psi_statistic(
+        docs, F.col("n_chars"), F.lit(True), F.lit(True), [100.0, 300.0]
+    ).collect()[0]
+    assert row.psi == 0.0 and row.n_a == row.n_b
+
+
+def test_psi_detects_shift_and_validates(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from cli_rag_spark.operators.drift import psi_statistic
+
+    # population a sits below 10, b above 10 -> large PSI
+    rows = [(float(i % 10), 1, 0) for i in range(100)] + [
+        (float(10 + i % 10), 0, 1) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["v", "a", "b"])
+    out = psi_statistic(
+        df, F.col("v"), F.col("a") == 1, F.col("b") == 1, [5.0, 10.0, 15.0]
+    ).collect()[0]
+    assert out.psi > 1.0  # far beyond the 0.25 act threshold
+    with pytest.raises(ValueError):
+        psi_statistic(df, F.col("v"), F.col("a") == 1, F.col("b") == 1, [])
+    with pytest.raises(ValueError):
+        psi_statistic(df, F.col("v"), F.col("a") == 1, F.col("b") == 1, [5.0, 1.0])
