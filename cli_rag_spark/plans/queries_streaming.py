@@ -273,3 +273,52 @@ from cli_rag_spark.plans import queries_dedup as _qd  # noqa: E402
 
 QUERIES["streaming_incremental_dedup"] = q_streaming_incremental_dedup
 ORACLE["streaming_incremental_dedup"] = _qd.ORACLE["minhash_candidates"]
+
+
+TREND_TOPK = 3
+
+
+def q_streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types over sliding windows (streaming/ops.py
+    sliding_type_counts): 6-hour windows sliding hourly, counted IN
+    the stream (complete mode — the final table equals the batch
+    sliding-window aggregation exactly), then the top-3 per window
+    ranked at read. Sliding windows are the one window shape the
+    tumbling/session queries don't cover: every event lands in 6
+    windows, and the oracle replays that fan-out relationally."""
+    from pyspark.sql import Window as W
+
+    from cli_rag_spark.streaming.ops import sliding_type_counts
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    counts = run_to_memory(sliding_type_counts(stream), "complete")
+    w = W.partitionBy("win_start").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TREND_TOPK)
+        .orderBy("win_start", "rank")
+    )
+
+
+QUERIES["streaming_trending"] = q_streaming_trending
+
+ORACLE["streaming_trending"] = f"""
+    WITH fanout AS (
+      SELECT event_type,
+             date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS ws
+      FROM events, unnest(range(0, 6)) t(k)
+    ), counts AS (
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+             count(*) AS n
+      FROM fanout GROUP BY ws, event_type
+    ), ranked AS (
+      SELECT win_start, event_type, n,
+             row_number() OVER (
+               PARTITION BY win_start ORDER BY n DESC, event_type ASC
+             ) AS rank
+      FROM counts
+    )
+    SELECT win_start, event_type, n, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TREND_TOPK}
+    ORDER BY win_start, rank
+"""

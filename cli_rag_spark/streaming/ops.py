@@ -501,3 +501,32 @@ def minhash_ingest_stream(
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(f"{path}/pairs")
+
+
+def sliding_type_counts(
+    stream: DataFrame,
+    window: str = "6 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts per event type — the
+    "what's trending over the last 6 hours, refreshed hourly" shape.
+    Unlike :func:`hourly_windows` (tumbling), every event belongs to
+    window/slide overlapping windows; Spark assigns them all in one
+    pass, and the watermark still bounds state to O(open windows ×
+    types). Complete-mode output; the consumer ranks the final table
+    (ranking is not a streaming-supported op — the standard pattern
+    is windowed aggregate in the stream, top-k at read)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )

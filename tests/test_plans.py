@@ -284,3 +284,17 @@ def test_mining_pack_plan_shapes(spark, sf_dir):
     # (per-partition heaps), never a full global sort
     plan = _plan(spark, sf_dir, "weighted_sample_stats")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_late_r5_plan_shapes(spark, sf_dir):
+    # fuzzy join: candidates come from the gram equi-join (hash/sort
+    # join), never a cartesian; the only nested-loop is the BOUNDED
+    # broadcast short-string fallback; verify is codegen levenshtein
+    plan = _plan(spark, sf_dir, "fuzzy_name_pairs")
+    assert "levenshtein" in plan
+    assert "CartesianProduct" not in plan
+
+    # PSI: one partial-agg shuffle on the bin id; the fold is an
+    # expression (aggregate over sort_array), not a python stage
+    plan = _plan(spark, sf_dir, "quality_drift_psi")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -261,3 +261,28 @@ def test_minhash_ingest_equals_batch_and_replays_idempotently(spark, sf_dir, tmp
     # <= marker -> full replay is a no-op, state unchanged
     again = run(str(tmp_path / "cp2"))
     assert key(again) == key(expected)
+
+
+def test_multibatch_sliding_counts_match_batch(spark, split_events_dir):
+    """Sliding-window counts accumulated across 3 micro-batches must
+    equal the batch sliding aggregation (every event fans out to 6
+    windows; overlapping-window state must survive batch cuts)."""
+    stream = ops.read_events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    got = sorted(
+        map(tuple, ops.run_to_memory(ops.sliding_type_counts(stream), "complete").collect())
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = sorted(
+        map(
+            tuple,
+            ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                "event_type",
+                "n",
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
