@@ -68,6 +68,7 @@ HEADLINE = [
     "heavy_hitter_terms",        # mining: two-pass exact heavy hitters (r5)
     "bloom_decontamination",     # mining: Bloom prefilter semi-join (r5)
     "maxsim_topk",               # retrieval: ColBERT-style late interaction (r5)
+    "fuzzy_name_pairs",          # mining: FastSS exact edit-distance join (r5)
 ]
 
 

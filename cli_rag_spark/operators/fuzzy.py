@@ -143,3 +143,102 @@ def fuzzy_join_brute(
         .where(F.col("dist") <= max_dist)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "dist")
     )
+
+
+def deletion_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """DF[id_a, id_b, dist] (id_a < id_b) — the FastSS deletion-
+    neighborhood strategy (Bocek et al. 2007) for the same exact
+    levenshtein <= d join as :func:`fuzzy_join`.
+
+    Why a second physical strategy: q-gram prefix filtering needs
+    GRAM ENTROPY. On near-identical keys with long constant regions
+    and low-entropy padding ("Customer#000000123"), even the rarest
+    grams have huge postings and candidates degrade toward all-pairs
+    (measured: 222M candidate rows on 15k such names at q=4 — the
+    corpus every record-linkage workload actually has). FastSS keys
+    on DELETION VARIANTS instead: every string emits the xxhash64 of
+    each way to delete up to d characters (C(len, <=d) variants,
+    len+1 for d=1, including the string itself); if ed(u, v) <= d the
+    two variant sets intersect (a substitution at i gives
+    del_i(u) = del_i(v); an insertion gives del_i(v) = u), so the
+    variant equi-join finds every true pair. A shared variant pins
+    all but d characters of BOTH strings, so posting lists are
+    near-match-bounded — independent of gram entropy. Exact verify
+    with levenshtein prunes hash collisions and over-generation.
+
+    Cost: |s|^d variants per string (use :func:`fuzzy_join` when
+    strings are long and high-entropy; use THIS when keys are short
+    identifier-like strings — the two strategies are the same
+    logical operator, like knn_join's exact/GEMM/LSH/IVF family).
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if max_dist > 2:
+        raise ValueError(
+            f"max_dist={max_dist}: the deletion neighborhood grows as C(len, d); "
+            "use fuzzy_join for wide radii"
+        )
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(str_col).alias("s"),
+        F.length(str_col).alias("slen"),
+    ).where(F.col(str_col).isNotNull())
+
+    # variants: d=1 -> [s] + [s without char i for each i];
+    # d=2 -> additionally every two-deletion variant
+    one_del = F.transform(
+        F.sequence(F.lit(1), F.col("slen")),
+        lambda i: F.concat(
+            F.substring(F.col("s"), F.lit(1), (i - 1).cast("int")),
+            F.substring(F.col("s"), (i + 1).cast("int"), F.col("slen")),
+        ),
+    )
+    arr = F.array(F.col("s"))
+    if max_dist >= 1:
+        arr = F.concat(arr, one_del)
+    if max_dist >= 2:
+        two_del = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.col("slen")),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), F.greatest(i - 1, F.lit(1))),
+                    lambda j: F.when(
+                        j < i,
+                        F.concat(
+                            F.substring(F.col("s"), F.lit(1), (j - 1).cast("int")),
+                            F.substring(F.col("s"), (j + 1).cast("int"), (i - j - 1).cast("int")),
+                            F.substring(F.col("s"), (i + 1).cast("int"), F.col("slen")),
+                        ),
+                    ),
+                ),
+            )
+        )
+        arr = F.concat(arr, F.filter(two_del, lambda x: x.isNotNull()))
+    ex = s.select(
+        "id", "slen", F.explode(F.array_distinct(F.transform(arr, lambda v: F.xxhash64(v)))).alias("vh")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.vh") == F.col("b.vh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.slen") - F.col("b.slen")) <= max_dist),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = s.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -236,14 +236,32 @@ def test_ols_matches_numpy(spark, sf_dir):
 # ------------------------------------------------------------- fuzzy join
 
 def test_fuzzy_join_equals_brute(spark, sf_smoke_dir):
-    from cli_rag_spark.operators.fuzzy import fuzzy_join, fuzzy_join_brute
+    # BOTH physical strategies (q-gram prefix + FastSS deletions) must
+    # equal the brute-force spec
+    from cli_rag_spark.operators.fuzzy import (
+        deletion_join,
+        fuzzy_join,
+        fuzzy_join_brute,
+    )
 
     cust = load_table(spark, sf_smoke_dir, "customer")
     for d in (1, 2):
-        fast = sorted(map(tuple, fuzzy_join(cust, "c_custkey", "c_name", d).collect()))
         brute = sorted(map(tuple, fuzzy_join_brute(cust, "c_custkey", "c_name", d).collect()))
-        assert fast == brute, f"d={d}"
-        assert len(fast) > 0
+        grams = sorted(map(tuple, fuzzy_join(cust, "c_custkey", "c_name", d).collect()))
+        dels = sorted(map(tuple, deletion_join(cust, "c_custkey", "c_name", d).collect()))
+        assert grams == brute, f"gram strategy d={d}"
+        assert dels == brute, f"deletion strategy d={d}"
+        assert len(brute) > 0
+
+
+def test_deletion_join_validation(spark):
+    from cli_rag_spark.operators.fuzzy import deletion_join
+
+    df = spark.createDataFrame([(1, "abc")], ["id", "s"])
+    with pytest.raises(ValueError):
+        deletion_join(df, "id", "s", -1)
+    with pytest.raises(ValueError, match="neighborhood"):
+        deletion_join(df, "id", "s", 3)
 
 
 def test_fuzzy_join_short_string_fallback(spark):
