@@ -507,6 +507,75 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 25
+PMI_TOPK = 20
+
+
+def q_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    corpus-linguistics pass that surfaces multiword expressions
+    ("strongly associated adjacent word pairs") before tokenizer or
+    phrase-table construction:
+
+        PMI(w1, w2) = ln( (c12 / T2) / ((c1/T1) * (c2/T1)) )
+
+    with c12 the bigram count, c1/c2 unigram counts, T2/T1 the
+    corpus totals. Reuses the lm_perplexity count-table machinery:
+    one scan builds unigram + bigram tables (map-side partial aggs on
+    token keys); the PMI expression is scalar IEEE math on exact long
+    counts crossed with the broadcast 1-row totals, so the ranking
+    replays bit-for-bit. Min-count 25 kills the low-frequency PMI
+    pathology (hapax pairs score arbitrarily high); top-20 is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.lower(F.col("text"))).alias("t"))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.struct(
+                            F.element_at("t", i).alias("w1"),
+                            F.element_at("t", (i + 1).cast("int")).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    t1 = uni.agg(F.sum("c").alias("t1"))
+    t2 = bi.agg(F.sum("c12").alias("t2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        F.log(
+            (F.col("c12").cast("double") / F.col("t2").cast("double"))
+            / (
+                (F.col("c1").cast("double") / F.col("t1").cast("double"))
+                * (F.col("c2").cast("double") / F.col("t1").cast("double"))
+            )
+        )
+    )
+    return (
+        bi.where(F.col("c12") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(PMI_TOPK)
+    )
+
+
 PSI_EDGES = [100.0, 150.0, 200.0, 250.0, 300.0, 350.0, 400.0, 450.0, 500.0]
 
 
@@ -690,6 +759,7 @@ QUERIES = {
     "bpe_encode_stats": q_bpe_encode_stats,
     "quality_drift_ks": q_quality_drift_ks,
     "quality_drift_psi": q_quality_drift_psi,
+    "collocations_topk": q_collocations_topk,
     "dsir_selection": q_dsir_selection,
     "curation_funnel": q_curation_funnel,
     "exact_substring_stats": q_exact_substring_stats,
@@ -788,6 +858,30 @@ ORACLE = {
     "bpe_encode_stats": _bpe_encode_sql(BPE_MERGES),
     "quality_drift_ks": _quality_drift_sql(),
     "quality_drift_psi": _psi_oracle_sql("n_chars", _PSI_IN_A, _PSI_IN_B, PSI_EDGES),
+    "collocations_topk": f"""
+        WITH toks AS (
+          SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+          FROM documents
+        ), uni AS (
+          SELECT w, count(*)::BIGINT AS c
+          FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ), bi AS (
+          SELECT w1, w2, count(*)::BIGINT AS c12 FROM (
+            SELECT t[i] AS w1, t[i+1] AS w2
+            FROM toks, unnest(range(1, len(t))) u(i)
+          ) GROUP BY w1, w2
+        ), t1 AS (SELECT sum(c)::BIGINT AS t1 FROM uni),
+        t2 AS (SELECT sum(c12)::BIGINT AS t2 FROM bi)
+        SELECT w1, w2, c12,
+               round(ln((CAST(c12 AS DOUBLE) / CAST(t2.t2 AS DOUBLE))
+                        / ((CAST(u1.c AS DOUBLE) / CAST(t1.t1 AS DOUBLE))
+                           * (CAST(u2.c AS DOUBLE) / CAST(t1.t1 AS DOUBLE)))), 6) AS pmi
+        FROM bi
+        JOIN uni u1 ON u1.w = bi.w1
+        JOIN uni u2 ON u2.w = bi.w2, t1, t2
+        WHERE c12 >= {PMI_MIN_COUNT}
+        ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {PMI_TOPK}
+    """,
     "dsir_selection": f"""
         WITH tb AS (
           SELECT doc_id, lang,

@@ -419,3 +419,65 @@ ORACLE["fuzzy_name_pairs"] = f"""
     FROM pairs WHERE dist <= {FUZZY_D}
     GROUP BY dist ORDER BY dist
 """
+
+
+# --- triangle census of the near-dup graph ---------------------------
+
+
+def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census (operators/components.py triangle_count)
+    of the MinHash candidate-pair graph — the clique-ness diagnostic
+    of dedup clusters (true duplicate groups close their triangles;
+    chains of borderline matches don't). Degree-oriented wedge
+    counting, so the census is O(m^1.5), never hub-quadratic. The
+    oracle recomputes the same banding AND the same orientation
+    relationally — graph construction and census both replay."""
+    from cli_rag_spark.operators.components import triangle_count
+    from cli_rag_spark.operators.dedup import minhash_candidates
+    from cli_rag_spark.plans.queries_dedup import N_BANDS, N_HASHES, SHINGLE_WORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(
+        docs, shingle_words=SHINGLE_WORDS, n_hashes=N_HASHES, n_bands=N_BANDS
+    )
+    return triangle_count(pairs, src="id_a", dst="id_b")
+
+
+QUERIES["triangle_census"] = q_triangle_census
+
+
+def _triangle_oracle() -> str:
+    from cli_rag_spark.plans import queries_dedup as _qd
+
+    pairs_sql = _qd.ORACLE["minhash_candidates"]
+    return f"""
+        WITH pairs AS (
+          SELECT id_a AS a, id_b AS b FROM ({pairs_sql})
+        ), nodes AS (
+          SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+        ), deg AS (
+          SELECT node, count(*)::BIGINT AS deg FROM nodes GROUP BY node
+        ), rnk AS (
+          SELECT node, deg * 4294967296 + node AS r FROM deg
+        ), oriented AS (
+          SELECT CASE WHEN ra.r < rb.r THEN p.a ELSE p.b END AS lo,
+                 CASE WHEN ra.r < rb.r THEN p.b ELSE p.a END AS hi,
+                 CASE WHEN ra.r < rb.r THEN rb.r ELSE ra.r END AS rhi
+          FROM pairs p
+          JOIN rnk ra ON ra.node = p.a
+          JOIN rnk rb ON rb.node = p.b
+        ), wedges AS (
+          SELECT w1.hi AS lo2, w2.hi AS hi2
+          FROM oriented w1 JOIN oriented w2 ON w1.lo = w2.lo
+          WHERE w1.rhi < w2.rhi
+        )
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+               (SELECT count(*) FROM pairs) AS n_edges,
+               (SELECT count(*) FROM wedges) AS n_wedges,
+               (SELECT count(*)
+                FROM wedges w JOIN oriented o
+                ON o.lo = w.lo2 AND o.hi = w.hi2) AS n_triangles
+    """
+
+
+ORACLE["triangle_census"] = _triangle_oracle()

@@ -45,7 +45,7 @@ _PACKS = [
 #   4. remaining slots filled least-recently-verified-first.
 #
 # STALENESS INVARIANT (VERDICT r3 "Next round #3"): target is that no
-# query's latest green verdict is older than ~2 rounds. With 135
+# query's latest green verdict is older than ~2 rounds. With 137
 # registered queries and 33 rotating slots behind the 17 sentinels, a
 # full rotation takes ~3 rounds — the invariant is enforced as
 # "oldest verdicts fill first", and every query is ALSO value-exactly
@@ -56,16 +56,17 @@ _PACKS = [
 #
 # Round-5 window: 17 sentinels; the FOURTEEN never-verified round-5
 # operators + the late 15th (snapshot_vacuum_stats; dedup_exact_count
-# moved to the r6 fill to make room) + the THIRTEEN late-r5 additions
+# moved to the r6 fill to make room) + the FIFTEEN late-r5 additions
 # (setsim/pagerank/heavy-hitters/bloom/weighted-sample/schema-
 # evolution/maxsim/bpe-encode/ols/fuzzy-join/snapshot-OPTIMIZE/
-# PSI-drift/streaming-trending — never-verified outranks stale); the two
+# PSI-drift/streaming-trending/triangle-census/PMI-collocations —
+# never-verified outranks stale per the policy); the two
 # r3-verified queries touched by the r5 ann.py rework; then the
-# stalest fill — 2 of the 7 remaining r1-verified queries plus the
-# events-family representative (sessionization). The r6 fill is
-# headed by the 5 r1-verified queries the late-r5 cohort displaced
-# (scalar_function_breadth, returnflag_grouping_sets,
-# top_parts_per_brand, price_percentiles, segment_nation_cube) and
+# events-family representative (sessionization) as the only fill.
+# The r6 fill is headed by the 7 r1-verified queries the late-r5
+# cohort displaced (scalar_function_breadth,
+# returnflag_grouping_sets, top_parts_per_brand, price_percentiles,
+# segment_nation_cube, revenue_forecast, promo_revenue_ratio) and
 # the remaining r2-verified queries.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
@@ -100,27 +101,26 @@ _PRIORITY = _SENTINELS + [
     "bpe_merges", "streaming_incremental_dedup", "snapshot_vacuum_stats",
     # (3) never driver-checked: the late-r5 cohort — mining pack,
     # snapshot add-column evolution + OPTIMIZE, MaxSim late
-    # interaction, BPE encode, exact-integer OLS, ED-Join fuzzy
-    # join, PSI drift
+    # interaction, BPE encode, exact-integer OLS, ED-Join/FastSS
+    # fuzzy join, PSI drift, streaming trending, triangle census,
+    # PMI collocations
     "setsim_pairs", "pagerank_top_nodes", "heavy_hitter_terms",
     "bloom_decontamination", "weighted_sample_stats",
     "snapshot_schema_evolution", "maxsim_topk",
     "bpe_encode_stats", "ols_token_chars",
     "fuzzy_name_pairs", "snapshot_optimize_stats", "quality_drift_psi",
-    "streaming_trending",
+    "streaming_trending", "triangle_census", "collocations_topk",
     # (2) changed since last verdict: the r5 ann.py rework (sidecar
     # quantizer, shared _kmeans_cte_chain oracle builder) touches the
     # kmeans/IVF family — ivf_topk is already a sentinel; these two
     # carry r3 verdicts
     "kmeans_clusters", "knn_join_ivf",
-    # (4) least-recently-verified fill, oldest first: 2 of the 7
-    # remaining r1-verified queries (4 rounds stale)...
-    "revenue_forecast", "promo_revenue_ratio",
-    # ...plus the events-family representative (sessionization, r3 —
-    # the family-coverage rule of the window contract,
-    # tests/test_plans.py)
+    # (4) least-recently-verified fill: only the events-family
+    # representative (sessionization, r3 — the family-coverage rule
+    # of the window contract, tests/test_plans.py); the late-r5
+    # cohort consumed every other rotating slot
     "sessionization",
-    # r6 fill head: the 5 r1-verified queries the late-r5 cohort
+    # r6 fill head: the 7 r1-verified queries the late-r5 cohort
     # displaced then the remaining r2-verified
     # (dedup_exact_count, decontamination, ngram_jaccard,
     # simhash_groups, shipping_priority, top_customers_per_nation,
@@ -129,7 +129,7 @@ _PRIORITY = _SENTINELS + [
     # cosine_histogram, token_counts, quality_scores,
     # lang_id_confusion, fingerprint_dups, chunk_fixed,
     # chunk_clean_stats); every r3/r4-verified query is ≤ 2 rounds
-    # stale and all 135 replay value-exact in the local all-query
+    # stale and all 137 replay value-exact in the local all-query
     # parity gate every test run (tests/test_parity.py)
 ]
 

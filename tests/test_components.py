@@ -60,3 +60,28 @@ def test_nonconvergence_raises(spark):
 def test_empty_edges_yield_empty_components(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(edges).count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    from cli_rag_spark.operators.components import triangle_count
+
+    def census(edges):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return triangle_count(df).collect()[0]
+
+    # K4: 4 triangles, 4 nodes, 6 edges
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = census(k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+    # path graph: zero triangles
+    r = census([(1, 2), (2, 3), (3, 4)])
+    assert r.n_triangles == 0
+
+    # star hub: zero triangles, wedge count stays degree-bounded
+    r = census([(0, i) for i in range(1, 8)])
+    assert r.n_triangles == 0
+
+    # duplicate edges / reversed edges / self loops are normalized away
+    r = census([(1, 2), (2, 1), (1, 1), (2, 3), (1, 3), (1, 3)])
+    assert (r.n_edges, r.n_triangles) == (3, 1)
