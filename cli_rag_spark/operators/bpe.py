@@ -186,14 +186,22 @@ def bpe_encode_counts(
     )
     if broadcast_dict:
         dictionary = F.broadcast(dictionary)
+    # explode_outer + left join: a row with NO alphabetic tokens (or
+    # empty text) must still appear with zero counts — the per-row
+    # accounting contract; an inner explode+join would drop it
     words = docs.select(
-        "*", F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
-    ).where(F.col("word").rlike(r"^[a-z]+$"))
+        "*",
+        F.explode_outer(
+            F.filter(
+                tokens(F.lower(F.col(text_col))), lambda w: w.rlike("^[a-z]+$")
+            )
+        ).alias("word"),
+    )
     return (
-        words.join(dictionary, "word")
+        words.join(dictionary, "word", "left_outer")
         .groupBy(*docs.columns)
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("_n_sym").alias("n_bpe_tokens"),
+            F.sum(F.col("word").isNotNull().cast("long")).alias("n_words"),
+            F.coalesce(F.sum("_n_sym"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
         )
     )

@@ -92,7 +92,8 @@ def triangle_count(
     counted EXACTLY once from its lowest-rank vertex, and wedge
     generation is bounded by sum(out-degree^2) = O(m^1.5) — the hub
     that would generate quadratic wedges in a naive formulation has
-    maximal rank and therefore out-degree ~0.
+    maximal rank and therefore out-degree ~0. Node ids must fit
+    [0, 2^31) (validated — remap wider id spaces first).
 
     Plan shape: two narrow self-joins on 8-byte node keys (wedge
     build on the shared LOW vertex, closure check against the
@@ -107,12 +108,33 @@ def triangle_count(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # e feeds nodes/deg/oriented AND the final edge count:
+        # materialize once (the components.py lineage discipline)
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
     )
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # the deg*2^32+id rank packing needs ids in [0, 2^31): enforce it
+    # (a silent collision would UNDERCOUNT wedges with no error —
+    # and identically in the SQL oracle, so nothing downstream would
+    # catch it)
+    bounds = deg.agg(
+        F.min("node").alias("lo"), F.max("node").alias("hi"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    ).collect()
+    if bounds and bounds[0]["n_nodes"]:
+        lo, hi = bounds[0]["lo"], bounds[0]["hi"]
+        if lo < 0 or hi >= (1 << 31):
+            raise ValueError(
+                f"triangle_count node ids must be in [0, 2^31) for the "
+                f"degree-rank packing; got range [{lo}, {hi}] — remap ids first"
+            )
+        n_nodes = bounds[0]["n_nodes"]
+    else:
+        n_nodes = 0
     rank = deg.select(
         "node", (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("r")
     )
@@ -126,22 +148,31 @@ def triangle_count(
             F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
             F.when(F.col("ra") < F.col("rb"), F.col("rb")).otherwise(F.col("ra")).alias("rhi"),
         )
+        # referenced by the wedge build twice AND the closure probe
+        .localCheckpoint(eager=True)
     )
     w1 = oriented.select(F.col("lo"), F.col("hi").alias("x"), F.col("rhi").alias("rx"))
     w2 = oriented.select(F.col("lo"), F.col("hi").alias("y"), F.col("rhi").alias("ry"))
     wedges = w1.join(w2, "lo").where(F.col("rx") < F.col("ry")).select(
         F.col("x").alias("lo2"), F.col("y").alias("hi2")
     )
-    closures = wedges.join(
-        oriented.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2")),
-        ["lo2", "hi2"],
+    # ONE job counts wedges and closed wedges together: a left join
+    # against the oriented edges marks closures, so the O(m^1.5)
+    # wedge build runs exactly once
+    closure_mark = oriented.select(
+        F.col("lo").alias("lo2"), F.col("hi").alias("hi2"), F.lit(1).alias("_closed")
     )
-    n_nodes = deg.count()
+    census = (
+        wedges.join(closure_mark, ["lo2", "hi2"], "left_outer")
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.coalesce(F.sum("_closed"), F.lit(0)).alias("n_triangles"),
+        )
+        .collect()[0]
+    )
     n_edges = e.count()
-    n_wedges = wedges.count()
-    n_tri = closures.count()
     spark = edges.sparkSession
     return spark.createDataFrame(
-        [(n_nodes, n_edges, n_wedges, n_tri)],
+        [(n_nodes, n_edges, census["n_wedges"], census["n_triangles"])],
         "n_nodes long, n_edges long, n_wedges long, n_triangles long",
     )

@@ -153,11 +153,19 @@ def psi_statistic(
         ((v >= F.lit(float(e))).cast("int")) for e in bin_edges
     )
     n_bins = len(bin_edges) + 1
-    tagged = df.select(
-        bin_id.alias("bin"),
-        in_group_a.cast("long").alias("in_a"),
-        in_group_b.cast("long").alias("in_b"),
-    ).where((F.col("in_a") + F.col("in_b")) > 0)
+    tagged = (
+        df.select(
+            v.alias("v"),
+            bin_id.alias("bin"),
+            in_group_a.cast("long").alias("in_a"),
+            in_group_b.cast("long").alias("in_b"),
+        )
+        # NULL values carry no bin information and would otherwise
+        # land in a phantom NULL bin here but bin 0 in the SQL
+        # oracle's CASE WHEN — excluded identically on both sides
+        .where(F.col("v").isNotNull() & ((F.col("in_a") + F.col("in_b")) > 0))
+        .drop("v")
+    )
     counts = tagged.groupBy("bin").agg(
         F.sum("in_a").alias("ca"), F.sum("in_b").alias("cb")
     )
@@ -205,7 +213,8 @@ def psi_oracle_sql(
                  CAST(({in_a_sql}) AS BIGINT) AS in_a,
                  CAST(({in_b_sql}) AS BIGINT) AS in_b
           FROM {table}
-          WHERE CAST(({in_a_sql}) AS BIGINT) + CAST(({in_b_sql}) AS BIGINT) > 0
+          WHERE ({value_sql}) IS NOT NULL
+            AND CAST(({in_a_sql}) AS BIGINT) + CAST(({in_b_sql}) AS BIGINT) > 0
         ), counts AS (
           SELECT bin, sum(in_a)::BIGINT AS ca, sum(in_b)::BIGINT AS cb
           FROM tagged GROUP BY bin

@@ -55,7 +55,11 @@ def _local_frequent(text_series_iter: Iterator[pd.DataFrame], phi_ppm: int):
         for text in pdf["text"]:
             if text is None:
                 continue
-            for tok in _JAVA_WS.split(text.strip()):
+            # no str.strip(): python strip is UNICODE whitespace and
+            # would disagree with Spark's Java-\s tokens() at text
+            # boundaries; leading/trailing separators just produce
+            # empty fields that the truthiness check drops
+            for tok in _JAVA_WS.split(text):
                 if tok:
                     counts[tok] = counts.get(tok, 0) + 1
                     total += 1

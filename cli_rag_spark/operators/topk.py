@@ -164,7 +164,21 @@ def maxsim_topk(
         .groupBy(id_col, qpart_col)
         .agg(F.min("_d").alias("_best"))
         .groupBy(id_col)
-        .agg(F.round(F.sum("_best"), round_digits).alias("maxsim_dist"))
+        # fold the per-qpart minima in qpart order (collect ->
+        # sort_array -> aggregate): double addition order is fixed at
+        # any partitioning — the drift.py psi trick; a bare sum() is
+        # partition-order dependent and can flip the 6th digit on a
+        # rounding boundary
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct(qpart_col, "_best"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x._best,
+                ),
+                round_digits,
+            ).alias("maxsim_dist")
+        )
         .orderBy(F.col("maxsim_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -173,11 +173,19 @@ QUERIES = {
 }
 
 _TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
-_SH3 = (
-    "list_distinct(list_transform(range(1, greatest(len({t}) - %d + 2, 1)), "
-    "i -> array_to_string({t}[i:i+%d], ' ')))"
-    % (SETSIM_SHINGLE, SETSIM_SHINGLE - 1)
-).format(t=_TOKS)
+
+
+def _shingle_sql(width: int) -> str:
+    """Distinct ``width``-word shingles of ``text`` in DuckDB — one
+    helper so every query's oracle derives from ITS OWN width knob."""
+    return (
+        "list_distinct(list_transform(range(1, greatest(len({t}) - %d + 2, 1)), "
+        "i -> array_to_string({t}[i:i+%d], ' ')))" % (width, width - 1)
+    ).format(t=_TOKS)
+
+
+_SH_SETSIM = _shingle_sql(SETSIM_SHINGLE)
+_SH_DECON = _shingle_sql(DECON_SHINGLE)
 
 
 def _pagerank_oracle() -> str:
@@ -226,7 +234,7 @@ def _pagerank_oracle() -> str:
 ORACLE = {
     "setsim_pairs": f"""
         WITH tok AS (
-          SELECT doc_id, unnest({_SH3}) AS token FROM documents
+          SELECT doc_id, unnest({_SH_SETSIM}) AS token FROM documents
         ), sz AS (
           SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
         ), pairs AS (
@@ -260,7 +268,7 @@ ORACLE = {
     "bloom_decontamination": f"""
         WITH sh AS (
           SELECT doc_id, source, md5(s) AS fp
-          FROM (SELECT doc_id, source, unnest({_SH3}) AS s FROM documents)
+          FROM (SELECT doc_id, source, unnest({_SH_DECON}) AS s FROM documents)
         ), probes AS (
           SELECT DISTINCT fp FROM sh WHERE doc_id % {DECON_MOD} = 0
         ), hits AS (
@@ -369,11 +377,6 @@ ORACLE["ols_token_chars"] = f"""
 # --- exact edit-distance join (ED-Join q-gram prefix filtering) ------
 
 FUZZY_D = 1
-# q=4: the gram alphabet must not saturate — names are digit-dense,
-# and with q=2 every 2-gram posting is ~N/100 (the prefix lemma holds
-# but candidates approach all-pairs). At q=4 the ~10^4-combination
-# gram space keeps postings bounded; pick q so sigma^q >> N.
-FUZZY_Q = 4
 
 
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -246,7 +246,8 @@ ORACLE = {
           SELECT doc_id, qpart_id, min(d) AS best FROM sims
           GROUP BY doc_id, qpart_id
         )
-        SELECT doc_id, round(sum(best), 6) AS maxsim_dist
+        SELECT doc_id,
+               round(list_aggregate(list(best ORDER BY qpart_id), 'sum'), 6) AS maxsim_dist
         FROM best GROUP BY doc_id
         ORDER BY maxsim_dist ASC, doc_id ASC LIMIT {MAXSIM_K}
     """,

@@ -260,6 +260,14 @@ def upsert_snapshot(
     key_col, n_buckets = manifest["key_col"], manifest["n_buckets"]
     added = [c for c in updates.columns if c not in manifest["columns"]]
     missing = [c for c in manifest["columns"] if c not in updates.columns]
+    if _BUCKET_COL in added:
+        # same guard write_snapshot applies: the physical partition
+        # column must never enter the logical schema (an empty-batch
+        # evolution would otherwise commit it into the manifest)
+        raise ValueError(
+            f"updates may not add a column named {_BUCKET_COL!r} "
+            "(reserved for the physical bucket layout)"
+        )
     if missing or (added and not allow_evolution):
         raise ValueError(
             f"updates columns {sorted(updates.columns)} != table columns "
@@ -592,6 +600,19 @@ def optimize_snapshot(
     data.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
         f"{path}/data/v{new_version}"
     )
+    # integrity check BEFORE the manifest rename: a failed target
+    # leaves only an invisible orphan data dir (the module's commit
+    # protocol), never a committed version the guard meant to reject
+    after = {
+        b: (_bucket_files(new_version, b) if b in fragmented else c)
+        for b, c in counts.items()
+    }
+    bad = {b: c for b, c in after.items() if b in fragmented and c > max_files_per_bucket}
+    if bad:
+        raise RuntimeError(
+            f"optimize left fragmented buckets {bad} (> {max_files_per_bucket} files); "
+            f"data/v{new_version} abandoned uncommitted"
+        )
     owners = dict(manifest["owners"])
     for b in fragmented:
         owners[str(b)] = new_version
@@ -603,16 +624,7 @@ def optimize_snapshot(
         "column_types": manifest.get("column_types"),
         "owners": owners,
     })
-    after = {
-        b: (_bucket_files(new_version, b) if b in fragmented else c)
-        for b, c in counts.items()
-    }
     files_after = sum(after.values())
-    bad = {b: c for b, c in after.items() if b in fragmented and c > max_files_per_bucket}
-    if bad:
-        raise RuntimeError(
-            f"optimize left fragmented buckets {bad} (> {max_files_per_bucket} files)"
-        )
     return {
         "version": new_version,
         "optimized_buckets": fragmented,

@@ -89,3 +89,13 @@ def test_bpe_encode_empty_merges_is_char_count(spark):
     docs = spark.createDataFrame([(1, "abc de")], ["doc_id", "text"])
     enc = bpe_encode_counts(docs, []).collect()[0]
     assert (enc.n_words, enc.n_bpe_tokens) == (2, 5)
+
+
+def test_bpe_encode_keeps_tokenless_rows(spark):
+    from cli_rag_spark.operators.bpe import bpe_encode_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abc de"), (2, "123 !!!"), (3, "")], ["doc_id", "text"]
+    )
+    enc = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in bpe_encode_counts(docs, []).collect()}
+    assert enc == {1: (2, 5), 2: (0, 0), 3: (0, 0)}

@@ -85,3 +85,15 @@ def test_triangle_count_known_graphs(spark):
     # duplicate edges / reversed edges / self loops are normalized away
     r = census([(1, 2), (2, 1), (1, 1), (2, 3), (1, 3), (1, 3)])
     assert (r.n_edges, r.n_triangles) == (3, 1)
+
+
+def test_triangle_count_rejects_wide_ids(spark):
+    import pytest
+    from cli_rag_spark.operators.components import triangle_count
+
+    df = spark.createDataFrame([(1, 1 << 32), (1 << 32, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="2\\^31"):
+        triangle_count(df).collect()
+    neg = spark.createDataFrame([(-1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="remap"):
+        triangle_count(neg).collect()

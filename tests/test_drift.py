@@ -92,3 +92,14 @@ def test_psi_detects_shift_and_validates(spark):
         psi_statistic(df, F.col("v"), F.col("a") == 1, F.col("b") == 1, [])
     with pytest.raises(ValueError):
         psi_statistic(df, F.col("v"), F.col("a") == 1, F.col("b") == 1, [5.0, 1.0])
+
+
+def test_psi_null_values_excluded(spark):
+    from pyspark.sql import functions as F
+    from cli_rag_spark.operators.drift import psi_statistic
+
+    rows = [(1.0, 1, 0), (None, 1, 0), (1.0, 0, 1), (None, 0, 1), (2.0, 0, 1)]
+    df = spark.createDataFrame(rows, "v double, a int, b int")
+    out = psi_statistic(df, F.col("v"), F.col("a") == 1, F.col("b") == 1, [1.5]).collect()[0]
+    # nulls dropped on both sides: n_a=1, n_b=2, no phantom NULL bin
+    assert (out.n_a, out.n_b) == (1, 2)

@@ -491,3 +491,12 @@ def test_optimize_respects_max_files_target(spark, sf_dir, tmp_path):
     for b in report["optimized_buckets"]:
         d = f"{path}/data/v2/bucket={b}"
         assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) <= 2
+
+
+def test_evolution_rejects_bucket_column_name(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "snapevo5")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    bad = orders.limit(0).withColumn("bucket", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        upsert_snapshot(spark, path, bad, allow_evolution=True)
