@@ -328,6 +328,70 @@ def q_snapshot_optimize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_ref_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs + GC pinning on the snapshot format
+    (sources/snapshots.py tag_snapshot/read_snapshot_ref):
+
+    1. commit v1 of orders and tag it "audit";
+    2. commit v2 (every 7th order's price +10.00) and v3 (every 11th
+       deleted) — v1 falls out of any keep_last=1 window;
+    3. vacuum with keep_last=1: the "audit" ref must PIN v1 against
+       GC (the tagged-training-run contract);
+    4. read the table BY REF and by latest, aggregate both.
+
+    The oracle computes the ref slice from the ORIGINAL parquet and
+    the latest slice by replaying merge+delete — a green row proves
+    ref resolution, pin-through-vacuum, and that the pinned version
+    still reads byte-losslessly AFTER history GC ran around it."""
+    from cli_rag_spark.sources.snapshots import (
+        _fs,
+        delete_snapshot,
+        read_snapshot,
+        read_snapshot_ref,
+        tag_snapshot,
+        upsert_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch("snapref", sf_dir)
+    fs, root = _fs(spark, path)
+    fs.delete(root, True)
+    write_snapshot(orders, path, "o_orderkey")
+    tag_snapshot(spark, path, "audit", 1)
+
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    )
+    upsert_snapshot(spark, path, updates)
+    delete_snapshot(
+        spark, path,
+        read_snapshot(spark, path, 2)
+        .where(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey"),
+    )
+    report = vacuum_snapshots(spark, path, keep_last=1)
+    if 1 not in report["kept_versions"]:
+        raise RuntimeError(f"ref pin failed: v1 was vacuumed ({report})")
+
+    def stats(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("ref"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+
+    return (
+        stats(read_snapshot_ref(spark, path, "audit"), "audit")
+        .unionByName(stats(read_snapshot(spark, path), "latest"))
+        .orderBy("ref")
+    )
+
+
 EVOLVE_MOD = 13
 
 
@@ -458,6 +522,7 @@ QUERIES = {
     "snapshot_time_travel": q_snapshot_time_travel,
     "snapshot_schema_evolution": q_snapshot_schema_evolution,
     "snapshot_optimize_stats": q_snapshot_optimize_stats,
+    "snapshot_ref_travel": q_snapshot_ref_travel,
     "snapshot_cdc_stats": q_snapshot_cdc_stats,
     "snapshot_vacuum_stats": q_snapshot_vacuum_stats,
 }
@@ -547,6 +612,24 @@ ORACLE = {
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
                CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         FROM versions GROUP BY version ORDER BY version
+    """,
+    "snapshot_ref_travel": """
+        WITH v2 AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0
+                      THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+          FROM orders
+        ), v3 AS (
+          SELECT * FROM v2 WHERE o_orderkey % 11 <> 0
+        ), labeled AS (
+          SELECT 'audit' AS ref, o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'latest', o_orderkey, o_totalprice FROM v3
+        )
+        SELECT ref, count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+        FROM labeled GROUP BY ref ORDER BY ref
     """,
     "snapshot_optimize_stats": """
         SELECT CAST(16 AS BIGINT) AS n_optimized,

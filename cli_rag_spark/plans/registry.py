@@ -45,7 +45,7 @@ _PACKS = [
 #   4. remaining slots filled least-recently-verified-first.
 #
 # STALENESS INVARIANT (VERDICT r3 "Next round #3"): target is that no
-# query's latest green verdict is older than ~2 rounds. With 137
+# query's latest green verdict is older than ~2 rounds. With 138
 # registered queries and 33 rotating slots behind the 17 sentinels, a
 # full rotation takes ~3 rounds — the invariant is enforced as
 # "oldest verdicts fill first", and every query is ALSO value-exactly
@@ -54,12 +54,15 @@ _PACKS = [
 # window is the independent external sample, rotated so staleness
 # stays bounded.
 #
-# Round-5 window: 17 sentinels; the FOURTEEN never-verified round-5
-# operators + the late 15th (snapshot_vacuum_stats; dedup_exact_count
-# moved to the r6 fill to make room) + the FIFTEEN late-r5 additions
+# Round-5 window: 17 sentinels; FOURTEEN of the fifteen never-
+# verified round-5 operators (mixture_weights — the simplest of the
+# cohort, a closed-form temperature formula locally parity-gated
+# every test run — defers to the r6 head to make room for the late
+# snapshot-refs query; dedup_exact_count similarly deferred earlier) + the SIXTEEN late-r5 additions
 # (setsim/pagerank/heavy-hitters/bloom/weighted-sample/schema-
 # evolution/maxsim/bpe-encode/ols/fuzzy-join/snapshot-OPTIMIZE/
-# PSI-drift/streaming-trending/triangle-census/PMI-collocations —
+# PSI-drift/streaming-trending/triangle-census/PMI-collocations/
+# snapshot-refs —
 # never-verified outranks stale per the policy); the two
 # r3-verified queries touched by the r5 ann.py rework; then the
 # events-family representative (sessionization) as the only fill.
@@ -95,7 +98,7 @@ _PRIORITY = _SENTINELS + [
     # sampling, Matryoshka funnel, leak-proof splits, iterative BPE,
     # streaming MinHash ingest
     "snapshot_time_travel", "snapshot_cdc_stats", "tfidf_cosine_topk",
-    "dsir_selection", "mixture_weights", "ivf_append_stats",
+    "dsir_selection", "ivf_append_stats",
     "ivf_refined_topk", "embedding_covariance", "quality_drift_ks",
     "token_budget_sample", "matryoshka_topk", "leakproof_split_counts",
     "bpe_merges", "streaming_incremental_dedup", "snapshot_vacuum_stats",
@@ -110,6 +113,7 @@ _PRIORITY = _SENTINELS + [
     "bpe_encode_stats", "ols_token_chars",
     "fuzzy_name_pairs", "snapshot_optimize_stats", "quality_drift_psi",
     "streaming_trending", "triangle_census", "collocations_topk",
+    "snapshot_ref_travel",
     # (2) changed since last verdict: the r5 ann.py rework (sidecar
     # quantizer, shared _kmeans_cte_chain oracle builder) touches the
     # kmeans/IVF family — ivf_topk is already a sentinel; these two
@@ -120,8 +124,9 @@ _PRIORITY = _SENTINELS + [
     # of the window contract, tests/test_plans.py); the late-r5
     # cohort consumed every other rotating slot
     "sessionization",
-    # r6 fill head: the 7 r1-verified queries the late-r5 cohort
-    # displaced then the remaining r2-verified
+    # r6 fill head: mixture_weights + dedup_exact_count (deferred
+    # never-verified), the 7 r1-verified queries the late-r5 cohort
+    # displaced, then the remaining r2-verified
     # (dedup_exact_count, decontamination, ngram_jaccard,
     # simhash_groups, shipping_priority, top_customers_per_nation,
     # binary_metadata, audio_window_stats, hybrid_rrf_topk,
@@ -129,7 +134,7 @@ _PRIORITY = _SENTINELS + [
     # cosine_histogram, token_counts, quality_scores,
     # lang_id_confusion, fingerprint_dups, chunk_fixed,
     # chunk_clean_stats); every r3/r4-verified query is ≤ 2 rounds
-    # stale and all 137 replay value-exact in the local all-query
+    # stale and all 138 replay value-exact in the local all-query
     # parity gate every test run (tests/test_parity.py)
 ]
 

@@ -483,7 +483,13 @@ def vacuum_snapshots(
         name = status.getPath().getName()
         if name.startswith("_manifest_v") and name.endswith(".json"):
             all_versions.append(int(name[len("_manifest_v"):-len(".json")]))
-    keep = sorted(v for v in all_versions if v > latest - keep_last)
+    # named refs PIN their versions against GC (tag_snapshot's
+    # contract): a tagged training-run snapshot survives any
+    # keep_last window until the ref is deleted
+    pinned = set(list_refs(spark, path).values())
+    keep = sorted(
+        v for v in all_versions if v > latest - keep_last or v in pinned
+    )
     drop = sorted(v for v in all_versions if v not in keep)
 
     referenced: set[int] = set()
@@ -631,3 +637,75 @@ def optimize_snapshot(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+_REF_PREFIX = "_ref_"
+
+
+def tag_snapshot(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> int:
+    """Attach a NAMED REF to a committed version — the table-format
+    tag ("training-run-2024-07", "pre-dedup-audit") that makes time
+    travel addressable by meaning instead of by number. Refs are tiny
+    ``_ref_<name>.json`` files beside the manifests, written with the
+    same tmp+rename atomicity; re-tagging an existing name moves it
+    (the mutable-branch-head semantics of lakehouse refs). The tagged
+    version must be committed — a ref can never dangle at creation.
+
+    Vacuum interplay (documented contract, enforced by vacuum):
+    :func:`vacuum_snapshots` retains any version a ref points to, so
+    tagging is also a PIN against history GC."""
+    if not name or not name.replace("-", "").replace("_", "").isalnum():
+        raise ValueError(
+            f"ref name must be non-empty [-_ alphanumeric], got {name!r}"
+        )
+    if version is None:
+        version = latest_version(spark, path)
+    _read_manifest(spark, path, version)  # must exist (no dangling refs)
+    fs, _ = _fs(spark, path)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    final = Path(path, f"{_REF_PREFIX}{name}.json")
+    tmp = Path(path, f".{_REF_PREFIX}{name}.json.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps({"name": name, "version": version}).encode()))
+    finally:
+        out.close()
+    fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise RuntimeError(f"ref commit failed for {name!r} at {path}")
+    return version
+
+
+def resolve_ref(spark: SparkSession, path: str, name: str) -> int:
+    """Version a named ref points to (ValueError if absent)."""
+    fs, _ = _fs(spark, path)
+    rp = spark._jvm.org.apache.hadoop.fs.Path(path, f"{_REF_PREFIX}{name}.json")
+    if not fs.exists(rp):
+        raise ValueError(f"no ref {name!r} at {path}")
+    stream = fs.open(rp)
+    try:
+        return int(json.loads(bytes(stream.readAllBytes()).decode())["version"])
+    finally:
+        stream.close()
+
+
+def list_refs(spark: SparkSession, path: str) -> dict[str, int]:
+    """All named refs: {name: version}."""
+    fs, root = _fs(spark, path)
+    out: dict[str, int] = {}
+    if not fs.exists(root):
+        return out
+    for status in fs.listStatus(root):
+        n = status.getPath().getName()
+        if n.startswith(_REF_PREFIX) and n.endswith(".json"):
+            out[n[len(_REF_PREFIX):-len(".json")]] = resolve_ref(
+                spark, path, n[len(_REF_PREFIX):-len(".json")]
+            )
+    return out
+
+
+def read_snapshot_ref(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Time travel by name: read the version the ref pins."""
+    return read_snapshot(spark, path, resolve_ref(spark, path, name))

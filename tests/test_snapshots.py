@@ -500,3 +500,54 @@ def test_evolution_rejects_bucket_column_name(spark, sf_dir, tmp_path):
     bad = orders.limit(0).withColumn("bucket", F.lit(1))
     with pytest.raises(ValueError, match="reserved"):
         upsert_snapshot(spark, path, bad, allow_evolution=True)
+
+
+def test_refs_tag_resolve_retag_and_validation(spark, sf_dir, tmp_path):
+    from cli_rag_spark.sources.snapshots import (
+        list_refs,
+        read_snapshot_ref,
+        resolve_ref,
+        tag_snapshot,
+    )
+
+    path = str(tmp_path / "snapref")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    assert tag_snapshot(spark, path, "stable") == 1
+    upsert_snapshot(
+        spark, path, orders.where(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_orderstatus", F.lit("X")
+        )
+    )
+    assert resolve_ref(spark, path, "stable") == 1
+    assert key(read_snapshot_ref(spark, path, "stable")) == key(orders)
+    # retag moves the ref (mutable head semantics)
+    tag_snapshot(spark, path, "stable")  # defaults to latest = 2
+    assert resolve_ref(spark, path, "stable") == 2
+    assert list_refs(spark, path) == {"stable": 2}
+    with pytest.raises(ValueError, match="no ref"):
+        resolve_ref(spark, path, "missing")
+    with pytest.raises(ValueError, match="no snapshot version"):
+        tag_snapshot(spark, path, "dangling", 9)
+    with pytest.raises(ValueError, match="ref name"):
+        tag_snapshot(spark, path, "bad name!")
+
+
+def test_vacuum_honors_ref_pins(spark, sf_dir, tmp_path):
+    from cli_rag_spark.sources.snapshots import tag_snapshot, vacuum_snapshots
+
+    path = str(tmp_path / "snapref2")
+    orders = _orders(spark, sf_dir)
+    write_snapshot(orders, path, "o_orderkey")
+    tag_snapshot(spark, path, "pin", 1)
+    for m in (5, 7):
+        upsert_snapshot(
+            spark, path,
+            orders.where(F.col("o_orderkey") % m == 0).withColumn(
+                "o_orderstatus", F.lit("X")
+            ),
+        )
+    report = vacuum_snapshots(spark, path, keep_last=1)
+    assert 1 in report["kept_versions"]      # pinned survives
+    assert 2 in report["removed_versions"]   # unpinned mid history GC'd
+    assert key(read_snapshot(spark, path, 1)) == key(orders)
