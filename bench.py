@@ -69,6 +69,13 @@ HEADLINE = [
     "bloom_decontamination",     # mining: Bloom prefilter semi-join (r5)
     "maxsim_topk",               # retrieval: ColBERT-style late interaction (r5)
     "fuzzy_name_pairs",          # mining: FastSS exact edit-distance join (r5)
+    "triangle_census",           # graph: degree-oriented triangle count (r5)
+    "collocations_topk",         # corpus: bigram PMI collocations (r5)
+    "bpe_encode_stats",          # corpus: BPE encode via dictionary join (r5)
+    "ols_token_chars",           # stats: exact-integer closed-form OLS (r5)
+    "quality_drift_psi",         # corpus: fixed-bin PSI drift gate (r5)
+    "weighted_sample_stats",     # training: A-ES weighted sampling (r5)
+    "streaming_trending",        # streaming: sliding-window trending (r5)
 ]
 
 
