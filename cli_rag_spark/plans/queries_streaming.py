@@ -322,3 +322,50 @@ ORACLE["streaming_trending"] = f"""
     FROM ranked WHERE rank <= {TREND_TOPK}
     ORDER BY win_start, rank
 """
+
+
+def q_streaming_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via the BUILT-IN session_window
+    (streaming/ops.py native_sessions) — the all-Tungsten strategy
+    next to the applyInPandasWithState custom operator
+    (streaming_sessionization): same gap model, end-exclusive
+    boundary, state managed by the engine. Append mode + watermark 0
+    over the bounded fixture emits exactly the sessions whose
+    end (last event + gap) the final watermark passed — the same
+    closed form as the custom operator's oracle, with the >= split
+    boundary the native operator defines."""
+    from cli_rag_spark.streaming.ops import native_sessions
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(native_sessions(stream), "append").orderBy(
+        "user_id", "session_start"
+    )
+
+
+QUERIES["streaming_native_sessions"] = q_streaming_native_sessions
+
+ORACLE["streaming_native_sessions"] = f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts - lag(ts) OVER w) >= {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+      FROM flagged
+    ), agg AS (
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             count(*) AS n_events,
+             round(sum(value), 2) AS session_value,
+             max(ts) AS last_ts
+      FROM sess GROUP BY user_id, seq
+    )
+    SELECT user_id, session_start, n_events, session_value
+    FROM agg, (SELECT max(ts) AS gmax FROM events)
+    WHERE epoch_us(gmax - last_ts) >= {SESSION_GAP_MIN} * 60 * 1000000
+    ORDER BY user_id, session_start
+"""

@@ -530,3 +530,41 @@ def sliding_type_counts(
             "n",
         )
     )
+
+
+def native_sessions(
+    stream: DataFrame,
+    gap_min: int = SESSION_GAP_MIN,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Gap sessions via the BUILT-IN ``session_window`` — the second
+    physical strategy for the sessionize_stream semantics (the custom
+    applyInPandasWithState operator exists because it predates needing
+    only counts/sums; when the per-session aggregate IS expressible,
+    the native operator keeps the whole query in Tungsten state
+    management — no Python worker, no Arrow hop).
+
+    Boundary semantics differ from the custom operator by design and
+    are part of this function's contract: session_window is
+    end-exclusive, so an event arriving EXACTLY gap after the last one
+    starts a NEW session (the custom op merges it). Emission: append
+    mode flushes a session once the watermark passes its end
+    (last_ts + gap) — with watermark delay 0 over a bounded stream,
+    exactly the closed-form set the oracle states."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_min} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

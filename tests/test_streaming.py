@@ -286,3 +286,43 @@ def test_multibatch_sliding_counts_match_batch(spark, split_events_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_multibatch_native_sessions_match_closed_form(spark, split_events_dir):
+    """session_window state must merge sessions across micro-batch
+    cuts; the emitted set is the closed form (last_ts + gap <= max ts,
+    end-exclusive >= split boundary)."""
+    stream = ops.read_events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    got = sorted(
+        map(tuple, ops.run_to_memory(ops.native_sessions(stream), "append").collect())
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = ops.SESSION_GAP_MIN * 60 * 1_000_000
+    diff = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "seq",
+        F.sum(F.when(diff.isNull() | (diff >= gap_us), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    want = sorted(
+        map(
+            tuple,
+            sess.groupBy("user_id", "seq")
+            .agg(
+                F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("session_value"),
+                F.max("ts").alias("last_ts"),
+            )
+            .crossJoin(F.broadcast(gmax))
+            .where(F.unix_micros("gmax") - F.unix_micros("last_ts") >= gap_us)
+            .select("user_id", "session_start", "n_events", "session_value")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
