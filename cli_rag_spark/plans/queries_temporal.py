@@ -126,3 +126,65 @@ ORACLE = {
         ORDER BY p.p_id
     """,
 }
+
+
+RESAMPLE_USERS = 10
+RESAMPLE_STEP = 3600
+
+
+def q_resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user activity grid with forward fill
+    (operators/resample.py resample_ffill): the gap-filling resample
+    every metrics/feature pipeline runs — silent hours appear with
+    n_events=0 carrying the last observed hourly total (filled=true).
+    Grid rows generate executor-side per key from sequence() (never a
+    calendar cross join); ONE key shuffle serves the slot join and the
+    fill window. First 10 users keep the judged grid bounded."""
+    from cli_rag_spark.operators.resample import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < RESAMPLE_USERS)
+    out = resample_ffill(ev, "user_id", "ts", "value", RESAMPLE_STEP, agg="sum")
+    return (
+        out.select(
+            "key",
+            # string-format the slot (the pack convention): pandas
+            # timestamp RESOLUTION differs between engines (ns vs us)
+            # and would flip the driver's dtype-sensitive hash
+            F.date_format("slot_ts", "yyyy-MM-dd HH:mm:ss").alias("slot_ts"),
+            "n_events",
+            F.round("value", 2).alias("value"),
+            "filled",
+        )
+        .orderBy("key", "slot_ts")
+    )
+
+
+QUERIES["resample_user_hourly"] = q_resample_user_hourly
+
+ORACLE["resample_user_hourly"] = f"""
+    WITH per_slot AS (
+      SELECT user_id AS key,
+             CAST(floor(epoch(ts) / {RESAMPLE_STEP}) AS BIGINT) AS slot,
+             sum(value) AS v,
+             count(*) AS n_events
+      FROM events WHERE user_id < {RESAMPLE_USERS}
+      GROUP BY key, slot
+    ), spans AS (
+      SELECT key, min(slot) AS lo, max(slot) AS hi FROM per_slot GROUP BY key
+    ), grid AS (
+      SELECT key, unnest(range(lo, hi + 1)) AS slot FROM spans
+    ), joined AS (
+      SELECT g.key, g.slot, p.v, coalesce(p.n_events, 0) AS n_events
+      FROM grid g LEFT JOIN per_slot p ON g.key = p.key AND g.slot = p.slot
+    )
+    SELECT key,
+           strftime(make_timestamp(slot * {RESAMPLE_STEP} * 1000000), '%Y-%m-%d %H:%M:%S') AS slot_ts,
+           n_events,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS value,
+           v IS NULL AS filled
+    FROM joined
+    ORDER BY key, slot_ts
+"""

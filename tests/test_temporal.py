@@ -162,3 +162,51 @@ def test_temporal_plans_have_no_nested_loop(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------- resample/ffill
+
+def test_resample_ffill_semantics(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.resample import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(hours=3), 5.0),   # 2 silent hours between
+        (1, t0 + dt.timedelta(hours=3, minutes=10), 7.0),  # same slot
+        (2, t0, 1.0),                            # single-slot key
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        (r.key, r.slot_ts.hour): (r.n_events, r.value, r.filled)
+        for r in resample_ffill(df, "user_id", "ts", "value").collect()
+    }
+    assert out[(1, 0)] == (1, 10.0, False)
+    assert out[(1, 1)] == (0, 10.0, True)    # carried
+    assert out[(1, 2)] == (0, 10.0, True)
+    assert out[(1, 3)] == (2, 12.0, False)   # two events aggregated
+    assert out[(2, 0)] == (1, 1.0, False)
+    assert len([k for k in out if k[0] == 1]) == 4  # dense grid, no gaps
+
+
+def test_resample_validation_and_envelope(spark):
+    import datetime as dt
+
+    import pytest
+
+    from cli_rag_spark.operators.resample import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 1.0), (1, t0 + dt.timedelta(days=30), 2.0)], ["k", "ts", "v"]
+    )
+    with pytest.raises(ValueError):
+        resample_ffill(df, "k", "ts", "v", step_seconds=0)
+    with pytest.raises(ValueError):
+        resample_ffill(df, "k", "ts", "v", agg="median")
+    with pytest.raises(ValueError, match="max_slots"):
+        resample_ffill(df, "k", "ts", "v", step_seconds=60, max_slots=100)
