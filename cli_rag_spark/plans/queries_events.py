@@ -249,7 +249,57 @@ def q_session_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_THRESHOLD = 3.0
+
+
+def q_anomalous_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly gate — the telemetry outlier pass
+    ("which users produced events more than 3 sigma from their own
+    value distribution?"). Two-pass exact moments, DETERMINISTICALLY:
+    per-user sum(v) and sum(v^2) accumulate as DECIMAL(28,8) — exact,
+    associative, partition-order-free (the
+    returned_item_customers lesson) — then mean/variance/z are scalar
+    IEEE doubles from those exact decimals, identical in both
+    engines. One shuffle on user_id serves the moment aggregate; the
+    flagging join broadcasts the per-user moment table back. Output:
+    per user, event count, anomaly count, and the anomalous value sum
+    (decimal-exact membership witness); users with no anomalies drop
+    (the alert-table shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(28,8)")
+    moments = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vdec).alias("s1"),
+            F.sum(vdec * vdec).alias("s2"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
+    )
+    scored = (
+        ev.join(F.broadcast(moments), "user_id")
+        .withColumn("_z", (F.col("value") - mean) / F.sqrt(var))
+        .where(F.abs(F.col("_z")) > Z_THRESHOLD)
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_anomalies"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("anomaly_value_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
+    "anomalous_events": q_anomalous_events,
     "event_type_stats": q_event_type_stats,
     "session_log": q_session_log,
     "retention_cohorts": q_retention_cohorts,
@@ -265,6 +315,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "anomalous_events": f"""
+        WITH moments AS (
+          SELECT user_id, count(*) AS n,
+                 sum(CAST(value AS DECIMAL(28,8))) AS s1,
+                 sum(CAST(value AS DECIMAL(28,8)) * CAST(value AS DECIMAL(28,8))) AS s2
+          FROM events GROUP BY user_id HAVING count(*) >= 2
+        ), scored AS (
+          SELECT e.user_id, e.value, m.n,
+                 (e.value - CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))
+                 / sqrt(CAST(m.s2 AS DOUBLE) / CAST(m.n AS DOUBLE)
+                        - (CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))
+                          * (CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))) AS z
+          FROM events e JOIN moments m USING (user_id)
+        )
+        SELECT user_id,
+               CAST(max(n) AS BIGINT) AS n_events,
+               count(*) AS n_anomalies,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS anomaly_value_sum
+        FROM scored WHERE abs(z) > {Z_THRESHOLD}
+        GROUP BY user_id ORDER BY user_id
+    """,
     "ordered_funnel": """
         WITH per_user AS (
           SELECT user_id,

@@ -81,6 +81,44 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(parts, qparts, MAXSIM_K, id_col="doc_id")
 
 
+MAXSIM_SHORTLIST = 50
+
+
+def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production late-interaction FUNNEL (candidate stage ∘
+    rerank stage): a cheap single-vector stage shortlists 50 docs by
+    pooled-embedding cosine (one vector per doc — the index every
+    first-stage retriever actually serves), then MaxSim reranks ONLY
+    the shortlist's chunks (operators/topk.py maxsim_topk). The
+    interaction matrix touches |shortlist|·chunks-per-doc·|qparts|
+    rows instead of the corpus — the composition that makes late
+    interaction affordable at 100 TB. Both stages and the funnel
+    boundary replay in the oracle."""
+    from cli_rag_spark.operators.topk import maxsim_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    qvec = mock_embedding_expr(F.lit(QUERY_TEXT), DEFAULT_DIM)
+    shortlist = (
+        docs.select(
+            "doc_id",
+            F.round(
+                cosine_distance(mock_embedding_expr(F.col("text"), DEFAULT_DIM), qvec), 6
+            ).alias("_d"),
+        )
+        .orderBy(F.col("_d").asc(), F.col("doc_id").asc())
+        .limit(MAXSIM_SHORTLIST)
+        .select("doc_id")
+    )
+    parts = (
+        chunk_fixed(docs.join(shortlist, "doc_id"), PIPE_CHUNK)
+        .withColumn("embedding", mock_embedding_expr(F.col("chunk_text"), DEFAULT_DIM))
+    )
+    qparts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(QUERY_TEXT.split())], ["qpart_id", "tok"]
+    ).withColumn("qvec", mock_embedding_expr(F.col("tok"), DEFAULT_DIM)).drop("tok")
+    return maxsim_topk(parts, qparts, MAXSIM_K, id_col="doc_id")
+
+
 def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E10: assemble the 'Context i:' prompt block from the top-3
     documents nearest the mock query (multirag.c:108-124 semantics)."""
@@ -193,6 +231,7 @@ QUERIES = {
     "audio_window_stats": q_audio_window_stats,
     "rag_context": q_rag_context,
     "maxsim_topk": q_maxsim_topk,
+    "maxsim_rerank": q_maxsim_rerank,
     "rag_contexts_batch": q_rag_contexts_batch,
     "binary_metadata": q_binary_metadata,
     "image_decode_stats": q_image_decode_stats,
@@ -227,6 +266,36 @@ ORACLE = {
         FROM embedded
         ORDER BY dist ASC, doc_id ASC, chunk_index ASC
         LIMIT {PIPE_K}
+    """,
+    "maxsim_rerank": f"""
+        WITH shortlist AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   round(1 - list_cosine_similarity(
+                       {mock_embedding_sql("text", DEFAULT_DIM)}, {_QVEC}), 6) AS d
+            FROM documents
+          ) ORDER BY d ASC, doc_id ASC LIMIT {MAXSIM_SHORTLIST}
+        ), chunks AS ({_CHUNK_SQL}),
+        embedded AS (
+          SELECT c.doc_id,
+                 {mock_embedding_sql("chunk_text", DEFAULT_DIM)} AS v
+          FROM chunks c JOIN shortlist s ON c.doc_id = s.doc_id
+        ), q AS (
+          SELECT * FROM (VALUES
+            {_MAXSIM_QTOKS}
+          ) t(qpart_id, qv)
+        ), sims AS (
+          SELECT doc_id, qpart_id,
+                 round(1 - list_cosine_similarity(v, qv), 6) AS d
+          FROM embedded, q
+        ), best AS (
+          SELECT doc_id, qpart_id, min(d) AS best FROM sims
+          GROUP BY doc_id, qpart_id
+        )
+        SELECT doc_id,
+               round(list_aggregate(list(best ORDER BY qpart_id), 'sum'), 6) AS maxsim_dist
+        FROM best GROUP BY doc_id
+        ORDER BY maxsim_dist ASC, doc_id ASC LIMIT {MAXSIM_K}
     """,
     "maxsim_topk": f"""
         WITH chunks AS ({_CHUNK_SQL}),

@@ -45,7 +45,7 @@ _PACKS = [
 #   4. remaining slots filled least-recently-verified-first.
 #
 # STALENESS INVARIANT (VERDICT r3 "Next round #3"): target is that no
-# query's latest green verdict is older than ~2 rounds. With 140
+# query's latest green verdict is older than ~2 rounds. With 142
 # registered queries and 33 rotating slots behind the 17 sentinels, a
 # full rotation takes ~3 rounds — the invariant is enforced as
 # "oldest verdicts fill first", and every query is ALSO value-exactly
@@ -125,10 +125,11 @@ _PRIORITY = _SENTINELS + [
     # cohort consumed every other rotating slot
     "sessionization",
     # r6 fill head: the deferred never-verified set
-    # (streaming_native_sessions and resample_user_hourly — landed
-    # after the window filled — plus mixture_weights,
-    # dedup_exact_count), the 7 r1-verified queries the late-r5
-    # cohort displaced, then the remaining r2-verified
+    # (streaming_native_sessions, resample_user_hourly,
+    # anomalous_events, maxsim_rerank — landed after the window
+    # filled — plus mixture_weights, dedup_exact_count), the 7
+    # r1-verified queries the late-r5 cohort displaced, then the
+    # remaining r2-verified
     # (dedup_exact_count, decontamination, ngram_jaccard,
     # simhash_groups, shipping_priority, top_customers_per_nation,
     # binary_metadata, audio_window_stats, hybrid_rrf_topk,
@@ -136,7 +137,7 @@ _PRIORITY = _SENTINELS + [
     # cosine_histogram, token_counts, quality_scores,
     # lang_id_confusion, fingerprint_dups, chunk_fixed,
     # chunk_clean_stats); every r3/r4-verified query is ≤ 2 rounds
-    # stale and all 140 replay value-exact in the local all-query
+    # stale and all 142 replay value-exact in the local all-query
     # parity gate every test run (tests/test_parity.py)
 ]
 
