@@ -60,9 +60,73 @@ def q_approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKETCH_WEEK = ("2024-01-08", "2024-01-14")
+
+
+def q_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE-SKETCH ROLLUP STORE — what makes sketches a
+    storage feature, not just an aggregate: daily HLL sketches of the
+    user set are PERSISTED as binary columns in parquet (one tiny row
+    per day), and any date-range distinct-user question is answered
+    by unioning stored sketches (hll_union_agg) — the events table is
+    never rescanned. At 100 TB this turns "distinct users last week"
+    from a full-scan shuffle into a 7-row merge. Emits, per queried
+    range: days merged, the EXACT distinct count (oracle-matched),
+    and the estimate-within-5% boolean the oracle pins as a literal
+    (the approx-pack contract)."""
+    import hashlib
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_sketches_{tag}"
+    (
+        ev.groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    store = spark.read.parquet(path)
+
+    def range_stats(label: str, lo: str | None, hi: str | None) -> DataFrame:
+        sel = store
+        evr = ev
+        if lo is not None:
+            sel = sel.where(
+                (F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(hi))
+            )
+            evr = ev.where(
+                (F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(hi))
+            )
+        est = sel.agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_est"),
+        )
+        exact = evr.agg(F.countDistinct("user_id").alias("n_exact"))
+        return (
+            est.crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(label).alias("range"),
+                "n_days",
+                "n_exact",
+                (
+                    F.abs(F.col("_est") - F.col("n_exact"))
+                    <= F.col("n_exact") * HLL_TOL
+                ).alias("union_within_tol"),
+            )
+        )
+
+    return (
+        range_stats("week2", *SKETCH_WEEK)
+        .unionByName(range_stats("all", None, None))
+        .orderBy("range")
+    )
+
+
 QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "approx_price_quantiles": q_approx_price_quantiles,
+    "sketch_rollup_users": q_sketch_rollup_users,
 }
 
 ORACLE = {
@@ -74,6 +138,24 @@ ORACLE = {
                count(DISTINCT user_id) AS n_exact,
                TRUE AS hll_within_tol
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "sketch_rollup_users": f"""
+        WITH days AS (
+          SELECT CAST(ts AS DATE) AS day, user_id FROM events
+        ), wk AS (
+          SELECT 'week2' AS range,
+                 count(DISTINCT day) AS n_days,
+                 count(DISTINCT user_id) AS n_exact
+          FROM days
+          WHERE day >= DATE '{SKETCH_WEEK[0]}' AND day <= DATE '{SKETCH_WEEK[1]}'
+        ), al AS (
+          SELECT 'all', count(DISTINCT day), count(DISTINCT user_id) FROM days
+        )
+        SELECT range, CAST(n_days AS BIGINT) AS n_days,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               TRUE AS union_within_tol
+        FROM (SELECT * FROM wk UNION ALL SELECT * FROM al)
+        ORDER BY range
     """,
     "approx_price_quantiles": """
         SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
