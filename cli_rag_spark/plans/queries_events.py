@@ -298,8 +298,45 @@ def q_anomalous_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior — the
+    event-path analytics a product pipeline estimates ("what follows
+    a click?"): per (prev_type, next_type) consecutive pair within a
+    user's time-ordered stream, the transition count and probability.
+    ONE shuffle on user_id serves the lag window; counts are exact
+    longs and each probability is one integer division (identical
+    IEEE in both engines), so the whole matrix value-replays. Rows
+    ordered by prev, next."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("prev_type"),
+            F.col("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # row totals as a window over the TINY counted matrix — a
+    # groupBy+self-join would duplicate the event-stream lineage
+    # (two user_id exchanges pre-AQE); this keeps exactly one
+    row_w = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn("row_n", F.sum("n").over(row_w))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_n").cast("double"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 QUERIES = {
     "anomalous_events": q_anomalous_events,
+    "event_transitions": q_event_transitions,
     "event_type_stats": q_event_type_stats,
     "session_log": q_session_log,
     "retention_cohorts": q_retention_cohorts,
@@ -315,6 +352,22 @@ QUERIES = {
 }
 
 ORACLE = {
+    "event_transitions": """
+        WITH pairs AS (
+          SELECT event_type AS prev_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          FROM events
+        ), counted AS (
+          SELECT prev_type, next_type, count(*)::BIGINT AS n
+          FROM pairs WHERE next_type IS NOT NULL
+          GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+        FROM counted
+        ORDER BY prev_type, next_type
+    """,
     "anomalous_events": f"""
         WITH moments AS (
           SELECT user_id, count(*) AS n,

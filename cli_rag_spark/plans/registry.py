@@ -45,7 +45,7 @@ _PACKS = [
 #   4. remaining slots filled least-recently-verified-first.
 #
 # STALENESS INVARIANT (VERDICT r3 "Next round #3"): target is that no
-# query's latest green verdict is older than ~2 rounds. With 143
+# query's latest green verdict is older than ~2 rounds. With 144
 # registered queries and 33 rotating slots behind the 17 sentinels, a
 # full rotation takes ~3 rounds — the invariant is enforced as
 # "oldest verdicts fill first", and every query is ALSO value-exactly
@@ -126,8 +126,8 @@ _PRIORITY = _SENTINELS + [
     "sessionization",
     # r6 fill head: the deferred never-verified set
     # (streaming_native_sessions, resample_user_hourly,
-    # anomalous_events, maxsim_rerank, sketch_rollup_users — landed
-    # after the window
+    # anomalous_events, maxsim_rerank, sketch_rollup_users,
+    # event_transitions — landed after the window
     # filled — plus mixture_weights, dedup_exact_count), the 7
     # r1-verified queries the late-r5 cohort displaced, then the
     # remaining r2-verified
@@ -138,7 +138,7 @@ _PRIORITY = _SENTINELS + [
     # cosine_histogram, token_counts, quality_scores,
     # lang_id_confusion, fingerprint_dups, chunk_fixed,
     # chunk_clean_stats); every r3/r4-verified query is ≤ 2 rounds
-    # stale and all 143 replay value-exact in the local all-query
+    # stale and all 144 replay value-exact in the local all-query
     # parity gate every test run (tests/test_parity.py)
 ]
 

@@ -298,3 +298,18 @@ def test_late_r5_plan_shapes(spark, sf_dir):
     # expression (aggregate over sort_array), not a python stage
     plan = _plan(spark, sf_dir, "quality_drift_psi")
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_latest_r5_plan_shapes(spark, sf_dir):
+    # anomaly gate: the per-user moment table joins back via BROADCAST
+    # (never a shuffle of the event stream against itself)
+    plan = _plan(spark, sf_dir, "anomalous_events")
+    assert "BroadcastHashJoin" in plan
+
+    # rerank funnel: both stages are bounded heaps, never full sorts
+    plan = _plan(spark, sf_dir, "maxsim_rerank")
+    assert "TakeOrderedAndProject" in plan
+
+    # transitions: ONE user_id exchange serves the lead window
+    plan = _plan(spark, sf_dir, "event_transitions")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
