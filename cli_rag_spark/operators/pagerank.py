@@ -33,7 +33,7 @@ are exact IEEE ops in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DYADIC_BITS = 30
@@ -73,18 +73,42 @@ def pagerank(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
-
-    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    e = e.join(outw, "src").localCheckpoint(eager=True)
-
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # checkpoint the raw edge projection FIRST — the upstream edge
+    # derivation (often a multi-table join) must run exactly once.
+    # The old groupBy+join form scanned it twice (build + probe side)
+    # inside one checkpoint pass; per-source out-mass as a window sum
+    # is the same value with ONE shuffle on src and no join.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+        .withColumn("outw", F.sum("w").over(Window.partitionBy("src")))
         .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()
+
+    # the dangling-node SET (no out-edges) is iteration-invariant —
+    # compute it ONCE as a boolean on the checkpointed node table
+    # instead of re-deriving it via a ranks ⋈anti outw join every
+    # iteration (which also re-ran the outw groupBy from the raw edge
+    # derivation each time, since outw is upstream of the checkpoint).
+    # has_out(v) ≡ "v appears as src", so the flag falls out of the
+    # same union+groupBy that builds the node set — one shuffle over
+    # the checkpointed e, no join, no second pass over raw edges. The
+    # flag rides along on `ranks`, so per-iteration dangling mass
+    # degenerates to a filter + 1-row aggregate: zero joins.
+    nodes = (
+        e.select(F.col("src").alias("node"), F.lit(True).alias("has_out"))
+        .unionByName(e.select(F.col("dst").alias("node"), F.lit(False).alias("has_out")))
+        .groupBy("node")
+        .agg(F.max("has_out").alias("has_out"))
+        .localCheckpoint(eager=True)
+    )
+    # one setup aggregate serves both the node count and the
+    # dangling-node count — a graph with zero dangling nodes (e.g.
+    # any bidirectional graph) has dmass ≡ 0 on EVERY iteration, so
+    # the whole dangling branch (a 1-row aggregate job + a broadcast
+    # crossJoin, per iteration) is provably dead and skipped
+    n_nodes, n_dangling = nodes.agg(
+        F.count(F.lit(1)), F.count_if(~F.col("has_out"))
+    ).first()
     base = (1.0 - damping) / n_nodes
 
     ranks = nodes.withColumn("rank", _dyadic(F.lit(1.0 / n_nodes)))
@@ -96,20 +120,31 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling: rank mass sitting on nodes with no out-edges
-        dangling = (
-            ranks.join(outw, ranks.node == outw.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-        )
+        # under broadcast_ranks, contrib is |nodes|-sized too —
+        # broadcasting it keeps the whole rank update map-side (the
+        # shuffle-free iteration); without the hint the small-graph
+        # regime pays a needless exchange on node
+        c = F.broadcast(contrib) if broadcast_ranks else contrib
+        updated = nodes.join(c, "node", "left_outer")
+        if n_dangling:
+            # dangling: rank mass sitting on nodes with no out-edges —
+            # dyadic ranks sum exactly, so order still doesn't matter
+            dangling = (
+                ranks.filter(~F.col("has_out"))
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            )
+            updated = updated.crossJoin(F.broadcast(dangling))
+            dmass = F.col("dmass")
+        else:
+            dmass = F.lit(0.0)
         ranks = (
-            nodes.join(contrib, "node", "left_outer")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+            updated.select(
                 "node",
+                "has_out",
                 _dyadic(
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dmass") / F.lit(float(n_nodes)))
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dmass / F.lit(float(n_nodes)))
                 ).alias("rank"),
             )
             # lazy: lineage is cut either way (no exponential recompute
@@ -118,4 +153,4 @@ def pagerank(
             # driver-blocking job per iteration (measured −1.5 s/3 iters)
             .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select("node", "rank")

@@ -60,11 +60,19 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
+    # emit both directions with ONE explode instead of a self-union —
+    # a union of two selects over `ed` re-runs the lineitem⋈orders
+    # groupBy twice per pass (measured: the whole derivation is the
+    # most expensive phase of the judged query)
     return ed.select(
-        F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
-    ).unionByName(
-        ed.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w")
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("c_node").alias("src"), F.col("s_node").alias("dst")),
+                F.struct(F.col("s_node").alias("src"), F.col("c_node").alias("dst")),
+            )
+        ).alias("p"),
+        "w",
+    ).select("p.src", "p.dst", "w")
 
 
 def q_pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,23 +54,24 @@ _PACKS = [
 # window is the independent external sample, rotated so staleness
 # stays bounded.
 #
-# Round-5 window: 17 sentinels; FOURTEEN of the fifteen never-
-# verified round-5 operators (mixture_weights — the simplest of the
-# cohort, a closed-form temperature formula locally parity-gated
-# every test run — defers to the r6 head to make room for the late
-# snapshot-refs query; dedup_exact_count similarly deferred earlier) + the SIXTEEN late-r5 additions
-# (setsim/pagerank/heavy-hitters/bloom/weighted-sample/schema-
-# evolution/maxsim/bpe-encode/ols/fuzzy-join/snapshot-OPTIMIZE/
-# PSI-drift/streaming-trending/triangle-census/PMI-collocations/
-# snapshot-refs —
-# never-verified outranks stale per the policy); the two
-# r3-verified queries touched by the r5 ann.py rework; then the
-# events-family representative (sessionization) as the only fill.
-# The r6 fill is headed by the 7 r1-verified queries the late-r5
-# cohort displaced (scalar_function_breadth,
-# returnflag_grouping_sets, top_parts_per_brand, price_percentiles,
-# segment_nation_cube, revenue_forecast, promo_revenue_ratio) and
-# the remaining r2-verified queries.
+# Round-6 window (VERDICT r5 "Next round #1"): 17 sentinels; the
+# SEVEN queries that have never received a driver verdict
+# (anomalous_events, event_transitions, maxsim_rerank,
+# mixture_weights, resample_user_hourly, sketch_rollup_users,
+# streaming_native_sessions — the late-r5 overflow); the ONE
+# query whose implementation changed this round (pagerank: the
+# loop-invariant dangling/out-mass restructure — policy category
+# 2; bpe's proposed iteration fusion measured as a no-gain
+# negative result and was NOT kept, see BENCH.md ledger); then
+# least-recently-verified fill: all 7 r1-verified queries and 18
+# of the 19 r2-verified. chunk_clean_stats defers to the r7 head —
+# the single r2-stale entry displaced by the category-2 re-entry,
+# chosen because its family sentinel (chunk_reference, same
+# operator file) is re-verified every round and it replays
+# value-exact in the local parity gate every test run. After r6
+# every other query's latest verdict is ≤ 2 rounds old — the
+# staleness invariant is restored for 143/144, with the last one
+# at the r7 head.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -91,55 +92,32 @@ _SENTINELS = [
     "hamming_topk",               # binary vectors (BINARY_VECTOR)
 ]
 _PRIORITY = _SENTINELS + [
-    # (3) never driver-checked: the 15 round-5 operators — snapshots/
-    # time travel + CDC/delete/vacuum, TF-IDF more-like-this, DSIR selection,
-    # mixture weights, incremental IVF append, refined-IVF persisted
-    # probe, distributed-PCA covariance bridge, KS drift, token-budget
-    # sampling, Matryoshka funnel, leak-proof splits, iterative BPE,
-    # streaming MinHash ingest
-    "snapshot_time_travel", "snapshot_cdc_stats", "tfidf_cosine_topk",
-    "dsir_selection", "ivf_append_stats",
-    "ivf_refined_topk", "embedding_covariance", "quality_drift_ks",
-    "token_budget_sample", "matryoshka_topk", "leakproof_split_counts",
-    "bpe_merges", "streaming_incremental_dedup", "snapshot_vacuum_stats",
-    # (3) never driver-checked: the late-r5 cohort — mining pack,
-    # snapshot add-column evolution + OPTIMIZE, MaxSim late
-    # interaction, BPE encode, exact-integer OLS, ED-Join/FastSS
-    # fuzzy join, PSI drift, streaming trending, triangle census,
-    # PMI collocations
-    "setsim_pairs", "pagerank_top_nodes", "heavy_hitter_terms",
-    "bloom_decontamination", "weighted_sample_stats",
-    "snapshot_schema_evolution", "maxsim_topk",
-    "bpe_encode_stats", "ols_token_chars",
-    "fuzzy_name_pairs", "snapshot_optimize_stats", "quality_drift_psi",
-    "streaming_trending", "triangle_census", "collocations_topk",
-    "snapshot_ref_travel",
-    # (2) changed since last verdict: the r5 ann.py rework (sidecar
-    # quantizer, shared _kmeans_cte_chain oracle builder) touches the
-    # kmeans/IVF family — ivf_topk is already a sentinel; these two
-    # carry r3 verdicts
-    "kmeans_clusters", "knn_join_ivf",
-    # (4) least-recently-verified fill: only the events-family
-    # representative (sessionization, r3 — the family-coverage rule
-    # of the window contract, tests/test_plans.py); the late-r5
-    # cohort consumed every other rotating slot
-    "sessionization",
-    # r6 fill head: the deferred never-verified set
-    # (streaming_native_sessions, resample_user_hourly,
-    # anomalous_events, maxsim_rerank, sketch_rollup_users,
-    # event_transitions — landed after the window
-    # filled — plus mixture_weights, dedup_exact_count), the 7
-    # r1-verified queries the late-r5 cohort displaced, then the
-    # remaining r2-verified
-    # (dedup_exact_count, decontamination, ngram_jaccard,
-    # simhash_groups, shipping_priority, top_customers_per_nation,
-    # binary_metadata, audio_window_stats, hybrid_rrf_topk,
-    # stratified_sample, pack_chunks_stats, quantized_topk,
-    # cosine_histogram, token_counts, quality_scores,
-    # lang_id_confusion, fingerprint_dups, chunk_fixed,
-    # chunk_clean_stats); every r3/r4-verified query is ≤ 2 rounds
-    # stale and all 144 replay value-exact in the local all-query
-    # parity gate every test run (tests/test_parity.py)
+    # (3) never driver-checked: the late-r5 overflow — all seven
+    # get their first external verdict this round
+    "anomalous_events", "event_transitions", "maxsim_rerank",
+    "mixture_weights", "resample_user_hourly", "sketch_rollup_users",
+    "streaming_native_sessions",
+    # (2) changed since last verdict (r5-verified, re-enters because
+    # the implementation changed in r6): pagerank's loop-invariant
+    # dangling-set / out-mass restructure (operators/pagerank.py)
+    # plus the edge-derivation explode (queries_mining.py)
+    "pagerank_top_nodes",
+    # (4) least-recently-verified fill — the 7 r1-verified
+    "scalar_function_breadth", "returnflag_grouping_sets",
+    "top_parts_per_brand", "price_percentiles", "segment_nation_cube",
+    "revenue_forecast", "promo_revenue_ratio",
+    # ... then 18 of the 19 r2-verified (chunk_clean_stats defers to
+    # the r7 head, family-covered by the chunk_reference sentinel)
+    "dedup_exact_count", "decontamination", "ngram_jaccard",
+    "simhash_groups", "shipping_priority", "top_customers_per_nation",
+    "binary_metadata", "audio_window_stats", "hybrid_rrf_topk",
+    "stratified_sample", "pack_chunks_stats", "quantized_topk",
+    "cosine_histogram", "token_counts", "quality_scores",
+    "lang_id_confusion", "fingerprint_dups", "chunk_fixed",
+    # r7 fill head: chunk_clean_stats (r2), then the r3-verified
+    # queries oldest-first; every deferred query replays value-exact
+    # in the local all-query parity gate on every test run
+    # (tests/test_parity.py)
 ]
 
 

@@ -128,7 +128,16 @@ def test_registry_priority_window_contract():
         "training": {"hash_split_counts", "stratified_sample", "pack_chunks_stats"},
         "streaming": {"streaming_hourly_windows", "streaming_sessionization"},
         "approx": {"approx_distinct_users"},
-        "events": {"sessionization", "session_log", "retention_cohorts"},
+        # anomalous_events / event_transitions live in the events pack
+        # (queries_events.py) and are valid family representatives —
+        # they hold the slot in r6 while receiving their first verdict
+        "events": {
+            "sessionization",
+            "session_log",
+            "retention_cohorts",
+            "anomalous_events",
+            "event_transitions",
+        },
     }
     for family, reps in family_reps.items():
         assert reps & window, f"family {family} has no representative in the 50-slot window"
