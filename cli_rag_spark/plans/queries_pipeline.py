@@ -24,7 +24,7 @@ from cli_rag_spark.operators.multimodal import (
     attach_binary_metadata,
     audio_window_plan,
     decode_images,
-    fake_decode_image,
+    synth_bmp_payloads,
 )
 from cli_rag_spark.sources.documents import load_table
 
@@ -191,19 +191,25 @@ def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E11 decode path: binary payloads → mapInPandas decoder (the
-    deterministic md5-derived stub; real PIL decode swaps in with the
-    same plumbing) → per-mode shape stats. The stub's determinism
-    makes even the Python-side decode oracle-checkable."""
-    docs = load_table(spark, sf_dir, "documents")
-    with_payload = docs.withColumn("payload", F.encode(F.col("text"), "UTF-8"))
-    decoded = decode_images(with_payload, decoder=fake_decode_image)
+    """E11 decode path over REAL pixels (r6, VERDICT r5 #4): per-doc
+    BMP payloads (synth_bmp_payloads — actual spec-conformant files,
+    closed-form dims/fill from doc_id) → the default dependency-free
+    BMP parser (real_decode_image) → per-mode shape + pixel stats.
+    px_mean comes from summing the decoded pixel CHANNEL bytes; the
+    fixtures' zeroed stride padding, 8bpp palette, and negative
+    (top-down) heights make any parser shortcut — averaging raw bytes,
+    assuming data at offset 54, trusting a signed height — a visible
+    oracle mismatch, not a silent pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = synth_bmp_payloads(docs)
+    decoded = decode_images(with_payload)  # default = real BMP parser
     return (
         decoded.groupBy("mode")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("width"), 4).alias("avg_width"),
             F.round(F.avg("height"), 4).alias("avg_height"),
+            F.round(F.avg("px_mean"), 4).alias("avg_px_mean"),
         )
         .orderBy("mode")
     )
@@ -377,23 +383,23 @@ ORACLE = {
         FROM d, unnest(range(0, CAST(greatest(n_bytes - 256, 0) AS BIGINT) + 1, 128)) t(off)
         GROUP BY doc_id ORDER BY doc_id
     """,
-    # fake_decode_image: width = 64 + md5[0]%192, height = 64 + md5[1]%192,
-    # mode = ['RGB','RGBA','L'][md5[2]%3] over the payload digest
+    # synth_bmp_payloads closed form: width = 1 + doc_id%64, height =
+    # 1 + doc_id%48, mode = [RGB,RGBA,L][doc_id%3], and px_mean ==
+    # fill == doc_id%256 exactly (constant-fill channels) — the Spark
+    # side must round-trip REAL BMP bytes through the real parser to
+    # reproduce these numbers
     "image_decode_stats": """
-        WITH b AS (
-          SELECT ('0x' || substr(md5(text), 1, 2))::INT AS b0,
-                 ('0x' || substr(md5(text), 3, 2))::INT AS b1,
-                 ('0x' || substr(md5(text), 5, 2))::INT AS b2
+        WITH m AS (
+          SELECT 1 + doc_id % 64 AS width,
+                 1 + doc_id % 48 AS height,
+                 CASE doc_id % 3 WHEN 0 THEN 'RGB' WHEN 1 THEN 'RGBA' ELSE 'L' END AS mode,
+                 CAST(doc_id % 256 AS DOUBLE) AS px_mean
           FROM documents
-        ), m AS (
-          SELECT 64 + b0 % 192 AS width,
-                 64 + b1 % 192 AS height,
-                 CASE b2 % 3 WHEN 0 THEN 'RGB' WHEN 1 THEN 'RGBA' ELSE 'L' END AS mode
-          FROM b
         )
         SELECT mode, count(*) AS n,
                round(avg(width), 4) AS avg_width,
-               round(avg(height), 4) AS avg_height
+               round(avg(height), 4) AS avg_height,
+               round(avg(px_mean), 4) AS avg_px_mean
         FROM m GROUP BY mode ORDER BY mode
     """,
 }

@@ -58,19 +58,21 @@ _PACKS = [
 # SEVEN queries that have never received a driver verdict
 # (anomalous_events, event_transitions, maxsim_rerank,
 # mixture_weights, resample_user_hourly, sketch_rollup_users,
-# streaming_native_sessions — the late-r5 overflow); the ONE
-# query whose implementation changed this round (pagerank: the
-# loop-invariant dangling/out-mass restructure — policy category
-# 2; bpe's proposed iteration fusion measured as a no-gain
-# negative result and was NOT kept, see BENCH.md ledger); then
-# least-recently-verified fill: all 7 r1-verified queries and 18
-# of the 19 r2-verified. chunk_clean_stats defers to the r7 head —
-# the single r2-stale entry displaced by the category-2 re-entry,
-# chosen because its family sentinel (chunk_reference, same
-# operator file) is re-verified every round and it replays
+# streaming_native_sessions — the late-r5 overflow); the TWO
+# category-2 re-entries whose implementation changed this round
+# (pagerank's loop-invariant dangling/out-mass restructure;
+# snapshot_optimize_stats for the snapshot family's new
+# staged-commit optimistic-concurrency protocol — bpe's proposed
+# iteration fusion measured as a no-gain negative result and was
+# NOT kept, see BENCH.md ledger); then least-recently-verified
+# fill: all 7 r1-verified queries and 17 of the 19 r2-verified.
+# chunk_clean_stats and token_counts defer to the r7 head — the
+# two r2-stale entries displaced by the category-2 re-entries,
+# chosen because their family sentinels (chunk_reference,
+# text_stats) are re-verified every round and both replay
 # value-exact in the local parity gate every test run. After r6
 # every other query's latest verdict is ≤ 2 rounds old — the
-# staleness invariant is restored for 143/144, with the last one
+# staleness invariant is restored for 142/144, with the last two
 # at the r7 head.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
@@ -97,27 +99,34 @@ _PRIORITY = _SENTINELS + [
     "anomalous_events", "event_transitions", "maxsim_rerank",
     "mixture_weights", "resample_user_hourly", "sketch_rollup_users",
     "streaming_native_sessions",
-    # (2) changed since last verdict (r5-verified, re-enters because
+    # (2) changed since last verdict (r5-verified, re-enter because
     # the implementation changed in r6): pagerank's loop-invariant
-    # dangling-set / out-mass restructure (operators/pagerank.py)
-    # plus the edge-derivation explode (queries_mining.py)
-    "pagerank_top_nodes",
+    # dangling-set / out-mass restructure (operators/pagerank.py +
+    # the edge-derivation explode in queries_mining.py); and the
+    # snapshot family's new staged-commit optimistic-concurrency
+    # protocol (sources/snapshots.py — claim lock + staging rename
+    # under every writer) represented by snapshot_optimize_stats,
+    # the query whose code path the protocol change touched most
+    # (staged integrity check + rename + commit); its 7 siblings
+    # share the identical _commit_version path and replay locally
+    "pagerank_top_nodes", "snapshot_optimize_stats",
     # (4) least-recently-verified fill — the 7 r1-verified
     "scalar_function_breadth", "returnflag_grouping_sets",
     "top_parts_per_brand", "price_percentiles", "segment_nation_cube",
     "revenue_forecast", "promo_revenue_ratio",
-    # ... then 18 of the 19 r2-verified (chunk_clean_stats defers to
-    # the r7 head, family-covered by the chunk_reference sentinel)
+    # ... then 17 of the 19 r2-verified (chunk_clean_stats and
+    # token_counts defer to the r7 head — each family-covered in the
+    # window: chunk_reference and text_stats are sentinels)
     "dedup_exact_count", "decontamination", "ngram_jaccard",
     "simhash_groups", "shipping_priority", "top_customers_per_nation",
     "binary_metadata", "audio_window_stats", "hybrid_rrf_topk",
     "stratified_sample", "pack_chunks_stats", "quantized_topk",
-    "cosine_histogram", "token_counts", "quality_scores",
+    "cosine_histogram", "quality_scores",
     "lang_id_confusion", "fingerprint_dups", "chunk_fixed",
-    # r7 fill head: chunk_clean_stats (r2), then the r3-verified
-    # queries oldest-first; every deferred query replays value-exact
-    # in the local all-query parity gate on every test run
-    # (tests/test_parity.py)
+    # r7 fill head: chunk_clean_stats, token_counts (r2), then the
+    # r3-verified queries oldest-first; every deferred query replays
+    # value-exact in the local all-query parity gate on every test
+    # run (tests/test_parity.py)
 ]
 
 

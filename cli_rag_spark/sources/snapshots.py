@@ -20,12 +20,20 @@ buckets N rewrote; untouched buckets keep pointing at older data dirs
 — file-level sharing, so an upsert touching k of B buckets costs
 O(k/B · table), not O(table).
 
-Commit protocol: data files first, manifest last, manifest written
-atomically (tmp + rename). A crash before the manifest write leaves an
-orphaned ``data/v{N}`` directory that no manifest references — readers
-never see it, and the next attempt at version N overwrites it. Readers
-resolve "latest" by listing manifests, so a half-written commit is
-simply invisible.
+Commit protocol (optimistic concurrency, the Iceberg/Delta contract):
+data files are STAGED into a unique dot-prefixed attempt dir, then the
+writer atomically CLAIMS its target version (O_EXCL lock file — exactly
+one writer per version wins), renames the staged dir into
+``data/v{N}``, and finally publishes the manifest (tmp + atomic
+rename — a reader sees a complete manifest or none). A losing
+concurrent writer raises ConcurrentCommitError with its staging
+deleted and the table untouched; a crash mid-commit leaves only
+invisible staging/orphan dirs (collected by vacuum). Readers resolve
+"latest" by listing manifests, so a half-written commit is simply
+invisible. Known limitation, shared with lock-file-based formats: a
+writer that crashes BETWEEN claim and manifest publish burns that
+version number until the stale lock is removed (vacuum clears locks
+for versions ≤ the latest committed manifest).
 
 Bucketing is the md5(key) % B pattern shared with operators/training.py
 — deterministic, engine-replayable (the DuckDB oracle reproduces
@@ -40,6 +48,7 @@ contract must become at petabyte scale.
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +56,7 @@ from pyspark.sql import functions as F
 N_BUCKETS_DEFAULT = 16
 _BUCKET_COL = "bucket"
 _MODULUS = 10_000  # md5 bucket space, shared convention with training.py
+_STAGING_PREFIX = ".staged_v"
 
 
 def _fs(spark: SparkSession, path: str):
@@ -78,10 +88,59 @@ def _manifest_path(spark: SparkSession, path: str, version: int):
     return spark._jvm.org.apache.hadoop.fs.Path(path, f"_manifest_v{version}.json")
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Optimistic-concurrency loser: another writer committed the same
+    target version between this writer's base read and its commit.
+    The losing transaction leaves only an invisible orphan data dir
+    (collected by vacuum); the table stays readable throughout —
+    the Iceberg/Delta optimistic contract. Retry = re-read the new
+    latest version and re-apply."""
+
+
+def _lock_path(spark: SparkSession, path: str, version: int):
+    return spark._jvm.org.apache.hadoop.fs.Path(path, f"._commit_v{version}.lock")
+
+
+def _claim_version(spark: SparkSession, path: str, version: int) -> None:
+    """Atomically claim the right to commit ``version``. Exactly one
+    writer per version wins; every other raises ConcurrentCommitError.
+    Local filesystem: java.io.File.createNewFile (POSIX O_CREAT|O_EXCL
+    — atomic; Hadoop's RawLocalFileSystem create(overwrite=False) is
+    check-then-create and races). Distributed stores: create with
+    overwrite=False, which IS the atomic claim primitive on HDFS."""
+    fs, _ = _fs(spark, path)
+    lock = _lock_path(spark, path, version)
+    if fs.getUri().getScheme() in (None, "file"):
+        jfile = spark._jvm.java.io.File(lock.toUri().getPath())
+        claimed = jfile.createNewFile()
+    else:
+        try:
+            fs.create(lock, False).close()
+            claimed = True
+        except Exception:
+            claimed = False
+    if not claimed:
+        raise ConcurrentCommitError(
+            f"version {version} at {path} was already claimed by a "
+            "concurrent writer; re-read the latest version and retry"
+        )
+
+
+def _staging_data_dir(path: str, version: int) -> str:
+    """Unique per-attempt data staging dir under data/ (dot-prefixed,
+    so readers — which resolve dirs via the owners map — and vacuum's
+    ``v*`` scan never see it). Writers stage their data here and it is
+    RENAMED into ``data/v{version}`` only after the version claim, so
+    a losing concurrent writer can never clobber the winner's
+    committed files."""
+    return f"{path}/data/{_STAGING_PREFIX}{version}_{uuid.uuid4().hex[:12]}"
+
+
 def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
-    """Write the manifest atomically: tmp file + rename. The rename is
-    the commit — a reader either sees the complete manifest or no
-    manifest at all."""
+    """Publish the manifest content atomically: tmp file + rename — a
+    reader either sees the complete manifest or no manifest at all.
+    Callers must hold the version claim (_commit_version), which
+    guarantees the final path is absent."""
     fs, root = _fs(spark, path)
     version = manifest["version"]
     final = _manifest_path(spark, path, version)
@@ -93,9 +152,36 @@ def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
         out.write(bytearray(json.dumps(manifest, sort_keys=True).encode("utf-8")))
     finally:
         out.close()
-    fs.delete(final, False)  # idempotent re-commit of the same version
     if not fs.rename(tmp, final):
         raise RuntimeError(f"manifest commit failed for version {version} at {path}")
+
+
+def _commit_version(
+    spark: SparkSession, path: str, manifest: dict, staged: str | None = None
+) -> None:
+    """The writer commit point, in order: (1) atomic version claim —
+    exactly one writer per version wins, every other raises
+    ConcurrentCommitError and its staged data is deleted (the table
+    is untouched); (2) rename the staged data dir into
+    ``data/v{version}`` — the claim guarantees no committed dir is
+    ever overwritten; (3) publish the manifest (atomic rename), the
+    point at which readers see the new version."""
+    fs, _ = _fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    version = manifest["version"]
+    try:
+        _claim_version(spark, path, version)
+    except ConcurrentCommitError:
+        if staged is not None:
+            fs.delete(jpath(staged), True)
+        raise
+    if staged is not None and fs.exists(jpath(staged)):
+        dst = jpath(f"{path}/data/v{version}")
+        if not fs.rename(jpath(staged), dst):
+            raise RuntimeError(
+                f"staged data publish failed for version {version} at {path}"
+            )
+    _write_manifest(spark, path, manifest)
 
 
 def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
@@ -137,20 +223,21 @@ def write_snapshot(
     if _BUCKET_COL in df.columns:
         raise ValueError(f"input already has a {_BUCKET_COL!r} column")
     spark = df.sparkSession
+    staged = _staging_data_dir(path, 1)
     (
         df.withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
         .write.mode("overwrite")
         .partitionBy(_BUCKET_COL)
-        .parquet(f"{path}/data/v1")
+        .parquet(staged)
     )
-    _write_manifest(spark, path, {
+    _commit_version(spark, path, {
         "version": 1,
         "key_col": key_col,
         "n_buckets": n_buckets,
         "columns": df.columns,
         "column_types": _column_types(df),
         "owners": {str(b): 1 for b in range(n_buckets)},
-    })
+    }, staged=staged)
     return 1
 
 
@@ -287,6 +374,7 @@ def upsert_snapshot(
         r[_BUCKET_COL]
         for r in upd.select(_BUCKET_COL).distinct().collect()
     )
+    staged = _staging_data_dir(path, new_version) if touched else None
     if touched:
         # the touched slice rides read_snapshot's PARTITION-column
         # filter (pruned scan of the touched leaves only — the
@@ -309,19 +397,19 @@ def upsert_snapshot(
         (
             merged.write.mode("overwrite")
             .partitionBy(_BUCKET_COL)
-            .parquet(f"{path}/data/v{new_version}")
+            .parquet(staged)
         )
     owners = dict(manifest["owners"])
     for b in touched:
         owners[str(b)] = new_version
-    _write_manifest(spark, path, {
+    _commit_version(spark, path, {
         "version": new_version,
         "key_col": key_col,
         "n_buckets": n_buckets,
         "columns": table_columns,
         "column_types": column_types,
         "owners": owners,
-    })
+    }, staged=staged)
     return new_version
 
 
@@ -352,6 +440,7 @@ def delete_snapshot(
         r[_BUCKET_COL] for r in dk.select(_BUCKET_COL).distinct().collect()
     )
     emptied: set[int] = set()
+    staged: str | None = None
     if touched:
         # pruned read of the touched leaves only (same contract as
         # upsert_snapshot)
@@ -373,10 +462,11 @@ def delete_snapshot(
         }
         emptied = set(touched) - kept_buckets
         if kept_buckets:
+            staged = _staging_data_dir(path, new_version)
             (
                 remaining.write.mode("overwrite")
                 .partitionBy(_BUCKET_COL)
-                .parquet(f"{path}/data/v{new_version}")
+                .parquet(staged)
             )
     owners = dict(manifest["owners"])
     for b in touched:
@@ -384,14 +474,14 @@ def delete_snapshot(
             owners.pop(str(b), None)  # bucket has no rows in this version
         else:
             owners[str(b)] = new_version
-    _write_manifest(spark, path, {
+    _commit_version(spark, path, {
         "version": new_version,
         "key_col": key_col,
         "n_buckets": n_buckets,
         "columns": manifest["columns"],
         "column_types": manifest.get("column_types"),
         "owners": owners,
-    })
+    }, staged=staged)
     return new_version
 
 
@@ -499,6 +589,7 @@ def vacuum_snapshots(
 
     for v in drop:
         fs.delete(_manifest_path(spark, path, v), False)
+        fs.delete(_lock_path(spark, path, v), False)  # stale claim files go with their version
 
     removed_dirs = []
     data_root = spark._jvm.org.apache.hadoop.fs.Path(path, "data")
@@ -506,6 +597,15 @@ def vacuum_snapshots(
     if fs.exists(data_root):
         for status in fs.listStatus(data_root):
             name = status.getPath().getName()
+            if name.startswith(_STAGING_PREFIX):
+                # crashed-writer staging garbage: same version-ordering
+                # age gate as orphan dirs (a staging dir AT or BELOW
+                # the newest kept manifest lost its race or crashed —
+                # its version is committed or expired either way)
+                v = int(name[len(_STAGING_PREFIX):].split("_")[0])
+                if v <= newest_kept:
+                    fs.delete(status.getPath(), True)
+                continue
             if not name.startswith("v"):
                 continue
             v = int(name[1:])
@@ -558,8 +658,8 @@ def optimize_snapshot(
     fs, _ = _fs(spark, path)
     Path = spark._jvm.org.apache.hadoop.fs.Path
 
-    def _bucket_files(owner: int, b: int) -> int:
-        d = Path(f"{path}/data/v{owner}/{_BUCKET_COL}={b}")
+    def _bucket_files_at(data_dir: str, b: int) -> int:
+        d = Path(f"{data_dir}/{_BUCKET_COL}={b}")
         if not fs.exists(d):
             return 0
         return sum(
@@ -569,7 +669,7 @@ def optimize_snapshot(
         )
 
     counts = {
-        int(b): _bucket_files(int(v), int(b))
+        int(b): _bucket_files_at(f"{path}/data/v{int(v)}", int(b))
         for b, v in manifest["owners"].items()
     }
     fragmented = sorted(b for b, c in counts.items() if c > max_files_per_bucket)
@@ -603,33 +703,33 @@ def optimize_snapshot(
             ),
         )
     )
-    data.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
-        f"{path}/data/v{new_version}"
-    )
-    # integrity check BEFORE the manifest rename: a failed target
-    # leaves only an invisible orphan data dir (the module's commit
-    # protocol), never a committed version the guard meant to reject
+    staged = _staging_data_dir(path, new_version)
+    data.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(staged)
+    # integrity check BEFORE the commit, against the STAGED dir: a
+    # failed target is deleted uncommitted — never a committed
+    # version the guard meant to reject
     after = {
-        b: (_bucket_files(new_version, b) if b in fragmented else c)
+        b: (_bucket_files_at(staged, b) if b in fragmented else c)
         for b, c in counts.items()
     }
     bad = {b: c for b, c in after.items() if b in fragmented and c > max_files_per_bucket}
     if bad:
+        fs.delete(Path(staged), True)
         raise RuntimeError(
             f"optimize left fragmented buckets {bad} (> {max_files_per_bucket} files); "
-            f"data/v{new_version} abandoned uncommitted"
+            "staged data abandoned uncommitted"
         )
     owners = dict(manifest["owners"])
     for b in fragmented:
         owners[str(b)] = new_version
-    _write_manifest(spark, path, {
+    _commit_version(spark, path, {
         "version": new_version,
         "key_col": manifest["key_col"],
         "n_buckets": n_buckets,
         "columns": manifest["columns"],
         "column_types": manifest.get("column_types"),
         "owners": owners,
-    })
+    }, staged=staged)
     files_after = sum(after.values())
     return {
         "version": new_version,

@@ -288,3 +288,63 @@ def test_fuzzy_join_validation_and_nulls(spark):
         fuzzy_join(df, "id", "s", -1)
     with pytest.raises(ValueError):
         fuzzy_join(df, "id", "s", 1, q=0)
+
+
+def test_fuzzy_auto_dispatch_pins_both_corpus_shapes(spark):
+    """choose_fuzzy_strategy must pick FastSS on low-entropy
+    identifier keys (the measured 222M-candidate q-gram blow-up
+    corpus shape) and q-gram on high-entropy text — plus the hard
+    gates (d=0 → fastss equi-join, d>2 → qgram, long-string d=2 →
+    qgram). VERDICT r5 #6."""
+    from cli_rag_spark.operators.fuzzy import choose_fuzzy_strategy
+
+    # identifier-shaped: long constant region + zero-padded numerals —
+    # every gram is shared by nearly every row
+    ids = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}") for i in range(400)], ["id", "s"]
+    )
+    assert choose_fuzzy_strategy(ids, "id", "s", 1) == "fastss"
+    assert choose_fuzzy_strategy(ids, "id", "s", 2) == "fastss"
+
+    # high-entropy: random strings over a 36-char alphabet — the
+    # rarest (prefix) grams are near-hapax. (A 16-char hex alphabet
+    # is NOT high-entropy at q=2: only 256 possible grams, posting
+    # lists grow with n, and fastss is genuinely the right pick.)
+    import hashlib
+
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+    def rnd(i: int) -> str:
+        h = hashlib.md5(bytes([i % 256, i // 256])).digest()
+        return "".join(alpha[b % 36] for b in h[:12])
+
+    words = spark.createDataFrame(
+        [(i, rnd(i)) for i in range(400)], ["id", "s"]
+    )
+    assert choose_fuzzy_strategy(words, "id", "s", 1) == "qgram"
+
+    # hard gates
+    assert choose_fuzzy_strategy(ids, "id", "s", 0) == "fastss"
+    assert choose_fuzzy_strategy(ids, "id", "s", 3) == "qgram"
+    long_ids = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}" + "x" * 60) for i in range(100)], ["id", "s"]
+    )
+    assert choose_fuzzy_strategy(long_ids, "id", "s", 2) == "qgram"
+
+
+def test_fuzzy_join_auto_equals_brute_on_both_shapes(spark):
+    from cli_rag_spark.operators.fuzzy import fuzzy_join_auto, fuzzy_join_brute
+
+    import hashlib
+
+    ids = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}") for i in range(150)], ["id", "s"]
+    )
+    words = spark.createDataFrame(
+        [(i, hashlib.md5(bytes([i])).hexdigest()[:10]) for i in range(150)],
+        ["id", "s"],
+    )
+    for corpus in (ids, words):
+        brute = sorted(map(tuple, fuzzy_join_brute(corpus, "id", "s", 1).collect()))
+        auto = sorted(map(tuple, fuzzy_join_auto(corpus, "id", "s", 1).collect()))
+        assert auto == brute

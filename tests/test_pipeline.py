@@ -14,12 +14,17 @@ from cli_rag_spark.operators.index import DimensionError, build_index, validate_
 from cli_rag_spark.operators.multimodal import (
     attach_binary_metadata,
     audio_window_plan,
+    bmp_encode,
     decode_audio,
     decode_images,
     extract_features,
     fake_decode_audio,
     fake_decode_image,
     frame_sample_plan,
+    real_decode_audio,
+    real_decode_image,
+    synth_bmp_payloads,
+    wav_encode,
 )
 from cli_rag_spark.sources.documents import load_table
 from cli_rag_spark.operators.hamming import simhash_signature
@@ -184,9 +189,11 @@ class TestMultimodal:
         assert out[2]["format"] == "unknown"
         assert out[2]["n_bytes"] == 5
 
-    def test_decode_stub_raises_without_decoder(self, spark):
+    def test_decode_default_raises_on_entropy_formats(self, spark):
+        # the default decoder is now the REAL BMP parser; jpeg/png
+        # payloads still raise (entropy decode needs PIL/cv2)
         df = decode_images(self._payload_df(spark))
-        with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        with pytest.raises(Exception, match="NotImplementedError|implemented for BMP"):
             df.collect()
 
     def test_fake_decoder_deterministic(self, spark):
@@ -209,7 +216,7 @@ class TestMultimodal:
         assert offs == [0, 1, 3]
 
     def test_audio_decode_stub_and_fake(self, spark):
-        with pytest.raises(Exception, match="NotImplementedError|real audio decode"):
+        with pytest.raises(Exception, match="NotImplementedError|implemented for RIFF"):
             decode_audio(self._payload_df(spark)).collect()
         rows = {r["doc_id"]: r for r in decode_audio(
             self._payload_df(spark), decoder=fake_decode_audio
@@ -236,6 +243,74 @@ class TestMultimodal:
             for r in audio_window_plan(df2, window_bytes=256, hop_bytes=128).collect()
         )
         assert offs == [0, 128, 256]
+
+
+class TestRealCodecs:
+    """Dependency-free BMP/WAV round-trips — the real decode path
+    (VERDICT r5 #4). Pure-Python cases run without Spark; the Spark
+    case drives the default decoder through mapInPandas."""
+
+    def test_bmp_roundtrip_all_modes(self):
+        for mode, w, h in [("RGB", 5, 3), ("RGBA", 4, 2), ("L", 7, 6)]:
+            d = real_decode_image(bmp_encode(w, h, mode, fill=200))
+            assert (d["width"], d["height"], d["mode"]) == (w, h, mode)
+            assert d["px_mean"] == 200.0
+
+    def test_bmp_stride_padding_excluded_from_pixels(self):
+        # width 5 × 3 channels = 15 bytes/row → stride 16: one zero
+        # pad byte per row. A parser averaging raw bytes would get
+        # 15/16 of the fill — the exact-fill assertion catches it.
+        d = real_decode_image(bmp_encode(5, 4, "RGB", fill=160))
+        assert d["px_mean"] == 160.0
+
+    def test_bmp_palette_offset_honored(self):
+        # 8bpp: 1024 palette bytes (zeros) sit between the headers and
+        # the pixels; a parser assuming data-at-54 reads palette zeros
+        d = real_decode_image(bmp_encode(6, 2, "L", fill=33))
+        assert d["px_mean"] == 33.0
+        assert d["mode"] == "L"
+
+    def test_bmp_topdown_negative_height(self):
+        d = real_decode_image(bmp_encode(3, 9, "RGB", fill=7, topdown=True))
+        assert d["height"] == 9
+        assert d["px_mean"] == 7.0
+
+    def test_bmp_truncated_raises(self):
+        full = bmp_encode(4, 4, "RGB", fill=1)
+        with pytest.raises(ValueError, match="truncated"):
+            real_decode_image(full[:-8])
+
+    def test_non_bmp_raises_not_implemented(self):
+        with pytest.raises(NotImplementedError, match="BMP"):
+            real_decode_image(b"\x89PNG\r\n\x1a\nrest-of-png")
+
+    def test_wav_roundtrip(self):
+        for rate, ch, frames in [(16000, 1, 16000), (44100, 2, 22050)]:
+            d = real_decode_audio(wav_encode(rate, ch, frames))
+            assert d["sample_rate"] == rate
+            assert d["channels"] == ch
+            assert d["duration_sec"] == round(frames / rate, 2)
+
+    def test_wav_chunk_walking_not_offset_44(self):
+        # wav_encode inserts a LIST chunk before data; a parser that
+        # assumes data at offset 44 reads the wrong chunk entirely
+        d = real_decode_audio(wav_encode(8000, 1, 4000))
+        assert d["duration_sec"] == 0.5
+
+    def test_non_wav_raises_not_implemented(self):
+        with pytest.raises(NotImplementedError, match="RIFF/WAVE"):
+            real_decode_audio(b"ID3mp3-bytes-here")
+
+    def test_spark_default_decoder_matches_closed_form(self, spark):
+        df = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+        out = decode_images(synth_bmp_payloads(df)).collect()
+        assert len(out) == 40
+        for r in out:
+            i = r["doc_id"]
+            assert r["width"] == 1 + i % 64
+            assert r["height"] == 1 + i % 48
+            assert r["mode"] == ["RGB", "RGBA", "L"][i % 3]
+            assert r["px_mean"] == float(i % 256)
 
 
 class TestMathSanity:
