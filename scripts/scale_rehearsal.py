@@ -87,6 +87,12 @@ QUERIES = [
     "bloom_decontamination",
     "maxsim_topk",
     "pagerank_top_nodes",
+    # r6 stragglers (VERDICT r5 "Next round #7"): triangle census on
+    # the (naturally skewed) MinHash candidate graph — replicated
+    # docs keep per-replica dup-cluster degree skew while adding no
+    # cross-replica edges, so wedge growth measures the
+    # degree-orientation bound under skew
+    "triangle_census",
 ]
 
 
@@ -123,10 +129,72 @@ def _semantic_dedup_scaled_k(m: int):
     return run
 
 
+def _resample_all_users(m: int):
+    """resample_ffill over EVERY user (the judged query bounds to 10
+    users to keep its oracle small — the rehearsal measures the grid-
+    explosion envelope instead): grid rows = users × span-hours, and
+    replicas add disjoint user populations over the same span, so the
+    envelope grows linearly in m. The explosive axis at 100 TB is the
+    SPAN (users × years × fine steps) — the knob is ``step`` (coarser
+    slots) or a span filter; this measures the users axis."""
+    from cli_rag_spark.operators.resample import resample_ffill
+    from cli_rag_spark.sources.documents import load_table
+
+    def run(spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        return resample_ffill(ev, "user_id", "ts", "value", 3600, agg="sum")
+
+    return run
+
+
+def _snapshot_optimize_cycle(m: int):
+    """The lakehouse maintenance lifecycle under SUSTAINED
+    fragmentation: base table from orders at m×, then 4 bucket-CoW
+    upsert rounds (each leaves multi-file buckets behind), then
+    OPTIMIZE back to ≤1 file/bucket. Timed end-to-end; the optimize
+    report is printed as its own JSON line so files_before/after are
+    on the record next to the α row."""
+    import shutil as _sh
+    import tempfile
+
+    from cli_rag_spark.sources.snapshots import (
+        optimize_snapshot,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    def run(spark, sf_dir):
+        root = os.path.join("/tmp/scale_rehearsal_snap", f"x{m}")
+        if os.path.isdir(root):
+            _sh.rmtree(root)
+        os.makedirs(root, exist_ok=True)
+        path = os.path.join(root, "tbl")
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        write_snapshot(orders, path, "o_orderkey")
+        for r in range(4):
+            batch = orders.where(F.col("o_orderkey") % 4 == r).withColumn(
+                "o_orderstatus", F.lit(f"R{r}")
+            )
+            upsert_snapshot(spark, path, batch)
+        report = optimize_snapshot(spark, path, max_files_per_bucket=1)
+        print(json.dumps({"query": "snapshot_optimize_cycle", "scale": m,
+                          **{k: report[k] for k in ("files_before", "files_after")},
+                          "optimized_buckets": len(report["optimized_buckets"])}),
+              flush=True)
+        return spark.createDataFrame(
+            [(report["files_before"], report["files_after"])],
+            "files_before long, files_after long",
+        )
+
+    return run
+
+
 # name -> factory(m) -> callable(spark, sf_dir); measured alongside
 # the registry queries but with scale-aware parameters
 SCALED_QUERIES = {
     "semantic_dedup_k_scaled": _semantic_dedup_scaled_k,
+    "resample_ffill_all_users": _resample_all_users,
+    "snapshot_optimize_cycle": _snapshot_optimize_cycle,
 }
 
 
@@ -137,7 +205,9 @@ def _rotated(alpha: str, i: int) -> str:
 
 def generate(spark, m: int) -> str:
     out = os.path.join(WORK, f"x{m}")
-    done = os.path.join(out, "_DONE")
+    # marker versioned: v2 adds events.parquet (r6 resample/optimize
+    # rehearsal) — v1 dirs regenerate rather than silently missing it
+    done = os.path.join(out, "_DONE_v2")
     if os.path.exists(done):  # only a fully-written dir is reusable
         return out
     if os.path.isdir(out):
@@ -147,11 +217,14 @@ def generate(spark, m: int) -> str:
     emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
     orders = spark.read.parquet(os.path.join(BASE_SF, "orders.parquet"))
     li = spark.read.parquet(os.path.join(BASE_SF, "lineitem.parquet"))
+    events = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
     doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
     vec_off = emb.agg(F.max("vec_id")).first()[0] + 1
     ord_off = orders.agg(F.max("o_orderkey")).first()[0] + 1
     cust_off = orders.agg(F.max("o_custkey")).first()[0] + 1
     supp_off = li.agg(F.max("l_suppkey")).first()[0] + 1
+    user_off = events.agg(F.max("user_id")).first()[0] + 1
+    evt_off = events.agg(F.max("event_id")).first()[0] + 1
     dim = len(emb.select("embedding").first()[0])
 
     lower, upper = string.ascii_lowercase, string.ascii_uppercase
@@ -173,7 +246,7 @@ def generate(spark, m: int) -> str:
             )
         e_parts.append(e)
 
-    o_parts, l_parts = [], []
+    o_parts, l_parts, ev_parts = [], [], []
     for i in range(m):
         o_parts.append(
             orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * ord_off))
@@ -183,8 +256,16 @@ def generate(spark, m: int) -> str:
             li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * ord_off))
             .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * supp_off))
         )
+        # events: replica i is a DISJOINT user population over the SAME
+        # time span — resample's hour grid (users × span) grows exactly
+        # with users, never quadratically
+        ev_parts.append(
+            events.withColumn("user_id", F.col("user_id") + F.lit(i * user_off))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * evt_off))
+        )
 
     d_all, e_all, o_all, l_all = d_parts[0], e_parts[0], o_parts[0], l_parts[0]
+    ev_all = ev_parts[0]
     for d in d_parts[1:]:
         d_all = d_all.unionByName(d)
     for e in e_parts[1:]:
@@ -193,10 +274,13 @@ def generate(spark, m: int) -> str:
         o_all = o_all.unionByName(o)
     for l in l_parts[1:]:
         l_all = l_all.unionByName(l)
+    for ev in ev_parts[1:]:
+        ev_all = ev_all.unionByName(ev)
     d_all.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     e_all.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
     o_all.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
     l_all.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    ev_all.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
     open(done, "w").close()
     return out
 
