@@ -53,6 +53,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 3,
     broadcast_ranks: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """DF[node, rank] after ``iters`` damped iterations from the
     uniform start 1/N. ``edges`` is directed; ``weight`` (optional)
@@ -67,7 +68,13 @@ def pagerank(
     at sf0.1, 16k nodes / 1.1M edges). Default False: at true scale
     (billions of nodes) the shuffle join against pre-partitioned
     edges is the correct plan, and the hint must be a deliberate
-    caller decision."""
+    caller decision.
+
+    ``checkpoint=False`` skips the per-iteration lineage truncation —
+    only for SHORT schedules (plan size doubles per iteration through
+    the contrib/dangling double reference); the plan-shape tests use
+    it to inspect the full iteration plan that the lazy checkpoint
+    otherwise hides behind a LogicalRDD leaf."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     if iters < 1:
@@ -147,10 +154,11 @@ def pagerank(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dmass / F.lit(float(n_nodes)))
                 ).alias("rank"),
             )
+        )
+        if checkpoint:
             # lazy: lineage is cut either way (no exponential recompute
             # through contrib+dangling's double reference), but the
             # materialization rides the final action instead of one
             # driver-blocking job per iteration (measured −1.5 s/3 iters)
-            .localCheckpoint(eager=False)
-        )
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")

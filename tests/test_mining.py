@@ -348,3 +348,48 @@ def test_fuzzy_join_auto_equals_brute_on_both_shapes(spark):
         brute = sorted(map(tuple, fuzzy_join_brute(corpus, "id", "s", 1).collect()))
         auto = sorted(map(tuple, fuzzy_join_auto(corpus, "id", "s", 1).collect()))
         assert auto == brute
+
+
+def test_pagerank_plan_shape_r6_invariants(spark):
+    """Plan armor for the r6 restructure (BENCH.md ledger 0i): the
+    iteration must never contain the old per-iteration dangling
+    ANTI-join, and a dangling-FREE (e.g. bidirectional) graph must
+    not even build the dangling crossJoin branch."""
+    bidir = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 2, 1.0)],
+        ["src", "dst", "w"],
+    )
+    # checkpoint=False keeps the full iteration lineage visible (the
+    # lazy checkpoint otherwise hides it behind a LogicalRDD leaf)
+    ranks = pagerank(bidir, weight="w", iters=2, checkpoint=False)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan  # full lineage actually visible
+    # dangling-free fast path: no 1-row dangling broadcast crossJoin
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "left_anti" not in plan.lower()
+
+    dangling = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], ["src", "dst", "w"]  # 3 is a sink
+    )
+    ranks2 = pagerank(dangling, weight="w", iters=2, checkpoint=False)
+    plan2 = ranks2._jdf.queryExecution().executedPlan().toString()
+    # dangling branch present as the broadcast crossJoin of the 1-row
+    # mass aggregate — but still NEVER as an anti-join
+    assert "BroadcastNestedLoopJoin" in plan2
+    assert "left_anti" not in plan2.lower()
+    # both modes produce identical ranks
+    with_ckpt = sorted(map(tuple, pagerank(dangling, weight="w", iters=2).collect()))
+    without = sorted(map(tuple, ranks2.collect()))
+    assert with_ckpt == without
+
+
+def test_trade_edges_single_scan(spark, sf_smoke_dir):
+    """The bidirectional edge emit must be ONE explode over the
+    lineitem⋈orders aggregate, not a self-union that re-runs it
+    (ledger 0i fix 3): exactly one Generate and one aggregate chain
+    in the plan."""
+    from cli_rag_spark.plans.queries_mining import _trade_edges
+
+    plan = _trade_edges(spark, sf_smoke_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1
+    assert "Union" not in plan
