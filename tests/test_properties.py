@@ -265,3 +265,40 @@ def test_exact_substring_window_stats_quoted_column_names(spark):
         map(tuple, exact_substring_window_stats(funky, text_col="text-col").collect())
     )
     assert got == want and want[0][1] > 0
+
+
+# ---------------------------------------------------------- real codecs
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    mode=st.sampled_from(["RGB", "RGBA", "L"]),
+    fill=st.integers(min_value=0, max_value=255),
+    topdown=st.booleans(),
+)
+@settings(max_examples=120, deadline=None)
+def test_bmp_roundtrip_property(w, h, mode, fill, topdown):
+    """Every (width, height, mode, fill, topdown) combination must
+    round-trip exactly through the real codec — widths hitting every
+    stride-padding residue, 1-pixel degenerate images included."""
+    from cli_rag_spark.operators.multimodal import bmp_encode, real_decode_image
+
+    d = real_decode_image(bmp_encode(w, h, mode, fill=fill, topdown=topdown))
+    assert (d["width"], d["height"], d["mode"]) == (w, h, mode)
+    assert d["px_mean"] == float(fill)
+
+
+@given(
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    ch=st.integers(min_value=1, max_value=4),
+    frames=st.integers(min_value=0, max_value=100_000),
+    bits=st.sampled_from([8, 16, 24, 32]),
+)
+@settings(max_examples=80, deadline=None)
+def test_wav_roundtrip_property(rate, ch, frames, bits):
+    from cli_rag_spark.operators.multimodal import real_decode_audio, wav_encode
+
+    d = real_decode_audio(wav_encode(rate, ch, frames, bits=bits))
+    assert d["sample_rate"] == rate
+    assert d["channels"] == ch
+    assert d["duration_sec"] == round(frames / rate, 2)

@@ -647,3 +647,43 @@ class TestOptimisticConcurrency:
         vacuum_snapshots(spark, path, keep_last=2)
         assert not os.path.exists(crashed)
         assert os.path.exists(inflight)
+
+    def test_truly_concurrent_upserts_one_winner(self, spark, sf_dir, tmp_path):
+        """TWO THREADS upserting from the same base at the same time —
+        the O_EXCL claim must serialize them: exactly one commit,
+        exactly one ConcurrentCommitError, winner's data intact
+        (the sequential stale-base test above can't exercise the
+        claim under real overlap)."""
+        import threading
+
+        from cli_rag_spark.sources.snapshots import ConcurrentCommitError
+
+        path = str(tmp_path / "snap")
+        orders = _orders(spark, sf_dir)
+        write_snapshot(orders, path, "o_orderkey")
+        outcomes: dict[str, object] = {}
+
+        def writer(tag: str, mod: int):
+            upd = orders.where(F.col("o_orderkey") % mod == 0).withColumn(
+                "o_orderstatus", F.lit(tag)
+            )
+            try:
+                outcomes[tag] = upsert_snapshot(spark, path, upd, version=1)
+            except ConcurrentCommitError:
+                outcomes[tag] = "lost"
+            except Exception as e:  # pragma: no cover - diagnostic
+                outcomes[tag] = f"unexpected: {e}"
+
+        ta = threading.Thread(target=writer, args=("A", 11))
+        tb = threading.Thread(target=writer, args=("B", 13))
+        ta.start(); tb.start(); ta.join(); tb.join()
+
+        vals = sorted(str(v) for v in outcomes.values())
+        assert vals == ["2", "lost"], outcomes
+        winner = next(t for t, v in outcomes.items() if v == 2)
+        assert latest_version(spark, path) == 2
+        v2 = read_snapshot(spark, path, 2)
+        # the winner's status value is present, the loser's absent
+        stats = {r["o_orderstatus"] for r in v2.select("o_orderstatus").distinct().collect()}
+        assert winner in stats
+        assert ({"A", "B"} - {winner}).pop() not in stats
