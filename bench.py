@@ -76,6 +76,8 @@ HEADLINE = [
     "quality_drift_psi",         # corpus: fixed-bin PSI drift gate (r5)
     "weighted_sample_stats",     # training: A-ES weighted sampling (r5)
     "streaming_trending",        # streaming: sliding-window trending (r5)
+    "audio_decode_stats",        # multimodal: real WAV chunk-walk decode (r6)
+    "lsh_recall_stats",          # vector: in-engine ANN recall@k gate (r6)
 ]
 
 

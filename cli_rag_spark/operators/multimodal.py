@@ -260,6 +260,46 @@ def synth_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``payload`` column of REAL RIFF/WAVE PCM bytes whose
+    parameters are a closed form of the id — the audio twin of
+    :func:`synth_bmp_payloads`:
+
+        sample_rate = [8000, 16000, 44100, 48000][id % 4]
+        channels    = 1 + id % 2
+        bits        = 16
+        n_frames    = sample_rate // 4 + (id % 50) * (sample_rate // 100)
+        ⇒ duration_sec = 0.25 + (id % 50)/100 EXACTLY at 2 decimals
+          (every rate divides by 4 and 100), so centisecond integers
+          derived from the decode are engine-exact — the float-trap
+          discipline the judged oracles follow everywhere else.
+
+    Closed form ⇒ the decode stats replay in SQL; real bytes (with a
+    junk LIST chunk before ``data``) ⇒ the decoder must actually walk
+    the chunk list to reproduce them."""
+    from cli_rag_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = StructType(df.schema.fields + [StructField("payload", BinaryType())])
+    in_cols = [f.name for f in df.schema.fields]
+    rates = [8000, 16000, 44100, 48000]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            out["payload"] = [
+                wav_encode(
+                    sample_rate=rates[i % 4],
+                    channels=1 + i % 2,
+                    n_frames=rates[i % 4] // 4 + (i % 50) * (rates[i % 4] // 100),
+                )
+                for i in (int(v) for v in pdf[id_col])
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",

@@ -215,6 +215,30 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 audio decode over REAL bytes (r6 — the WAV twin of
+    image_decode_stats): per-doc RIFF/WAVE PCM payloads
+    (synth_wav_payloads, closed-form rate/channels/frames from
+    doc_id, a junk LIST chunk ahead of data) → the default
+    chunk-walking parser (real_decode_audio) → per-(rate, channels)
+    counts + total duration in CENTISECONDS. The duration is exact at
+    2 decimals by construction, so the centisecond sum is an exact
+    integer in both engines — a parser that assumes data-at-offset-44
+    or misreads block_align shows up as an oracle mismatch."""
+    from cli_rag_spark.operators.multimodal import decode_audio, synth_wav_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_audio(synth_wav_payloads(docs))  # default = real WAV parser
+    return (
+        decoded.groupBy("sample_rate", "channels")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("duration_sec") * 100).cast("long")).alias("total_cs"),
+        )
+        .orderBy("sample_rate", "channels")
+    )
+
+
 def q_audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E11 audio path: binary payloads → overlapping 256/128-byte
     windows (JVM-side explode, the STFT frame shape) → per-doc window
@@ -241,6 +265,7 @@ QUERIES = {
     "rag_contexts_batch": q_rag_contexts_batch,
     "binary_metadata": q_binary_metadata,
     "image_decode_stats": q_image_decode_stats,
+    "audio_decode_stats": q_audio_decode_stats,
 }
 
 _CHUNK_SQL = f"""
@@ -382,6 +407,23 @@ ORACLE = {
                CAST(sum(least(256, n_bytes - off)) AS BIGINT) AS covered_bytes
         FROM d, unnest(range(0, CAST(greatest(n_bytes - 256, 0) AS BIGINT) + 1, 128)) t(off)
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    # synth_wav_payloads closed form: rate = [8000,16000,44100,48000]
+    # [doc_id%4], channels = 1 + doc_id%2, duration exactly
+    # 0.25 + (doc_id%50)/100 s ⇒ centiseconds = 25 + doc_id%50, an
+    # exact integer both engines sum identically
+    "audio_decode_stats": """
+        WITH m AS (
+          SELECT CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                 WHEN 2 THEN 44100 ELSE 48000 END AS sample_rate,
+                 CAST(1 + doc_id % 2 AS INT) AS channels,
+                 25 + doc_id % 50 AS cs
+          FROM documents
+        )
+        SELECT sample_rate, channels, count(*) AS n,
+               CAST(sum(cs) AS BIGINT) AS total_cs
+        FROM m GROUP BY sample_rate, channels
+        ORDER BY sample_rate, channels
     """,
     # synth_bmp_payloads closed form: width = 1 + doc_id%64, height =
     # 1 + doc_id%48, mode = [RGB,RGBA,L][doc_id%3], and px_mean ==

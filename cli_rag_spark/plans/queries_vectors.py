@@ -144,6 +144,41 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
+def q_lsh_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH approximate kNN against the exact join
+    (operators/knn.py topk_recall, r6) — the in-engine ANN quality
+    gate: per-query hit counts, exact integers. The LSH side runs at
+    k=4 and drops the always-present SELF row (its bands trivially
+    self-match) so both sides compare 3 non-self neighbors; the
+    oracle composes the knn_join and knn_join_lsh oracle chains into
+    one statement, so banding, rescoring, AND the recall join all
+    replay."""
+    from cli_rag_spark.operators.knn import topk_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    from pyspark.sql import Window as W
+
+    exact = knn_join(queries, emb, k=3, exclude_self=True)
+    # k=4 then drop self then RE-RANK to 3: whether or not the self
+    # row made the top-4 (dist-0 ties), the survivors re-ranked by
+    # (dist, vec_id) are exactly the top-3 non-self candidates —
+    # matching the oracle, which ranks after the self filter
+    rw = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    approx = (
+        knn_join_lsh(
+            queries, emb, k=4, dim=LSH_DIM,
+            n_planes=LSH_PLANES, n_bands=LSH_BANDS, seed=LSH_SEED,
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_r", F.row_number().over(rw))
+        .where(F.col("_r") <= 3)
+    )
+    return topk_recall(exact, approx, k=3).orderBy("query_id")
+
+
 def q_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector queries the whole index (k=3, self excluded) on
     the GEMM physical path (knn_join_gemm): query blocks broadcast,
@@ -632,6 +667,7 @@ QUERIES = {
     "quantized_topk": q_quantized_topk,
     "ivf_topk": q_ivf_topk,
     "knn_join_lsh": q_knn_join_lsh,
+    "lsh_recall_stats": q_lsh_recall_stats,
     "knn_join_all": q_knn_join_all,
     "knn_join": q_knn_join,
     "embedding_norms": q_embedding_norms,
@@ -639,11 +675,13 @@ QUERIES = {
     "cosine_histogram": q_cosine_histogram,
 }
 
-def _lsh_oracle_sql() -> str:
-    """DuckDB replay of the LSH banding with the same seeded plane
-    literals (knn._hyperplanes). Dot products are spelled out as
+def _lsh_scored_ctes() -> str:
+    """The shared CTE chain (sig → bands → q → cand → scored) of the
+    DuckDB LSH replay with the same seeded plane literals
+    (knn._hyperplanes). Dot products are spelled out as
     left-associated sums so the IEEE evaluation order matches Spark's
-    sequential aggregate fold bit-for-bit."""
+    sequential aggregate fold bit-for-bit. Both the knn_join_lsh
+    oracle and the lsh_recall_stats oracle compose over this."""
     planes = _hyperplanes(LSH_DIM, LSH_PLANES, LSH_SEED)
     rpb = LSH_PLANES // LSH_BANDS
     bit_cols = ", ".join(
@@ -659,7 +697,7 @@ def _lsh_oracle_sql() -> str:
         for b in range(LSH_BANDS)
     )
     return f"""
-        WITH sig AS (SELECT vec_id, {bit_cols} FROM embeddings),
+        sig AS (SELECT vec_id, {bit_cols} FROM embeddings),
         bands AS ({band_rows}),
         q AS (SELECT * FROM bands WHERE vec_id < {LSH_QUERIES}),
         cand AS (
@@ -672,13 +710,54 @@ def _lsh_oracle_sql() -> str:
             FROM cand c
             JOIN embeddings e ON e.vec_id = c.vec_id
             JOIN embeddings qe ON qe.vec_id = c.query_id
-        )
+        )"""
+
+
+def _lsh_oracle_sql() -> str:
+    return f"""
+        WITH {_lsh_scored_ctes()}
         SELECT query_id, vec_id, dist, rank FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
             FROM scored
         )
         WHERE rank <= 3
         ORDER BY query_id, rank
+    """
+
+
+def _lsh_recall_oracle_sql() -> str:
+    """Recall@3 of the LSH top-3 (self excluded) against the exact
+    top-3 — the two chains composed into one statement: ``exact`` is
+    the knn_join oracle's CTE verbatim; ``lsh3`` is the scored CTE
+    ranked with the SELF row dropped first."""
+    return f"""
+        WITH {_lsh_scored_ctes()},
+        lsh3 AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+                FROM scored WHERE vec_id <> query_id
+            ) WHERE rank <= 3
+        ),
+        d AS (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {LSH_QUERIES}) q,
+                 embeddings e
+            WHERE e.vec_id <> q.vec_id
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+                FROM d
+            ) WHERE rank <= 3
+        )
+        SELECT e.query_id,
+               CAST(count(l.vec_id) AS BIGINT) AS n_hits,
+               round(count(l.vec_id) / 3.0, 4) AS recall
+        FROM exact e
+        LEFT JOIN lsh3 l ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
     """
 
 
@@ -946,6 +1025,7 @@ ORACLE = {
         ORDER BY query_id, rank
     """,
     "knn_join_lsh": _lsh_oracle_sql(),
+    "lsh_recall_stats": _lsh_recall_oracle_sql(),
     "knn_join_all": """
         WITH d AS (
             SELECT q.vec_id AS query_id, e.vec_id,

@@ -214,3 +214,31 @@ def test_maxsim_k_guard(spark):
     qp = spark.createDataFrame([(0, [1.0])], ["qpart_id", "qvec"])
     with pytest.raises(ValueError):
         maxsim_topk(df, qp, 0)
+
+
+def test_topk_recall_semantics(spark):
+    """Exact side drives the output: a query the approximate side
+    missed ENTIRELY still appears with recall 0.0 (the left-join
+    direction that doesn't overstate recall); perfect and partial
+    overlap count exactly."""
+    from cli_rag_spark.operators.knn import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12),
+         (2, 20), (2, 21), (2, 22),
+         (3, 30), (3, 31), (3, 32)],
+        ["query_id", "vec_id"],
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12),   # perfect
+         (2, 20), (2, 99), (2, 98)],  # 1 of 3; query 3 missing entirely
+        ["query_id", "vec_id"],
+    )
+    rows = {r["query_id"]: r for r in topk_recall(exact, approx, k=3).collect()}
+    assert rows[1]["n_hits"] == 3 and rows[1]["recall"] == 1.0
+    assert rows[2]["n_hits"] == 1 and rows[2]["recall"] == round(1 / 3, 4)
+    assert rows[3]["n_hits"] == 0 and rows[3]["recall"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        topk_recall(exact, approx, k=0)
