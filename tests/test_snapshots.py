@@ -687,3 +687,31 @@ class TestOptimisticConcurrency:
         stats = {r["o_orderstatus"] for r in v2.select("o_orderstatus").distinct().collect()}
         assert winner in stats
         assert ({"A", "B"} - {winner}).pop() not in stats
+
+    def test_crashed_claim_burns_version_until_vacuum(self, spark, sf_dir, tmp_path):
+        """Documented limitation of lock-file optimistic concurrency:
+        a writer that crashes BETWEEN claim and manifest publish
+        burns that version number (every later committer of the same
+        version loses cleanly); vacuum only clears locks for
+        versions <= the latest committed manifest, so an in-flight
+        claim of latest+1 is never stolen."""
+        import os
+
+        from cli_rag_spark.sources.snapshots import (
+            ConcurrentCommitError,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "snap")
+        orders = _orders(spark, sf_dir)
+        write_snapshot(orders, path, "o_orderkey")
+        # simulate the crash: claim v2 exists, no manifest
+        open(os.path.join(path, "._commit_v2.lock"), "wb").close()
+        upd = orders.limit(20).withColumn("o_orderstatus", F.lit("X"))
+        with pytest.raises(ConcurrentCommitError, match="version 2"):
+            upsert_snapshot(spark, path, upd)
+        # table stays readable at v1; the stale lock survives vacuum
+        # (v2 > latest committed = 1 - could be in-flight)
+        assert latest_version(spark, path) == 1
+        vacuum_snapshots(spark, path, keep_last=5)
+        assert os.path.exists(os.path.join(path, "._commit_v2.lock"))
