@@ -78,6 +78,7 @@ HEADLINE = [
     "streaming_trending",        # streaming: sliding-window trending (r5)
     "audio_decode_stats",        # multimodal: real WAV chunk-walk decode (r6)
     "lsh_recall_stats",          # vector: in-engine ANN recall@k gate (r6)
+    "ivf_recall_stats",          # vector: IVF n_probe tuning gate (r6)
 ]
 
 

@@ -358,6 +358,44 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF approximate kNN join against the exact
+    join (operators/knn.py topk_recall, r6) — the n_probe tuning gate
+    next to lsh_recall_stats: the two approximate strategies now
+    share one in-engine quality metric. Same self-handling as the
+    LSH gate: k=4, drop the always-present self row (a corpus query's
+    own list is its nearest centroid's, always probed), re-rank to 3.
+    The oracle composes the knn_join_ivf chain with the exact chain
+    and the recall join in one statement."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from cli_rag_spark.operators.knn import topk_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_ivf_{tag}"
+    build_ivf_index(emb, path, n_centroids=IVF_CENTROIDS)
+    index = read_ivf_index(spark, path, n_centroids=IVF_CENTROIDS)
+    queries = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_join(queries, emb, k=3, exclude_self=True)
+    rw = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    approx = (
+        knn_join_ivf(
+            queries, index, k=4, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+            validate_cid=False,
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_r", F.row_number().over(rw))
+        .where(F.col("_r") <= 3)
+    )
+    return topk_recall(exact, approx, k=3).orderBy("query_id")
+
+
 def q_ivf_append_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance (operators/ann.py
     append_ivf_index): build the index over a base slice, append the
@@ -658,6 +696,7 @@ QUERIES = {
     "embedding_covariance": q_embedding_covariance,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_join_ivf": q_knn_join_ivf,
+    "ivf_recall_stats": q_ivf_recall_stats,
     "ivf_append_stats": q_ivf_append_stats,
     "cosine_topk": q_cosine_topk,
     "pq_topk": q_pq_topk,
@@ -674,6 +713,40 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "cosine_histogram": q_cosine_histogram,
 }
+
+# Shared IVF CTE chain (seeded centroids → corpus assignment → query
+# probes → candidate scoring); the knn_join_ivf oracle and the
+# ivf_recall_stats oracle both compose over `ivf_scored`.
+_IVF_SCORED_CTES = f"""
+        cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+            WHERE vec_id < {IVF_CENTROIDS}
+        ), iassign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6), c.cid
+                       ) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        ), qprobe AS (
+            SELECT query_id, qv, cid FROM (
+                SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(q.embedding::DOUBLE[], c.cvec), 6), c.cid
+                       ) AS rn
+                FROM embeddings q, cent c WHERE q.vec_id < {LSH_QUERIES}
+            ) WHERE rn <= {IVF_PROBE}
+        ), ivf_scored AS (
+            SELECT p.query_id, e.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], p.qv), 6) AS dist
+            FROM embeddings e
+            JOIN iassign a ON e.vec_id = a.vec_id
+            JOIN qprobe p ON a.cid = p.cid
+        )"""
+
 
 def _lsh_scored_ctes() -> str:
     """The shared CTE chain (sig → bands → q → cand → scored) of the
@@ -989,40 +1062,47 @@ ORACLE = {
         ORDER BY est_d2, codes.vec_id LIMIT {K}
     """,
     "knn_join_ivf": f"""
-        WITH cent AS (
-            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
-            WHERE vec_id < {IVF_CENTROIDS}
-        ), iassign AS (
-            SELECT vec_id, cid FROM (
-                SELECT e.vec_id, c.cid,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6), c.cid
-                       ) AS rn
-                FROM embeddings e, cent c
-            ) WHERE rn = 1
-        ), qprobe AS (
-            SELECT query_id, qv, cid FROM (
-                SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, c.cid,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY round(1 - list_cosine_similarity(q.embedding::DOUBLE[], c.cvec), 6), c.cid
-                       ) AS rn
-                FROM embeddings q, cent c WHERE q.vec_id < {LSH_QUERIES}
-            ) WHERE rn <= {IVF_PROBE}
-        )
+        WITH {_IVF_SCORED_CTES}
         SELECT query_id, vec_id, dist, rank FROM (
-            SELECT p.query_id, e.vec_id,
-                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], p.qv), 6) AS dist,
+            SELECT query_id, vec_id, dist,
                    row_number() OVER (
-                       PARTITION BY p.query_id
-                       ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], p.qv), 6), e.vec_id
+                       PARTITION BY query_id ORDER BY dist, vec_id
                    ) AS rank
-            FROM embeddings e
-            JOIN iassign a ON e.vec_id = a.vec_id
-            JOIN qprobe p ON a.cid = p.cid
+            FROM ivf_scored
         ) WHERE rank <= 3
         ORDER BY query_id, rank
+    """,
+    "ivf_recall_stats": f"""
+        WITH {_IVF_SCORED_CTES},
+        ivf3 AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY dist, vec_id
+                       ) AS rank
+                FROM ivf_scored WHERE vec_id <> query_id
+            ) WHERE rank <= 3
+        ),
+        ed AS (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {LSH_QUERIES}) q,
+                 embeddings e
+            WHERE e.vec_id <> q.vec_id
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+                FROM ed
+            ) WHERE rank <= 3
+        )
+        SELECT e.query_id,
+               CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+               round(count(i.vec_id) / 3.0, 4) AS recall
+        FROM exact e
+        LEFT JOIN ivf3 i ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
     """,
     "knn_join_lsh": _lsh_oracle_sql(),
     "lsh_recall_stats": _lsh_recall_oracle_sql(),

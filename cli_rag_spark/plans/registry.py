@@ -123,13 +123,14 @@ _PRIORITY = _SENTINELS + [
     "stratified_sample", "pack_chunks_stats", "quantized_topk",
     "cosine_histogram", "quality_scores",
     "lang_id_confusion", "fingerprint_dups", "chunk_fixed",
-    # r7 fill head: audio_decode_stats + lsh_recall_stats (added
-    # late-r6, never judged — the head of the r6 window was frozen
-    # for the staleness restoration, same deferral precedent as the
-    # late-r5 cohort), then chunk_clean_stats, token_counts (r2),
-    # then the r3-verified queries oldest-first; every deferred query
-    # replays value-exact in the local all-query parity gate on every
-    # test run (tests/test_parity.py)
+    # r7 fill head: audio_decode_stats + lsh_recall_stats +
+    # ivf_recall_stats (added late-r6, never judged — the head of the
+    # r6 window was frozen for the staleness restoration, same
+    # deferral precedent as the late-r5 cohort), then
+    # chunk_clean_stats, token_counts (r2), then the r3-verified
+    # queries oldest-first; every deferred query replays value-exact
+    # in the local all-query parity gate on every test run
+    # (tests/test_parity.py)
 ]
 
 
