@@ -176,3 +176,83 @@ def triangle_count(
         [(n_nodes, n_edges, census["n_wedges"], census["n_triangles"])],
         "n_nodes long, n_edges long, n_wedges long, n_triangles long",
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """DF[node, label] — synchronous weighted label propagation
+    (Raghavan et al. 2007), the COMMUNITY complement to
+    :func:`connected_components`: components answer "is there any
+    path", LPA answers "which densely-linked cluster" — a connected
+    graph with two tight groups joined by one thin edge is ONE
+    component but TWO communities.
+
+    Deterministic by construction (the published algorithm's random
+    tie-break and vertex order are replaced so a SQL oracle can
+    replay it exactly):
+
+    * SYNCHRONOUS rounds — every node updates from the PREVIOUS
+      round's labels, so vertex visit order cannot matter;
+    * new_label(v) = the label maximizing the incoming edge-weight
+      sum, ties to the SMALLEST label;
+    * a FIXED iteration count (``iters``) instead of a convergence
+      test — synchronous LPA on bipartite-ish graphs can oscillate
+      with period 2, so run-to-convergence is not well-defined;
+      fixed rounds are, and they replay in chained SQL CTEs.
+
+    ``edges`` is taken as DIRECTED (label flows src -> dst): pass
+    both directions for an undirected graph. Nodes never appearing
+    as ``dst`` receive no label (isolated-by-indegree); with
+    bidirectional edges every node is covered. Labels must be
+    non-negative longs (the argmax packs ``-label`` next to the
+    weight in one orderable struct; validated).
+
+    Scale shape, per round: one join of the label table onto the
+    edge list (both narrow), one partial-aggregating
+    ``groupBy(dst, label)`` weight sum, one ``groupBy(dst)`` argmax
+    — all keyed shuffles, no windows, no driver data;
+    ``localCheckpoint`` truncates lineage each round (the
+    components.py discipline — without it the plan doubles per
+    iteration)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w = F.col(weight) if weight is not None else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("e_w")
+    ).localCheckpoint(eager=True)
+
+    neg = e.select(F.min(F.least("e_src", "e_dst")).alias("lo")).collect()
+    if neg and neg[0]["lo"] is not None and neg[0]["lo"] < 0:
+        raise ValueError(
+            f"label_propagation node ids must be non-negative for the "
+            f"(-label) argmax packing; got min id {neg[0]['lo']} — remap first"
+        )
+
+    labels = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        scored = (
+            e.join(labels, e.e_src == labels.node)
+            .groupBy(F.col("e_dst").alias("node"), "label")
+            .agg(F.sum("e_w").alias("sw"))
+        )
+        # argmax by (weight DESC, label ASC) in ONE aggregate: the
+        # max over struct(sw, -label) orders ties to the smallest
+        # label without a window sort
+        labels = (
+            scored.groupBy("node")
+            .agg(F.max(F.struct(F.col("sw"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

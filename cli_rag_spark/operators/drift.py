@@ -232,3 +232,53 @@ def psi_oracle_sql(
                round(list_aggregate(list(term ORDER BY bin), 'sum'), 8) AS psi
         FROM terms GROUP BY n_a, n_b
     """
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group: Column,
+    t: Column,
+    x: Column,
+) -> DataFrame:
+    """DF[group, n_points, total, cp_t, cusum_abs] — per-group CUSUM
+    change-point detection over an ordered series (Page 1954): the
+    time step where the cumulative deviation from the series mean
+    peaks, i.e. the single most likely level-shift point.
+
+    EXACT-INTEGER formulation (the OLS sufficient-statistics trick):
+    the textbook statistic S_k = sum_{i<=k} (x_i - mean) involves the
+    irrational mean; scaling by n gives n*S_k = sum_{i<=k} (n*x_i - T)
+    with T = sum(x_i) — every term a long, so the argmax is
+    order-free and replays bit-identically in any SQL engine.
+    ``cusum_abs`` is max_k |n*S_k| (reported in those n-scaled units);
+    ``cp_t`` is the earliest t attaining it.
+
+    Plan shape: ONE shuffle on ``group``; n/T via an unbounded window
+    over the group partition, the prefix sum + argmax via two ordered
+    windows over the same partition — all partition-local, no global
+    sort, no driver data. Bounded state iff per-group series length
+    is bounded (daily/hourly rollups are; pre-aggregate raw events
+    first)."""
+    part = df.select(group.alias("g"), t.alias("t"), x.cast("long").alias("x"))
+    whole = Window.partitionBy("g")
+    ordered = Window.partitionBy("g").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = (
+        part.withColumn("n", F.count(F.lit(1)).over(whole))
+        .withColumn("total", F.sum("x").over(whole))
+        .withColumn("s", F.sum(F.col("n") * F.col("x") - F.col("total")).over(ordered))
+        .withColumn("abs_s", F.abs("s"))
+    )
+    rn = Window.partitionBy("g").orderBy(F.col("abs_s").desc(), F.col("t").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("g").alias("group"),
+            F.col("n").alias("n_points"),
+            "total",
+            F.col("t").alias("cp_t"),
+            F.col("abs_s").alias("cusum_abs"),
+        )
+    )

@@ -149,3 +149,62 @@ def broadcast_head_join(
     head = dim.join(F.broadcast(head_keys), keys, "semi")
     tail = dim.join(F.broadcast(head_keys), keys, "anti")
     return fact.join(F.broadcast(head), keys).unionByName(fact.join(tail, keys))
+
+
+def key_skew_profile(df: DataFrame, key: Column) -> DataFrame:
+    """1-row DF[total_rows, distinct_keys, max_cnt, p50_cnt, p99_cnt,
+    max_share_ppm, skew_x100] — the decision input for every helper
+    above: BEFORE salting a key or pinning a broadcast head, measure
+    how skewed the key actually is.
+
+    Exact integer percentiles WITHOUT a global sort (the two-level
+    drift.py shape): per-key counts collapse to a count-HISTOGRAM
+    (cnt -> n_keys, cardinality = #distinct per-key counts, tiny for
+    any real key), the cumulative over that histogram is a window
+    over the tiny frame, and pN_cnt = the smallest cnt whose
+    cumulative key coverage reaches ceil(N% of keys) — the exact
+    lower quantile, no interpolation, identical in any SQL engine.
+    Ratios are integer (ppm / x100) so cross-engine replay is
+    drift-free.
+
+    Scale shape: one partial-aggregating ``groupBy(key)`` (the only
+    data-sized shuffle), one ``groupBy(cnt)`` onto the tiny
+    histogram, one unpartitioned window over it (bounded by distinct
+    count-values, not keys), one 1-row aggregate."""
+    counts = df.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_keys"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("n_keys").over(
+            Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return cum.agg(
+        F.sum(F.col("cnt") * F.col("n_keys")).alias("_total"),
+        F.sum("n_keys").alias("_n"),
+        F.max("cnt").alias("_max"),
+        F.collect_list(F.struct("cnt", "cum")).alias("_h"),
+    ).select(
+        F.col("_total").alias("total_rows"),
+        F.col("_n").alias("distinct_keys"),
+        F.col("_max").alias("max_cnt"),
+        # all-integer rank thresholds (2*cum >= n is cum >= n/2 with no
+        # doubles in sight — cross-engine float/rounding-proof):
+        # p50 = smallest cnt covering rank ceil(n/2), p99 = rank
+        # ceil(0.99 n)
+        F.aggregate(
+            F.filter(F.col("_h"), lambda s: s.cum * 2 >= F.col("_n")),
+            F.lit(None).cast("long"),
+            lambda acc, s: F.least(F.coalesce(acc, s.cnt), s.cnt),
+        ).alias("p50_cnt"),
+        F.aggregate(
+            F.filter(F.col("_h"), lambda s: s.cum * 100 >= F.col("_n") * 99),
+            F.lit(None).cast("long"),
+            lambda acc, s: F.least(F.coalesce(acc, s.cnt), s.cnt),
+        ).alias("p99_cnt"),
+        # floor-division, NOT cast: Spark's cast-to-long truncates,
+        # DuckDB's rounds — floor agrees everywhere for positives
+        F.floor(F.col("_max") * 1000000 / F.col("_total")).alias("max_share_ppm"),
+    ).withColumn(
+        "skew_x100", F.floor(F.col("max_cnt") * 100 / F.col("p50_cnt"))
+    )

@@ -27,6 +27,7 @@ _PACKS = [
     "cli_rag_spark.plans.queries_storage",
     "cli_rag_spark.plans.queries_corpus",
     "cli_rag_spark.plans.queries_mining",
+    "cli_rag_spark.plans.queries_scale",
 ]
 
 # Registry ORDER is part of the external contract: the external audit
@@ -124,13 +125,15 @@ _PRIORITY = _SENTINELS + [
     "cosine_histogram", "quality_scores",
     "lang_id_confusion", "fingerprint_dups", "chunk_fixed",
     # r7 fill head: audio_decode_stats + lsh_recall_stats +
-    # ivf_recall_stats (added late-r6, never judged — the head of the
-    # r6 window was frozen for the staleness restoration, same
-    # deferral precedent as the late-r5 cohort), then
-    # chunk_clean_stats, token_counts (r2), then the r3-verified
-    # queries oldest-first; every deferred query replays value-exact
-    # in the local all-query parity gate on every test run
-    # (tests/test_parity.py)
+    # ivf_recall_stats + the queries_scale pack (key_skew_stats,
+    # bloom_join_stats, cusum_changepoints, lp_communities,
+    # bootstrap_ci_revenue) — all added late-r6, never judged; the
+    # head of the r6 window was frozen for the staleness
+    # restoration, same deferral precedent as the late-r5 cohort —
+    # then chunk_clean_stats, token_counts (r2), then the
+    # r3-verified queries oldest-first; every deferred query replays
+    # value-exact in the local all-query parity gate on every test
+    # run (tests/test_parity.py)
 ]
 
 

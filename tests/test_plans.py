@@ -322,3 +322,39 @@ def test_latest_r5_plan_shapes(spark, sf_dir):
     # transitions: ONE user_id exchange serves the lead window
     plan = _plan(spark, sf_dir, "event_transitions")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_scale_pack_plan_shapes(spark, sf_dir):
+    # skew profile: the data-sized scan reads ONLY the key column
+    # (column pruning) and nothing nested-loops
+    plan = _plan(spark, sf_dir, "key_skew_stats")
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "o_custkey" in read_schema and read_schema.count(",") == 0
+    assert "CartesianProduct" not in plan
+
+    # Bloom runtime-filter join: the codegen membership test (k
+    # shiftright bit probes) must sit in the plan BEFORE the exact
+    # join, and the segment filter must reach the customer scan
+    plan = _plan(spark, sf_dir, "bloom_join_stats")
+    assert "shiftright" in plan
+    assert any(
+        "c_mktsegment" in seg[:300] for seg in plan.split("PushedFilters")[1:]
+    )
+
+    # CUSUM: windowed prefix sums over the group partition — one
+    # hash exchange on the group key serves every window
+    plan = _plan(spark, sf_dir, "cusum_changepoints")
+    assert "Window" in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(g#") <= 1
+
+    # LPA sizes: bounded top-k, no full sort; label table feeds via
+    # checkpoints so no plan doubling survives to the final round
+    plan = _plan(spark, sf_dir, "lp_communities")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    # bootstrap: replica fan-out is a Generate (map-side explode),
+    # the draw chain is pure codegen — no Python stage anywhere
+    plan = _plan(spark, sf_dir, "bootstrap_ci_revenue")
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -1,0 +1,193 @@
+"""Unit tests for the scale-ops pack's operators (queries_scale.py):
+key-skew profiling, Bloom runtime-filter join, CUSUM change points,
+weighted label propagation, Poisson bootstrap. Oracle parity for the
+judged queries lives in test_parity.py; these pin the operator
+CONTRACTS on handcrafted inputs where the right answer is computable
+by eye."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_rag_spark.operators.bloom import bloom_filtered_join
+from cli_rag_spark.operators.bootstrap import (
+    MAX_MULT,
+    POISSON1_THRESHOLDS,
+    bootstrap_ci,
+    poisson_bootstrap_sums,
+)
+from cli_rag_spark.operators.components import label_propagation
+from cli_rag_spark.operators.drift import cusum_changepoints
+from cli_rag_spark.operators.skew import key_skew_profile
+
+# --- key_skew_profile -----------------------------------------------
+
+
+def test_key_skew_profile_hand_computed(spark):
+    # keys: a x6, b x2, c x1, d x1  -> counts {6,2,1,1}
+    df = spark.createDataFrame([("a",)] * 6 + [("b",)] * 2 + [("c",), ("d",)], "k string")
+    out = key_skew_profile(df, F.col("k")).collect()[0]
+    assert out["total_rows"] == 10
+    assert out["distinct_keys"] == 4
+    assert out["max_cnt"] == 6
+    # sorted per-key counts: [1,1,2,6]; rank ceil(4/2)=2 -> 1;
+    # rank ceil(0.99*4)=4 -> 6
+    assert out["p50_cnt"] == 1
+    assert out["p99_cnt"] == 6
+    assert out["max_share_ppm"] == 600000
+    assert out["skew_x100"] == 600
+
+
+def test_key_skew_profile_uniform(spark):
+    df = spark.createDataFrame([(i % 5,) for i in range(25)], "k int")
+    out = key_skew_profile(df, F.col("k")).collect()[0]
+    assert out["max_cnt"] == out["p50_cnt"] == out["p99_cnt"] == 5
+    assert out["skew_x100"] == 100
+    assert out["max_share_ppm"] == 200000
+
+
+# --- bloom_filtered_join --------------------------------------------
+
+
+def test_bloom_filtered_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i, i * 10) for i in range(200)], "fk long, payload long"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 200, 7)], "dk long, name string"
+    )
+    got = (
+        bloom_filtered_join(fact, dim, "fk", "dk", n_bits=1 << 10)
+        .select("fk", "payload", "name")
+        .collect()
+    )
+    want = (
+        fact.join(dim, fact.fk == dim.dk).select("fk", "payload", "name").collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == len(range(0, 200, 7))
+
+
+# --- cusum_changepoints ---------------------------------------------
+
+
+def test_cusum_finds_level_shift(spark):
+    # 10 points: five 1s then five 9s — mean 5, the cumulative
+    # deviation peaks exactly at the last low point (t=5)
+    rows = [("a", t, 1 if t <= 5 else 9) for t in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, t int, x int")
+    out = cusum_changepoints(df, F.col("g"), F.col("t"), F.col("x")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["group"] == "a"
+    assert r["n_points"] == 10 and r["total"] == 50
+    assert r["cp_t"] == 5
+    # n*S_5 = sum of 5 terms (10*1 - 50) = -200
+    assert r["cusum_abs"] == 200
+
+
+def test_cusum_tie_breaks_to_earliest(spark):
+    # constant series: every prefix sum is 0 — earliest t wins
+    df = spark.createDataFrame([("a", t, 3) for t in range(1, 6)], "g string, t int, x int")
+    r = cusum_changepoints(df, F.col("g"), F.col("t"), F.col("x")).collect()[0]
+    assert r["cusum_abs"] == 0 and r["cp_t"] == 1
+
+
+def test_cusum_multiple_groups_independent(spark):
+    rows = [("a", t, 1 if t <= 2 else 5) for t in range(1, 5)]
+    rows += [("b", t, 7) for t in range(1, 4)]
+    df = spark.createDataFrame(rows, "g string, t int, x int")
+    out = {r["group"]: r for r in cusum_changepoints(df, F.col("g"), F.col("t"), F.col("x")).collect()}
+    assert out["a"]["cp_t"] == 2
+    assert out["b"]["cusum_abs"] == 0 and out["b"]["cp_t"] == 1
+
+
+# --- label_propagation ----------------------------------------------
+
+
+def _edges(spark, pairs):
+    bidir = [(a, b, w) for a, b, w in pairs] + [(b, a, w) for a, b, w in pairs]
+    return spark.createDataFrame(bidir, "src long, dst long, w long")
+
+
+def test_lpa_splits_two_dense_clusters(spark):
+    # two triangles (heavy internal edges) joined by one thin bridge:
+    # ONE connected component but TWO communities
+    pairs = [
+        (0, 1, 10), (1, 2, 10), (0, 2, 10),
+        (10, 11, 10), (11, 12, 10), (10, 12, 10),
+        (2, 10, 1),
+    ]
+    labels = label_propagation(_edges(spark, pairs), iters=2, weight="w")
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert len(got) == 6
+    left = {got[n] for n in (0, 1, 2)}
+    right = {got[n] for n in (10, 11, 12)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    # node 1 sees nodes 0 and 2 with EQUAL weight: label 0 must win
+    labels = label_propagation(_edges(spark, [(0, 1, 5), (1, 2, 5)]), iters=1, weight="w")
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got[1] == 0
+
+
+def test_lpa_unweighted_defaults_to_count(spark):
+    labels = label_propagation(
+        spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long"), iters=1
+    )
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {0: 1, 1: 0}  # one synchronous swap round
+
+
+def test_lpa_rejects_negative_ids_and_bad_iters(spark):
+    neg = spark.createDataFrame([(-1, 2, 1)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="non-negative"):
+        label_propagation(neg, weight="w")
+    ok = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(ok, weight="w", iters=0)
+
+
+# --- Poisson bootstrap ----------------------------------------------
+
+
+def test_poisson_thresholds_monotone():
+    t = POISSON1_THRESHOLDS
+    assert t == sorted(t) and len(t) == MAX_MULT
+    assert 0 < t[0] < t[-1] < 1 << 32
+
+
+def test_bootstrap_sums_shape_and_determinism(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)], "k long, v double")
+    a = poisson_bootstrap_sums(df, F.col("k"), F.col("v"), 8).collect()
+    b = poisson_bootstrap_sums(df, F.col("k"), F.col("v"), 8).collect()
+    assert sorted((r["b"], str(r["replica_sum"])) for r in a) == sorted(
+        (r["b"], str(r["replica_sum"])) for r in b
+    )
+    assert {r["b"] for r in a} == set(range(8))
+    # Poisson(1) replica totals hover around the true total (5050):
+    # all within a factor of 2 is a loose sanity envelope, not a
+    # statistical assertion
+    for r in a:
+        assert 2525 < float(r["replica_sum"]) < 10100
+
+
+def test_bootstrap_ci_bounds_ordered(spark):
+    df = spark.createDataFrame([(i, 10.0) for i in range(200)], "k long, v double")
+    r = bootstrap_ci(df, F.col("k"), F.col("v"), n_replicas=16, trim=1).collect()[0]
+    assert r["n_replicas"] == 16
+    assert r["point_est"] == 2000.0
+    assert r["ci_lo"] <= r["ci_hi"]
+    assert 1000.0 < r["ci_lo"] and r["ci_hi"] < 4000.0
+
+
+def test_bootstrap_validates_params(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="n_replicas"):
+        poisson_bootstrap_sums(df, F.col("k"), F.col("v"), 1)
+    with pytest.raises(ValueError, match="trim"):
+        bootstrap_ci(df, F.col("k"), F.col("v"), n_replicas=4, trim=2)
