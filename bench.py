@@ -79,6 +79,11 @@ HEADLINE = [
     "audio_decode_stats",        # multimodal: real WAV chunk-walk decode (r6)
     "lsh_recall_stats",          # vector: in-engine ANN recall@k gate (r6)
     "ivf_recall_stats",          # vector: IVF n_probe tuning gate (r6)
+    "key_skew_stats",            # scale-ops: join-key skew profile (r6)
+    "bloom_join_stats",          # scale-ops: Bloom runtime-filter join (r6)
+    "cusum_changepoints",        # scale-ops: exact-integer CUSUM (r6)
+    "lp_communities",            # scale-ops: weighted label propagation (r6)
+    "bootstrap_ci_revenue",      # scale-ops: one-pass Poisson bootstrap (r6)
 ]
 
 

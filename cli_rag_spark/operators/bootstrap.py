@@ -48,27 +48,34 @@ POISSON1_THRESHOLDS: list[int] = [
 MAX_MULT = 4
 
 
-def _u32(key: Column, replica: Column) -> Column:
-    """Deterministic 32-bit uniform from (key, replica) — first 8 md5
-    hex digits, the cross-engine-replayable hash."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", key.cast("string"), replica.cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+# an md5 digest is 128 bits = FOUR 32-bit uniforms: replicas are
+# drawn in groups of 4 per digest, quartering the hash work (the
+# dominant per-cell cost — measured, see BENCH.md ledger)
+UNIFORMS_PER_DIGEST = 4
+
+# the same thresholds as 8-char lowercase hex: comparing the digest
+# SLICE against these lexicographically IS the numeric compare
+# (fixed-width lowercase hex orders like its value in every engine),
+# so the draw needs no hex->int conversion at all
+POISSON1_HEX: list[str] = [format(t, "08x") for t in POISSON1_THRESHOLDS]
 
 
-def poisson_multiplicity(key: Column, replica: Column) -> Column:
-    """Poisson(1) draw as a chain of integer threshold compares."""
-    u = _u32(key, replica)
-    t = POISSON1_THRESHOLDS
+def _digest(key: Column, group: Column) -> Column:
+    """One md5 per (key, replica-group) — the cross-engine-replayable
+    hash (training.py's weighted-sample discipline)."""
+    return F.md5(F.concat_ws(":", key.cast("string"), group.cast("string")))
+
+
+def poisson_multiplicity(hex_slice: Column) -> Column:
+    """Poisson(1) draw from one 8-hex-char digest slice as a chain of
+    fixed-width string compares (== integer compares, see
+    POISSON1_HEX)."""
+    t = POISSON1_HEX
     return (
-        F.when(u < t[0], 0)
-        .when(u < t[1], 1)
-        .when(u < t[2], 2)
-        .when(u < t[3], 3)
+        F.when(hex_slice < t[0], 0)
+        .when(hex_slice < t[1], 1)
+        .when(hex_slice < t[2], 2)
+        .when(hex_slice < t[3], 3)
         .otherwise(MAX_MULT)
         .cast("long")
     )
@@ -81,23 +88,55 @@ def poisson_bootstrap_sums(
     n_replicas: int = 32,
 ) -> DataFrame:
     """DF[b, replica_sum: decimal(18,2)] — one bootstrap-replica total
-    per row, b = 0..n_replicas-1.
+    per row, b = 0..n_replicas-1. Replica b's multiplicity for a row
+    is drawn from slot b%4 of md5(key:b/4) — see POISSON1_HEX.
 
-    One map-side explode (B-fold row multiplication, no shuffle) into
-    one partial-aggregating ``groupBy(b)`` — B output rows total.
-    ``value`` is cast DECIMAL(18,2) before the weighted sum, so each
-    replica total is exact and order-free."""
-    if n_replicas < 2:
-        raise ValueError(f"n_replicas must be >= 2, got {n_replicas}")
+    Plan shape: ONE map-side explode fans each row to its
+    n_replicas/4 digest groups; the four slot draws become four
+    WEIGHT COLUMNS (not four more rows), so the partial-aggregating
+    ``groupBy(g)`` compresses everything to n_replicas/4 rows x 4
+    sums BEFORE the only shuffle, and the per-replica un-pivot
+    explodes those few rows at the very end. The expensive
+    intermediate (row x replica) never exists. ``value`` is cast
+    DECIMAL(18,2) before the weighted sum, so each replica total is
+    exact and order-free. ``n_replicas`` must be a multiple of 4
+    (the digest packing)."""
+    if n_replicas < 2 or n_replicas % UNIFORMS_PER_DIGEST != 0:
+        raise ValueError(
+            f"n_replicas must be a positive multiple of {UNIFORMS_PER_DIGEST}, "
+            f"got {n_replicas}"
+        )
     v = value.cast("decimal(18,2)")
-    rows = df.select(key.alias("k"), v.alias("v")).withColumn(
-        "b", F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1)))
+    n_groups = n_replicas // UNIFORMS_PER_DIGEST
+    cells = (
+        df.select(key.alias("k"), v.alias("v"))
+        .withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))))
+        .withColumn("d", _digest(F.col("k"), F.col("g")))
     )
-    return (
-        rows.withColumn("m", poisson_multiplicity(F.col("k"), F.col("b")))
-        .groupBy("b")
-        .agg(F.sum(F.col("v") * F.col("m")).cast("decimal(18,2)").alias("replica_sum"))
+    slot_sums = cells.groupBy("g").agg(
+        *[
+            F.sum(
+                F.col("v")
+                * poisson_multiplicity(F.substring(F.col("d"), 1 + 8 * s, 8))
+            )
+            .cast("decimal(18,2)")
+            .alias(f"s{s}")
+            for s in range(UNIFORMS_PER_DIGEST)
+        ]
     )
+    return slot_sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("g") * UNIFORMS_PER_DIGEST + F.lit(s)).alias("b"),
+                        F.col(f"s{s}").alias("replica_sum"),
+                    )
+                    for s in range(UNIFORMS_PER_DIGEST)
+                ]
+            )
+        ).alias("p")
+    ).select("p.b", "p.replica_sum")
 
 
 def bootstrap_ci(

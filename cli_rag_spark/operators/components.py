@@ -222,25 +222,35 @@ def label_propagation(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     w = F.col(weight) if weight is not None else F.lit(1).cast("long")
+    # the non-negative-id requirement (the (-label) argmax packing)
+    # is enforced INLINE on the weight expression — a separate min()
+    # validation collect would cost one whole scheduled job (~0.3 s
+    # floor on the bench box); this way it codegens into the edge
+    # checkpoint scan below and fires before any propagation runs
+    checked_w = F.when(
+        F.least(F.col(src), F.col(dst)) < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "label_propagation node ids must be non-negative for "
+                    "the (-label) argmax packing; got "
+                ),
+                F.least(F.col(src), F.col(dst)).cast("string"),
+                F.lit(" — remap first"),
+            )
+        ).cast("long"),
+    ).otherwise(w)
     e = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("e_w")
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), checked_w.alias("e_w")
     ).localCheckpoint(eager=True)
-
-    neg = e.select(F.min(F.least("e_src", "e_dst")).alias("lo")).collect()
-    if neg and neg[0]["lo"] is not None and neg[0]["lo"] < 0:
-        raise ValueError(
-            f"label_propagation node ids must be non-negative for the "
-            f"(-label) argmax packing; got min id {neg[0]['lo']} — remap first"
-        )
 
     labels = (
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(iters):
+    for i in range(iters):
         scored = (
             e.join(labels, e.e_src == labels.node)
             .groupBy(F.col("e_dst").alias("node"), "label")
@@ -253,6 +263,14 @@ def label_propagation(
             scored.groupBy("node")
             .agg(F.max(F.struct(F.col("sw"), (-F.col("label")).alias("nl"))).alias("m"))
             .select("node", (-F.col("m.nl")).alias("label"))
-            .localCheckpoint(eager=True)
         )
+        # lineage truncation AMORTIZED: each label table is consumed
+        # exactly once (next round or the caller), so unlike
+        # connected_components there is no per-round re-scan to kill
+        # — the checkpoint only bounds PLAN depth. Every eager
+        # checkpoint costs one scheduled job (~0.3 s floor on the
+        # bench box, BENCH.md ledger 0h), so pay it every third
+        # round, not every round.
+        if (i + 1) % 3 == 0 and (i + 1) < iters:
+            labels = labels.localCheckpoint(eager=True)
     return labels

@@ -279,13 +279,22 @@ ORACLE = {
     """,
     "lp_communities": _lp_oracle(),
     "bootstrap_ci_revenue": f"""
-        WITH reps AS (
-          SELECT CAST(b AS BIGINT) AS b FROM range(0, {BOOT_REPLICAS}) t(b)
+        WITH grp AS (
+          SELECT CAST(g AS BIGINT) AS g FROM range(0, {BOOT_REPLICAS // 4}) t(g)
         ), cells AS (
-          SELECT b, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
-                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
-                                     CAST(b AS VARCHAR)), 1, 8))::BIGINT AS u
-          FROM orders CROSS JOIN reps
+          -- one md5 per (row, replica-GROUP): each digest's 128 bits
+          -- supply FOUR 32-bit uniforms (slots), matching
+          -- operators/bootstrap.py's hash-quartering exactly
+          SELECT g, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                 md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                     CAST(g AS VARCHAR)) AS d
+          FROM orders CROSS JOIN grp
+        ), slt AS (
+          SELECT CAST(s AS BIGINT) AS s FROM range(0, 4) t(s)
+        ), drawn AS (
+          SELECT g * 4 + s AS b, v,
+                 ('0x' || substr(d, s * 8 + 1, 8))::BIGINT AS u
+          FROM cells CROSS JOIN slt
         ), weighted AS (
           SELECT b, v,
                  CASE WHEN u < {_T[0]} THEN 0
@@ -293,7 +302,7 @@ ORACLE = {
                       WHEN u < {_T[2]} THEN 2
                       WHEN u < {_T[3]} THEN 3
                       ELSE {MAX_MULT} END AS m
-          FROM cells
+          FROM drawn
         ), sums AS (
           SELECT b, CAST(sum(v * m) AS DECIMAL(18,2)) AS rs
           FROM weighted GROUP BY b

@@ -145,7 +145,9 @@ def test_lpa_unweighted_defaults_to_count(spark):
 
 def test_lpa_rejects_negative_ids_and_bad_iters(spark):
     neg = spark.createDataFrame([(-1, 2, 1)], "src long, dst long, w long")
-    with pytest.raises(ValueError, match="non-negative"):
+    # inline raise_error fires during the eager edge checkpoint —
+    # still inside the call, but surfaced as a Spark execution error
+    with pytest.raises(Exception, match="non-negative"):
         label_propagation(neg, weight="w")
     ok = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
     with pytest.raises(ValueError, match="iters"):
