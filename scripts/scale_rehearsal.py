@@ -93,6 +93,20 @@ QUERIES = [
     # cross-replica edges, so wedge growth measures the
     # degree-orientation bound under skew
     "triangle_census",
+    # late-r6 scale-ops pack: LPA over the replicated trade graph
+    # (m disconnected copies — per-round join/agg work grows exactly
+    # with edges), one-pass Poisson bootstrap (replica fan-out is a
+    # map over orders rows — must be linear), key-skew profile (the
+    # count-histogram stays m-invariant while groupBy input grows),
+    # Bloom runtime-filter join (bitmap build grows with the dim,
+    # probe with the fact — both linear, selectivity held constant
+    # by construction), CUSUM (pre-agg scan linear, window frame
+    # fixed at 30 days x 5 types)
+    "lp_communities",
+    "bootstrap_ci_revenue",
+    "key_skew_stats",
+    "bloom_join_stats",
+    "cusum_changepoints",
 ]
 
 
@@ -205,9 +219,9 @@ def _rotated(alpha: str, i: int) -> str:
 
 def generate(spark, m: int) -> str:
     out = os.path.join(WORK, f"x{m}")
-    # marker versioned: v2 adds events.parquet (r6 resample/optimize
-    # rehearsal) — v1 dirs regenerate rather than silently missing it
-    done = os.path.join(out, "_DONE_v2")
+    # marker versioned: v3 adds customer.parquet (late-r6 bloom-join
+    # rehearsal) — older dirs regenerate rather than silently missing it
+    done = os.path.join(out, "_DONE_v3")
     if os.path.exists(done):  # only a fully-written dir is reusable
         return out
     if os.path.isdir(out):
@@ -218,6 +232,7 @@ def generate(spark, m: int) -> str:
     orders = spark.read.parquet(os.path.join(BASE_SF, "orders.parquet"))
     li = spark.read.parquet(os.path.join(BASE_SF, "lineitem.parquet"))
     events = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+    cust = spark.read.parquet(os.path.join(BASE_SF, "customer.parquet"))
     doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
     vec_off = emb.agg(F.max("vec_id")).first()[0] + 1
     ord_off = orders.agg(F.max("o_orderkey")).first()[0] + 1
@@ -246,7 +261,7 @@ def generate(spark, m: int) -> str:
             )
         e_parts.append(e)
 
-    o_parts, l_parts, ev_parts = [], [], []
+    o_parts, l_parts, ev_parts, c_parts = [], [], [], []
     for i in range(m):
         o_parts.append(
             orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * ord_off))
@@ -255,6 +270,13 @@ def generate(spark, m: int) -> str:
         l_parts.append(
             li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * ord_off))
             .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * supp_off))
+        )
+        # customer shares orders' custkey offset so the replicated
+        # fact<->dim join keys stay CONSISTENT (each replica joins only
+        # its own customers); c_mktsegment untouched => the bloom-join
+        # dim selectivity is scale-invariant
+        c_parts.append(
+            cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * cust_off))
         )
         # events: replica i is a DISJOINT user population over the SAME
         # time span — resample's hour grid (users × span) grows exactly
@@ -265,7 +287,7 @@ def generate(spark, m: int) -> str:
         )
 
     d_all, e_all, o_all, l_all = d_parts[0], e_parts[0], o_parts[0], l_parts[0]
-    ev_all = ev_parts[0]
+    ev_all, c_all = ev_parts[0], c_parts[0]
     for d in d_parts[1:]:
         d_all = d_all.unionByName(d)
     for e in e_parts[1:]:
@@ -276,11 +298,14 @@ def generate(spark, m: int) -> str:
         l_all = l_all.unionByName(l)
     for ev in ev_parts[1:]:
         ev_all = ev_all.unionByName(ev)
+    for c in c_parts[1:]:
+        c_all = c_all.unionByName(c)
     d_all.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     e_all.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
     o_all.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
     l_all.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
     ev_all.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    c_all.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
     open(done, "w").close()
     return out
 
