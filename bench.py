@@ -84,6 +84,7 @@ HEADLINE = [
     "cusum_changepoints",        # scale-ops: exact-integer CUSUM (r6)
     "lp_communities",            # scale-ops: weighted label propagation (r6)
     "bootstrap_ci_revenue",      # scale-ops: one-pass Poisson bootstrap (r6)
+    "kcore_stats",               # graph: bounded 2-core peel of the dup graph (r6)
 ]
 
 

@@ -274,3 +274,114 @@ def label_propagation(
         if (i + 1) % 3 == 0 and (i + 1) < iters:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DF[node] — the nodes surviving ``rounds`` synchronous peeling
+    steps toward the k-core (Seidman 1983): each step drops every
+    node of CURRENT degree < k, then drops edges touching dropped
+    nodes. The fixed-round form is deterministic and replays as
+    chained SQL CTEs; full-core convergence is a property of (graph,
+    k, rounds) the CALLER asserts — pair with
+    :func:`k_core_stats`'s ``n_below_k`` (0 iff the peel has
+    converged, i.e. the result IS the k-core, not a partial peel).
+
+    Why peeling and not per-node recursion: synchronous rounds are
+    the MPC/dataframe-native form — each round is one degree count
+    (partial-agg ``groupBy``) + two semi-joins to drop edges, all on
+    narrow 8-byte keys. Rounds needed = peel depth of the graph
+    (small for the power-law-ish graphs this engine sees: dropping a
+    layer of leaves exposes few new sub-k nodes), NOT diameter.
+
+    ``edges`` is undirected input (each pair once is enough);
+    self-loops are dropped (a self-loop would let a node count
+    itself toward its own degree)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        # both endpoint filters against the SAME kept-node table —
+        # semi-joins on the narrow key, never a row explosion
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+
+
+def k_core_stats(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """1-row DF[k, rounds, core_nodes, core_edges, n_below_k] — the
+    summary of :func:`k_core` after ``rounds`` peels. ``n_below_k``
+    counts surviving nodes whose within-survivor degree is still
+    < k: 0 means the peel CONVERGED and core_nodes/core_edges
+    describe the true k-core; > 0 means more rounds were needed (the
+    honest partial-result signal, same contract style as
+    triangle_count's id-range guard)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    core = k_core(e, k, rounds, "a", "b").localCheckpoint(eager=True)
+    ce = (
+        e.join(core.withColumnRenamed("node", "a"), "a", "semi")
+        .join(core.withColumnRenamed("node", "b"), "b", "semi")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        ce.select(F.col("a").alias("node"))
+        .unionByName(ce.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    spark = edges.sparkSession
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("core_nodes"),
+        F.coalesce(F.sum(F.when(F.col("deg") < k, 1)), F.lit(0)).alias("n_below_k"),
+    ).crossJoin(F.broadcast(ce.agg(F.count(F.lit(1)).alias("core_edges"))))
+    return summary.select(
+        F.lit(k).cast("long").alias("k"),
+        F.lit(rounds).cast("long").alias("rounds"),
+        F.col("core_nodes").cast("long"),
+        F.col("core_edges").cast("long"),
+        F.col("n_below_k").cast("long"),
+    )

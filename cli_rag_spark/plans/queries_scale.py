@@ -319,3 +319,82 @@ ORACLE = {
                CAST((SELECT rs FROM ranked WHERE rd = 2) AS DOUBLE) AS ci_hi
     """,
 }
+
+
+# --- k-core of the near-dup graph -----------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def q_kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the MinHash candidate graph after 3 peeling rounds
+    (operators/components.py:k_core_stats) — the ROBUSTNESS
+    diagnostic next to triangle_census's clique-ness: nodes kept only
+    by a single candidate edge (the chain links most likely to be
+    MinHash false positives) are peeled away; what survives needs
+    >= 2 independent supporting edges. n_below_k == 0 certifies the
+    peel converged, i.e. the numbers describe the true 2-core."""
+    from cli_rag_spark.operators.components import k_core_stats
+    from cli_rag_spark.operators.dedup import minhash_candidates
+    from cli_rag_spark.plans.queries_dedup import N_BANDS, N_HASHES, SHINGLE_WORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(
+        docs, shingle_words=SHINGLE_WORDS, n_hashes=N_HASHES, n_bands=N_BANDS
+    )
+    return k_core_stats(pairs, KCORE_K, KCORE_ROUNDS, src="id_a", dst="id_b")
+
+
+QUERIES["kcore_stats"] = q_kcore_stats
+
+# every e{i} is referenced three times by the next round (degree
+# UNION twice + the edge filter) — AS MATERIALIZED stops DuckDB from
+# re-INLINING the whole upstream banding per reference, which would
+# make the chain exponential in rounds (observed: the un-hinted form
+# ran >10 min where the materialized one takes seconds)
+_KCORE_ROUND = """
+        d{i} AS MATERIALIZED (
+          SELECT node, count(*)::BIGINT AS deg
+          FROM (SELECT a AS node FROM e{prev}
+                UNION ALL SELECT b FROM e{prev})
+          GROUP BY node
+        ), n{i} AS MATERIALIZED (
+          SELECT node FROM d{i} WHERE deg >= {k}
+        ), e{i} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e{prev} e
+          JOIN n{i} x ON e.a = x.node
+          JOIN n{i} y ON e.b = y.node
+        )"""
+
+
+def _kcore_oracle() -> str:
+    from cli_rag_spark.plans import queries_dedup as _qd
+
+    pairs_sql = _qd.ORACLE["minhash_candidates"]
+    rounds = ",".join(
+        _KCORE_ROUND.format(i=i + 1, prev=i, k=KCORE_K) for i in range(KCORE_ROUNDS)
+    )
+    return f"""
+        WITH pairs AS MATERIALIZED (
+          SELECT id_a AS ra, id_b AS rb FROM ({pairs_sql})
+        ), e0 AS MATERIALIZED (
+          SELECT DISTINCT least(ra, rb) AS a, greatest(ra, rb) AS b
+          FROM pairs WHERE ra <> rb
+        ),{rounds},
+        dfin AS MATERIALIZED (
+          SELECT node, count(*)::BIGINT AS deg
+          FROM (SELECT a AS node FROM e{KCORE_ROUNDS}
+                UNION ALL SELECT b FROM e{KCORE_ROUNDS})
+          GROUP BY node
+        )
+        SELECT CAST({KCORE_K} AS BIGINT) AS k,
+               CAST({KCORE_ROUNDS} AS BIGINT) AS rounds,
+               (SELECT count(*) FROM dfin)::BIGINT AS core_nodes,
+               (SELECT count(*) FROM e{KCORE_ROUNDS})::BIGINT AS core_edges,
+               (SELECT count(*) FROM dfin WHERE deg < {KCORE_K})::BIGINT
+                 AS n_below_k
+    """
+
+
+ORACLE["kcore_stats"] = _kcore_oracle()

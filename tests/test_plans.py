@@ -358,3 +358,10 @@ def test_scale_pack_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bootstrap_ci_revenue")
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    # k-core: the peel rounds run behind eager checkpoints (the
+    # iterative-operator lineage discipline), so the final plan reads
+    # from materialized RDDs — and nothing downstream cartesians
+    plan = _plan(spark, sf_dir, "kcore_stats")
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan

@@ -193,3 +193,44 @@ def test_bootstrap_validates_params(spark):
         poisson_bootstrap_sums(df, F.col("k"), F.col("v"), 1)
     with pytest.raises(ValueError, match="trim"):
         bootstrap_ci(df, F.col("k"), F.col("v"), n_replicas=4, trim=2)
+
+
+# --- k_core ---------------------------------------------------------
+
+
+def test_kcore_peels_chain_keeps_cycle(spark):
+    # a 4-cycle (every node degree 2) with a pendant chain hanging
+    # off it: the 2-core is exactly the cycle — round 1 peels the
+    # chain tip, round 2 the next link, round 3 the last
+    from cli_rag_spark.operators.components import k_core, k_core_stats
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    core = {r["node"] for r in k_core(edges, k=2, rounds=3).collect()}
+    assert core == {0, 1, 2, 3}
+    stats = k_core_stats(edges, k=2, rounds=3).collect()[0]
+    assert (stats["core_nodes"], stats["core_edges"], stats["n_below_k"]) == (4, 4, 0)
+
+
+def test_kcore_partial_peel_reports_nonconvergence(spark):
+    # a 5-link chain needs 3 peels from EACH end to empty; after 1
+    # round the survivors still contain degree-1 nodes -> n_below_k>0
+    from cli_rag_spark.operators.components import k_core_stats
+
+    chain = [(i, i + 1) for i in range(6)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    one = k_core_stats(edges, k=2, rounds=1).collect()[0]
+    assert one["n_below_k"] > 0
+    full = k_core_stats(edges, k=2, rounds=3).collect()[0]
+    assert (full["core_nodes"], full["core_edges"], full["n_below_k"]) == (0, 0, 0)
+
+
+def test_kcore_ignores_self_loops_and_validates(spark):
+    from cli_rag_spark.operators.components import k_core
+
+    loops = spark.createDataFrame([(1, 1), (1, 2)], "src long, dst long")
+    assert k_core(loops, k=2, rounds=1).count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(loops, k=0)
+    with pytest.raises(ValueError, match="rounds"):
+        k_core(loops, k=1, rounds=0)
