@@ -85,6 +85,7 @@ HEADLINE = [
     "lp_communities",            # scale-ops: weighted label propagation (r6)
     "bootstrap_ci_revenue",      # scale-ops: one-pass Poisson bootstrap (r6)
     "kcore_stats",               # graph: bounded 2-core peel of the dup graph (r6)
+    "streaming_cusum",           # streaming: daily rollup in-stream, CUSUM at read (r6)
 ]
 
 

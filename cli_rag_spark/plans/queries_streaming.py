@@ -369,3 +369,34 @@ ORACLE["streaming_native_sessions"] = f"""
     WHERE epoch_us(gmax - last_ts) >= {SESSION_GAP_MIN} * 60 * 1000000
     ORDER BY user_id, session_start
 """
+
+
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous change-point monitoring (streaming/ops.py
+    daily_type_counts + operators/drift.py cusum_changepoints): the
+    per-type daily rollup is maintained IN the stream (1-day tumbling
+    windows, complete mode — state O(open days × types)), the CUSUM
+    level-shift score runs AT READ over the tiny accumulated table.
+    The oracle is the batch CUSUM spec VERBATIM (queries_scale):
+    stream-maintained rollup + read-time scoring must land on exactly
+    the batch answer — the aggregate-in-stream / analyze-at-read
+    equivalence contract, same style as streaming_incremental_dedup."""
+    from cli_rag_spark.operators.drift import cusum_changepoints
+    from cli_rag_spark.streaming.ops import daily_type_counts
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    daily = run_to_memory(daily_type_counts(stream), "complete")
+    out = cusum_changepoints(daily, F.col("event_type"), F.col("day"), F.col("x"))
+    return out.select(
+        F.col("group").alias("event_type"),
+        F.col("n_points").alias("n_days"),
+        "total",
+        F.date_format("cp_t", "yyyy-MM-dd").alias("cp_day"),
+        "cusum_abs",
+    ).orderBy("event_type")
+
+
+from cli_rag_spark.plans import queries_scale as _qsc  # noqa: E402
+
+QUERIES["streaming_cusum"] = q_streaming_cusum
+ORACLE["streaming_cusum"] = _qsc.ORACLE["cusum_changepoints"]

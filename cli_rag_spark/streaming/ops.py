@@ -568,3 +568,30 @@ def native_sessions(
             "session_value",
         )
     )
+
+
+def daily_type_counts(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked 1-DAY tumbling counts per event type — the rollup
+    feeding continuous drift/change-point monitoring (the CUSUM gate
+    runs over this table, operators/drift.py): state is O(open days ×
+    types), the daily table is tiny forever, and the monitor re-scores
+    at read instead of keeping its own stream state (scoring is a
+    window over ≤ days×types rows — the same aggregate-in-stream /
+    analyze-at-read split as :func:`sliding_type_counts`).
+    Complete-mode output equals the batch daily rollup exactly."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select(
+            F.to_date(F.col("w.start")).alias("day"),
+            "event_type",
+            "x",
+        )
+    )

@@ -326,3 +326,18 @@ def test_multibatch_native_sessions_match_closed_form(spark, split_events_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_multibatch_daily_counts_match_batch(spark, split_events_dir):
+    # the CUSUM monitor's input table: stream-maintained daily rollup
+    # across micro-batches == the batch rollup, exactly
+    stream = ops.read_events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    streamed = ops.run_to_memory(ops.daily_type_counts(stream), "complete")
+    batch = (
+        spark.read.parquet(split_events_dir)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
