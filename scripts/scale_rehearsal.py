@@ -107,6 +107,10 @@ QUERIES = [
     "key_skew_stats",
     "bloom_join_stats",
     "cusum_changepoints",
+    # k-core: rotated-alphabet replicas add candidate edges linearly
+    # (no cross-replica shingle collisions), so peel work must track
+    # the banding's α, not exceed it
+    "kcore_stats",
 ]
 
 

@@ -302,3 +302,80 @@ def test_wav_roundtrip_property(rate, ch, frames, bits):
     assert d["sample_rate"] == rate
     assert d["channels"] == ch
     assert d["duration_sec"] == round(frames / rate, 2)
+
+
+# --- late-r6 scale-ops lemmas ----------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=(1 << 32) - 1))
+@settings(max_examples=300, deadline=None)
+def test_poisson_hex_compare_equals_integer_compare(u):
+    """The bootstrap draw's fixed-width lowercase-hex STRING compare
+    is the integer compare (operators/bootstrap.py POISSON1_HEX): for
+    any 32-bit u, classifying by hex-slice < hex-threshold must equal
+    classifying by u < int-threshold."""
+    from cli_rag_spark.operators.bootstrap import (
+        MAX_MULT,
+        POISSON1_HEX,
+        POISSON1_THRESHOLDS,
+    )
+
+    h = format(u, "08x")
+    by_int = next(
+        (k for k, t in enumerate(POISSON1_THRESHOLDS) if u < t), MAX_MULT
+    )
+    by_hex = next(
+        (k for k, t in enumerate(POISSON1_HEX) if h < t), MAX_MULT
+    )
+    assert by_int == by_hex
+
+
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_histogram_rank_percentile_lemma(counts):
+    """key_skew_profile's percentile-from-histogram rule ("smallest
+    cnt whose cumulative key coverage satisfies the all-integer rank
+    inequality") equals the direct sorted-rank definition — p50 at
+    rank ceil(n/2), p99 at rank ceil(0.99 n)."""
+    import collections
+    import math
+
+    n = len(counts)
+    hist = sorted(collections.Counter(counts).items())
+    cum = 0
+    p50 = p99 = None
+    for cnt, nk in hist:
+        cum += nk
+        if p50 is None and cum * 2 >= n:
+            p50 = cnt
+        if p99 is None and cum * 100 >= n * 99:
+            p99 = cnt
+    s = sorted(counts)
+    assert p50 == s[math.ceil(n / 2) - 1]
+    assert p99 == s[math.ceil(0.99 * n) - 1]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_cusum_integer_scaling_lemma(xs):
+    """cusum_changepoints' exact-integer statistic: the argmax of
+    |n·S_k| over integer terms (n·x_i − T) equals the argmax of the
+    textbook |S_k| with the exact rational mean — same change point
+    (tie-to-earliest), and the integer peak is exactly n times the
+    rational peak."""
+    from fractions import Fraction
+
+    n, T = len(xs), sum(xs)
+    mean = Fraction(T, n)
+    s_int, s_rat = 0, Fraction(0)
+    best_int = best_rat = None
+    arg_int = arg_rat = None
+    for k, x in enumerate(xs):
+        s_int += n * x - T
+        s_rat += x - mean
+        if best_int is None or abs(s_int) > best_int:
+            best_int, arg_int = abs(s_int), k
+        if best_rat is None or abs(s_rat) > best_rat:
+            best_rat, arg_rat = abs(s_rat), k
+    assert arg_int == arg_rat
+    assert best_int == n * best_rat
