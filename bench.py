@@ -86,6 +86,7 @@ HEADLINE = [
     "bootstrap_ci_revenue",      # scale-ops: one-pass Poisson bootstrap (r6)
     "kcore_stats",               # graph: bounded 2-core peel of the dup graph (r6)
     "streaming_cusum",           # streaming: daily rollup in-stream, CUSUM at read (r6)
+    "video_frame_stats",         # multimodal: real RIFF/AVI frame sampling (r6)
 ]
 
 

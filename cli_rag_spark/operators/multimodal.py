@@ -548,3 +548,187 @@ def frame_sample_plan(
             p.substr((F.col("frame_offset") + 1).cast("int"), F.lit(16)),
         )
     )
+
+
+def avi_encode(
+    width: int,
+    height: int,
+    n_frames: int,
+    fps: int = 10,
+    frame_sizes: list[int] | None = None,
+) -> bytes:
+    """Build a real RIFF/AVI container — the video sibling of
+    :func:`wav_encode` / :func:`bmp_encode`: LIST hdrl with a
+    well-formed ``avih`` main header (the microsec-per-frame /
+    total-frames / width / height fields a real demuxer reads), a
+    junk ``LIST INFO`` between hdrl and movi (so a parser that
+    assumes movi-follows-hdrl is detectably wrong), and a LIST movi
+    of ``00dc`` frame chunks. Frame j's payload is ``frame_sizes[j]``
+    bytes (default 64 + 8·j) of the byte j%256 — deterministic sizes
+    so sampling arithmetic has a closed form. No codec: the frames
+    are opaque, which is exactly the contract (the SAMPLER's job is
+    container walking; pixel decode would be a codec's)."""
+    import struct
+
+    sizes = frame_sizes if frame_sizes is not None else [64 + 8 * j for j in range(n_frames)]
+    if len(sizes) != n_frames:
+        raise ValueError(f"frame_sizes has {len(sizes)} entries for {n_frames} frames")
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0, 0, 0,
+        n_frames,          # dwTotalFrames
+        0, 1, 0,
+        width, height,
+        0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    movi_body = b"movi"
+    for j, sz in enumerate(sizes):
+        movi_body += b"00dc" + struct.pack("<I", sz) + bytes([j % 256]) * sz
+        if sz & 1:
+            movi_body += b"\x00"  # RIFF word alignment
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + junk + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def real_sample_frames(payload: bytes, every_k: int = 4) -> dict:
+    """REAL video frame sampling for RIFF/AVI — pure-Python container
+    walking, no third-party dependency: parse ``avih`` out of the
+    hdrl LIST (walked, not assumed at a fixed offset), walk the movi
+    LIST's ``..dc``/``..wb`` frame chunks, and keep every k-th
+    frame's (index, byte size). Entropy-coded containers (MP4/MKV)
+    raise: real demux + decode needs ffmpeg/torchvision — same
+    honesty contract as :func:`real_decode_audio`."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "real frame sampling implemented for RIFF/AVI; MP4/MKV need "
+            "ffmpeg/torchvision (not in this container) — use "
+            "frame_sample_plan for the byte-slice stub"
+        )
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    width = height = n_frames_header = None
+    frames: list[tuple[int, int]] = []
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"LIST":
+            kind = payload[pos + 8 : pos + 12]
+            if kind == b"hdrl":
+                # walk hdrl subchunks for avih — never a fixed offset
+                sub = pos + 12
+                end = pos + 8 + size
+                while sub + 8 <= end:
+                    scid = payload[sub : sub + 4]
+                    ssz = struct.unpack_from("<I", payload, sub + 4)[0]
+                    if scid == b"avih":
+                        fields = struct.unpack_from("<14I", payload, sub + 8)
+                        n_frames_header = fields[4]
+                        width, height = fields[8], fields[9]
+                    sub += 8 + ssz + (ssz & 1)
+            elif kind == b"movi":
+                sub = pos + 12
+                end = pos + 8 + size
+                idx = 0
+                while sub + 8 <= end:
+                    scid = payload[sub : sub + 4]
+                    ssz = struct.unpack_from("<I", payload, sub + 4)[0]
+                    if scid[2:4] in (b"dc", b"wb"):
+                        if scid[2:4] == b"dc":
+                            if idx % every_k == 0:
+                                frames.append((idx, ssz))
+                            idx += 1
+                    sub += 8 + ssz + (ssz & 1)
+        pos += 8 + size + (size & 1)
+    if width is None or n_frames_header is None:
+        raise ValueError("malformed AVI: missing avih header")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames_header,
+        "frames": frames,
+    }
+
+
+def synth_avi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``payload`` column of REAL RIFF/AVI bytes whose
+    parameters are a closed form of the id — the video twin of
+    :func:`synth_wav_payloads`:
+
+        width    = 16 · (1 + id % 4)
+        height   = 16 · (1 + id % 3)
+        n_frames = 8 + id % 24         (frame j carries 64 + 8j bytes)
+
+    ⇒ sampling every 4th frame keeps m = (n_frames+3)//4 frames with
+    EXACTLY 64·m + 16·m·(m−1) sampled bytes — integer arithmetic the
+    judged oracle replays in SQL."""
+    from cli_rag_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = StructType(df.schema.fields + [StructField("payload", BinaryType())])
+    in_cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            out["payload"] = [
+                avi_encode(
+                    width=16 * (1 + i % 4),
+                    height=16 * (1 + i % 3),
+                    n_frames=8 + i % 24,
+                )
+                for i in (int(v) for v in pdf[id_col])
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_k: int = 4,
+    payload_col: str = "payload",
+    sampler: Callable[[bytes, int], dict] | None = None,
+) -> DataFrame:
+    """Per-payload frame-sampling summary over REAL container bytes:
+    input columns + (width, height, n_frames, n_sampled,
+    sampled_bytes). Arrow-batched mapInPandas (the multimodal.py
+    plumbing contract: schema/partitioning/batch shape identical
+    whichever sampler runs); default sampler is the real AVI
+    container walker."""
+    from cli_rag_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    fn = sampler if sampler is not None else real_sample_frames
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(
+        keep
+        + [
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("n_sampled", IntegerType()),
+            StructField("sampled_bytes", LongType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep_names].copy()
+            decoded = [fn(bytes(p), every_k) for p in pdf[payload_col]]
+            out["width"] = [d["width"] for d in decoded]
+            out["height"] = [d["height"] for d in decoded]
+            out["n_frames"] = [d["n_frames"] for d in decoded]
+            out["n_sampled"] = [len(d["frames"]) for d in decoded]
+            out["sampled_bytes"] = [sum(s for _, s in d["frames"]) for d in decoded]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -239,6 +239,39 @@ def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 video path over REAL container bytes (late r6 — completes
+    the real-decode trio: BMP pixels, WAV samples, AVI frames):
+    per-doc RIFF/AVI payloads (synth_avi_payloads — well-formed avih
+    header, junk LIST between hdrl and movi, word-aligned 00dc
+    frames with closed-form sizes) → the default container-walking
+    sampler (real_sample_frames, every 4th frame) → per-(width,
+    height) totals. Sampled bytes are exact integers by construction
+    (64·m + 16·m·(m−1) for m kept frames), so a sampler that
+    miswalks chunks, miscounts alignment, or samples the wrong
+    stride is a visible oracle mismatch."""
+    from cli_rag_spark.operators.multimodal import (
+        sample_video_frames,
+        synth_avi_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sampled = sample_video_frames(synth_avi_payloads(docs), every_k=4)
+    return (
+        sampled.groupBy(
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("n_sampled").alias("total_sampled"),
+            F.sum("sampled_bytes").alias("total_sampled_bytes"),
+        )
+        .orderBy("width", "height")
+    )
+
+
 def q_audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E11 audio path: binary payloads → overlapping 256/128-byte
     windows (JVM-side explode, the STFT frame shape) → per-doc window
@@ -266,6 +299,7 @@ QUERIES = {
     "binary_metadata": q_binary_metadata,
     "image_decode_stats": q_image_decode_stats,
     "audio_decode_stats": q_audio_decode_stats,
+    "video_frame_stats": q_video_frame_stats,
 }
 
 _CHUNK_SQL = f"""
@@ -424,6 +458,26 @@ ORACLE = {
                CAST(sum(cs) AS BIGINT) AS total_cs
         FROM m GROUP BY sample_rate, channels
         ORDER BY sample_rate, channels
+    """,
+    # synth_avi_payloads closed form: width = 16(1 + id%4), height =
+    # 16(1 + id%3), n_frames = 8 + id%24 with frame j carrying
+    # 64 + 8j bytes; sampling every 4th keeps m = (n+3)//4 frames and
+    # EXACTLY 64m + 16m(m-1) bytes — pure integer arithmetic
+    "video_frame_stats": """
+        WITH m AS (
+          SELECT 16 * (1 + doc_id % 4) AS width,
+                 16 * (1 + doc_id % 3) AS height,
+                 8 + doc_id % 24 AS nf,
+                 (8 + doc_id % 24 + 3) // 4 AS ms
+          FROM documents
+        )
+        SELECT width, height, count(*) AS n,
+               CAST(sum(nf) AS BIGINT) AS total_frames,
+               CAST(sum(ms) AS BIGINT) AS total_sampled,
+               CAST(sum(64 * ms + 16 * ms * (ms - 1)) AS BIGINT)
+                 AS total_sampled_bytes
+        FROM m GROUP BY width, height
+        ORDER BY width, height
     """,
     # synth_bmp_payloads closed form: width = 1 + doc_id%64, height =
     # 1 + doc_id%48, mode = [RGB,RGBA,L][doc_id%3], and px_mean ==

@@ -336,3 +336,61 @@ class TestResize:
         again = {r.doc_id: r for r in resize_images(df, 64, 48, resizer=fake_resize_image).collect()}
         assert bytes(rows[0].resized) == bytes(again[0].resized)
         assert bytes(rows[0].resized) != bytes(rows[1].resized)
+
+
+class TestAviSampler:
+    """Dependency-free RIFF/AVI container round-trips — the video
+    sibling of TestRealCodecs (late r6): frame sampling over real
+    bytes, junk-chunk walking, alignment, honest non-AVI refusal."""
+
+    def test_avi_roundtrip_and_sampling(self):
+        from cli_rag_spark.operators.multimodal import avi_encode, real_sample_frames
+
+        d = real_sample_frames(avi_encode(32, 48, 11), every_k=4)
+        assert (d["width"], d["height"], d["n_frames"]) == (32, 48, 11)
+        # frames 0,4,8 with sizes 64, 96, 128 (64 + 8j)
+        assert d["frames"] == [(0, 64), (4, 96), (8, 128)]
+
+    def test_avi_odd_frame_sizes_word_aligned(self):
+        from cli_rag_spark.operators.multimodal import avi_encode, real_sample_frames
+
+        d = real_sample_frames(
+            avi_encode(16, 16, 3, frame_sizes=[7, 8, 9]), every_k=1
+        )
+        assert d["frames"] == [(0, 7), (1, 8), (2, 9)]
+
+    def test_avi_every_k_one_keeps_all(self):
+        from cli_rag_spark.operators.multimodal import avi_encode, real_sample_frames
+
+        d = real_sample_frames(avi_encode(16, 32, 5), every_k=1)
+        assert [i for i, _ in d["frames"]] == [0, 1, 2, 3, 4]
+
+    def test_non_avi_raises_not_implemented(self):
+        from cli_rag_spark.operators.multimodal import real_sample_frames
+
+        with pytest.raises(NotImplementedError, match="AVI"):
+            real_sample_frames(b"\x00\x00\x00\x20ftypisom-mp4-data", 4)
+
+    def test_bad_every_k_raises(self):
+        from cli_rag_spark.operators.multimodal import avi_encode, real_sample_frames
+
+        with pytest.raises(ValueError, match="every_k"):
+            real_sample_frames(avi_encode(16, 16, 2), every_k=0)
+
+    def test_spark_sampler_matches_closed_form(self, spark):
+        from cli_rag_spark.operators.multimodal import (
+            sample_video_frames,
+            synth_avi_payloads,
+        )
+
+        ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+        rows = sample_video_frames(synth_avi_payloads(ids), every_k=4).collect()
+        assert len(rows) == 40
+        for r in rows:
+            i = r["doc_id"]
+            n = 8 + i % 24
+            m = (n + 3) // 4
+            assert r["width"] == 16 * (1 + i % 4)
+            assert r["height"] == 16 * (1 + i % 3)
+            assert (r["n_frames"], r["n_sampled"]) == (n, m)
+            assert r["sampled_bytes"] == 64 * m + 16 * m * (m - 1)

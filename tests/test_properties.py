@@ -379,3 +379,22 @@ def test_cusum_integer_scaling_lemma(xs):
             best_rat, arg_rat = abs(s_rat), k
     assert arg_int == arg_rat
     assert best_int == n * best_rat
+
+
+@given(
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=80, deadline=None)
+def test_avi_roundtrip_property(w, h, n_frames, every_k):
+    """avi_encode → real_sample_frames is exact for any geometry:
+    header fields round-trip, sampled indices are 0, k, 2k, …, and
+    each sampled size matches the encoder's 64+8j law."""
+    from cli_rag_spark.operators.multimodal import avi_encode, real_sample_frames
+
+    d = real_sample_frames(avi_encode(w, h, n_frames), every_k=every_k)
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, n_frames)
+    assert [i for i, _ in d["frames"]] == list(range(0, n_frames, every_k))
+    assert all(s == 64 + 8 * i for i, s in d["frames"])
