@@ -640,11 +640,13 @@ def real_sample_frames(payload: bytes, every_k: int = 4) -> dict:
                 while sub + 8 <= end:
                     scid = payload[sub : sub + 4]
                     ssz = struct.unpack_from("<I", payload, sub + 4)[0]
-                    if scid[2:4] in (b"dc", b"wb"):
-                        if scid[2:4] == b"dc":
-                            if idx % every_k == 0:
-                                frames.append((idx, ssz))
-                            idx += 1
+                    # video frames only ("..dc"); interleaved audio
+                    # ("..wb") and index chunks are walked past and
+                    # never advance the frame index
+                    if scid[2:4] == b"dc":
+                        if idx % every_k == 0:
+                            frames.append((idx, ssz))
+                        idx += 1
                     sub += 8 + ssz + (ssz & 1)
         pos += 8 + size + (size & 1)
     if width is None or n_frames_header is None:

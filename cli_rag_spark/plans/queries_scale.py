@@ -4,8 +4,9 @@ decides salting / broadcast-head pinning), the Bloom runtime-filter
 join (the canonical shuffle-reduction shape), CUSUM change-point
 detection (level-shift monitoring over ingest series), weighted label
 propagation (community structure, the density-aware complement to
-connected components), and the Poisson bootstrap (confidence
-intervals in one pass, no global resample).
+connected components), the Poisson bootstrap (confidence intervals
+in one pass, no global resample), and bounded k-core peeling (the
+robustness view of the near-dup graph).
 
 Not in the reference (its scope stops at single-query RAG); these are
 the standard companions any large-scale corpus pipeline adds around
