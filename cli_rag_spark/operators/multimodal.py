@@ -556,6 +556,7 @@ def avi_encode(
     n_frames: int,
     fps: int = 10,
     frame_sizes: list[int] | None = None,
+    interleave_audio: bool = False,
 ) -> bytes:
     """Build a real RIFF/AVI container — the video sibling of
     :func:`wav_encode` / :func:`bmp_encode`: LIST hdrl with a
@@ -590,6 +591,11 @@ def avi_encode(
         movi_body += b"00dc" + struct.pack("<I", sz) + bytes([j % 256]) * sz
         if sz & 1:
             movi_body += b"\x00"  # RIFF word alignment
+        if interleave_audio:
+            # a real muxer interleaves ..wb audio between video
+            # frames; the sampler must walk past these without
+            # advancing the frame index
+            movi_body += b"01wb" + struct.pack("<I", 12) + bytes(12)
     movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
     body = b"AVI " + hdrl + junk + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -394,3 +394,13 @@ class TestAviSampler:
             assert r["height"] == 16 * (1 + i % 3)
             assert (r["n_frames"], r["n_sampled"]) == (n, m)
             assert r["sampled_bytes"] == 64 * m + 16 * m * (m - 1)
+
+    def test_interleaved_audio_does_not_shift_frame_index(self):
+        from cli_rag_spark.operators.multimodal import avi_encode, real_sample_frames
+
+        plain = real_sample_frames(avi_encode(16, 16, 9), every_k=2)
+        muxed = real_sample_frames(
+            avi_encode(16, 16, 9, interleave_audio=True), every_k=2
+        )
+        assert muxed["frames"] == plain["frames"]
+        assert muxed["n_frames"] == 9
