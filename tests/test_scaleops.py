@@ -234,3 +234,24 @@ def test_kcore_ignores_self_loops_and_validates(spark):
         k_core(loops, k=0)
     with pytest.raises(ValueError, match="rounds"):
         k_core(loops, k=1, rounds=0)
+
+
+def test_bloom_filtered_join_preserves_duplicate_fact_rows(spark):
+    # inner-join multiplicity: three fact rows on one dim key must
+    # all survive the prefilter and appear once each
+    fact = spark.createDataFrame([(7, 1), (7, 2), (7, 3), (8, 4)], "fk long, payload long")
+    dim = spark.createDataFrame([(7, "d7")], "dk long, name string")
+    got = sorted(
+        (r["fk"], r["payload"]) for r in
+        bloom_filtered_join(fact, dim, "fk", "dk", n_bits=1 << 8).collect()
+    )
+    assert got == [(7, 1), (7, 2), (7, 3)]
+
+
+def test_key_skew_profile_single_key(spark):
+    df = spark.createDataFrame([(1,)] * 9, "k int")
+    out = key_skew_profile(df, F.col("k")).collect()[0]
+    assert out["distinct_keys"] == 1
+    assert out["max_cnt"] == out["p50_cnt"] == out["p99_cnt"] == 9
+    assert out["max_share_ppm"] == 1000000
+    assert out["skew_x100"] == 100
