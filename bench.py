@@ -87,6 +87,7 @@ HEADLINE = [
     "kcore_stats",               # graph: bounded 2-core peel of the dup graph (r6)
     "streaming_cusum",           # streaming: daily rollup in-stream, CUSUM at read (r6)
     "video_frame_stats",         # multimodal: real RIFF/AVI frame sampling (r6)
+    "ngram_novelty",             # corpus: cross-corpus shingle uniqueness (r6)
 ]
 
 

@@ -399,3 +399,91 @@ def _kcore_oracle() -> str:
 
 
 ORACLE["kcore_stats"] = _kcore_oracle()
+
+
+# --- cross-corpus n-gram novelty ------------------------------------
+
+NOVELTY_SHINGLE = 3
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty: the fraction (ppm) of each source's 3-word
+    shingles that appear in EXACTLY ONE document corpus-wide — the
+    diversity signal curation pipelines weigh against dedup's
+    similarity signals (repetition_scores is within-doc,
+    decontamination is cross-SET; this is cross-CORPUS uniqueness).
+
+    Scale shape: shingles travel as md5 fingerprints (the
+    bloom_decontamination key discipline — identical fp derivation in
+    the oracle keeps parity exact while the shuffle key stays fixed
+    width); one partial-agg ``groupBy(fp)`` document-frequency count,
+    one fp-keyed join back, two partial-agg rollups. Docs with fewer
+    than 3 words have no shingles and drop out of n_docs — stated
+    contract, identical in the oracle. novelty_ppm is floor-integer."""
+    from cli_rag_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), NOVELTY_SHINGLE))).alias("g"),
+    ).withColumn("fp", F.md5("g")).drop("g")
+    dfc = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        per_doc.join(dfc, "fp")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_unique").alias("unique_grams"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_grams",
+            "unique_grams",
+            F.floor(F.col("unique_grams") * 1000000 / F.col("total_grams")).alias(
+                "novelty_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["ngram_novelty"] = q_ngram_novelty
+
+
+def _novelty_oracle() -> str:
+    from cli_rag_spark.plans.queries_mining import _shingle_sql
+
+    sh = _shingle_sql(NOVELTY_SHINGLE)
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, source, md5(g) AS fp
+          FROM (SELECT doc_id, source, unnest({sh}) AS g FROM documents)
+        ), dfc AS (
+          SELECT fp, count(*) AS df FROM sh GROUP BY fp
+        ), per_doc AS (
+          SELECT s.doc_id, s.source,
+                 count(*)::BIGINT AS n_grams,
+                 sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+          FROM sh s JOIN dfc d ON s.fp = d.fp
+          GROUP BY s.doc_id, s.source
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_grams) AS BIGINT) AS total_grams,
+               CAST(sum(n_unique) AS BIGINT) AS unique_grams,
+               CAST(floor(sum(n_unique) * 1000000 / sum(n_grams)) AS BIGINT)
+                 AS novelty_ppm
+        FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+ORACLE["ngram_novelty"] = _novelty_oracle()

@@ -127,8 +127,9 @@ _PRIORITY = _SENTINELS + [
     # r7 fill head: audio_decode_stats + lsh_recall_stats +
     # ivf_recall_stats + the queries_scale pack (key_skew_stats,
     # bloom_join_stats, cusum_changepoints, lp_communities,
-    # bootstrap_ci_revenue, kcore_stats) + streaming_cusum +
-    # video_frame_stats — all added late-r6, never judged; the
+    # bootstrap_ci_revenue, kcore_stats, ngram_novelty) +
+    # streaming_cusum + video_frame_stats — all added late-r6,
+    # never judged; the
     # head of the r6 window was frozen for the staleness
     # restoration, same deferral precedent as the late-r5 cohort —
     # then chunk_clean_stats, token_counts (r2), then the
