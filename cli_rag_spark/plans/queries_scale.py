@@ -430,7 +430,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("fp", F.md5("g")).drop("g")
     dfc = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        per_doc.join(dfc, "fp")
+        # big-big join: the df table is ~|distinct shingles| rows and
+        # grows with the corpus — it must NEVER broadcast, whatever
+        # the size estimate says (the 64 MB session threshold let AQE
+        # attempt it at sf0.1 inside a long-lived bench JVM and blew
+        # the driver heap); the merge hint pins the sort-merge plan,
+        # which is also the only shape that survives 100 TB
+        per_doc.join(dfc.hint("merge"), "fp")
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
