@@ -365,3 +365,11 @@ def test_scale_pack_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "kcore_stats")
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+    # novelty: the df-count side grows with the corpus — it must
+    # NEVER broadcast (the 64 MB threshold estimate let AQE try at
+    # sf0.1 in a long-lived JVM and blew the driver heap); the merge
+    # hint pins sort-merge
+    plan = _plan(spark, sf_dir, "ngram_novelty")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
