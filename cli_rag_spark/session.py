@@ -33,10 +33,31 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # Joins against small dimension tables should broadcast; 64 MB
+        # Explicit driver heap (r6 postmortem): local[*] is driver-mode
+        # execution, so EVERY broadcast build lands on the driver heap.
+        # Spark's default is 1g; a 59-query bench marathon in one
+        # long-lived JVM accumulated broadcast blocks faster than the
+        # ContextCleaner freed them and OOM'd flakily
+        # (notEnoughMemoryToBuildAndBroadcastTable, BENCH_r06 rc=1).
+        # Must be set BEFORE JVM launch — getOrCreate on an existing
+        # JVM cannot apply it, which is fine: get_session is the
+        # process's first session in every entry point (bench.py, CLI,
+        # tests' conftest). Ignored/overridable via spark-submit on a
+        # real cluster.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # The ContextCleaner frees a broadcast block only after a JVM
+        # GC collects its weak reference; an 8g heap may not GC for the
+        # whole marathon, so force a periodic System.gc() well inside
+        # the bench's runtime (default 30min would never fire).
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        # Joins against small dimension tables should broadcast; 16 MB
         # covers every dim table in the star schema at any SF we meet
         # locally, while on a cluster AQE re-derives this at runtime.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # (r6 postmortem: the previous 64 MB let AQE broadcast
+        # mid-size derived tables whose size ESTIMATE was under the
+        # threshold but whose built relation was ~5x bigger — each
+        # such block parks on the driver heap until a GC cycle.)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         # Parquet scans: keep splits big enough that a 100 TB table
         # doesn't explode into millions of tiny tasks.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
