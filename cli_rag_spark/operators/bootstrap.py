@@ -157,11 +157,15 @@ def bootstrap_ci(
     if not 0 < 2 * (trim + 1) <= n_replicas:
         raise ValueError(f"trim {trim} out of range for B={n_replicas}")
     sums = poisson_bootstrap_sums(df, key, value, n_replicas)
+    # try_element_at: on EMPTY input the replica array is empty and
+    # ANSI element_at would throw ARRAY_INDEX_OUT_OF_BOUNDS mid-job;
+    # the contract for an empty frame is instead NULL bounds next to
+    # a NULL point estimate (ADVICE r6).
     bounds = sums.agg(
         F.sort_array(F.collect_list("replica_sum")).alias("s"),
     ).select(
-        F.element_at("s", trim + 1).alias("ci_lo"),
-        F.element_at("s", -(trim + 1)).alias("ci_hi"),
+        F.try_element_at("s", F.lit(trim + 1)).alias("ci_lo"),
+        F.try_element_at("s", F.lit(-(trim + 1))).alias("ci_hi"),
     )
     point = df.select(value.cast("decimal(18,2)").alias("v")).agg(
         F.sum("v").cast("decimal(18,2)").alias("point_est")

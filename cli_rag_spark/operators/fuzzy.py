@@ -314,11 +314,16 @@ def choose_fuzzy_strategy(
                 prefix_len,
             ).alias("pdfs")
         )
-        .select("slen", F.explode("pdfs").alias("pdf"))
+        .select("sid", "slen", F.explode("pdfs").alias("pdf"))
         .agg(
             F.avg("pdf").alias("mean_prefix_df"),
             F.avg("slen").alias("mean_len"),
-            F.count_distinct("slen").alias("_n"),
+            # sampled-string count from the SAME aggregate — a second
+            # s.count() job for it was pure waste (ADVICE r6); strings
+            # too short to emit a q-gram fall out of both the mean
+            # stats and this count, which is the population the
+            # dispatch thresholds actually reason about
+            F.count_distinct("sid").alias("n_sampled"),
         )
         .collect()
     )
@@ -326,7 +331,7 @@ def choose_fuzzy_strategy(
         return "qgram"  # empty input: either runs instantly
     mean_prefix_df = stats_rows[0]["mean_prefix_df"]
     mean_len = stats_rows[0]["mean_len"]
-    n_sampled = s.count()
+    n_sampled = stats_rows[0]["n_sampled"]
     if max_dist == 2 and mean_len > FASTSS_D2_MAX_AVG_LEN:
         return "qgram"
     threshold = max(8.0, 0.01 * n_sampled)

@@ -30,10 +30,17 @@ concurrent writer raises ConcurrentCommitError with its staging
 deleted and the table untouched; a crash mid-commit leaves only
 invisible staging/orphan dirs (collected by vacuum). Readers resolve
 "latest" by listing manifests, so a half-written commit is simply
-invisible. Known limitation, shared with lock-file-based formats: a
-writer that crashes BETWEEN claim and manifest publish burns that
-version number until the stale lock is removed (vacuum clears locks
-for versions ≤ the latest committed manifest).
+invisible. A writer that crashes BETWEEN claim and manifest publish
+leaves a stale lock at its target version; recovery is TTL-based
+claim expiry (the same contract lock-file lakehouse layouts use on
+stores without compare-and-swap): a later claimant may STEAL a lock
+older than ``CLAIM_TTL_SECONDS`` whose manifest never appeared, and
+vacuum collects such aged manifest-less locks too.
+:func:`force_unlock` is the operator override for a known-dead
+writer. The documented tradeoff: a LIVE writer stalled past the TTL
+can lose its claim — the TTL must exceed any plausible
+stage-to-publish gap (staging happens BEFORE the claim, so the
+claim-to-publish window is metadata-only and short).
 
 Bucketing is the md5(key) % B pattern shared with operators/training.py
 — deterministic, engine-replayable (the DuckDB oracle reproduces
@@ -101,28 +108,87 @@ def _lock_path(spark: SparkSession, path: str, version: int):
     return spark._jvm.org.apache.hadoop.fs.Path(path, f"._commit_v{version}.lock")
 
 
-def _claim_version(spark: SparkSession, path: str, version: int) -> None:
+# Stale-claim expiry: a lock THIS old with no manifest for its version
+# is a crashed writer (the claim→publish window is metadata-only; a
+# live writer crosses it in milliseconds). 15 minutes is orders of
+# magnitude above that window while still unwedging a table within one
+# maintenance cycle.
+CLAIM_TTL_SECONDS = 15 * 60
+
+
+def _lock_is_stale(spark: SparkSession, path: str, version: int, ttl_seconds: float) -> bool:
+    """True iff the claim lock for ``version`` exists, its version has
+    NO committed manifest (the writer died between claim and publish —
+    a published version's lock is merely historical), and the lock is
+    older than ``ttl_seconds``."""
+    import time
+
+    fs, _ = _fs(spark, path)
+    lock = _lock_path(spark, path, version)
+    if not fs.exists(lock) or fs.exists(_manifest_path(spark, path, version)):
+        return False
+    mtime_ms = fs.getFileStatus(lock).getModificationTime()
+    return (time.time() - mtime_ms / 1000.0) > ttl_seconds
+
+
+def force_unlock(spark: SparkSession, path: str, version: int) -> bool:
+    """Operator override: drop the claim lock for ``version`` so the
+    version number becomes committable again. Refuses (returns False)
+    when the version has a committed manifest — that lock is history,
+    not a wedge — or when no lock exists. Use when a writer is KNOWN
+    dead before the TTL expires; the TTL path (:data:`CLAIM_TTL_SECONDS`)
+    recovers the same state automatically."""
+    fs, _ = _fs(spark, path)
+    lock = _lock_path(spark, path, version)
+    if not fs.exists(lock) or fs.exists(_manifest_path(spark, path, version)):
+        return False
+    return bool(fs.delete(lock, False))
+
+
+def _claim_version(
+    spark: SparkSession, path: str, version: int, ttl_seconds: float = CLAIM_TTL_SECONDS
+) -> None:
     """Atomically claim the right to commit ``version``. Exactly one
     writer per version wins; every other raises ConcurrentCommitError.
     Local filesystem: java.io.File.createNewFile (POSIX O_CREAT|O_EXCL
     — atomic; Hadoop's RawLocalFileSystem create(overwrite=False) is
     check-then-create and races). Distributed stores: create with
-    overwrite=False, which IS the atomic claim primitive on HDFS."""
+    overwrite=False, which IS the atomic claim primitive on HDFS; any
+    OTHER failure (IO, permissions) propagates as itself — only a
+    lost race maps to ConcurrentCommitError.
+
+    A lost claim against a STALE lock (older than ``ttl_seconds``,
+    manifest never published — a crashed writer) is stolen: delete +
+    one retry. Two simultaneous stealers race on the re-create and
+    exactly one wins, preserving the one-writer-per-version invariant."""
     fs, _ = _fs(spark, path)
     lock = _lock_path(spark, path, version)
-    if fs.getUri().getScheme() in (None, "file"):
-        jfile = spark._jvm.java.io.File(lock.toUri().getPath())
-        claimed = jfile.createNewFile()
-    else:
+
+    def _try_claim() -> bool:
+        if fs.getUri().getScheme() in (None, "file"):
+            jfile = spark._jvm.java.io.File(lock.toUri().getPath())
+            return bool(jfile.createNewFile())
         try:
             fs.create(lock, False).close()
-            claimed = True
+            return True
         except Exception:
-            claimed = False
+            # Only an already-held lock is a race; anything else
+            # (IO error, permissions) must surface as itself, not
+            # masquerade as a lost commit race (ADVICE r6).
+            if fs.exists(lock):
+                return False
+            raise
+
+    claimed = _try_claim()
+    if not claimed and _lock_is_stale(spark, path, version, ttl_seconds):
+        fs.delete(lock, False)
+        claimed = _try_claim()
     if not claimed:
         raise ConcurrentCommitError(
             f"version {version} at {path} was already claimed by a "
-            "concurrent writer; re-read the latest version and retry"
+            "concurrent writer; re-read the latest version and retry "
+            f"(a crashed writer's claim expires after {ttl_seconds:.0f}s; "
+            "force_unlock() overrides sooner)"
         )
 
 
@@ -223,6 +289,18 @@ def write_snapshot(
     if _BUCKET_COL in df.columns:
         raise ValueError(f"input already has a {_BUCKET_COL!r} column")
     spark = df.sparkSession
+    fs, _ = _fs(spark, path)
+    if fs.exists(_manifest_path(spark, path, 1)):
+        # Re-initialization is NOT idempotent under the staged-commit
+        # protocol (v1's claim is taken forever); surface that as the
+        # clear error it is instead of a misleading "concurrent
+        # writer" from the claim (ADVICE r6). Evolve an existing
+        # table with upsert/delete/optimize, or write to a new path.
+        raise ValueError(
+            f"snapshot table already exists at {path} (committed "
+            "_manifest_v1.json); use upsert_snapshot/delete_snapshot "
+            "to evolve it, or choose a new path"
+        )
     staged = _staging_data_dir(path, 1)
     (
         df.withColumn(_BUCKET_COL, bucket_of(F.col(key_col), n_buckets))
@@ -562,7 +640,7 @@ def vacuum_snapshots(
 
     Driver-only metadata operation: cost is O(versions + buckets),
     no Spark job. Returns {"kept_versions", "removed_versions",
-    "removed_data_dirs"}.
+    "removed_data_dirs", "removed_stale_locks"}.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -590,6 +668,22 @@ def vacuum_snapshots(
     for v in drop:
         fs.delete(_manifest_path(spark, path, v), False)
         fs.delete(_lock_path(spark, path, v), False)  # stale claim files go with their version
+
+    # Crashed-writer claim locks: a manifest-less lock older than the
+    # claim TTL is a writer that died between claim and publish; left
+    # in place it would burn its version number forever (every future
+    # committer of latest+1 loses). Same staleness predicate as the
+    # claim-time steal, so vacuum and claimants agree on what "dead"
+    # means. Younger manifest-less locks may be in-flight commits and
+    # are never touched.
+    removed_locks = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("._commit_v") and name.endswith(".lock"):
+            v = int(name[len("._commit_v"):-len(".lock")])
+            if _lock_is_stale(spark, path, v, CLAIM_TTL_SECONDS):
+                fs.delete(status.getPath(), False)
+                removed_locks.append(v)
 
     removed_dirs = []
     data_root = spark._jvm.org.apache.hadoop.fs.Path(path, "data")
@@ -625,6 +719,7 @@ def vacuum_snapshots(
         "kept_versions": keep,
         "removed_versions": drop,
         "removed_data_dirs": sorted(removed_dirs),
+        "removed_stale_locks": sorted(removed_locks),
     }
 
 

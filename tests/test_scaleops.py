@@ -187,6 +187,16 @@ def test_bootstrap_ci_bounds_ordered(spark):
     assert 1000.0 < r["ci_lo"] and r["ci_hi"] < 4000.0
 
 
+def test_bootstrap_ci_empty_input_null_row(spark):
+    """Empty frame -> one row of NULLs, not an ANSI
+    ARRAY_INDEX_OUT_OF_BOUNDS from element_at on the empty replica
+    array (ADVICE r6)."""
+    df = spark.createDataFrame([], "k long, v double")
+    r = bootstrap_ci(df, F.col("k"), F.col("v"), n_replicas=8, trim=1).collect()[0]
+    assert r["n_replicas"] == 8
+    assert r["point_est"] is None and r["ci_lo"] is None and r["ci_hi"] is None
+
+
 def test_bootstrap_validates_params(spark):
     df = spark.createDataFrame([(1, 1.0)], "k long, v double")
     with pytest.raises(ValueError, match="n_replicas"):

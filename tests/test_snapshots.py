@@ -688,30 +688,89 @@ class TestOptimisticConcurrency:
         assert winner in stats
         assert ({"A", "B"} - {winner}).pop() not in stats
 
-    def test_crashed_claim_burns_version_until_vacuum(self, spark, sf_dir, tmp_path):
-        """Documented limitation of lock-file optimistic concurrency:
-        a writer that crashes BETWEEN claim and manifest publish
-        burns that version number (every later committer of the same
-        version loses cleanly); vacuum only clears locks for
-        versions <= the latest committed manifest, so an in-flight
-        claim of latest+1 is never stolen."""
+    def test_crashed_claim_expires_by_ttl(self, spark, sf_dir, tmp_path):
+        """A writer that crashes BETWEEN claim and manifest publish
+        leaves a lock at latest+1. Within the TTL that claim is
+        honored (could be in-flight) and commits of v2 lose cleanly;
+        once the lock AGES past CLAIM_TTL_SECONDS with no manifest,
+        the next claimant steals it and the table unwedges — the
+        ADVICE r6 permanent-wedge is gone."""
         import os
+        import time
 
         from cli_rag_spark.sources.snapshots import (
             ConcurrentCommitError,
-            vacuum_snapshots,
         )
 
         path = str(tmp_path / "snap")
         orders = _orders(spark, sf_dir)
         write_snapshot(orders, path, "o_orderkey")
         # simulate the crash: claim v2 exists, no manifest
-        open(os.path.join(path, "._commit_v2.lock"), "wb").close()
+        lock = os.path.join(path, "._commit_v2.lock")
+        open(lock, "wb").close()
         upd = orders.limit(20).withColumn("o_orderstatus", F.lit("X"))
+        # fresh lock: honored — may be a live in-flight commit
         with pytest.raises(ConcurrentCommitError, match="version 2"):
             upsert_snapshot(spark, path, upd)
-        # table stays readable at v1; the stale lock survives vacuum
-        # (v2 > latest committed = 1 - could be in-flight)
         assert latest_version(spark, path) == 1
-        vacuum_snapshots(spark, path, keep_last=5)
-        assert os.path.exists(os.path.join(path, "._commit_v2.lock"))
+        # age the lock past the TTL: the claim is stolen and the
+        # previously-wedged upsert succeeds
+        old = time.time() - 16 * 60
+        os.utime(lock, (old, old))
+        assert upsert_snapshot(spark, path, upd) == 2
+        assert latest_version(spark, path) == 2
+
+    def test_vacuum_collects_aged_stale_lock(self, spark, sf_dir, tmp_path):
+        """Vacuum removes a manifest-less claim lock older than the
+        TTL (crashed writer) but never a fresh one (possible
+        in-flight commit) nor a committed version's lock."""
+        import os
+        import time
+
+        from cli_rag_spark.sources.snapshots import vacuum_snapshots
+
+        path = str(tmp_path / "snap")
+        orders = _orders(spark, sf_dir)
+        write_snapshot(orders, path, "o_orderkey")
+        stale = os.path.join(path, "._commit_v2.lock")
+        fresh = os.path.join(path, "._commit_v3.lock")
+        open(stale, "wb").close()
+        open(fresh, "wb").close()
+        old = time.time() - 16 * 60
+        os.utime(stale, (old, old))
+        report = vacuum_snapshots(spark, path, keep_last=5)
+        assert report["removed_stale_locks"] == [2]
+        assert not os.path.exists(stale)
+        assert os.path.exists(fresh)
+        # v1 committed -> its (historical) lock is never collected
+        assert os.path.exists(os.path.join(path, "._commit_v1.lock"))
+
+    def test_force_unlock_overrides_known_dead_writer(self, spark, sf_dir, tmp_path):
+        """Operator override for a writer known dead before the TTL:
+        force_unlock drops a manifest-less lock immediately, refuses
+        committed versions and missing locks."""
+        import os
+
+        from cli_rag_spark.sources.snapshots import force_unlock
+
+        path = str(tmp_path / "snap")
+        orders = _orders(spark, sf_dir)
+        write_snapshot(orders, path, "o_orderkey")
+        open(os.path.join(path, "._commit_v2.lock"), "wb").close()
+        assert force_unlock(spark, path, 2) is True
+        assert not os.path.exists(os.path.join(path, "._commit_v2.lock"))
+        assert force_unlock(spark, path, 2) is False  # nothing to drop
+        assert force_unlock(spark, path, 1) is False  # committed version
+        upd = orders.limit(20).withColumn("o_orderstatus", F.lit("X"))
+        assert upsert_snapshot(spark, path, upd) == 2
+
+    def test_write_snapshot_existing_table_clear_error(self, spark, sf_dir, tmp_path):
+        """Re-initializing a committed table is a user error with a
+        clear message, not a misleading ConcurrentCommitError
+        (ADVICE r6)."""
+        path = str(tmp_path / "snap")
+        orders = _orders(spark, sf_dir)
+        write_snapshot(orders, path, "o_orderkey")
+        with pytest.raises(ValueError, match="already exists"):
+            write_snapshot(orders, path, "o_orderkey")
+        assert latest_version(spark, path) == 1
