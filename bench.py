@@ -103,11 +103,14 @@ def _materialize(df) -> None:
 
 
 # Queries whose FIRST run materializes a persisted index (mock_index_topk
-# caches the chunk+embed index; quantized_topk caches the int8 index —
+# caches the chunk+embed index; quantized_topk caches the int8 index;
+# ivf_recall_stats persists the partitionBy(cid) IVF index, reused on
+# every later invocation via build_ivf_index(reuse_if_exists=True) —
 # persisting IS the production semantics, operators/index.py writes
 # parquet). Their build phase is timed separately so a query number is
-# never inflated by a one-time build (round-1 verdict, "What's wrong" #4).
-BUILD_PHASE = {"mock_index_topk", "quantized_topk"}
+# never inflated by a one-time build (round-1 verdict, "What's wrong" #4;
+# r6 verdict #4 for the IVF build).
+BUILD_PHASE = {"mock_index_topk", "quantized_topk", "ivf_recall_stats"}
 
 
 def _build_rows(spark, sf_dir: str, name: str) -> int:

@@ -156,6 +156,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     refine_iters: int = 0,
     round_digits: int = 6,
+    reuse_if_exists: bool = False,
 ) -> DataFrame:
     """Write the IVF-partitioned index: parquet ``partitionBy(cid)``.
     Readers filtering on cid scan only the probed lists (partition
@@ -176,7 +177,35 @@ def build_ivf_index(
     and probing/appending NEVER re-derives centroids from data (the
     r4-advice hazard of probing a refined assignment against re-seeded
     centroids, fixed at the root: the quantizer travels with the
-    index)."""
+    index).
+
+    ``reuse_if_exists=True`` returns the persisted quantizer WITHOUT
+    rewriting when the path already holds an index whose build params
+    AND input row count match — the build is deterministic in (data,
+    params), so an identical-input rebuild is pure waste (bench r6:
+    an in-query rebuild inflated ivf_recall_stats ~3x). The check is
+    O(1) metadata + one count() on the input; any mismatch (params,
+    row count, pre-n_rows metadata) falls through to a full rebuild.
+    Callers that MUTATE the index afterwards (append_ivf_index
+    pipelines) must keep the default False — reusing would re-apply
+    the mutation to an already-mutated index."""
+    spark_ = vectors.sparkSession
+    if reuse_if_exists:
+        fs0, root0 = _hadoop_fs(spark_, path)
+        meta_path0 = spark_._jvm.org.apache.hadoop.fs.Path(root0, _META_NAME)
+        if fs0.exists(meta_path0):
+            meta = _read_ivf_meta(spark_, path)
+            want = {
+                "n_centroids": n_centroids,
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "refine_iters": refine_iters,
+            }
+            if all(meta.get(k) == v for k, v in want.items()) and (
+                meta.get("n_rows") == vectors.count()
+            ):
+                return read_ivf_centroids(spark_, path)
+    n_rows = vectors.count()
     centroids = seed_centroids(vectors, n_centroids, id_col, vec_col)
     if refine_iters > 0:
         centroids = kmeans_refine(
@@ -209,6 +238,7 @@ def build_ivf_index(
                 "id_col": id_col,
                 "vec_col": vec_col,
                 "refine_iters": refine_iters,
+                "n_rows": n_rows,
             }
         ).encode("utf-8")))
     finally:

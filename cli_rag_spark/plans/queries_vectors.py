@@ -342,7 +342,7 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stable per-sf_dir scratch location; overwrite-idempotent
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = f"{tempfile.gettempdir()}/cli_rag_spark_ivf_{tag}"
-    build_ivf_index(emb, path, n_centroids=IVF_CENTROIDS)
+    build_ivf_index(emb, path, n_centroids=IVF_CENTROIDS, reuse_if_exists=True)
     index = read_ivf_index(spark, path, n_centroids=IVF_CENTROIDS)
     queries = emb.where(F.col("vec_id") < LSH_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -377,7 +377,7 @@ def q_ivf_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = f"{tempfile.gettempdir()}/cli_rag_spark_ivf_{tag}"
-    build_ivf_index(emb, path, n_centroids=IVF_CENTROIDS)
+    build_ivf_index(emb, path, n_centroids=IVF_CENTROIDS, reuse_if_exists=True)
     index = read_ivf_index(spark, path, n_centroids=IVF_CENTROIDS)
     queries = emb.where(F.col("vec_id") < LSH_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -540,7 +540,8 @@ def q_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = f"{tempfile.gettempdir()}/cli_rag_spark_ivfref_{tag}"
     build_ivf_index(
-        emb, path, IVF_CENTROIDS, refine_iters=IVF_REFINE_ITERS
+        emb, path, IVF_CENTROIDS, refine_iters=IVF_REFINE_ITERS,
+        reuse_if_exists=True,
     )
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("query_vec")
