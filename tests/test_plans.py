@@ -128,15 +128,20 @@ def test_registry_priority_window_contract():
         "training": {"hash_split_counts", "stratified_sample", "pack_chunks_stats"},
         "streaming": {"streaming_hourly_windows", "streaming_sessionization"},
         "approx": {"approx_distinct_users"},
-        # anomalous_events / event_transitions live in the events pack
-        # (queries_events.py) and are valid family representatives —
-        # they hold the slot in r6 while receiving their first verdict
+        # every name here lives in the events pack (queries_events.py)
+        # and is a valid family representative; which one holds the
+        # slot rotates with the staleness fill (r6: anomalous_events /
+        # event_transitions' first verdicts; r7: the r3-stale
+        # event_type_stats / hourly_event_windows / funnel_counts)
         "events": {
             "sessionization",
             "session_log",
             "retention_cohorts",
             "anomalous_events",
             "event_transitions",
+            "event_type_stats",
+            "hourly_event_windows",
+            "funnel_counts",
         },
     }
     for family, reps in family_reps.items():
@@ -348,10 +353,23 @@ def test_scale_pack_plan_shapes(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning(g#") <= 1
 
     # LPA sizes: bounded top-k, no full sort; label table feeds via
-    # checkpoints so no plan doubling survives to the final round
+    # checkpoints so no plan doubling survives to the final round.
+    # Shuffle fusion (r7): each round's single REPARTITION_BY_COL on
+    # dst serves both the (dst,label) weight sum and the dst argmax —
+    # neither aggregate may insert its own exchange on top of it
     plan = _plan(spark, sf_dir, "lp_communities")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+    assert plan.count("REPARTITION_BY_COL") == 2  # one per round
+    # the (dst,label) weight-sum aggregate must NOT insert its own
+    # exchange (its clustering is satisfied by the dst repartition) —
+    # an exchange keyed on (node, label) is the unfused signature
+    import re as _re
+
+    agg_exchanges = _re.findall(
+        r"Exchange hashpartitioning\(node\d*#\d+L?, label", plan
+    )
+    assert agg_exchanges == [], agg_exchanges
 
     # bootstrap: replica fan-out is a Generate (map-side explode),
     # the draw chain is pure codegen — no Python stage anywhere
