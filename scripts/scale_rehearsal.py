@@ -111,6 +111,12 @@ QUERIES = [
     # (no cross-replica shingle collisions), so peel work must track
     # the banding's α, not exceed it
     "kcore_stats",
+    # r7 (VERDICT r6 #8): cross-corpus n-gram novelty — the open axis
+    # is SHINGLE VOLUME: rotated-alphabet replicas grow the distinct
+    # 3-gram space ~linearly (no cross-replica collisions), so both
+    # the df-count groupBy and the fp-keyed novelty join must scale
+    # with the shingle stream, pinned sort-merge (never broadcast)
+    "ngram_novelty",
 ]
 
 
