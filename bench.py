@@ -88,6 +88,9 @@ HEADLINE = [
     "streaming_cusum",           # streaming: daily rollup in-stream, CUSUM at read (r6)
     "video_frame_stats",         # multimodal: real RIFF/AVI frame sampling (r6)
     "ngram_novelty",             # corpus: cross-corpus shingle uniqueness (r6)
+    "chunk_sliding",             # text: overlapping sliding-window chunker (r7)
+    "ann_rank_metrics",          # vector: rank-sensitive ANN quality gate (r7)
+    "image_dhash_groups",        # multimodal: perceptual-hash image dedup (r7)
 ]
 
 

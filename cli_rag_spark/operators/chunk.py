@@ -134,6 +134,58 @@ def chunk(
     )
 
 
+def chunk_sliding(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping sliding-window chunks, zero Python — the RAG
+    practice the reference's non-overlapping cutter (load-texts.c:37)
+    can't express: a fact straddling a chunk boundary is retrievable
+    only if some window contains it whole, so production chunkers
+    overlap by ``size - stride`` characters.
+
+    Window k covers ``[k·stride, k·stride + size)``; emission stops at
+    the FIRST window reaching the end of the text (``k·stride + size
+    >= n``) — every character is covered and no fully-redundant tail
+    windows are emitted (a window starting past ``n - size`` adds no
+    content the previous one lacked). Empty texts yield no rows;
+    texts ``<= size`` yield exactly one window.
+
+    DF[id, chunk_index, start_char, chunk_text, n_chars]. Pure JVM
+    (sequence + posexplode + substr): per-row generate, no shuffle,
+    same scale shape as chunk_fixed. SQL-replayable exactly —
+    substring semantics agree across engines."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    if not 0 < stride <= size:
+        raise ValueError("stride must be in (0, size]")
+    n = F.length(text_col)
+    n_win = F.when(n <= size, F.lit(1)).otherwise(
+        F.ceil((n - size) / F.lit(stride)).cast("int") + 1
+    )
+    return (
+        df.where(n > 0)
+        .select(F.col(id_col), F.col(text_col), n_win.alias("_nw"))
+        .select(
+            id_col,
+            text_col,
+            F.explode(F.sequence(F.lit(0), F.col("_nw") - 1)).alias("chunk_index"),
+        )
+        .select(
+            id_col,
+            "chunk_index",
+            (F.col("chunk_index") * stride).alias("start_char"),
+            F.expr(f"substring({text_col}, chunk_index * {stride} + 1, {size})").alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("n_chars", F.length("chunk_text"))
+    )
+
+
 def chunk_fixed(
     df: DataFrame,
     size: int,

@@ -24,7 +24,9 @@ from cli_rag_spark.operators.multimodal import (
     attach_binary_metadata,
     audio_window_plan,
     decode_images,
+    image_dhash_plan,
     synth_bmp_payloads,
+    synth_gradient_bmp_payloads,
 )
 from cli_rag_spark.sources.documents import load_table
 
@@ -215,6 +217,28 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over REAL pixels (r7,
+    operators/multimodal.py image_dhash_plan): gradient BMP payloads
+    (closed-form pixel values of doc_id % 37, some stored top-down)
+    -> real pixel-grid decode -> integer-exact dHash -> exact-hash
+    groups, the image sibling of fingerprint_dups. The oracle
+    recomputes every pixel, block sum, and comparison bit from the
+    synthesis closed form in SQL, so a parser that ignores stride,
+    orientation, or block boundaries splits groups and fails the
+    value hash — not a silent pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = image_dhash_plan(synth_gradient_bmp_payloads(docs))
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("dhash")
+    )
+
+
 def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E11 audio decode over REAL bytes (r6 — the WAV twin of
     image_decode_stats): per-doc RIFF/WAVE PCM payloads
@@ -298,6 +322,7 @@ QUERIES = {
     "rag_contexts_batch": q_rag_contexts_batch,
     "binary_metadata": q_binary_metadata,
     "image_decode_stats": q_image_decode_stats,
+    "image_dhash_groups": q_image_dhash_groups,
     "audio_decode_stats": q_audio_decode_stats,
     "video_frame_stats": q_video_frame_stats,
 }
@@ -484,6 +509,51 @@ ORACLE = {
     # fill == doc_id%256 exactly (constant-fill channels) — the Spark
     # side must round-trip REAL BMP bytes through the real parser to
     # reproduce these numbers
+    # dHash replay from the synthesis closed form: v(x,y) =
+    # (7g + (g%5+1)x + (g%3+1)y + (g%7)xy) % 256 on a 16x8 grid,
+    # block of pixel x is (x*9)//16 (y: (y*8)//8), every bit an exact
+    # integer cross-multiply of block sums: 64 horizontal bits (right
+    # mean > left, ordered row then column pair) followed by 63
+    # vertical bits (lower mean > upper, ordered row pair then
+    # column) = 127 chars. Spark hashes CHANNEL SUMS (3v for the RGB
+    # gradient); the constant channel factor cancels in the
+    # cross-multiply, so the bit strings agree exactly.
+    "image_dhash_groups": """
+        WITH px AS (
+          SELECT doc_id,
+                 x.x AS x, y.y AS y,
+                 (7 * (doc_id % 37)
+                  + ((doc_id % 37) % 5 + 1) * x.x
+                  + ((doc_id % 37) % 3 + 1) * y.y
+                  + ((doc_id % 37) % 7) * x.x * y.y) % 256 AS v
+          FROM documents
+          CROSS JOIN generate_series(0, 15) x(x)
+          CROSS JOIN generate_series(0, 7) y(y)
+        ), bs AS (
+          SELECT doc_id, (y * 8) // 8 AS r, (x * 9) // 16 AS c,
+                 sum(v) AS s, count(*) AS n
+          FROM px GROUP BY doc_id, (y * 8) // 8, (x * 9) // 16
+        ), hb AS (
+          SELECT a.doc_id,
+                 string_agg(CASE WHEN b.s * a.n > a.s * b.n THEN '1' ELSE '0' END,
+                            '' ORDER BY a.r, a.c) AS bits
+          FROM bs a JOIN bs b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+          GROUP BY a.doc_id
+        ), vb AS (
+          SELECT a.doc_id,
+                 string_agg(CASE WHEN b.s * a.n > a.s * b.n THEN '1' ELSE '0' END,
+                            '' ORDER BY a.r, a.c) AS bits
+          FROM bs a JOIN bs b ON a.doc_id = b.doc_id AND a.c = b.c AND b.r = a.r + 1
+          GROUP BY a.doc_id
+        ), hashes AS (
+          SELECT hb.doc_id, hb.bits || vb.bits AS dhash
+          FROM hb JOIN vb ON hb.doc_id = vb.doc_id
+        )
+        SELECT dhash,
+               count(*)::BIGINT AS n_images,
+               min(doc_id) AS keep_doc_id
+        FROM hashes GROUP BY dhash ORDER BY dhash
+    """,
     "image_decode_stats": """
         WITH m AS (
           SELECT 1 + doc_id % 64 AS width,

@@ -24,7 +24,7 @@ from cli_rag_spark.functions.text import (
     tokens,
 )
 from cli_rag_spark.functions.quality import with_quality_metrics
-from cli_rag_spark.operators.chunk import chunk, chunk_fixed
+from cli_rag_spark.operators.chunk import chunk, chunk_fixed, chunk_sliding
 from cli_rag_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE, pii_count, pii_scrub
 from cli_rag_spark.sources.documents import load_table
 
@@ -109,6 +109,29 @@ def q_chunk_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("chunk_index").cast("long").alias("chunk_index"),
         "chunk_text",
+    ).orderBy("doc_id", "chunk_index")
+
+
+SLIDE_SIZE = 96
+SLIDE_STRIDE = 64  # 32-char overlap between consecutive windows
+
+
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunks (operators/chunk.py
+    chunk_sliding) — the RAG-practice chunker the reference's
+    non-overlapping cutter can't express (a fact straddling a cut is
+    only retrievable if some window holds it whole). Pure JVM
+    sequence+substr, full provenance (start_char), and the emission
+    stops at the first end-covering window, so the oracle replays
+    every window cell-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_sliding(docs, SLIDE_SIZE, SLIDE_STRIDE)
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("start_char").cast("long").alias("start_char"),
+        "chunk_text",
+        F.col("n_chars").cast("long").alias("n_chars"),
     ).orderBy("doc_id", "chunk_index")
 
 
@@ -225,6 +248,7 @@ QUERIES = {
     "chunk_fixed": q_chunk_fixed,
     "chunk_reference": q_chunk_reference,
     "chunk_clean_stats": q_chunk_clean_stats,
+    "chunk_sliding": q_chunk_sliding,
 }
 
 _WS_TOKENS = r"list_filter(regexp_split_to_array(trim({col}), '\s+'), x -> x <> '')"
@@ -384,6 +408,24 @@ ORACLE = {
         -- of 64 chars covers any fixture doc (max n_chars << 32k)
         CROSS JOIN generate_series(1, 512) t(gs)
         WHERE (gs - 1) * {CHUNK_SIZE} < length(text)
+        ORDER BY doc_id, chunk_index
+    """,
+    # Sliding windows: window k covers [k*stride, k*stride+size);
+    # emission stops at the first end-covering window (keep k iff
+    # k == 0 OR window k-1 did NOT reach the end) — the operator's
+    # documented no-redundant-tail contract, replayed cell-exact.
+    "chunk_sliding": f"""
+        SELECT doc_id,
+               (gs - 1)::BIGINT AS chunk_index,
+               ((gs - 1) * {SLIDE_STRIDE})::BIGINT AS start_char,
+               substr(text, ((gs - 1) * {SLIDE_STRIDE} + 1)::INTEGER, {SLIDE_SIZE}) AS chunk_text,
+               length(substr(text, ((gs - 1) * {SLIDE_STRIDE} + 1)::INTEGER, {SLIDE_SIZE}))::BIGINT AS n_chars
+        FROM documents
+        -- constant series bound: 512 windows of stride 64 covers 32k chars,
+        -- far beyond any fixture doc (same convention as chunk_fixed)
+        CROSS JOIN generate_series(1, 512) t(gs)
+        WHERE length(text) > 0
+          AND (gs = 1 OR (gs - 2) * {SLIDE_STRIDE} + {SLIDE_SIZE} < length(text))
         ORDER BY doc_id, chunk_index
     """,
     # The reference chunker's state machine (load-texts.c:37-105) as a

@@ -396,6 +396,51 @@ def q_ivf_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_recall(exact, approx, k=3).orderBy("query_id")
 
 
+def q_ann_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sensitive ANN quality (operators/knn.py rank_metrics, r7):
+    where the exact neighbors LAND in the IVF ranking — per-query
+    precision@3, first-relevant rank, and reciprocal rank, next to
+    ivf_recall_stats' set-overlap view. A context assembler reads
+    results top-down (multirag.c:115-119 stuffs chunks best-first),
+    so an ANN index that finds the right neighbors but ranks them
+    last is worse than its recall suggests; this is the gate that
+    sees the difference. Same probe chain and self-handling as the
+    recall gate; the oracle composes the IVF chain, the exact chain,
+    and the metric aggregation in one statement — every emitted
+    value is an exact integer or a small rational rounded after
+    integer aggregation."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from cli_rag_spark.operators.knn import rank_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_ivf_{tag}"
+    build_ivf_index(emb, path, n_centroids=IVF_CENTROIDS, reuse_if_exists=True)
+    index = read_ivf_index(spark, path, n_centroids=IVF_CENTROIDS)
+    queries = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_join(queries, emb, k=3, exclude_self=True)
+    rw = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    ranked = (
+        knn_join_ivf(
+            queries, index, k=4, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+            validate_cid=False,
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(rw))
+    )
+    return rank_metrics(
+        ranked.select("query_id", "vec_id", "rank"),
+        exact.select("query_id", "vec_id"),
+        k=3,
+    ).orderBy("query_id")
+
+
 def q_ivf_append_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance (operators/ann.py
     append_ivf_index): build the index over a base slice, append the
@@ -698,6 +743,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "knn_join_ivf": q_knn_join_ivf,
     "ivf_recall_stats": q_ivf_recall_stats,
+    "ann_rank_metrics": q_ann_rank_metrics,
     "ivf_append_stats": q_ivf_append_stats,
     "cosine_topk": q_cosine_topk,
     "pq_topk": q_pq_topk,
@@ -1072,6 +1118,41 @@ ORACLE = {
             FROM ivf_scored
         ) WHERE rank <= 3
         ORDER BY query_id, rank
+    """,
+    "ann_rank_metrics": f"""
+        WITH {_IVF_SCORED_CTES},
+        ivf3 AS (
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY dist, vec_id
+                       ) AS rank
+                FROM ivf_scored WHERE vec_id <> query_id
+            ) WHERE rank <= 3
+        ),
+        ed AS (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {LSH_QUERIES}) q,
+                 embeddings e
+            WHERE e.vec_id <> q.vec_id
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+                FROM ed
+            ) WHERE rank <= 3
+        )
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_rel,
+               CAST(count(i.vec_id) AS BIGINT) AS hits_at_k,
+               round(count(i.vec_id) / 3.0, 6) AS precision_at_k,
+               CAST(min(i.rank) AS BIGINT) AS first_rel_rank,
+               round(coalesce(1.0 / min(i.rank), 0.0), 6) AS rr
+        FROM exact e
+        LEFT JOIN ivf3 i ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
     """,
     "ivf_recall_stats": f"""
         WITH {_IVF_SCORED_CTES},

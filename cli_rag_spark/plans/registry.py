@@ -71,13 +71,16 @@ _PACKS = [
 # negative result and was NOT kept, see BENCH.md ledger); the two
 # r2-stale deferrals (chunk_clean_stats, token_counts); then
 # oldest-first fill with 16 of the 28 r3-verified queries
-# (alphabetical within the cohort). The 12 r3 queries that don't
-# fit (ordered_funnel, orders_upsert_stats, pii_redaction_stats,
-# repetition_scores, returned_item_customers, rolling_user_value,
-# semantic_dedup, session_log, streaming_interval_join,
-# top_revenue_suppliers, user_running_value, vocab_topk) head the
-# r8 fill, all replaying value-exact in the local parity gate
-# every test run meanwhile.
+# (alphabetical within the cohort). The r8 head is owed, in order:
+# the three NEW r7 queries (chunk_sliding, ann_rank_metrics,
+# image_dhash_groups — added after this window froze, never
+# judged), then the 12 r3 queries
+# that didn't fit (ordered_funnel, orders_upsert_stats,
+# pii_redaction_stats, repetition_scores, returned_item_customers,
+# rolling_user_value, semantic_dedup, session_log,
+# streaming_interval_join, top_revenue_suppliers,
+# user_running_value, vocab_topk) — all replaying value-exact in
+# the local parity gate every test run meanwhile.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline

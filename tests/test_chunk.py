@@ -136,3 +136,60 @@ def test_rfind_rewrite_matches_loop_reference():
         text = "".join(rng.choice("ab ") for _ in range(n))
         r = rng.randint(1, 20)
         assert cut_reference(text, r) == _cut_reference_loop(text, r), (text, r)
+
+
+# --- chunk_sliding ----------------------------------------------------
+
+
+def test_chunk_sliding_windows_and_tail_rule(spark):
+    from cli_rag_spark.operators.chunk import chunk_sliding
+
+    df = spark.createDataFrame(
+        [(1, "a" * 10), (2, "b" * 8), (3, ""), (4, "c" * 20)],
+        "doc_id long, text string",
+    )
+    rows = chunk_sliding(df, size=8, stride=4).orderBy("doc_id", "chunk_index").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1 (n=10 > size): windows at 0 and 4; window 1 reaches the end
+    # (4+8 >= 10) so no redundant third window at 8
+    assert [(r["start_char"], r["chunk_text"]) for r in by_doc[1]] == [
+        (0, "a" * 8), (4, "a" * 6)
+    ]
+    # doc 2 (n == size): exactly one full window
+    assert [(r["start_char"], r["n_chars"]) for r in by_doc[2]] == [(0, 8)]
+    # empty text: no rows
+    assert 3 not in by_doc
+    # doc 4 (n=20): starts 0,4,8,12 (12+8 >= 20 stops); full coverage
+    assert [r["start_char"] for r in by_doc[4]] == [0, 4, 8, 12]
+    covered = set()
+    for r in by_doc[4]:
+        covered.update(range(r["start_char"], r["start_char"] + r["n_chars"]))
+    assert covered == set(range(20))
+
+
+def test_chunk_sliding_overlap_content(spark):
+    from cli_rag_spark.operators.chunk import chunk_sliding
+
+    text = "abcdefghijklmnop"  # n=16
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_sliding(df, size=8, stride=4).orderBy("chunk_index").collect()
+    assert [r["chunk_text"] for r in rows] == ["abcdefgh", "efghijkl", "ijklmnop"]
+    # consecutive windows share size - stride = 4 chars
+    for a, b in zip(rows, rows[1:]):
+        assert a["chunk_text"][4:] == b["chunk_text"][:4]
+
+
+def test_chunk_sliding_validates_params(spark):
+    import pytest
+
+    from cli_rag_spark.operators.chunk import chunk_sliding
+
+    df = spark.createDataFrame([(1, "xx")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_sliding(df, size=8, stride=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_sliding(df, size=8, stride=9)
+    with pytest.raises(ValueError, match="size"):
+        chunk_sliding(df, size=0, stride=1)

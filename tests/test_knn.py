@@ -242,3 +242,43 @@ def test_topk_recall_semantics(spark):
 
     with _pytest.raises(ValueError):
         topk_recall(exact, approx, k=0)
+
+
+def test_rank_metrics_semantics(spark):
+    from cli_rag_spark.operators.knn import rank_metrics
+
+    # q1: gold {10, 11, 12}; retrieval ranks 10 at 2, 12 at 3 -> 2 hits,
+    #     first_rel_rank 2, rr 0.5
+    # q2: gold {20}; retrieval top-3 misses it entirely -> 0 hits, NULL
+    #     rank, rr 0.0
+    # q3: gold {30}; rank-4 hit is OUTSIDE k=3 -> total miss at k
+    results = spark.createDataFrame(
+        [
+            (1, 99, 1), (1, 10, 2), (1, 12, 3),
+            (2, 98, 1), (2, 97, 2), (2, 96, 3),
+            (3, 95, 1), (3, 94, 2), (3, 93, 3), (3, 30, 4),
+        ],
+        "query_id long, vec_id long, rank long",
+    )
+    relevance = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (3, 30)],
+        "query_id long, vec_id long",
+    )
+    rows = {r["query_id"]: r for r in rank_metrics(results, relevance, k=3).collect()}
+    assert rows[1]["n_rel"] == 3 and rows[1]["hits_at_k"] == 2
+    assert rows[1]["precision_at_k"] == 0.666667
+    assert rows[1]["first_rel_rank"] == 2 and rows[1]["rr"] == 0.5
+    assert rows[2]["hits_at_k"] == 0 and rows[2]["first_rel_rank"] is None
+    assert rows[2]["rr"] == 0.0
+    assert rows[3]["hits_at_k"] == 0 and rows[3]["rr"] == 0.0  # rank 4 > k
+
+
+def test_rank_metrics_k_guard(spark):
+    import pytest
+
+    from cli_rag_spark.operators.knn import rank_metrics
+
+    df = spark.createDataFrame([(1, 1, 1)], "query_id long, vec_id long, rank long")
+    rel = df.select("query_id", "vec_id")
+    with pytest.raises(ValueError, match="k"):
+        rank_metrics(df, rel, k=0)

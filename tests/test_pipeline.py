@@ -313,6 +313,97 @@ class TestRealCodecs:
             assert r["px_mean"] == float(i % 256)
 
 
+class TestDhash:
+    """Perceptual-hash image dedup over real decoded pixels (r7)."""
+
+    def test_dhash_bits_hand_computed(self):
+        from cli_rag_spark.operators.multimodal import dhash_bits
+
+        # 2x2 grid (grid_w=2, grid_h=2) over a 2x2 image: each pixel
+        # is its own block. Horizontal bits: right>left per row;
+        # vertical bits: lower>upper per column.
+        rows = [[1, 5], [9, 3]]
+        assert dhash_bits(rows, grid_w=2, grid_h=2) == "1" "0" + "10"
+        # horizontal: (5>1)=1, (3>9)=0; vertical: (9>1)=1, (3>5)=0
+
+    def test_dhash_block_means_not_sums(self):
+        from cli_rag_spark.operators.multimodal import dhash_bits
+
+        # 3 pixels wide on a 2-block grid → blocks of 2 and 1 pixels.
+        # Sums compare 2+2=4 > 3 but means compare 2 < 3 — a sum-based
+        # hash gets this bit backwards.
+        rows = [[2, 2, 3]]
+        assert dhash_bits(rows, grid_w=2, grid_h=1) == "1"
+
+    def test_dhash_vertical_bits_make_orientation_load_bearing(self):
+        from cli_rag_spark.operators.multimodal import dhash_bits
+
+        rows = [[(3 * x + 5 * y + x * y) % 16 for x in range(9)] for y in range(8)]
+        flipped = list(reversed(rows))
+        assert dhash_bits(rows) != dhash_bits(flipped)
+
+    def test_dhash_too_small_raises(self):
+        from cli_rag_spark.operators.multimodal import dhash_bits
+
+        with pytest.raises(ValueError, match="smaller"):
+            dhash_bits([[1] * 4] * 4)
+
+    def test_topdown_and_bottomup_encodings_hash_identically(self):
+        from cli_rag_spark.operators.multimodal import (
+            bmp_encode_gradient,
+            dhash_bits,
+            real_decode_pixel_grid,
+        )
+
+        for g in (0, 5, 17):
+            up = real_decode_pixel_grid(bmp_encode_gradient(16, 8, g, topdown=False))
+            down = real_decode_pixel_grid(bmp_encode_gradient(16, 8, g, topdown=True))
+            assert up["rows"] == down["rows"]
+            assert dhash_bits(up["rows"]) == dhash_bits(down["rows"])
+
+    def test_gradient_groups_discriminate(self):
+        from cli_rag_spark.operators.multimodal import (
+            DHASH_SYNTH_GROUPS,
+            bmp_encode_gradient,
+            dhash_bits,
+            real_decode_pixel_grid,
+        )
+
+        hashes = {
+            g: dhash_bits(
+                real_decode_pixel_grid(
+                    bmp_encode_gradient(16, 8, g, topdown=g % 5 == 0)
+                )["rows"]
+            )
+            for g in range(DHASH_SYNTH_GROUPS)
+        }
+        assert all(len(h) == 127 for h in hashes.values())
+        # measured fixture property: 29 of the 37 gradients hash uniquely
+        assert len(set(hashes.values())) == 29
+
+    def test_spark_dhash_plan_matches_python_chain(self, spark):
+        from cli_rag_spark.operators.multimodal import (
+            dhash_bits,
+            image_dhash_plan,
+            real_decode_pixel_grid,
+            synth_gradient_bmp_payloads,
+        )
+
+        df = spark.range(0, 80).select(F.col("id").alias("doc_id"))
+        out = image_dhash_plan(synth_gradient_bmp_payloads(df)).collect()
+        assert len(out) == 80
+        for r in out:
+            expect = dhash_bits(
+                real_decode_pixel_grid(bytes(r["payload"]))["rows"]
+            )
+            assert r["dhash"] == expect
+        # pixel-identical groups (same doc_id % 37) bucket together
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["doc_id"] % 37, set()).add(r["dhash"])
+        assert all(len(s) == 1 for s in by_g.values())
+
+
 class TestMathSanity:
     def test_mock_vec_cosine_self_zero(self):
         v = mock_embed_py("x", 8)
