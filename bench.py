@@ -91,6 +91,7 @@ HEADLINE = [
     "chunk_sliding",             # text: overlapping sliding-window chunker (r7)
     "ann_rank_metrics",          # vector: rank-sensitive ANN quality gate (r7)
     "image_dhash_groups",        # multimodal: perceptual-hash image dedup (r7)
+    "mmr_rerank",                # retrieval: MMR diversity rerank (r7)
 ]
 
 

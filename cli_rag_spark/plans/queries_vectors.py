@@ -29,6 +29,7 @@ from cli_rag_spark.operators.knn import (
     knn_join_gemm,
     knn_join_lsh,
 )
+from cli_rag_spark.operators.mmr import mmr_oracle_sql, mmr_rerank
 from cli_rag_spark.operators.pq import (
     build_pq_index,
     ivfpq_residual_topk,
@@ -441,6 +442,37 @@ def q_ann_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+MMR_SHORTLIST = 20
+MMR_K = 5
+MMR_LAMBDA = 0.5
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware context selection (operators/mmr.py, r7): exact
+    top-20 cosine shortlist per query, then greedy MMR picks 5 —
+    relevance penalized by max similarity to what's already picked —
+    so the assembled context covers distinct aspects instead of five
+    near-copies (the failure mode of the reference's best-first
+    stuffing, multirag.c:115-119). The greedy loop runs Arrow-batched
+    per query group after ONE narrow shuffle; the oracle replays the
+    selection as chained argmax CTEs with identical score arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    short = knn_join(queries, emb, k=MMR_SHORTLIST, exclude_self=True)
+    cand = (
+        short.withColumn("rel_sim", F.round(F.lit(1.0) - F.col("dist"), 6))
+        .join(emb, "vec_id")
+        .select("query_id", "vec_id", "rel_sim", "embedding")
+    )
+    out = mmr_rerank(cand, select_k=MMR_K, lam=MMR_LAMBDA)
+    return out.select(
+        "query_id", F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        "vec_id", "mmr_score",
+    ).orderBy("query_id", "mmr_rank")
+
+
 def q_ivf_append_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance (operators/ann.py
     append_ivf_index): build the index over a base slice, append the
@@ -744,6 +776,7 @@ QUERIES = {
     "knn_join_ivf": q_knn_join_ivf,
     "ivf_recall_stats": q_ivf_recall_stats,
     "ann_rank_metrics": q_ann_rank_metrics,
+    "mmr_rerank": q_mmr_rerank,
     "ivf_append_stats": q_ivf_append_stats,
     "cosine_topk": q_cosine_topk,
     "pq_topk": q_pq_topk,
@@ -1154,6 +1187,33 @@ ORACLE = {
         GROUP BY e.query_id
         ORDER BY e.query_id
     """,
+    # greedy MMR selection replayed as chained argmax CTEs
+    # (operators/mmr.py mmr_oracle_sql generates step t's anti-joined
+    # argmax over sel_{t-1}); the cand CTE is the exact top-20 cosine
+    # shortlist with rel = rounded similarity, identical to the Spark
+    # knn_join stage
+    "mmr_rerank": mmr_oracle_sql(
+        f"""cand AS (
+            SELECT query_id, vec_id, round(1 - dist, 6) AS rel FROM (
+                SELECT query_id, vec_id, dist,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+                       ) AS rnk
+                FROM (
+                    SELECT q.vec_id AS query_id, e.vec_id,
+                           round(1 - list_cosine_similarity(
+                               e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist
+                    FROM (SELECT vec_id, embedding FROM embeddings
+                          WHERE vec_id < {LSH_QUERIES}) q,
+                         embeddings e
+                    WHERE e.vec_id <> q.vec_id
+                )
+            ) WHERE rnk <= {MMR_SHORTLIST}
+        )""",
+        "embeddings",
+        select_k=MMR_K,
+        lam=MMR_LAMBDA,
+    ),
     "ivf_recall_stats": f"""
         WITH {_IVF_SCORED_CTES},
         ivf3 AS (

@@ -391,3 +391,31 @@ def test_scale_pack_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ngram_novelty")
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_r7_plan_shapes(spark, sf_dir):
+    # MMR: exactly ONE keyed shuffle — the groupBy(query_id) Arrow
+    # stage must REUSE the kNN window's hashpartitioning(query_id)
+    # (the broadcast join in between preserves it); the shortlist
+    # stage's top-20 runs as a WindowGroupLimit pushdown, and the
+    # only other exchange is the final presentation orderBy
+    plan = _plan(spark, sf_dir, "mmr_rerank")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning(query_id#") == 1
+    assert "CartesianProduct" not in plan
+
+    # dHash: hashing is a map stage over the payloads (no shuffle of
+    # image bytes); the only exchanges key on the narrow hash string
+    plan = _plan(spark, sf_dir, "image_dhash_groups")
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning(dhash#" in plan
+    assert "Exchange hashpartitioning(payload" not in plan
+    assert "Exchange hashpartitioning(doc_id" not in plan
+
+    # sliding chunker: per-row Generate (explode), zero Python, no
+    # shuffle before the presentation sort
+    plan = _plan(spark, sf_dir, "chunk_sliding")
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
