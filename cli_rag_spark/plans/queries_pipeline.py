@@ -24,6 +24,7 @@ from cli_rag_spark.operators.multimodal import (
     attach_binary_metadata,
     audio_window_plan,
     decode_images,
+    dhash_neardup_pairs,
     image_dhash_plan,
     synth_bmp_payloads,
     synth_gradient_bmp_payloads,
@@ -239,6 +240,41 @@ def q_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_RADIUS = 8
+NEARDUP_BANDS = 9  # > radius: pigeonhole guarantees zero false negatives
+
+
+def q_image_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-duplicate image pairs (r7,
+    operators/multimodal.py dhash_neardup_pairs): dHash the gradient
+    corpus, collapse to distinct hash groups, band-join the hashes
+    (9 bands over 127 bits), popcount-verify candidates at Hamming
+    <= 8 — the image twin of simhash_groups' banding. The oracle is
+    the BRUTE-FORCE all-pairs filter over the same hashes, so a
+    banding bug that drops a candidate pair (wrong band boundary,
+    wrong substring arithmetic) fails the row set, not just a value."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = image_dhash_plan(synth_gradient_bmp_payloads(docs))
+    groups = hashed.groupBy("dhash").agg(F.count(F.lit(1)).alias("n_images"))
+    pairs = dhash_neardup_pairs(groups, radius=NEARDUP_RADIUS, n_bands=NEARDUP_BANDS)
+    return (
+        pairs.join(
+            groups.select(
+                F.col("dhash").alias("hash_a"), F.col("n_images").alias("n_images_a")
+            ),
+            "hash_a",
+        )
+        .join(
+            groups.select(
+                F.col("dhash").alias("hash_b"), F.col("n_images").alias("n_images_b")
+            ),
+            "hash_b",
+        )
+        .select("hash_a", "hash_b", "hamming", "n_images_a", "n_images_b")
+        .orderBy("hash_a", "hash_b")
+    )
+
+
 def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E11 audio decode over REAL bytes (r6 — the WAV twin of
     image_decode_stats): per-doc RIFF/WAVE PCM payloads
@@ -323,6 +359,7 @@ QUERIES = {
     "binary_metadata": q_binary_metadata,
     "image_decode_stats": q_image_decode_stats,
     "image_dhash_groups": q_image_dhash_groups,
+    "image_neardup_groups": q_image_neardup_groups,
     "audio_decode_stats": q_audio_decode_stats,
     "video_frame_stats": q_video_frame_stats,
 }
@@ -509,17 +546,36 @@ ORACLE = {
     # fill == doc_id%256 exactly (constant-fill channels) — the Spark
     # side must round-trip REAL BMP bytes through the real parser to
     # reproduce these numbers
-    # dHash replay from the synthesis closed form: v(x,y) =
-    # (7g + (g%5+1)x + (g%3+1)y + (g%7)xy) % 256 on a 16x8 grid,
-    # block of pixel x is (x*9)//16 (y: (y*8)//8), every bit an exact
-    # integer cross-multiply of block sums: 64 horizontal bits (right
-    # mean > left, ordered row then column pair) followed by 63
-    # vertical bits (lower mean > upper, ordered row pair then
-    # column) = 127 chars. Spark hashes CHANNEL SUMS (3v for the RGB
-    # gradient); the constant channel factor cancels in the
-    # cross-multiply, so the bit strings agree exactly.
-    "image_dhash_groups": """
-        WITH px AS (
+    # dHash replay from the synthesis closed form (shared CTE chain
+    # _DHASH_HASHES_CTES below): exact-hash groups
+    "image_dhash_groups": None,  # filled after _DHASH_HASHES_CTES
+    "image_neardup_groups": None,
+    "image_decode_stats": """
+        WITH m AS (
+          SELECT 1 + doc_id % 64 AS width,
+                 1 + doc_id % 48 AS height,
+                 CASE doc_id % 3 WHEN 0 THEN 'RGB' WHEN 1 THEN 'RGBA' ELSE 'L' END AS mode,
+                 CAST(doc_id % 256 AS DOUBLE) AS px_mean
+          FROM documents
+        )
+        SELECT mode, count(*) AS n,
+               round(avg(width), 4) AS avg_width,
+               round(avg(height), 4) AS avg_height,
+               round(avg(px_mean), 4) AS avg_px_mean
+        FROM m GROUP BY mode ORDER BY mode
+    """,
+}
+
+# dHash replay from the synthesis closed form: v(x,y) =
+# (7g + (g%5+1)x + (g%3+1)y + (g%7)xy) % 256 on a 16x8 grid, block of
+# pixel x is (x*9)//16 (y: (y*8)//8), every bit an exact integer
+# cross-multiply of block sums: 64 horizontal bits (right mean > left,
+# ordered row then column pair) followed by 63 vertical bits (lower
+# mean > upper, ordered row pair then column) = 127 chars. Spark hashes
+# CHANNEL SUMS (3v for the RGB gradient); the constant channel factor
+# cancels in the cross-multiply, so the bit strings agree exactly.
+_DHASH_HASHES_CTES = """
+        px AS (
           SELECT doc_id,
                  x.x AS x, y.y AS y,
                  (7 * (doc_id % 37)
@@ -549,23 +605,29 @@ ORACLE = {
           SELECT hb.doc_id, hb.bits || vb.bits AS dhash
           FROM hb JOIN vb ON hb.doc_id = vb.doc_id
         )
-        SELECT dhash,
-               count(*)::BIGINT AS n_images,
-               min(doc_id) AS keep_doc_id
-        FROM hashes GROUP BY dhash ORDER BY dhash
-    """,
-    "image_decode_stats": """
-        WITH m AS (
-          SELECT 1 + doc_id % 64 AS width,
-                 1 + doc_id % 48 AS height,
-                 CASE doc_id % 3 WHEN 0 THEN 'RGB' WHEN 1 THEN 'RGBA' ELSE 'L' END AS mode,
-                 CAST(doc_id % 256 AS DOUBLE) AS px_mean
-          FROM documents
-        )
-        SELECT mode, count(*) AS n,
-               round(avg(width), 4) AS avg_width,
-               round(avg(height), 4) AS avg_height,
-               round(avg(px_mean), 4) AS avg_px_mean
-        FROM m GROUP BY mode ORDER BY mode
-    """,
-}
+"""
+
+ORACLE["image_dhash_groups"] = f"""
+    WITH {_DHASH_HASHES_CTES}
+    SELECT dhash,
+           count(*)::BIGINT AS n_images,
+           min(doc_id) AS keep_doc_id
+    FROM hashes GROUP BY dhash ORDER BY dhash
+"""
+
+# near-dup: the oracle is BRUTE-FORCE all-pairs over the distinct
+# hashes (n_bands=9 > radius=8 makes the banded candidate join
+# provably complete, so matching the exhaustive filter IS the
+# completeness proof of the LSH path)
+ORACLE["image_neardup_groups"] = f"""
+    WITH {_DHASH_HASHES_CTES},
+    groups AS (
+        SELECT dhash, count(*)::BIGINT AS n_images FROM hashes GROUP BY dhash
+    )
+    SELECT a.dhash AS hash_a, b.dhash AS hash_b,
+           hamming(a.dhash, b.dhash)::BIGINT AS hamming,
+           a.n_images AS n_images_a, b.n_images AS n_images_b
+    FROM groups a JOIN groups b ON a.dhash < b.dhash
+    WHERE hamming(a.dhash, b.dhash) <= {NEARDUP_RADIUS}
+    ORDER BY hash_a, hash_b
+"""

@@ -403,6 +403,61 @@ class TestDhash:
             by_g.setdefault(r["doc_id"] % 37, set()).add(r["dhash"])
         assert all(len(s) == 1 for s in by_g.values())
 
+    def test_hamming_bits_column_matches_python(self, spark):
+        import random
+
+        from cli_rag_spark.operators.multimodal import hamming_bits_column
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(30):
+            a = "".join(rng.choice("01") for _ in range(127))
+            b = "".join(rng.choice("01") for _ in range(127))
+            rows.append((i, a, b, sum(x != y for x, y in zip(a, b))))
+        df = spark.createDataFrame(rows, "i long, a string, b string, expect long")
+        out = df.withColumn("h", hamming_bits_column("a", "b", 127)).collect()
+        for r in out:
+            assert r["h"] == r["expect"], r["i"]
+
+    def test_neardup_banding_complete_vs_bruteforce(self, spark):
+        import itertools
+        import random
+
+        from cli_rag_spark.operators.multimodal import dhash_neardup_pairs
+
+        # random hashes + planted near-pairs: the banded join must
+        # recover EXACTLY the brute-force pair set at radius 8
+        rng = random.Random(11)
+        hashes = {"".join(rng.choice("01") for _ in range(127)) for _ in range(20)}
+        planted = []
+        for h in list(hashes)[:4]:
+            bits = list(h)
+            for pos in rng.sample(range(127), rng.randint(1, 8)):
+                bits[pos] = "1" if bits[pos] == "0" else "0"
+            planted.append("".join(bits))
+        hashes |= set(planted)
+        truth = sorted(
+            (a, b, sum(x != y for x, y in zip(a, b)))
+            for a, b in itertools.combinations(sorted(hashes), 2)
+            if sum(x != y for x, y in zip(a, b)) <= 8
+        )
+        assert truth, "fixture must plant at least one near pair"
+        df = spark.createDataFrame([(h,) for h in hashes], "dhash string")
+        got = sorted(
+            (r["hash_a"], r["hash_b"], r["hamming"])
+            for r in dhash_neardup_pairs(df, radius=8, n_bands=9).collect()
+        )
+        assert got == truth
+
+    def test_neardup_pigeonhole_guard(self, spark):
+        from cli_rag_spark.operators.multimodal import dhash_neardup_pairs
+
+        df = spark.createDataFrame([("0" * 127,)], "dhash string")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            dhash_neardup_pairs(df, radius=9, n_bands=9)
+        with pytest.raises(ValueError, match="radius"):
+            dhash_neardup_pairs(df, radius=-1, n_bands=4)
+
 
 class TestMathSanity:
     def test_mock_vec_cosine_self_zero(self):
