@@ -92,6 +92,7 @@ HEADLINE = [
     "ann_rank_metrics",          # vector: rank-sensitive ANN quality gate (r7)
     "image_dhash_groups",        # multimodal: perceptual-hash image dedup (r7)
     "mmr_rerank",                # retrieval: MMR diversity rerank (r7)
+    "brand_affinity_pairs",      # mining: A-priori frequent pairs (r7)
 ]
 
 

@@ -1,0 +1,72 @@
+"""Frequent itemset mining — A-priori 2-itemsets at corpus scale.
+
+Market-basket co-occurrence (Agrawal & Srikant 1994): which item
+pairs appear together in at least a minimum fraction of baskets. The
+distributed shape is the SON / A-priori recipe: a frequent-ITEM pass
+first (monotonicity — a pair can only be frequent if both members
+are), then pair generation restricted to frequent items only. The
+prefilter is the scale lever: a pathological basket of m items emits
+m² pairs, but only its FREQUENT items (a small, data-bounded set when
+min-support is meaningful) survive to the quadratic step.
+
+Support thresholds are RELATIVE and rational (``support_num /
+support_den`` of the basket count) so one query definition is
+scale-free across SF, and the filter is the exact integer
+cross-multiply ``support * den >= num * n_baskets`` — no ceil, no
+float, replayed verbatim in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    support_num: int,
+    support_den: int,
+) -> DataFrame:
+    """Item pairs co-occurring in ``>= support_num/support_den`` of
+    baskets. Returns [item_a, item_b, support] with item_a < item_b
+    and ``support`` the exact distinct-basket co-occurrence count.
+
+    Plan: dedup to distinct (basket, item); count baskets once as a
+    1-row broadcast (no driver collect — the threshold comparison
+    stays in-plan); frequent items via one partial-agg groupBy,
+    broadcast-semi-joined back (the A-priori prune); pair generation
+    is a self-equi-join on the basket key (never a crossJoin); pair
+    support is one more partial-agg groupBy. Every shuffle is keyed
+    and combiner-backed; the only quadratic term is per-basket over
+    FREQUENT items.
+    """
+    if support_num < 1 or support_den < 1:
+        raise ValueError("support_num/support_den must be positive integers")
+    bi = df.select(basket_col, item_col).distinct()
+    nb = bi.agg(F.count_distinct(basket_col).alias("_nb"))
+    item_counts = bi.groupBy(item_col).agg(F.count(F.lit(1)).alias("_s"))
+    freq_items = (
+        item_counts.crossJoin(F.broadcast(nb))
+        .where(F.col("_s") * support_den >= F.lit(support_num) * F.col("_nb"))
+        .select(item_col)
+    )
+    pruned = bi.join(F.broadcast(freq_items), item_col, "left_semi")
+    a = pruned.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a")
+    )
+    b = pruned.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_b")
+    )
+    pairs = (
+        a.join(b, "_b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nb))
+        .where(F.col("support") * support_den >= F.lit(support_num) * F.col("_nb"))
+        .select("item_a", "item_b", "support")
+    )

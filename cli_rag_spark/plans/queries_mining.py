@@ -492,3 +492,48 @@ def _triangle_oracle() -> str:
 
 
 ORACLE["triangle_census"] = _triangle_oracle()
+
+
+# --- A-priori frequent pairs (market-basket brand affinity, r7) ------
+
+AFFINITY_NUM = 1   # relative min-support = 1/40 of baskets
+AFFINITY_DEN = 40
+
+
+def q_brand_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 2-itemsets over order baskets (operators/itemsets.py
+    frequent_pairs): brands co-purchased in >= 1/40 of orders, the
+    A-priori / SON shape — frequent-item prune first (monotonicity),
+    pair generation only over pruned baskets, every threshold an exact
+    integer cross-multiply against a 1-row broadcast basket count (no
+    driver collect, no float ceil). The oracle is the brute-force
+    spec: distinct basket-item pairs self-joined and filtered by the
+    same rational support."""
+    from cli_rag_spark.operators.itemsets import frequent_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return (
+        frequent_pairs(baskets, "basket", "item", AFFINITY_NUM, AFFINITY_DEN)
+        .orderBy(F.col("support").desc(), "item_a", "item_b")
+    )
+
+
+QUERIES["brand_affinity_pairs"] = q_brand_affinity_pairs
+
+ORACLE["brand_affinity_pairs"] = f"""
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    nb AS (SELECT count(DISTINCT basket) AS n FROM bi)
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+    GROUP BY a.item, b.item
+    HAVING count(*) * {AFFINITY_DEN} >= {AFFINITY_NUM} * (SELECT n FROM nb)
+    ORDER BY support DESC, item_a, item_b
+"""
