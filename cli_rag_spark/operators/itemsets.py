@@ -70,3 +70,81 @@ def frequent_pairs(
         .where(F.col("support") * support_den >= F.lit(support_num) * F.col("_nb"))
         .select("item_a", "item_b", "support")
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    support_num: int,
+    support_den: int,
+    confidence_num: int,
+    confidence_den: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Directional rules ``antecedent -> consequent`` over the
+    frequent pairs: confidence = support(pair) / support(antecedent),
+    kept when ``>= confidence_num/confidence_den`` — the classic
+    second half of A-priori (Agrawal & Srikant 1994 §1.1).
+
+    Both thresholds stay exact integer cross-multiplies
+    (``s_pair * conf_den >= conf_num * s_ant``); the emitted
+    ``confidence`` and ``lift`` columns are the only floats, computed
+    once from exact integer counts and rounded. lift =
+    confidence / (support(consequent)/n_baskets) > 1 means the
+    antecedent genuinely raises the consequent's odds — the measure
+    that separates co-occurrence from popularity.
+
+    Returns [antecedent, consequent, pair_support, confidence, lift].
+    Plan: :func:`frequent_pairs` provides the symmetric pair counts;
+    each pair emits both directions via a union of two projections
+    (map-side); item supports broadcast-join in (the frequent-item
+    table is small by construction).
+    """
+    if confidence_num < 0 or confidence_den < 1:
+        raise ValueError("confidence_num/confidence_den must be non-negative / positive")
+    bi = df.select(basket_col, item_col).distinct()
+    nb = bi.agg(F.count_distinct(basket_col).alias("_nb"))
+    item_counts = bi.groupBy(item_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_s")
+    )
+    pairs = frequent_pairs(df, basket_col, item_col, support_num, support_den)
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("support").alias("pair_support"),
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            F.col("support").alias("pair_support"),
+        )
+    )
+    ant = item_counts.select(
+        F.col(item_col).alias("antecedent"), F.col("_s").alias("_s_ant")
+    )
+    con = item_counts.select(
+        F.col(item_col).alias("consequent"), F.col("_s").alias("_s_con")
+    )
+    return (
+        directed.join(F.broadcast(ant), "antecedent")
+        .join(F.broadcast(con), "consequent")
+        .crossJoin(F.broadcast(nb))
+        .where(
+            F.col("pair_support") * confidence_den
+            >= F.lit(confidence_num) * F.col("_s_ant")
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_support",
+            F.round(F.col("pair_support") / F.col("_s_ant"), round_digits).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("pair_support") * F.col("_nb"))
+                / (F.col("_s_ant") * F.col("_s_con")),
+                round_digits,
+            ).alias("lift"),
+        )
+    )

@@ -537,3 +537,61 @@ ORACLE["brand_affinity_pairs"] = f"""
     HAVING count(*) * {AFFINITY_DEN} >= {AFFINITY_NUM} * (SELECT n FROM nb)
     ORDER BY support DESC, item_a, item_b
 """
+
+
+RULE_CONF_NUM = 1   # keep rules with confidence >= 1/8
+RULE_CONF_DEN = 8
+
+
+def q_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the frequent brand pairs
+    (operators/itemsets.py association_rules): confidence =
+    support(pair)/support(antecedent) gated at 1/8 by exact integer
+    cross-multiply, lift emitted from the same exact counts. The
+    oracle recomputes both measures from the brute-force pair and
+    item supports in one statement — a wrong directionality (rules
+    are NOT symmetric: confidence divides by the antecedent) flips
+    rows out of the gate and fails the row set."""
+    from cli_rag_spark.operators.itemsets import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return association_rules(
+        baskets, "basket", "item",
+        AFFINITY_NUM, AFFINITY_DEN, RULE_CONF_NUM, RULE_CONF_DEN,
+    ).orderBy(F.col("confidence").desc(), "antecedent", "consequent")
+
+
+QUERIES["brand_rules"] = q_brand_rules
+
+ORACLE["brand_rules"] = f"""
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    nb AS (SELECT count(DISTINCT basket) AS n FROM bi),
+    isup AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM bi GROUP BY item),
+    psup AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(count(*) AS BIGINT) AS s
+        FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY a.item, b.item
+        HAVING count(*) * {AFFINITY_DEN} >= {AFFINITY_NUM} * (SELECT n FROM nb)
+    ),
+    directed AS (
+        SELECT item_a AS antecedent, item_b AS consequent, s FROM psup
+        UNION ALL
+        SELECT item_b AS antecedent, item_a AS consequent, s FROM psup
+    )
+    SELECT d.antecedent, d.consequent, d.s AS pair_support,
+           round(d.s / ia.s, 6) AS confidence,
+           round((d.s * (SELECT n FROM nb)) / (ia.s * ic.s), 6) AS lift
+    FROM directed d
+    JOIN isup ia ON ia.item = d.antecedent
+    JOIN isup ic ON ic.item = d.consequent
+    WHERE d.s * {RULE_CONF_DEN} >= {RULE_CONF_NUM} * ia.s
+    ORDER BY confidence DESC, antecedent, consequent
+"""

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cli_rag_spark.sources.compaction import compact_parquet, table_file_stats
-from cli_rag_spark.sources.documents import load_table
+from cli_rag_spark.sources.documents import load_documents, load_table
 from cli_rag_spark.sources.partitioned import read_partitioned, write_partitioned
 
 # Events span 2024-01-01..2024-01-30 at every SF (TESTDATA.md fixture
@@ -148,6 +148,38 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
+    )
+
+
+ORC_MIN_CHARS = 200
+
+
+def q_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents corpus through ORC (r7 —
+    sources/documents.py fmt='orc'): write the fixture to an ORC
+    copy, read it back through the documented loader, and answer a
+    filtered per-language aggregate from the copy. The oracle runs
+    the same aggregate on the ORIGINAL parquet, so a green row proves
+    the second columnar format is byte-lossless for every column type
+    the corpus carries (long/string) through the driver's own
+    channel. The n_chars predicate reaches the ORC scan as a pushed
+    filter (asserted in tests/test_plans.py) — Spark's ORC reader has
+    the same pushdown/pruning contract as parquet, which is the point
+    of offering the format at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch("orc", sf_dir)
+    docs.write.mode("overwrite").orc(path)
+    back = load_documents(spark, path, fmt="orc")
+    return (
+        back.where(F.col("n_chars") >= ORC_MIN_CHARS)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -519,6 +551,7 @@ def q_snapshot_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "partitioned_compaction": q_partitioned_compaction,
     "zorder_roundtrip": q_zorder_roundtrip,
+    "orc_roundtrip_stats": q_orc_roundtrip_stats,
     "snapshot_time_travel": q_snapshot_time_travel,
     "snapshot_schema_evolution": q_snapshot_schema_evolution,
     "snapshot_optimize_stats": q_snapshot_optimize_stats,
@@ -658,6 +691,18 @@ ORACLE = {
                CAST(sum(CASE WHEN priority_class IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_class,
                CAST(sum(CASE WHEN priority_class IS NOT NULL THEN o_orderkey ELSE 0 END) AS BIGINT) AS class_key_sum
         FROM versions GROUP BY version, n_cols ORDER BY version
+    """,
+    # same contract as zorder_roundtrip: the oracle aggregates the
+    # ORIGINAL parquet — matching it proves the ORC copy is lossless
+    "orc_roundtrip_stats": f"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM documents
+        WHERE n_chars >= {ORC_MIN_CHARS}
+        GROUP BY lang ORDER BY lang
     """,
     "zorder_roundtrip": """
         SELECT event_type,

@@ -29,10 +29,15 @@ def load_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> Data
     fmt='csv'      : header CSV with a 'text' column; doc_id/source
                      assigned if absent (multiLine+escape so quoted
                      newlines inside documents survive).
+    fmt='orc'      : columnar ORC corpus table (Spark-native reader —
+                     same pushdown/pruning contract as parquet, the
+                     interchange format Hive-era lakes still serve).
     fmt='binary'   : binaryFile source for opaque payloads (E11).
     """
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if fmt == "csv":
         df = (
             spark.read.option("header", "true")

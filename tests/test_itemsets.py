@@ -57,3 +57,59 @@ class TestFrequentPairs:
             frequent_pairs(df, "basket", "item", 0, 2)
         with pytest.raises(ValueError, match="support"):
             frequent_pairs(df, "basket", "item", 1, 0)
+
+
+class TestAssociationRules:
+    def test_directionality_and_measures(self, spark):
+        from cli_rag_spark.operators.itemsets import association_rules
+
+        # support(a)=4, support(b)=3, pair=3, n_baskets=4:
+        #   a -> b: confidence 3/4 = 0.75, lift 3*4/(4*3) = 1.0
+        #   b -> a: confidence 3/3 = 1.00, lift 1.0
+        df = _baskets(
+            spark,
+            [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+             (3, "a"), (3, "b"), (4, "a")],
+        )
+        rows = {
+            (r["antecedent"], r["consequent"]): r
+            for r in association_rules(df, "basket", "item", 1, 2, 0, 1).collect()
+        }
+        assert rows[("a", "b")]["confidence"] == 0.75
+        assert rows[("b", "a")]["confidence"] == 1.0
+        assert rows[("a", "b")]["lift"] == 1.0
+        assert rows[("a", "b")]["pair_support"] == 3
+
+    def test_confidence_gate_is_directional(self, spark):
+        from cli_rag_spark.operators.itemsets import association_rules
+
+        df = _baskets(
+            spark,
+            [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+             (3, "a"), (3, "b"), (4, "a")],
+        )
+        # gate 4/5: keeps b -> a (1.0) and drops a -> b (0.75)
+        rows = association_rules(df, "basket", "item", 1, 2, 4, 5).collect()
+        assert [(r["antecedent"], r["consequent"]) for r in rows] == [("b", "a")]
+
+    def test_lift_detects_anti_correlation(self, spark):
+        from cli_rag_spark.operators.itemsets import association_rules
+
+        # a and b co-occur in 2 baskets but each appears in 3 of 4:
+        # lift = 2*4/(3*3) = 0.888889 < 1 (co-occurrence BELOW chance)
+        df = _baskets(
+            spark,
+            [(1, "a"), (1, "b"), (2, "a"), (3, "a"), (4, "b"), (2, "b")],
+        )
+        rows = association_rules(df, "basket", "item", 1, 4, 0, 1).collect()
+        by_dir = {(r["antecedent"], r["consequent"]): r["lift"] for r in rows}
+        assert by_dir[("a", "b")] == round(2 * 4 / (3 * 3), 6)
+
+    def test_conf_param_guard(self, spark):
+        from cli_rag_spark.operators.itemsets import association_rules
+
+        df = _baskets(spark, [(1, "a")])
+        with pytest.raises(ValueError, match="confidence"):
+            association_rules(df, "basket", "item", 1, 2, -1, 2)
+        with pytest.raises(ValueError, match="confidence"):
+            association_rules(df, "basket", "item", 1, 2, 1, 0)

@@ -86,3 +86,26 @@ def test_partitioned_compaction_query_prunes(spark, sf_dir):
 
     df = q_partitioned_compaction(spark, sf_dir)
     assert verify_pruned(df, "day"), scan_partition_filters(df)
+
+
+def test_orc_loader_roundtrip(spark, tmp_path):
+    from cli_rag_spark.sources.documents import load_documents
+
+    df = spark.createDataFrame(
+        [(1, "alpha", "en", 5), (2, "beta", "fr", 4), (3, "", "en", 0)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    p = str(tmp_path / "corpus_orc")
+    df.write.orc(p)
+    got = {r.doc_id: (r.text, r.lang, r.n_chars)
+           for r in load_documents(spark, p, fmt="orc").collect()}
+    assert got == {1: ("alpha", "en", 5), 2: ("beta", "fr", 4), 3: ("", "en", 0)}
+
+
+def test_unknown_format_raises(spark):
+    import pytest as _pytest
+
+    from cli_rag_spark.sources.documents import load_documents
+
+    with _pytest.raises(ValueError, match="unknown format"):
+        load_documents(spark, "/nonexistent", fmt="avro")

@@ -419,3 +419,14 @@ def test_r7_plan_shapes(spark, sf_dir):
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_orc_roundtrip_pushdown(spark, sf_dir):
+    # the n_chars predicate must reach the ORC scan as a pushed
+    # filter — the format offers the same pushdown contract as
+    # parquet, which is why it's worth serving
+    plan = _plan(spark, sf_dir, "orc_roundtrip_stats")
+    assert "OrcScan" in plan or "Format: ORC" in plan or "orc" in plan.lower()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [")[1][:200]
+    assert "n_chars" in pushed
