@@ -33,35 +33,50 @@ def frequent_pairs(
     baskets. Returns [item_a, item_b, support] with item_a < item_b
     and ``support`` the exact distinct-basket co-occurrence count.
 
-    Plan: dedup to distinct (basket, item); count baskets once as a
-    1-row broadcast (no driver collect — the threshold comparison
-    stays in-plan); frequent items via one partial-agg groupBy,
-    broadcast-semi-joined back (the A-priori prune); pair generation
-    is a self-equi-join on the basket key (never a crossJoin); pair
-    support is one more partial-agg groupBy. Every shuffle is keyed
-    and combiner-backed; the only quadratic term is per-basket over
-    FREQUENT items.
+    Plan: count baskets once as a 1-row broadcast (no driver collect —
+    the threshold comparison stays in-plan); frequent items via one
+    distinct-aggregate groupBy, broadcast-semi-joined back (the
+    A-priori prune); then ONE shuffle on the basket key builds each
+    basket's sorted frequent-item set (``collect_set`` dedups, so no
+    separate distinct pass) and the pairs expand IN-ROW with a
+    higher-order transform — the m² pair stream never shuffles raw:
+    the pair-support groupBy sees it through map-side combine on the
+    small (item, item) key space. Two wide shuffles total, versus
+    three plus a self-join for the naive spelling.
+
+    Skew bound: per-basket pair fan-out is |frequent items in
+    basket|², and the number of frequent items is data-independently
+    capped at ``(support_den / support_num) * avg basket size`` (their
+    supports must sum to at most the total item-occurrence count) —
+    min-support IS the skew guard, the A-priori observation.
     """
     if support_num < 1 or support_den < 1:
         raise ValueError("support_num/support_den must be positive integers")
-    bi = df.select(basket_col, item_col).distinct()
+    bi = df.select(basket_col, item_col)
     nb = bi.agg(F.count_distinct(basket_col).alias("_nb"))
-    item_counts = bi.groupBy(item_col).agg(F.count(F.lit(1)).alias("_s"))
+    item_counts = bi.groupBy(item_col).agg(
+        F.count_distinct(basket_col).alias("_s")
+    )
     freq_items = (
         item_counts.crossJoin(F.broadcast(nb))
         .where(F.col("_s") * support_den >= F.lit(support_num) * F.col("_nb"))
         .select(item_col)
     )
     pruned = bi.join(F.broadcast(freq_items), item_col, "left_semi")
-    a = pruned.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a")
-    )
-    b = pruned.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_b")
+    sets = pruned.groupBy(basket_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("_items")
     )
     pairs = (
-        a.join(b, "_b")
-        .where(F.col("item_a") < F.col("item_b"))
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_items, (x, i) -> "
+                    "transform(slice(_items, i + 2, size(_items)), "
+                    "y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.item_a", "_p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
     )
@@ -103,10 +118,10 @@ def association_rules(
     """
     if confidence_num < 0 or confidence_den < 1:
         raise ValueError("confidence_num/confidence_den must be non-negative / positive")
-    bi = df.select(basket_col, item_col).distinct()
+    bi = df.select(basket_col, item_col)
     nb = bi.agg(F.count_distinct(basket_col).alias("_nb"))
     item_counts = bi.groupBy(item_col).agg(
-        F.count(F.lit(1)).cast("long").alias("_s")
+        F.count_distinct(basket_col).cast("long").alias("_s")
     )
     pairs = frequent_pairs(df, basket_col, item_col, support_num, support_den)
     directed = pairs.select(
