@@ -117,6 +117,19 @@ QUERIES = [
     # the df-count groupBy and the fp-keyed novelty join must scale
     # with the shingle stream, pinned sort-merge (never broadcast)
     "ngram_novelty",
+    # r7 additions. mmr_rerank: queries fixed at 10, so the axis is
+    # the INDEX — the exact top-20 shortlist chain grows linearly
+    # with replicated embeddings while the greedy stage stays
+    # O(queries × 20²). image_dhash_groups: payload synth + decode +
+    # hash are one map stage — must be linear in documents with the
+    # groupBy key space fixed at ≤37 gradients per replica.
+    # brand_affinity_pairs: replicated orders are m disconnected
+    # basket populations over the SAME 25 brands, so basket-item
+    # volume grows ×m while relative supports are invariant — the
+    # set-build shuffle is the axis, the pair space is fixed.
+    "mmr_rerank",
+    "image_dhash_groups",
+    "brand_affinity_pairs",
 ]
 
 
@@ -230,8 +243,9 @@ def _rotated(alpha: str, i: int) -> str:
 def generate(spark, m: int) -> str:
     out = os.path.join(WORK, f"x{m}")
     # marker versioned: v3 adds customer.parquet (late-r6 bloom-join
-    # rehearsal) — older dirs regenerate rather than silently missing it
-    done = os.path.join(out, "_DONE_v3")
+    # rehearsal); v4 adds part.parquet (r7 brand-affinity rehearsal) —
+    # older dirs regenerate rather than silently missing tables
+    done = os.path.join(out, "_DONE_v4")
     if os.path.exists(done):  # only a fully-written dir is reusable
         return out
     if os.path.isdir(out):
@@ -316,6 +330,13 @@ def generate(spark, m: int) -> str:
     l_all.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
     ev_all.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
     c_all.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
+    # part is a pure dimension for the brand-affinity rehearsal:
+    # lineitem replicas keep l_partkey UNCHANGED, so one shared part
+    # table joins every replica — basket volume grows ×m over the
+    # same 25 brands, relative supports invariant by construction
+    spark.read.parquet(os.path.join(BASE_SF, "part.parquet")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "part.parquet"))
     open(done, "w").close()
     return out
 
