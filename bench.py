@@ -93,6 +93,7 @@ HEADLINE = [
     "image_dhash_groups",        # multimodal: perceptual-hash image dedup (r7)
     "mmr_rerank",                # retrieval: MMR diversity rerank (r7)
     "brand_affinity_pairs",      # mining: A-priori frequent pairs (r7)
+    "audio_fingerprint_groups",  # multimodal: PCM energy-contour dedup (r7)
 ]
 
 

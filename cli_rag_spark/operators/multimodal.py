@@ -667,15 +667,24 @@ def wav_encode(
     n_frames: int,
     bits: int = 16,
     fill: int = 0,
+    pattern: tuple[int, int] | None = None,
 ) -> bytes:
-    """Build a real RIFF/WAVE PCM file with every sample byte set to
-    ``fill`` — the dependency-free fixture generator for
-    :func:`real_decode_audio`. A junk ``LIST`` chunk precedes ``data``
-    so a parser that assumes data-at-offset-44 is detectably wrong."""
+    """Build a real RIFF/WAVE PCM file — the dependency-free fixture
+    generator for :func:`real_decode_audio`. Sample bytes are
+    ``fill``, or the closed-form ramp ``(a*n + b) % 256`` over byte
+    index n when ``pattern=(a, b)`` (the audio twin of
+    bmp_encode_gradient — content an oracle can recompute). A junk
+    ``LIST`` chunk precedes ``data`` so a parser that assumes
+    data-at-offset-44 is detectably wrong."""
     import struct
 
     block_align = channels * bits // 8
-    data = bytes([fill]) * (n_frames * block_align)
+    n_bytes = n_frames * block_align
+    if pattern is None:
+        data = bytes([fill]) * n_bytes
+    else:
+        a, b = pattern
+        data = bytes((a * n + b) % 256 for n in range(n_bytes))
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
     )
@@ -722,6 +731,122 @@ def real_decode_audio(payload: bytes) -> dict:
         "channels": channels,
         "duration_sec": round(data_len / (sample_rate * block_align), 2),
     }
+
+
+def real_decode_pcm(payload: bytes) -> bytes:
+    """The raw PCM bytes of a RIFF/WAVE file — the sample-access
+    sibling of :func:`real_decode_audio` (which only reads headers).
+    Walks the chunk list to the actual ``data`` chunk (fmt and data
+    are not assumed adjacent; the synth fixtures plant a junk LIST
+    between them) and returns exactly its payload."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "PCM extraction implemented for RIFF/WAVE; MP3/AAC need "
+            "torchaudio/ffmpeg (not in this container)"
+        )
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"data":
+            if pos + 8 + size > len(payload):
+                raise ValueError("truncated WAVE data chunk")
+            return payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise ValueError("malformed WAVE: missing data chunk")
+
+
+AUDIO_FP_WINDOWS = 16  # 16 energy windows -> 15 contour bits
+
+
+def audio_energy_fingerprint(data: bytes, n_windows: int = AUDIO_FP_WINDOWS) -> str:
+    """Energy-contour fingerprint over raw PCM bytes — dHash's
+    difference trick (operators/multimodal.py dhash_bits) on the time
+    axis: the byte stream splits into ``n_windows`` blocks (byte n is
+    in block ``(n*W)//L``), each block's energy is its exact byte
+    sum, and bit w is 1 where block w+1's MEAN energy exceeds block
+    w's — compared by integer cross-multiply, no float anywhere, so
+    the fingerprint replays bit-for-bit in SQL. Same-content audio
+    groups identically whatever its container layout; time-warped or
+    re-levelled audio is out of scope (that genuinely needs DSP)."""
+    L = len(data)
+    if L < n_windows:
+        raise ValueError(f"PCM of {L} bytes shorter than {n_windows} windows")
+    sums = [0] * n_windows
+    counts = [0] * n_windows
+    for n, v in enumerate(data):
+        w = (n * n_windows) // L
+        sums[w] += v
+        counts[w] += 1
+    return "".join(
+        "1" if sums[w + 1] * counts[w] > sums[w] * counts[w + 1] else "0"
+        for w in range(n_windows - 1)
+    )
+
+
+def audio_fingerprint_plan(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Append ``afp`` (the 15-char contour bit string) from REAL
+    chunk-walked PCM — audio dedup as a training-data pipeline op,
+    the WAV twin of :func:`image_dhash_plan`: fingerprint in a map
+    stage (Arrow-batched, no shuffle), group on the narrow bit-string
+    key afterwards; the audio bytes never shuffle."""
+    from cli_rag_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = StructType(df.schema.fields + [StructField("afp", StringType())])
+    in_cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            out["afp"] = [
+                audio_energy_fingerprint(real_decode_pcm(bytes(p)))
+                for p in pdf[payload_col]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+TONE_SYNTH_GROUPS = 29
+
+
+def synth_tone_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach REAL 8-bit mono WAV payloads whose PCM is the
+    closed-form ramp of ``g = id % 29``:
+
+        n_frames = 256 + (g % 8) * 32    (8-bit mono: 1 byte/frame)
+        data[n]  = ((g % 7 + 1) * n + g % 11) % 256
+
+    Same-``g`` docs are sample-identical (fingerprint ground truth);
+    the ramp parameters give 24 distinct contour fingerprints across
+    the 29 groups (measured — real merges included, which is what a
+    grouping fixture should have). Real container bytes (junk LIST
+    before data) keep the chunk walking load-bearing."""
+    from cli_rag_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = StructType(df.schema.fields + [StructField("payload", BinaryType())])
+    in_cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            out["payload"] = [
+                wav_encode(
+                    sample_rate=8000,
+                    channels=1,
+                    n_frames=256 + (g % 8) * 32,
+                    bits=8,
+                    pattern=(g % 7 + 1, g % 11),
+                )
+                for g in (int(v) % TONE_SYNTH_GROUPS for v in pdf[id_col])
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def fake_decode_audio(payload: bytes) -> dict:

@@ -22,12 +22,14 @@ from cli_rag_spark.operators.embed import (
 )
 from cli_rag_spark.operators.multimodal import (
     attach_binary_metadata,
+    audio_fingerprint_plan,
     audio_window_plan,
     decode_images,
     dhash_neardup_pairs,
     image_dhash_plan,
     synth_bmp_payloads,
     synth_gradient_bmp_payloads,
+    synth_tone_wav_payloads,
 )
 from cli_rag_spark.sources.documents import load_table
 
@@ -275,6 +277,27 @@ def q_image_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup over REAL chunk-walked PCM (r7,
+    operators/multimodal.py audio_fingerprint_plan): closed-form ramp
+    WAVs (8-bit mono, junk LIST before data) -> raw PCM extraction ->
+    integer-exact energy-contour fingerprint -> exact groups — the
+    audio member of the perceptual-dedup trio beside
+    image_dhash_groups and fingerprint_dups. The oracle recomputes
+    every sample byte, window sum, and comparison bit from the
+    synthesis closed form in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = audio_fingerprint_plan(synth_tone_wav_payloads(docs))
+    return (
+        fp.groupBy("afp")
+        .agg(
+            F.count(F.lit(1)).alias("n_audio"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("afp")
+    )
+
+
 def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E11 audio decode over REAL bytes (r6 — the WAV twin of
     image_decode_stats): per-doc RIFF/WAVE PCM payloads
@@ -361,6 +384,7 @@ QUERIES = {
     "image_dhash_groups": q_image_dhash_groups,
     "image_neardup_groups": q_image_neardup_groups,
     "audio_decode_stats": q_audio_decode_stats,
+    "audio_fingerprint_groups": q_audio_fingerprint_groups,
     "video_frame_stats": q_video_frame_stats,
 }
 
@@ -630,4 +654,33 @@ ORACLE["image_neardup_groups"] = f"""
     FROM groups a JOIN groups b ON a.dhash < b.dhash
     WHERE hamming(a.dhash, b.dhash) <= {NEARDUP_RADIUS}
     ORDER BY hash_a, hash_b
+"""
+
+# audio fingerprint replay from the tone-synthesis closed form:
+# g = doc_id % 29, L = 256 + (g%8)*32 bytes of ((g%7+1)n + g%11) % 256,
+# byte n in window (n*16)//L, bit = next window's mean energy exceeds
+# this one's via exact integer cross-multiply -> 15 chars
+ORACLE["audio_fingerprint_groups"] = """
+    WITH smp AS (
+        SELECT doc_id,
+               n.n AS n,
+               ((doc_id % 29) % 7 + 1) * n.n + (doc_id % 29) % 11 AS raw,
+               256 + ((doc_id % 29) % 8) * 32 AS len
+        FROM documents CROSS JOIN generate_series(0, 479) n(n)
+        WHERE n.n < 256 + ((doc_id % 29) % 8) * 32
+    ), ws AS (
+        SELECT doc_id, (n * 16) // len AS w,
+               sum(raw % 256) AS s, count(*) AS c
+        FROM smp GROUP BY doc_id, (n * 16) // len
+    ), bits AS (
+        SELECT a.doc_id,
+               string_agg(CASE WHEN b.s * a.c > a.s * b.c THEN '1' ELSE '0' END,
+                          '' ORDER BY a.w) AS afp
+        FROM ws a JOIN ws b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        GROUP BY a.doc_id
+    )
+    SELECT afp,
+           count(*)::BIGINT AS n_audio,
+           min(doc_id) AS keep_doc_id
+    FROM bits GROUP BY afp ORDER BY afp
 """

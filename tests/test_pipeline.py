@@ -459,6 +459,84 @@ class TestDhash:
             dhash_neardup_pairs(df, radius=-1, n_bands=4)
 
 
+class TestAudioFingerprint:
+    """Energy-contour audio dedup over real chunk-walked PCM (r7)."""
+
+    def test_pcm_extraction_walks_past_junk_chunk(self):
+        from cli_rag_spark.operators.multimodal import real_decode_pcm, wav_encode
+
+        payload = wav_encode(8000, 1, 64, bits=8, pattern=(3, 5))
+        pcm = real_decode_pcm(payload)
+        assert pcm == bytes((3 * n + 5) % 256 for n in range(64))
+
+    def test_pcm_extraction_refuses_non_wav(self):
+        from cli_rag_spark.operators.multimodal import real_decode_pcm
+
+        with pytest.raises(NotImplementedError, match="RIFF/WAVE"):
+            real_decode_pcm(b"ID3mp3-bytes")
+
+    def test_fingerprint_hand_computed(self):
+        from cli_rag_spark.operators.multimodal import audio_energy_fingerprint
+
+        # 4 windows of 2 bytes: sums 1, 5, 3, 3 -> bits: 5>1, 3<5, 3==3
+        data = bytes([0, 1, 2, 3, 2, 1, 1, 2])
+        assert audio_energy_fingerprint(data, n_windows=4) == "100"
+
+    def test_fingerprint_compares_means_not_sums(self):
+        from cli_rag_spark.operators.multimodal import audio_energy_fingerprint
+
+        # 3 bytes over 2 windows -> blocks of 2 and 1: sums 4 vs 3 but
+        # means 2 vs 3 — a sum comparison flips this bit
+        assert audio_energy_fingerprint(bytes([2, 2, 3]), n_windows=2) == "1"
+
+    def test_fingerprint_too_short_raises(self):
+        from cli_rag_spark.operators.multimodal import audio_energy_fingerprint
+
+        with pytest.raises(ValueError, match="shorter"):
+            audio_energy_fingerprint(bytes(8), n_windows=16)
+
+    def test_tone_groups_discriminate(self):
+        from cli_rag_spark.operators.multimodal import (
+            TONE_SYNTH_GROUPS,
+            audio_energy_fingerprint,
+            real_decode_pcm,
+            wav_encode,
+        )
+
+        fps = {
+            g: audio_energy_fingerprint(
+                real_decode_pcm(
+                    wav_encode(8000, 1, 256 + (g % 8) * 32, bits=8,
+                               pattern=(g % 7 + 1, g % 11))
+                )
+            )
+            for g in range(TONE_SYNTH_GROUPS)
+        }
+        assert all(len(f) == 15 for f in fps.values())
+        # measured fixture property: 24 distinct contours of 29 ramps
+        assert len(set(fps.values())) == 24
+
+    def test_spark_plan_matches_python_chain(self, spark):
+        from cli_rag_spark.operators.multimodal import (
+            audio_energy_fingerprint,
+            audio_fingerprint_plan,
+            real_decode_pcm,
+            synth_tone_wav_payloads,
+        )
+
+        df = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+        out = audio_fingerprint_plan(synth_tone_wav_payloads(df)).collect()
+        assert len(out) == 60
+        for r in out:
+            assert r["afp"] == audio_energy_fingerprint(
+                real_decode_pcm(bytes(r["payload"]))
+            )
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["doc_id"] % 29, set()).add(r["afp"])
+        assert all(len(s) == 1 for s in by_g.values())
+
+
 class TestMathSanity:
     def test_mock_vec_cosine_self_zero(self):
         v = mock_embed_py("x", 8)
