@@ -442,6 +442,37 @@ def q_ann_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+NEG_POSITIVES = 3
+NEG_K = 5
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (r7,
+    operators/knn.py hard_negatives — the DPR recipe): per query, the
+    exact top-3 neighbors are the positives, and the 5 nearest
+    NON-positive rows are the hard negatives a bi-encoder trains
+    against. The anti-join happens before ranking, so negatives never
+    underfill. The oracle composes the distance table, the positive
+    window, the anti-join, and the negative window in one statement."""
+    from cli_rag_spark.operators.knn import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    positives = knn_join(queries, emb, k=NEG_POSITIVES, exclude_self=True).select(
+        "query_id", "vec_id"
+    )
+    return (
+        hard_negatives(queries, emb, positives, k=NEG_K)
+        .select(
+            "query_id", "vec_id", "dist",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+        .orderBy("query_id", "neg_rank")
+    )
+
+
 MMR_SHORTLIST = 20
 MMR_K = 5
 MMR_LAMBDA = 0.5
@@ -777,6 +808,7 @@ QUERIES = {
     "ivf_recall_stats": q_ivf_recall_stats,
     "ann_rank_metrics": q_ann_rank_metrics,
     "mmr_rerank": q_mmr_rerank,
+    "hard_negative_mining": q_hard_negative_mining,
     "ivf_append_stats": q_ivf_append_stats,
     "cosine_topk": q_cosine_topk,
     "pq_topk": q_pq_topk,
@@ -1186,6 +1218,42 @@ ORACLE = {
         LEFT JOIN ivf3 i ON e.query_id = i.query_id AND e.vec_id = i.vec_id
         GROUP BY e.query_id
         ORDER BY e.query_id
+    """,
+    # hard negatives: distance table -> positive window -> anti-join ->
+    # negative window, one statement
+    "hard_negative_mining": f"""
+        WITH ed AS (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(1 - list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < {LSH_QUERIES}) q,
+                 embeddings e
+            WHERE e.vec_id <> q.vec_id
+        ),
+        pos AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+                       ) AS rnk
+                FROM ed
+            ) WHERE rnk <= {NEG_POSITIVES}
+        ),
+        neg AS (
+            SELECT query_id, vec_id, dist,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+                   ) AS neg_rank
+            FROM ed e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pos p
+                WHERE p.query_id = e.query_id AND p.vec_id = e.vec_id
+            )
+        )
+        SELECT query_id, vec_id, dist, CAST(neg_rank AS BIGINT) AS neg_rank
+        FROM neg WHERE neg_rank <= {NEG_K}
+        ORDER BY query_id, neg_rank
     """,
     # greedy MMR selection replayed as chained argmax CTEs
     # (operators/mmr.py mmr_oracle_sql generates step t's anti-joined

@@ -282,3 +282,55 @@ def test_rank_metrics_k_guard(spark):
     rel = df.select("query_id", "vec_id")
     with pytest.raises(ValueError, match="k"):
         rank_metrics(df, rel, k=0)
+
+
+def test_hard_negatives_excludes_before_ranking(spark):
+    from cli_rag_spark.operators.knn import hard_negatives
+
+    # 1-D embeddings: cosine distance is 0 for same sign, 2 for
+    # opposite — use 2-D to get distinct distances
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    queries = spark.createDataFrame(
+        [(100, vec(0.0))], "query_id long, query_vec array<double>"
+    )
+    index = spark.createDataFrame(
+        [(i, vec(0.05 * i)) for i in range(1, 7)],
+        "vec_id long, embedding array<double>",
+    )
+    positives = spark.createDataFrame([(100, 1), (100, 2)], "query_id long, vec_id long")
+    rows = hard_negatives(queries, index, positives, k=3).orderBy("neg_rank").collect()
+    # nearest overall are 1,2 (positives, excluded) -> negatives 3,4,5
+    assert [r["vec_id"] for r in rows] == [3, 4, 5]
+    assert [r["neg_rank"] for r in rows] == [1, 2, 3]
+    # exclusion happens BEFORE ranking: 3 negatives despite 2 positives
+    # sitting nearer than all of them
+
+
+def test_hard_negatives_excludes_self(spark):
+    from cli_rag_spark.operators.knn import hard_negatives
+
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    index = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+    empty = spark.createDataFrame([], "query_id long, vec_id long")
+    rows = hard_negatives(queries, index, empty, k=5).collect()
+    assert [r["vec_id"] for r in rows] == [2]
+
+
+def test_hard_negatives_k_guard(spark):
+    import pytest as _pytest
+
+    from cli_rag_spark.operators.knn import hard_negatives
+
+    df = spark.createDataFrame([(1, [1.0])], "query_id long, query_vec array<double>")
+    idx = spark.createDataFrame([(2, [1.0])], "vec_id long, embedding array<double>")
+    pos = spark.createDataFrame([], "query_id long, vec_id long")
+    with _pytest.raises(ValueError, match="k"):
+        hard_negatives(df, idx, pos, k=0)
