@@ -289,3 +289,88 @@ ORACLE = {
         ORDER BY p_brand, rnk, p_partkey
     """,
 }
+
+
+WAIT_LAG_DAYS = 60
+WAIT_TOP = 10
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q21 shape (suppliers who kept orders waiting) on the
+    fixture's columns: per (order, supplier), 'late' = any line shipped
+    more than 60 days after the order date; count, per supplier, the
+    multi-supplier orders where THIS supplier was late and NO OTHER
+    supplier was (r7). The distinctive relational shape is the DOUBLE
+    correlation on the same fact table — one EXISTS (semi join: some
+    other supplier in the order) and one NOT EXISTS (anti join: no
+    other LATE supplier) — which Spark plans as two keyed joins on the
+    pre-aggregated (order, supplier) grain, never a per-row subquery."""
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ls = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                    > WAIT_LAG_DAYS,
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    others = ls.select(
+        F.col("l_orderkey").alias("_ok"),
+        F.col("l_suppkey").alias("_sk"),
+        F.col("late").alias("_late"),
+    )
+    l1 = ls.where(F.col("late") == 1)
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+            "semi",
+        )
+        .join(
+            others.where(F.col("_late") == 1),
+            (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+            "anti",
+        )
+    )
+    return (
+        waiting.join(sup, waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(WAIT_TOP)
+    )
+
+
+QUERIES["waiting_suppliers"] = q_waiting_suppliers
+
+ORACLE["waiting_suppliers"] = f"""
+    WITH ls AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                         > {WAIT_LAG_DAYS} THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM ls l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM ls l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM ls l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {WAIT_TOP}
+"""
