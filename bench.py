@@ -94,6 +94,7 @@ HEADLINE = [
     "mmr_rerank",                # retrieval: MMR diversity rerank (r7)
     "brand_affinity_pairs",      # mining: A-priori frequent pairs (r7)
     "audio_fingerprint_groups",  # multimodal: PCM energy-contour dedup (r7)
+    "hard_negative_mining",      # vector: DPR hard-negative construction (r7)
 ]
 
 
