@@ -162,3 +162,105 @@ def pagerank(
             # driver-blocking job per iteration (measured −1.5 s/3 iters)
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 3,
+    broadcast_ranks: bool = False,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Personalized PageRank (Page & Brin 1998 §6; the random surfer
+    TELEPORTS to the seed set instead of anywhere) — relevance
+    propagation FROM a set of nodes: rank mass concentrates in the
+    seeds' neighborhood, which is what 'find documents related to
+    these' / 'expand this entity set' needs, where global PageRank
+    only says 'popular anywhere'.
+
+    ``seeds``: DF with a ``node`` column (ids must appear in the
+    graph; ids that don't are ignored, and an empty intersection
+    raises). Differences from :func:`pagerank`, both on the teleport
+    term only: the start vector is uniform over SEEDS (non-seeds
+    start at 0), and the (1-damping) restart mass — plus any dangling
+    mass — lands uniformly on seeds instead of all nodes. Everything
+    else (dyadic k/2^30 grid for order-free exact sums, checkpointed
+    edge table, iteration-invariant has_out flag, per-iteration keyed
+    join + partial-agg groupBy) is the judged pagerank machinery
+    unchanged; see the module docstring for why the grid makes the
+    whole chain bit-replayable in SQL."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+        .withColumn("outw", F.sum("w").over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    seed_set = F.broadcast(seeds.select(F.col("node")).distinct())
+    nodes = (
+        e.select(F.col("src").alias("node"), F.lit(True).alias("has_out"))
+        .unionByName(e.select(F.col("dst").alias("node"), F.lit(False).alias("has_out")))
+        .groupBy("node")
+        .agg(F.max("has_out").alias("has_out"))
+        .join(seed_set.withColumn("_s", F.lit(True)), "node", "left_outer")
+        .withColumn("is_seed", F.coalesce(F.col("_s"), F.lit(False)))
+        .drop("_s")
+        .localCheckpoint(eager=True)
+    )
+    n_seeds, n_dangling = nodes.agg(
+        F.count_if(F.col("is_seed")), F.count_if(~F.col("has_out"))
+    ).first()
+    if not n_seeds:
+        raise ValueError("no seed node appears in the graph")
+    base = (1.0 - damping) / n_seeds
+
+    ranks = nodes.withColumn(
+        "rank",
+        F.when(F.col("is_seed"), _dyadic(F.lit(1.0 / n_seeds))).otherwise(F.lit(0.0)),
+    )
+    for _ in range(iters):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = (
+            r.join(e, r["node"] == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                _dyadic(F.col("rank") * F.col("w") / F.col("outw")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        c = F.broadcast(contrib) if broadcast_ranks else contrib
+        updated = nodes.join(c, "node", "left_outer")
+        if n_dangling:
+            dangling = (
+                ranks.filter(~F.col("has_out"))
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            )
+            updated = updated.crossJoin(F.broadcast(dangling))
+            dmass = F.col("dmass")
+        else:
+            dmass = F.lit(0.0)
+        # restart AND dangling mass both teleport to seeds only
+        teleport = F.when(
+            F.col("is_seed"),
+            F.lit(base) + F.lit(damping) * dmass / F.lit(float(n_seeds)),
+        ).otherwise(F.lit(0.0))
+        ranks = updated.select(
+            "node",
+            "has_out",
+            "is_seed",
+            _dyadic(
+                teleport
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", "rank")

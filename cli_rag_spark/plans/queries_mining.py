@@ -595,3 +595,90 @@ ORACLE["brand_rules"] = f"""
     WHERE d.s * {RULE_CONF_DEN} >= {RULE_CONF_NUM} * ia.s
     ORDER BY confidence DESC, antecedent, consequent
 """
+
+
+# --- personalized PageRank (r7): teleport to a seed set --------------
+
+PPR_SEED_CUSTKEYS = (1, 2, 3)   # seed nodes 2, 4, 6 in the trade graph
+
+
+def q_ppr_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/pagerank.py
+    personalized_pagerank) from three seed customers over the trade
+    graph: rank mass concentrates in the seeds' trading neighborhood —
+    'parties related to THESE customers', where the global
+    pagerank_top_nodes only says 'central anywhere'. Same dyadic-grid
+    determinism, same chained-CTE oracle shape; the teleport and
+    start vectors are the only deltas, both replayed verbatim."""
+    from cli_rag_spark.operators.pagerank import personalized_pagerank
+
+    seeds = spark.createDataFrame(
+        [(2 * k,) for k in PPR_SEED_CUSTKEYS], "node long"
+    )
+    pr = personalized_pagerank(
+        _trade_edges(spark, sf_dir),
+        seeds,
+        weight="w",
+        damping=PR_DAMPING,
+        iters=PR_ITERS,
+        broadcast_ranks=True,
+    )
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(PR_TOPN)
+        .select("node", F.round("rank", 6).alias("ppr"))
+    )
+
+
+def _ppr_oracle() -> str:
+    seed_list = ", ".join(str(2 * k) for k in PPR_SEED_CUSTKEYS)
+    it = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        it.append(f"""
+        c{i} AS (
+          SELECT e.dst AS node,
+                 sum(floor(r.rank * e.w / e.outw * {_G})/{_G}) AS contrib
+          FROM {prev} r JOIN e ON r.node = e.src GROUP BY e.dst
+        ), r{i} AS (
+          SELECT n.node,
+                 floor((CASE WHEN n.node IN ({seed_list})
+                             THEN (1.0 - {PR_DAMPING})/ns.n ELSE 0.0 END
+                        + {PR_DAMPING} * coalesce(c.contrib, 0.0)) * {_G})/{_G} AS rank
+          FROM nodes n LEFT JOIN c{i} c ON n.node = c.node, ns
+        )""")
+        prev = f"r{i}"
+    iters = ",".join(it)
+    return f"""
+        WITH ed AS (
+          SELECT 2*o_custkey AS c_node, 2*l_suppkey + 1 AS s_node,
+                 CAST(count(*) AS DOUBLE) AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_custkey, l_suppkey
+        ), edges AS (
+          SELECT c_node AS src, s_node AS dst, w FROM ed
+          UNION ALL
+          SELECT s_node AS src, c_node AS dst, w FROM ed
+        ), outw AS (
+          SELECT src, sum(w) AS outw FROM edges GROUP BY src
+        ), e AS (
+          SELECT edges.src, edges.dst, edges.w, outw.outw
+          FROM edges JOIN outw USING (src)
+        ), nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), ns AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+          WHERE node IN ({seed_list})
+        ), r0 AS (
+          SELECT node,
+                 CASE WHEN node IN ({seed_list})
+                      THEN floor(1.0/ns.n * {_G})/{_G} ELSE 0.0 END AS rank
+          FROM nodes, ns
+        ),{iters}
+        SELECT node, round(rank, 6) AS ppr
+        FROM {prev} ORDER BY rank DESC, node ASC LIMIT {PR_TOPN}
+    """
+
+
+QUERIES["ppr_top_nodes"] = q_ppr_top_nodes
+ORACLE["ppr_top_nodes"] = _ppr_oracle()

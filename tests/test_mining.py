@@ -109,6 +109,73 @@ def test_pagerank_unweighted_default_and_validation(spark):
         pagerank(df, iters=0)
 
 
+def test_personalized_pagerank_hand_computed_with_dangling(spark):
+    from cli_rag_spark.operators.pagerank import personalized_pagerank
+
+    # A -> B, A is the only seed, B dangles; d = 0.5, 2 iterations:
+    # r0: A=1, B=0
+    # r1: A = 0.5 (teleport) + 0.5*dmass(0)/1 = 0.5; B = 0.5*1 = 0.5
+    # r2: A = 0.5 + 0.5*0.5 (B's dangling mass -> seed) = 0.75
+    #     B = 0.5 * rank(A)=0.5 -> 0.25
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(edges, seeds, damping=0.5, iters=2).collect()
+    }
+    assert got[1] == pytest.approx(0.75, abs=1e-6)
+    assert got[2] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
+    from cli_rag_spark.operators.pagerank import personalized_pagerank
+
+    # cycle 1 -> 2 -> 3 -> 4 -> 1 with seed {1}: at (near-)stationarity
+    # rank decays geometrically with distance from the seed along the
+    # edge direction (r_{k+1} = d * r_k for non-seeds). d = 0.5 makes
+    # the wave mix fast; few-iteration snapshots of high-damping
+    # cycles legitimately oscillate, which is NOT a defect.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(edges, seeds, damping=0.5, iters=8).collect()
+    }
+    assert got[1] > got[2] > got[3] > got[4] > 0.0
+    # geometric profile: each hop halves the mass (within dyadic slack)
+    assert got[2] == pytest.approx(got[1] / 2, rel=0.02)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_personalized_pagerank_unreached_node_gets_zero(spark):
+    from cli_rag_spark.operators.pagerank import personalized_pagerank
+
+    # 3 has no in-edges and is not a seed: nothing ever reaches it
+    edges = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(edges, seeds, iters=3).collect()
+    }
+    assert got[3] == 0.0
+
+
+def test_personalized_pagerank_validation(spark):
+    from cli_rag_spark.operators.pagerank import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    absent = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(edges, absent)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, seeds, damping=0.0)
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, seeds, iters=0)
+
+
 # ------------------------------------------------------- heavy hitters
 
 def test_frequent_tokens_exact_across_partitions(spark, sf_smoke_dir):

@@ -430,3 +430,25 @@ def test_orc_roundtrip_pushdown(spark, sf_dir):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [")[1][:200]
     assert "n_chars" in pushed
+
+
+def test_late_r7_plan_shapes(spark, sf_dir):
+    # audio fingerprint: hashing is a map stage; the audio bytes
+    # never shuffle — only the 15-char contour key does
+    plan = _plan(spark, sf_dir, "audio_fingerprint_groups")
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning(afp#" in plan
+    assert "Exchange hashpartitioning(payload" not in plan
+
+    # hard negatives: query side broadcasts (the index never moves),
+    # positives exclude via a real anti join, ranking via one window
+    plan = _plan(spark, sf_dir, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan  # scored crossJoin, build=queries
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+    # Q21 shape: the double correlation is semi + anti keyed joins on
+    # the pre-aggregated grain — no nested-loop, no cartesian
+    plan = _plan(spark, sf_dir, "waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
