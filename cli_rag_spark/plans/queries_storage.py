@@ -725,3 +725,76 @@ ORACLE = {
         ORDER BY event_type
     """,
 }
+
+
+def q_jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents corpus through newline-delimited JSON
+    (r7 — the LLM training-data interchange format;
+    sources/documents.py fmt='jsonl'): write the fixture as JSON
+    lines, read it back through the documented loader, aggregate from
+    the copy, match the oracle on the ORIGINAL parquet. Text columns
+    carry quotes/newlines/unicode through JSON escaping — a lossy
+    writer or a naive line-splitting reader changes n_docs or
+    total_chars and fails the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch("jsonl", sf_dir)
+    docs.write.mode("overwrite").json(path)
+    back = load_documents(spark, path, fmt="jsonl")
+    return (
+        back.where(F.col("n_chars") >= ORC_MIN_CHARS)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the corpus through quoted multi-line CSV (r7;
+    sources/documents.py fmt='csv' reads with multiLine + escape so
+    quoted newlines INSIDE documents survive): write with
+    quoteAll/escape, read back through the loader, aggregate, match
+    the parquet oracle. length(text) in the aggregate makes any
+    quoting/escaping loss visible character-by-character."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch("csvrt", sf_dir)
+    (
+        docs.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = load_documents(spark, path, fmt="csv")
+    return (
+        back.where(F.col("n_chars").cast("long") >= ORC_MIN_CHARS)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min(F.col("doc_id")).alias("min_doc_id"),
+            F.max(F.col("doc_id")).alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["jsonl_roundtrip_stats"] = q_jsonl_roundtrip_stats
+QUERIES["csv_roundtrip_stats"] = q_csv_roundtrip_stats
+
+_ROUNDTRIP_ORACLE = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents
+    WHERE n_chars >= {ORC_MIN_CHARS}
+    GROUP BY lang ORDER BY lang
+"""
+ORACLE["jsonl_roundtrip_stats"] = _ROUNDTRIP_ORACLE
+ORACLE["csv_roundtrip_stats"] = _ROUNDTRIP_ORACLE
