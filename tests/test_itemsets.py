@@ -113,3 +113,35 @@ class TestAssociationRules:
             association_rules(df, "basket", "item", 1, 2, -1, 2)
         with pytest.raises(ValueError, match="confidence"):
             association_rules(df, "basket", "item", 1, 2, 1, 0)
+
+
+def test_frequent_pairs_matches_bruteforce_on_random_baskets(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for b in range(60):
+        for item in rng.sample("abcdefghij", rng.randint(1, 5)):
+            rows.append((b, item))
+            if rng.random() < 0.2:
+                rows.append((b, item))  # duplicates must not inflate support
+    # brute force: distinct per basket, all pairs, threshold 1/10
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    n = len(baskets)
+    support = {}
+    for items in baskets.values():
+        for a, c in itertools.combinations(sorted(items), 2):
+            support[(a, c)] = support.get((a, c), 0) + 1
+    want = sorted(
+        (a, c, s) for (a, c), s in support.items() if s * 10 >= 1 * n
+    )
+    got = sorted(
+        (r["item_a"], r["item_b"], r["support"])
+        for r in frequent_pairs(
+            _baskets(spark, rows), "basket", "item", 1, 10
+        ).collect()
+    )
+    assert got == want

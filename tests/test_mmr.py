@@ -96,3 +96,59 @@ class TestMmrRerank:
             mmr_rerank(df, select_k=1, lam=0.0)
         with pytest.raises(ValueError, match="lambda"):
             mmr_rerank(df, select_k=1, lam=1.5)
+
+
+def _python_mmr_reference(cands, select_k, lam=0.5):
+    """Brute greedy reference: cands = [(vec_id, rel, vec)] sorted any
+    order; returns [(rank, vec_id)] with the operator's tie rule."""
+    import numpy as np
+
+    cands = sorted(cands)
+    ids = [c[0] for c in cands]
+    rel = np.array([c[1] for c in cands])
+    V = np.stack([np.asarray(c[2], dtype=np.float64) for c in cands])
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    S = np.round((V @ V.T) / np.outer(norms, norms), 6)
+    alive = [True] * len(ids)
+    penalty = None
+    out = []
+    for rank in range(1, min(select_k, len(ids)) + 1):
+        best, best_score = None, None
+        for i in range(len(ids)):
+            if not alive[i]:
+                continue
+            p = 0.0 if penalty is None else penalty[i]
+            score = lam * rel[i] - (0.0 if penalty is None else (1 - lam) * p)
+            if best is None or score > best_score:
+                best, best_score = i, score
+        out.append((rank, ids[best]))
+        alive[best] = False
+        col = S[:, best]
+        penalty = col.copy() if penalty is None else np.maximum(penalty, col)
+    return out
+
+
+def test_mmr_matches_python_reference_on_random_data(spark):
+    import random
+
+    rng = random.Random(123)
+    rows = []
+    expected = {}
+    for q in range(12):
+        cands = []
+        for i in range(rng.randint(3, 12)):
+            vid = 100 * q + i
+            vec = [rng.uniform(-1, 1) for _ in range(6)]
+            rel = round(rng.uniform(0, 1), 6)
+            cands.append((vid, rel, vec))
+            rows.append((q, vid, rel, vec))
+        expected[q] = _python_mmr_reference(cands, select_k=4)
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, rel_sim double, embedding array<double>"
+    )
+    got = {}
+    for r in mmr_rerank(df, select_k=4).collect():
+        got.setdefault(r["query_id"], []).append((r["mmr_rank"], r["vec_id"]))
+    for q in expected:
+        assert sorted(got[q]) == sorted(expected[q]), q

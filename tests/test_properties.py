@@ -398,3 +398,79 @@ def test_avi_roundtrip_property(w, h, n_frames, every_k):
     assert (d["width"], d["height"], d["n_frames"]) == (w, h, n_frames)
     assert [i for i, _ in d["frames"]] == list(range(0, n_frames, every_k))
     assert all(s == 64 + 8 * i for i, s in d["frames"])
+
+
+# --- r7 codec round-trips (gradient BMP / ramp WAV) -------------------
+
+
+@given(
+    st.integers(min_value=9, max_value=24),   # width >= dhash grid_w
+    st.integers(min_value=8, max_value=16),   # height >= dhash grid_h
+    st.integers(min_value=0, max_value=200),  # gradient parameter g
+    st.booleans(),                            # top-down storage
+)
+@settings(max_examples=80, deadline=None)
+def test_gradient_bmp_pixel_grid_roundtrip(w, h, g, topdown):
+    """Encoder → pixel-grid decoder reproduces the closed form in
+    VISUAL orientation regardless of storage direction, and the dHash
+    is therefore storage-invariant."""
+    from cli_rag_spark.operators.multimodal import (
+        bmp_encode_gradient,
+        dhash_bits,
+        real_decode_pixel_grid,
+    )
+
+    d = real_decode_pixel_grid(bmp_encode_gradient(w, h, g, topdown=topdown))
+    assert (d["width"], d["height"]) == (w, h)
+    for y in range(h):
+        for x in range(w):
+            v = (7 * g + (g % 5 + 1) * x + (g % 3 + 1) * y + (g % 7) * x * y) % 256
+            assert d["rows"][y][x] == 3 * v  # channel sum of the RGB triple
+    up = real_decode_pixel_grid(bmp_encode_gradient(w, h, g, topdown=False))
+    assert dhash_bits(d["rows"]) == dhash_bits(up["rows"])
+
+
+@given(
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=16, max_value=600),
+    st.sampled_from([8, 16]),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=80, deadline=None)
+def test_ramp_wav_pcm_roundtrip(rate, channels, frames, bits, a, b):
+    """wav_encode(pattern=) → chunk-walked PCM extraction returns
+    exactly the closed-form ramp bytes, whatever the format params —
+    including past the junk LIST chunk."""
+    from cli_rag_spark.operators.multimodal import real_decode_pcm, wav_encode
+
+    payload = wav_encode(rate, channels, frames, bits=bits, pattern=(a, b))
+    pcm = real_decode_pcm(payload)
+    n_bytes = frames * channels * bits // 8
+    assert pcm == bytes((a * n + b) % 256 for n in range(n_bytes))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=255), min_size=16, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_audio_fingerprint_window_partition(data):
+    """The contour windows partition the byte stream exactly: block
+    sums recomputed independently agree with the fingerprint's
+    comparisons (cross-multiply mean ordering vs exact fractions)."""
+    from fractions import Fraction
+
+    from cli_rag_spark.operators.multimodal import audio_energy_fingerprint
+
+    W = 16
+    raw = bytes(data)
+    fp = audio_energy_fingerprint(raw, n_windows=W)
+    L = len(raw)
+    sums = [0] * W
+    counts = [0] * W
+    for n, v in enumerate(raw):
+        sums[(n * W) // L] += v
+        counts[(n * W) // L] += 1
+    assert sum(counts) == L and all(c > 0 for c in counts)
+    for w in range(W - 1):
+        want = "1" if Fraction(sums[w + 1], counts[w + 1]) > Fraction(sums[w], counts[w]) else "0"
+        assert fp[w] == want
