@@ -130,6 +130,16 @@ QUERIES = [
     "mmr_rerank",
     "image_dhash_groups",
     "brand_affinity_pairs",
+    # late-r7. audio_fingerprint_groups: same map-stage genus as the
+    # image dHash — linear per-payload work, nothing else grows.
+    # hard_negative_mining: the exact scoring pass is the axis (the
+    # index side grows; queries fixed at 10) — the anti-join + window
+    # tail is output-bounded. ppr_top_nodes: per-iteration work grows
+    # with edges exactly like pagerank (same replicated trade graph,
+    # same dyadic machinery) — its alpha should track pagerank's 0.57.
+    "audio_fingerprint_groups",
+    "hard_negative_mining",
+    "ppr_top_nodes",
 ]
 
 
