@@ -397,25 +397,14 @@ def q_ivf_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_recall(exact, approx, k=3).orderBy("query_id")
 
 
-def q_ann_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-sensitive ANN quality (operators/knn.py rank_metrics, r7):
-    where the exact neighbors LAND in the IVF ranking — per-query
-    precision@3, first-relevant rank, and reciprocal rank, next to
-    ivf_recall_stats' set-overlap view. A context assembler reads
-    results top-down (multirag.c:115-119 stuffs chunks best-first),
-    so an ANN index that finds the right neighbors but ranks them
-    last is worse than its recall suggests; this is the gate that
-    sees the difference. Same probe chain and self-handling as the
-    recall gate; the oracle composes the IVF chain, the exact chain,
-    and the metric aggregation in one statement — every emitted
-    value is an exact integer or a small rational rounded after
-    integer aggregation."""
+def _ivf_ranked_vs_exact(spark: SparkSession, sf_dir: str):
+    """Shared eval chain for the rank-quality gates: the persisted-IVF
+    ranking (self excluded, re-ranked 1..n) and the exact top-3 gold
+    set, both over the vec_id < LSH_QUERIES query set."""
     import hashlib
     import tempfile
 
     from pyspark.sql import Window as W
-
-    from cli_rag_spark.operators.knn import rank_metrics
 
     emb = load_table(spark, sf_dir, "embeddings")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
@@ -435,11 +424,44 @@ def q_ann_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(rw))
     )
-    return rank_metrics(
-        ranked.select("query_id", "vec_id", "rank"),
-        exact.select("query_id", "vec_id"),
-        k=3,
-    ).orderBy("query_id")
+    return ranked.select("query_id", "vec_id", "rank"), exact.select(
+        "query_id", "vec_id"
+    )
+
+
+def q_ann_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sensitive ANN quality (operators/knn.py rank_metrics, r7):
+    where the exact neighbors LAND in the IVF ranking — per-query
+    precision@3, first-relevant rank, and reciprocal rank, next to
+    ivf_recall_stats' set-overlap view. A context assembler reads
+    results top-down (multirag.c:115-119 stuffs chunks best-first),
+    so an ANN index that finds the right neighbors but ranks them
+    last is worse than its recall suggests; this is the gate that
+    sees the difference. Same probe chain and self-handling as the
+    recall gate; the oracle composes the IVF chain, the exact chain,
+    and the metric aggregation in one statement — every emitted
+    value is an exact integer or a small rational rounded after
+    integer aggregation."""
+    from cli_rag_spark.operators.knn import rank_metrics
+
+    ranked, exact = _ivf_ranked_vs_exact(spark, sf_dir)
+    return rank_metrics(ranked, exact, k=3).orderBy("query_id")
+
+
+def q_ann_ndcg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@3 of the persisted-IVF ranking against the exact gold set
+    (operators/knn.py ndcg_at_k, r7) — the position-DISCOUNTED member
+    of the eval suite beside recall (set overlap), precision@k
+    (position-blind) and MRR (first hit only): every relevant item's
+    placement contributes 1/log2(rank+1), so burying the second and
+    third neighbors costs score that MRR never sees. DCG and IDCG
+    are ordered folds in BOTH engines (sort_array+aggregate here,
+    list_sort+list_reduce in the oracle), so the float sums are
+    addition-order identical."""
+    from cli_rag_spark.operators.knn import ndcg_at_k
+
+    ranked, exact = _ivf_ranked_vs_exact(spark, sf_dir)
+    return ndcg_at_k(ranked, exact, k=3).orderBy("query_id")
 
 
 NEG_POSITIVES = 3
@@ -807,6 +829,7 @@ QUERIES = {
     "knn_join_ivf": q_knn_join_ivf,
     "ivf_recall_stats": q_ivf_recall_stats,
     "ann_rank_metrics": q_ann_rank_metrics,
+    "ann_ndcg_metrics": q_ann_ndcg_metrics,
     "mmr_rerank": q_mmr_rerank,
     "hard_negative_mining": q_hard_negative_mining,
     "ivf_append_stats": q_ivf_append_stats,
@@ -1214,6 +1237,55 @@ ORACLE = {
                round(count(i.vec_id) / 3.0, 6) AS precision_at_k,
                CAST(min(i.rank) AS BIGINT) AS first_rel_rank,
                round(coalesce(1.0 / min(i.rank), 0.0), 6) AS rr
+        FROM exact e
+        LEFT JOIN ivf3 i ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
+    """,
+    # NDCG@3: same IVF-vs-exact chain as ann_rank_metrics; DCG and
+    # IDCG are ORDERED folds (list_sort + list_reduce — DuckDB's
+    # first-element-seeded fold matches Spark's 0.0-seeded one because
+    # 0.0 + g1 == g1 exactly in IEEE)
+    "ann_ndcg_metrics": f"""
+        WITH {_IVF_SCORED_CTES},
+        ivf3 AS (
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY dist, vec_id
+                       ) AS rank
+                FROM ivf_scored WHERE vec_id <> query_id
+            ) WHERE rank <= 3
+        ),
+        ed AS (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {LSH_QUERIES}) q,
+                 embeddings e
+            WHERE e.vec_id <> q.vec_id
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+                FROM ed
+            ) WHERE rank <= 3
+        )
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_rel,
+               CAST(count(i.vec_id) AS BIGINT) AS hits_at_k,
+               round(
+                 CASE WHEN count(i.rank) = 0 THEN 0.0
+                      ELSE list_reduce(
+                             list_transform(
+                               list_sort(list_filter(list(i.rank), r -> r IS NOT NULL)),
+                               r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0)),
+                             (a, b) -> a + b)
+                 END
+                 / list_reduce(
+                     list_transform(range(1, least(count(*), 3) + 1),
+                                    r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0)),
+                     (a, b) -> a + b),
+                 6) AS ndcg
         FROM exact e
         LEFT JOIN ivf3 i ON e.query_id = i.query_id AND e.vec_id = i.vec_id
         GROUP BY e.query_id

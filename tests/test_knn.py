@@ -334,3 +334,41 @@ def test_hard_negatives_k_guard(spark):
     pos = spark.createDataFrame([], "query_id long, vec_id long")
     with _pytest.raises(ValueError, match="k"):
         hard_negatives(df, idx, pos, k=0)
+
+
+def test_ndcg_semantics(spark):
+    import math
+
+    from cli_rag_spark.operators.knn import ndcg_at_k
+
+    # q1: gold {10,11,12}; hits at ranks 1 and 3 (11 missed)
+    # q2: perfect top-3 -> ndcg 1.0
+    # q3: total miss -> 0.0; q4: hit at rank 4 is outside k=3
+    results = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 99, 2), (1, 12, 3),
+            (2, 20, 1), (2, 21, 2), (2, 22, 3),
+            (3, 95, 1), (3, 94, 2), (3, 93, 3),
+            (4, 92, 1), (4, 91, 2), (4, 90, 3), (4, 40, 4),
+        ],
+        "query_id long, vec_id long, rank long",
+    )
+    relevance = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12),
+         (2, 20), (2, 21), (2, 22),
+         (3, 30), (4, 40)],
+        "query_id long, vec_id long",
+    )
+    rows = {r["query_id"]: r for r in ndcg_at_k(results, relevance, k=3).collect()}
+    g = lambda r: 1.0 / math.log2(r + 1.0)  # noqa: E731
+    want_q1 = round((g(1) + g(3)) / (g(1) + g(2) + g(3)), 6)
+    assert rows[1]["ndcg"] == want_q1
+    assert rows[1]["hits_at_k"] == 2 and rows[1]["n_rel"] == 3
+    assert rows[2]["ndcg"] == 1.0
+    assert rows[3]["ndcg"] == 0.0
+    assert rows[4]["ndcg"] == 0.0  # rank 4 > k
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k"):
+        ndcg_at_k(results, relevance, k=0)
