@@ -241,6 +241,87 @@ def q_scalar_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+SMALL_QTY_BRAND = "Brand#23"
+IDLE_CUTOFF = "2000-06-01"
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (r7): average yearly revenue lost if small-
+    quantity orders (below 20% of the part's average order quantity)
+    were no longer taken, for one brand. The distinctive relational
+    shape is the PER-PART correlated average re-applied to the same
+    fact table — decorrelated here as one partial-agg groupBy on the
+    brand-filtered lineitem slice, broadcast back onto that same
+    slice (the aggregate is one row per part of one brand, always
+    tiny). Float discipline: quantities are integral, so the 20%
+    threshold is the exact integer cross-multiply 5·qty·cnt < Σqty —
+    no 0.2·avg float compare — and revenue accumulates in
+    DECIMAL(18,6) before the single round (round-half-up in both
+    engines)."""
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == SMALL_QTY_BRAND)
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            "l_extendedprice",
+        )
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("_pk")).where(
+        F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (r7): per nation, the count and total balance
+    of above-average-balance customers with no recent orders. The two
+    distinctive pieces are the SCALAR aggregate subquery (global
+    positive-balance average) and the ANTI join against the
+    date-sliced orders. The scalar is a 1-row broadcast crossJoin;
+    the above-average test is the exact decimal cross-multiply
+    bal·n > Σbal (no float division); the anti join keys on custkey
+    only after the balance filter has shrunk the probe side."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    pos = cust.where(F.col("bal") > 0).agg(
+        F.sum("bal").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).where(
+        F.col("bal") * F.col("_n") > F.col("_s")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= IDLE_CUTOFF)
+        .select("o_custkey")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "anti")
+    return (
+        idle.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 QUERIES = {
     "returnflag_grouping_sets": q_returnflag_grouping_sets,
     "scalar_function_breadth": q_scalar_function_breadth,
@@ -251,6 +332,8 @@ QUERIES = {
     "large_orders": q_large_orders,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "top_revenue_suppliers": q_top_revenue_suppliers,
+    "small_qty_revenue": q_small_qty_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
 }
 
 ORACLE = {
@@ -388,5 +471,42 @@ ORACLE = {
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         ORDER BY s_suppkey
+    """,
+    "small_qty_revenue": f"""
+        WITH li AS (
+            SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = '{SMALL_QTY_BRAND}'
+        ),
+        per_part AS (
+            SELECT l_partkey AS _pk, sum(qty) AS sum_qty, count(*) AS cnt
+            FROM li GROUP BY l_partkey
+        )
+        SELECT round(
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7, 2
+               ) AS avg_yearly
+        FROM li JOIN per_part ON l_partkey = _pk
+        WHERE qty * 5 * cnt < sum_qty
+    """,
+    "idle_rich_customers": f"""
+        WITH cust AS (
+            SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+            FROM customer
+        ),
+        pos AS (
+            SELECT sum(bal) AS _s, count(*) AS _n FROM cust WHERE bal > 0
+        )
+        SELECT nationkey, count(*) AS numcust,
+               CAST(round(sum(bal), 2) AS DOUBLE) AS totacctbal
+        FROM cust, pos
+        WHERE bal * _n > _s
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}'
+          )
+        GROUP BY nationkey
+        ORDER BY nationkey
     """,
 }
