@@ -264,3 +264,97 @@ def personalized_pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 3,
+    broadcast_ranks: bool = False,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — the two-sided
+    companion to :func:`pagerank`: an AUTHORITY is pointed at by good
+    hubs, a HUB points at good authorities. On a directed bipartite
+    graph (e.g. customer→supplier trade, query→document clicks) the
+    two scores land on the two node classes, which one-sided PageRank
+    centrality can't express.
+
+    Per iteration (mutual reinforcement, L1-normalized):
+      auth(v) = Σ_{u→v} hub(u)·w   then   auth ←  auth / Σ auth
+      hub(u)  = Σ_{u→v} auth(v)·w  then   hub  ←  hub  / Σ hub
+
+    Scale shape: each half-step is one ranks ⋈ edges keyed join plus
+    a partial-agg ``groupBy`` — the pagerank iteration shape exactly,
+    twice per round; the L1 sums are 1-row aggregates broadcast back
+    (the dangling-mass pattern). ``broadcast_ranks`` map-sides both
+    joins when the node table fits the broadcast budget.
+
+    Float determinism (the oracle gate): per-edge products and the
+    normalized scores are snapped to the dyadic k/2^30 grid, so every
+    double sum is EXACT and order-free (module docstring); the L1
+    divisions divide two grid values — identical IEEE ops in DuckDB —
+    so the oracle replays all ``iters`` rounds bit-identically.
+    Returns DF[node, hub, auth]."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+
+    def _l1_normalize(scored: DataFrame, col: str) -> DataFrame:
+        # 1-row exact sum (grid values) broadcast back; a zero sum
+        # (possible only with zero/negative weights) yields all-zero
+        # scores instead of NaN — the CASE is replayed in the oracle
+        un = scored.localCheckpoint(eager=False)  # two refs below: agg + join
+        total = un.agg(F.coalesce(F.sum(col), F.lit(0.0)).alias("_t"))
+        return un.crossJoin(F.broadcast(total)).select(
+            "node",
+            *[c for c in un.columns if c not in ("node", col, "_t")],
+            F.when(F.col("_t") > 0, _dyadic(F.col(col) / F.col("_t")))
+            .otherwise(F.lit(0.0))
+            .alias(col),
+        )
+
+    ranks = nodes.withColumn("hub", _dyadic(F.lit(1.0 / n_nodes)))
+    auth_ranks = None
+    for _ in range(iters):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        auth_raw = (
+            r.join(e, r["node"] == e.src)
+            .select(F.col("dst").alias("node"), _dyadic(F.col("hub") * F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ac = F.broadcast(auth_raw) if broadcast_ranks else auth_raw
+        auth_un = nodes.join(ac, "node", "left_outer").select(
+            "node", F.coalesce(F.col("c"), F.lit(0.0)).alias("auth")
+        )
+        auth_ranks = _l1_normalize(auth_un, "auth")
+
+        a = F.broadcast(auth_ranks) if broadcast_ranks else auth_ranks
+        hub_raw = (
+            a.join(e, a["node"] == e.dst)
+            .select(F.col("src").alias("node"), _dyadic(F.col("auth") * F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        hc = F.broadcast(hub_raw) if broadcast_ranks else hub_raw
+        hub_un = nodes.join(hc, "node", "left_outer").select(
+            "node", F.coalesce(F.col("c"), F.lit(0.0)).alias("hub")
+        )
+        ranks = _l1_normalize(hub_un, "hub")
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.join(auth_ranks, "node").select("node", "hub", "auth")

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from cli_rag_spark.functions.text import word_shingles
 from cli_rag_spark.operators.bloom import bloom_semi_join
 from cli_rag_spark.operators.heavy import frequent_tokens
-from cli_rag_spark.operators.pagerank import DYADIC_BITS, pagerank
+from cli_rag_spark.operators.pagerank import DYADIC_BITS, hits, pagerank
 from cli_rag_spark.operators.setsim import setsim_join
 from cli_rag_spark.operators.training import weighted_sample
 from cli_rag_spark.sources.documents import load_table
@@ -682,3 +682,94 @@ def _ppr_oracle() -> str:
 
 QUERIES["ppr_top_nodes"] = q_ppr_top_nodes
 ORACLE["ppr_top_nodes"] = _ppr_oracle()
+
+
+# --- HITS hubs & authorities (r7) ------------------------------------
+
+HITS_ITERS = 3
+HITS_TOPN = 20
+
+
+def q_hits_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (operators/pagerank.py hits, Kleinberg 1999) on the
+    DIRECTED customer→supplier trade graph — the top authority
+    suppliers and the hub scores beside them. Unlike the judged
+    pagerank (bidirectional graph, one centrality), the directed
+    bipartite form puts hub mass on customers (buy widely from strong
+    suppliers) and authority mass on suppliers (sell to strong hubs)
+    — mutual reinforcement PageRank can't express. All products and
+    L1-normalized scores ride the dyadic k/2^30 grid, so the oracle
+    replays every half-step bit-identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    scored = hits(edges, weight="w", iters=HITS_ITERS, broadcast_ranks=True)
+    return (
+        scored.orderBy(F.col("auth").desc(), F.col("node").asc())
+        .limit(HITS_TOPN)
+        .select("node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+    )
+
+
+def _hits_oracle() -> str:
+    rounds = []
+    prev = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        rounds.append(f"""
+        ar{i} AS MATERIALIZED (
+          SELECT n.node, coalesce(c.c, 0.0) AS auth
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(floor(h.hub * e.w * {_G})/{_G}) AS c
+            FROM {prev} h JOIN edges e ON h.node = e.src GROUP BY e.dst
+          ) c ON n.node = c.node
+        ), asum{i} AS (
+          SELECT coalesce(sum(auth), 0.0) AS t FROM ar{i}
+        ), a{i} AS MATERIALIZED (
+          SELECT node,
+                 CASE WHEN t > 0 THEN floor(auth / t * {_G})/{_G}
+                      ELSE 0.0 END AS auth
+          FROM ar{i}, asum{i}
+        ), hr{i} AS MATERIALIZED (
+          SELECT n.node, coalesce(c.c, 0.0) AS hub
+          FROM nodes n LEFT JOIN (
+            SELECT e.src AS node, sum(floor(a.auth * e.w * {_G})/{_G}) AS c
+            FROM a{i} a JOIN edges e ON a.node = e.dst GROUP BY e.src
+          ) c ON n.node = c.node
+        ), hsum{i} AS (
+          SELECT coalesce(sum(hub), 0.0) AS t FROM hr{i}
+        ), h{i} AS MATERIALIZED (
+          SELECT node,
+                 CASE WHEN t > 0 THEN floor(hub / t * {_G})/{_G}
+                      ELSE 0.0 END AS hub
+          FROM hr{i}, hsum{i}
+        )""")
+        prev = f"h{i}"
+    body = ",".join(rounds)
+    return f"""
+        WITH edges AS MATERIALIZED (
+          SELECT 2*o_custkey AS src, 2*l_suppkey + 1 AS dst,
+                 CAST(count(*) AS DOUBLE) AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_custkey, l_suppkey
+        ), nodes AS MATERIALIZED (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), nn AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        ), h0 AS MATERIALIZED (
+          SELECT node, floor(1.0/nn.n * {_G})/{_G} AS hub FROM nodes, nn
+        ),{body}
+        SELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+        FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON h.node = a.node
+        ORDER BY a.auth DESC, h.node ASC LIMIT {HITS_TOPN}
+    """
+
+
+QUERIES["hits_top_suppliers"] = q_hits_top_suppliers
+ORACLE["hits_top_suppliers"] = _hits_oracle()

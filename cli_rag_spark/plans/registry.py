@@ -77,7 +77,8 @@ _PACKS = [
 # brand_affinity_pairs, brand_rules, orc_roundtrip_stats,
 # audio_fingerprint_groups, hard_negative_mining,
 # waiting_suppliers, ppr_top_nodes, jsonl_roundtrip_stats,
-# csv_roundtrip_stats, ann_ndcg_metrics — added after this window
+# csv_roundtrip_stats, ann_ndcg_metrics, small_qty_revenue,
+# idle_rich_customers, hits_top_suppliers — added after this window
 # froze, never judged), then the 12 r3 queries
 # that didn't fit (ordered_funnel, orders_upsert_stats,
 # pii_redaction_stats, repetition_scores, returned_item_customers,

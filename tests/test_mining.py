@@ -460,3 +460,66 @@ def test_trade_edges_single_scan(spark, sf_smoke_dir):
     plan = _trade_edges(spark, sf_smoke_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate") == 1
     assert "Union" not in plan
+
+
+# --- HITS hubs & authorities (r7) ------------------------------------
+
+
+def _numpy_hits(edges, iters):
+    """Grid-free float reference — the dyadic snap only loses
+    ~2^-30 per term, far below the 1e-6 assert tolerance."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    hub = [1.0 / n] * n
+    auth = [0.0] * n
+    for _ in range(iters):
+        auth = [0.0] * n
+        for s, d, w in edges:
+            auth[idx[d]] += hub[idx[s]] * w
+        t = sum(auth)
+        auth = [a / t if t > 0 else 0.0 for a in auth]
+        hub = [0.0] * n
+        for s, d, w in edges:
+            hub[idx[s]] += auth[idx[d]] * w
+        t = sum(hub)
+        hub = [h / t if t > 0 else 0.0 for h in hub]
+    return {v: (hub[idx[v]], auth[idx[v]]) for v in nodes}
+
+
+def test_hits_matches_reference_weighted(spark):
+    from cli_rag_spark.operators.pagerank import hits
+
+    edges = [(1, 10, 1.0), (1, 11, 2.0), (2, 10, 3.0), (3, 11, 1.0), (10, 3, 1.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r.node: (r.hub, r.auth) for r in hits(df, weight="w", iters=3).collect()}
+    want = _numpy_hits(edges, 3)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node][0] == pytest.approx(want[node][0], abs=1e-6), node
+        assert got[node][1] == pytest.approx(want[node][1], abs=1e-6), node
+
+
+def test_hits_bipartite_sides_and_l1(spark):
+    from cli_rag_spark.operators.pagerank import hits
+
+    # strictly bipartite: hubs only on sources, authority only on dsts
+    edges = [(1, 10, 1.0), (2, 10, 1.0), (2, 11, 1.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    rows = {r.node: r for r in hits(df, weight="w", iters=2).collect()}
+    assert rows[10].hub == 0.0 and rows[11].hub == 0.0
+    assert rows[1].auth == 0.0 and rows[2].auth == 0.0
+    # L1-normalized (dyadic floors lose at most ~nodes * 2^-30)
+    assert 0.999 < sum(r.hub for r in rows.values()) <= 1.0
+    assert 0.999 < sum(r.auth for r in rows.values()) <= 1.0
+    # node 10 has two in-edges vs 11's one; 2 buys from both
+    assert rows[10].auth > rows[11].auth
+    assert rows[2].hub > rows[1].hub
+
+
+def test_hits_validation(spark):
+    from cli_rag_spark.operators.pagerank import hits
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        hits(df, iters=0)
