@@ -961,6 +961,7 @@ def avi_encode(
     fps: int = 10,
     frame_sizes: list[int] | None = None,
     interleave_audio: bool = False,
+    frame_fills: list[int] | None = None,
 ) -> bytes:
     """Build a real RIFF/AVI container — the video sibling of
     :func:`wav_encode` / :func:`bmp_encode`: LIST hdrl with a
@@ -969,8 +970,9 @@ def avi_encode(
     junk ``LIST INFO`` between hdrl and movi (so a parser that
     assumes movi-follows-hdrl is detectably wrong), and a LIST movi
     of ``00dc`` frame chunks. Frame j's payload is ``frame_sizes[j]``
-    bytes (default 64 + 8·j) of the byte j%256 — deterministic sizes
-    so sampling arithmetic has a closed form. No codec: the frames
+    bytes (default 64 + 8·j) of the byte ``frame_fills[j] % 256``
+    (default j%256) — deterministic sizes and content so sampling
+    and signature arithmetic have closed forms. No codec: the frames
     are opaque, which is exactly the contract (the SAMPLER's job is
     container walking; pixel decode would be a codec's)."""
     import struct
@@ -978,6 +980,9 @@ def avi_encode(
     sizes = frame_sizes if frame_sizes is not None else [64 + 8 * j for j in range(n_frames)]
     if len(sizes) != n_frames:
         raise ValueError(f"frame_sizes has {len(sizes)} entries for {n_frames} frames")
+    fills = frame_fills if frame_fills is not None else [j % 256 for j in range(n_frames)]
+    if len(fills) != n_frames:
+        raise ValueError(f"frame_fills has {len(fills)} entries for {n_frames} frames")
     avih = struct.pack(
         "<14I",
         1_000_000 // fps,  # dwMicroSecPerFrame
@@ -992,7 +997,7 @@ def avi_encode(
     junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
     movi_body = b"movi"
     for j, sz in enumerate(sizes):
-        movi_body += b"00dc" + struct.pack("<I", sz) + bytes([j % 256]) * sz
+        movi_body += b"00dc" + struct.pack("<I", sz) + bytes([fills[j] % 256]) * sz
         if sz & 1:
             movi_body += b"\x00"  # RIFF word alignment
         if interleave_audio:
@@ -1141,6 +1146,171 @@ def sample_video_frames(
             out["n_frames"] = [d["n_frames"] for d in decoded]
             out["n_sampled"] = [len(d["frames"]) for d in decoded]
             out["sampled_bytes"] = [sum(s for _, s in d["frames"]) for d in decoded]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def real_frame_signatures(payload: bytes) -> dict:
+    """Per-frame content signatures for RIFF/AVI — the temporal-
+    analysis sibling of :func:`real_sample_frames`: the same
+    chunk-walking demux (avih walked out of hdrl, junk LISTs and
+    interleaved ``..wb`` audio skipped, word alignment honored), but
+    EVERY ``..dc`` frame is read and summarized as (index, size,
+    byte_sum). byte_sum // size is an exact integer luminance proxy
+    for constant-fill frames, and the cheap always-computable stand-in
+    for a codec's luma mean otherwise. Entropy-coded containers
+    (MP4/MKV) raise — the real_decode_* honesty contract."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "frame signatures implemented for RIFF/AVI; MP4/MKV need "
+            "ffmpeg/torchvision (not in this container)"
+        )
+    width = height = n_frames_header = None
+    frames: list[tuple[int, int, int]] = []
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"LIST":
+            kind = payload[pos + 8 : pos + 12]
+            if kind == b"hdrl":
+                sub = pos + 12
+                end = pos + 8 + size
+                while sub + 8 <= end:
+                    scid = payload[sub : sub + 4]
+                    ssz = struct.unpack_from("<I", payload, sub + 4)[0]
+                    if scid == b"avih":
+                        fields = struct.unpack_from("<14I", payload, sub + 8)
+                        n_frames_header = fields[4]
+                        width, height = fields[8], fields[9]
+                    sub += 8 + ssz + (ssz & 1)
+            elif kind == b"movi":
+                sub = pos + 12
+                end = pos + 8 + size
+                idx = 0
+                while sub + 8 <= end:
+                    scid = payload[sub : sub + 4]
+                    ssz = struct.unpack_from("<I", payload, sub + 4)[0]
+                    if scid[2:4] == b"dc":
+                        frames.append(
+                            (idx, ssz, sum(payload[sub + 8 : sub + 8 + ssz]))
+                        )
+                        idx += 1
+                    sub += 8 + ssz + (ssz & 1)
+        pos += 8 + size + (size & 1)
+    if width is None or n_frames_header is None:
+        raise ValueError("malformed AVI: missing avih header")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames_header,
+        "frames": frames,
+    }
+
+
+def synth_avi_scene_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach REAL RIFF/AVI bytes with closed-form SCENES — the
+    temporal fixture for :func:`detect_scene_cuts` (synth_avi_payloads
+    covers sampling arithmetic; this one gives frames content that
+    changes in steps an oracle can replay):
+
+        n_frames  = 12 + id % 20
+        scene_len = 3 + id % 5
+        fill(j)   = ((17·id + 37·(j // scene_len)) % 200 + j % 2) % 256
+
+    Within a scene the fill flickers by ±1 (below any sane cut
+    threshold); across scene boundaries it jumps by ±37 or ±163 mod
+    200 (always above). Every byte of every frame is that fill, so
+    the per-frame integer mean byte IS fill(j), exactly."""
+    from cli_rag_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = StructType(df.schema.fields + [StructField("payload", BinaryType())])
+    in_cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            payloads = []
+            for i in (int(v) for v in pdf[id_col]):
+                n = 12 + i % 20
+                scene_len = 3 + i % 5
+                fills = [
+                    ((17 * i + 37 * (j // scene_len)) % 200 + j % 2) % 256
+                    for j in range(n)
+                ]
+                payloads.append(
+                    avi_encode(
+                        width=16 * (1 + i % 4),
+                        height=16 * (1 + i % 3),
+                        n_frames=n,
+                        frame_fills=fills,
+                    )
+                )
+            out["payload"] = payloads
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def detect_scene_cuts(
+    df: DataFrame,
+    threshold: int = 4,
+    payload_col: str = "payload",
+    walker: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Scene-cut detection over REAL container bytes: frame j (j>=1)
+    is a CUT when its integer mean byte differs from frame j-1's by
+    more than ``threshold`` — the classic luma-difference shot-
+    boundary detector, with byte_sum // size standing in for decoded
+    luma (exact for constant-fill frames; a codec-backed walker slots
+    in via ``walker`` without touching the plumbing). Input columns +
+    (width, height, n_frames, n_cuts, cut_idx_sum); Arrow-batched
+    mapInPandas, one pass per payload, bytes never shuffle."""
+    from cli_rag_spark.deploy import ensure_package_on_executors
+
+    if threshold < 0:
+        raise ValueError(f"threshold must be >= 0, got {threshold}")
+    ensure_package_on_executors(df.sparkSession)
+    fn = walker if walker is not None else real_frame_signatures
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(
+        keep
+        + [
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("n_cuts", IntegerType()),
+            StructField("cut_idx_sum", LongType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep_names].copy()
+            widths, heights, nfs, ncs, sums = [], [], [], [], []
+            for p in pdf[payload_col]:
+                d = fn(bytes(p))
+                means = [bs // sz if sz else 0 for _, sz, bs in d["frames"]]
+                cuts = [
+                    j
+                    for j in range(1, len(means))
+                    if abs(means[j] - means[j - 1]) > threshold
+                ]
+                widths.append(d["width"])
+                heights.append(d["height"])
+                nfs.append(d["n_frames"])
+                ncs.append(len(cuts))
+                sums.append(sum(cuts))
+            out["width"] = widths
+            out["height"] = heights
+            out["n_frames"] = nfs
+            out["n_cuts"] = ncs
+            out["cut_idx_sum"] = sums
             yield out
 
     return df.mapInPandas(run, schema=out_schema)

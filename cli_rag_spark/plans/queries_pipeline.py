@@ -355,6 +355,43 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCENE_CUT_T = 4
+
+
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 temporal video analysis (r7): shot-boundary detection over
+    REAL container bytes. Per-doc RIFF/AVI payloads with closed-form
+    SCENES (synth_avi_scene_payloads: fill flickers ±1 within a
+    scene, jumps ±37/±163 mod 200 at boundaries) → the chunk-walking
+    signature extractor + luma-difference detector
+    (detect_scene_cuts, threshold 4) → per-scene_len totals. Because
+    boundary jumps always clear the threshold and flicker never
+    does, the cut set is exactly {L, 2L, …} ∩ [1, n), so the oracle
+    is pure integer arithmetic — a walker that misreads frame bytes,
+    miscounts alignment, or diffs the wrong neighbor is a visible
+    mismatch. weighted_cut_sum mixes doc_id into the witness so
+    per-doc errors can't cancel across the group."""
+    from cli_rag_spark.operators.multimodal import (
+        detect_scene_cuts,
+        synth_avi_scene_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cuts = detect_scene_cuts(synth_avi_scene_payloads(docs), threshold=SCENE_CUT_T)
+    return (
+        cuts.withColumn("scene_len", (F.lit(3) + F.col("doc_id") % 5).cast("long"))
+        .groupBy("scene_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.sum("n_cuts").cast("long").alias("total_cuts"),
+            F.sum("cut_idx_sum").cast("long").alias("cut_idx_sum"),
+            F.sum(F.col("doc_id") * F.col("n_cuts")).cast("long").alias("weighted_cut_sum"),
+        )
+        .orderBy("scene_len")
+    )
+
+
 def q_audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E11 audio path: binary payloads → overlapping 256/128-byte
     windows (JVM-side explode, the STFT frame shape) → per-doc window
@@ -386,6 +423,7 @@ QUERIES = {
     "audio_decode_stats": q_audio_decode_stats,
     "audio_fingerprint_groups": q_audio_fingerprint_groups,
     "video_frame_stats": q_video_frame_stats,
+    "video_scene_cuts": q_video_scene_cuts,
 }
 
 _CHUNK_SQL = f"""
@@ -564,6 +602,28 @@ ORACLE = {
                  AS total_sampled_bytes
         FROM m GROUP BY width, height
         ORDER BY width, height
+    """,
+    # synth_avi_scene_payloads closed form: n_frames = 12 + id%20,
+    # scene_len L = 3 + id%5, fill(j) = ((17id + 37*(j//L)) % 200
+    # + j%2) % 256. Boundary jumps are ±37/±163 mod 200 (> T=4 after
+    # the ±1 flicker), flicker is ±1 (never > 4), so cuts are exactly
+    # {L, 2L, ...} ∩ [1, n): k = (n-1)//L cuts summing L·k(k+1)/2
+    "video_scene_cuts": """
+        WITH m AS (
+          SELECT doc_id,
+                 3 + doc_id % 5 AS scene_len,
+                 12 + doc_id % 20 AS nf,
+                 (12 + doc_id % 20 - 1) // (3 + doc_id % 5) AS k
+          FROM documents
+        )
+        SELECT scene_len, count(*) AS n_docs,
+               CAST(sum(nf) AS BIGINT) AS total_frames,
+               CAST(sum(k) AS BIGINT) AS total_cuts,
+               CAST(sum(scene_len * k * (k + 1) // 2) AS BIGINT)
+                 AS cut_idx_sum,
+               CAST(sum(doc_id * k) AS BIGINT) AS weighted_cut_sum
+        FROM m GROUP BY scene_len
+        ORDER BY scene_len
     """,
     # synth_bmp_payloads closed form: width = 1 + doc_id%64, height =
     # 1 + doc_id%48, mode = [RGB,RGBA,L][doc_id%3], and px_mean ==

@@ -628,3 +628,83 @@ class TestAviSampler:
         )
         assert muxed["frames"] == plain["frames"]
         assert muxed["n_frames"] == 9
+
+
+class TestSceneCuts:
+    """Temporal video analysis over real AVI bytes (r7): per-frame
+    byte-sum signatures + luma-difference shot-boundary detection."""
+
+    def test_frame_signatures_read_actual_bytes(self):
+        from cli_rag_spark.operators.multimodal import (
+            avi_encode,
+            real_frame_signatures,
+        )
+
+        d = real_frame_signatures(
+            avi_encode(32, 16, 3, frame_sizes=[4, 5, 6], frame_fills=[10, 20, 30])
+        )
+        assert (d["width"], d["height"], d["n_frames"]) == (32, 16, 3)
+        assert d["frames"] == [(0, 4, 40), (1, 5, 100), (2, 6, 180)]
+
+    def test_signatures_skip_interleaved_audio(self):
+        from cli_rag_spark.operators.multimodal import (
+            avi_encode,
+            real_frame_signatures,
+        )
+
+        d = real_frame_signatures(
+            avi_encode(16, 16, 3, frame_fills=[5, 5, 5], interleave_audio=True)
+        )
+        assert [i for i, _, _ in d["frames"]] == [0, 1, 2]
+        # audio chunk bytes (zeros) must not leak into video sums
+        assert [bs for _, sz, bs in d["frames"]] == [5 * sz for _, sz, _ in d["frames"]]
+
+    def test_non_avi_signatures_raise(self):
+        from cli_rag_spark.operators.multimodal import real_frame_signatures
+
+        with pytest.raises(NotImplementedError, match="AVI"):
+            real_frame_signatures(b"\x00\x00\x00\x20ftypisom-mp4-data")
+
+    def test_cut_threshold_semantics(self, spark):
+        from cli_rag_spark.operators.multimodal import avi_encode, detect_scene_cuts
+
+        # diffs: 3 (no cut at T=4), 5 (cut), 0, 100 (cut)
+        payload = avi_encode(16, 16, 5, frame_fills=[10, 13, 18, 18, 118])
+        df = spark.createDataFrame([(1, bytearray(payload))], ["doc_id", "payload"])
+        row = detect_scene_cuts(df, threshold=4).collect()[0]
+        assert (row.n_cuts, row.cut_idx_sum) == (2, 2 + 4)
+        # threshold is strict 'greater than': T=5 drops the diff-5 cut
+        row5 = detect_scene_cuts(df, threshold=5).collect()[0]
+        assert (row5.n_cuts, row5.cut_idx_sum) == (1, 4)
+
+    def test_single_frame_and_validation(self, spark):
+        from cli_rag_spark.operators.multimodal import avi_encode, detect_scene_cuts
+
+        df = spark.createDataFrame(
+            [(1, bytearray(avi_encode(16, 16, 1, frame_fills=[7])))],
+            ["doc_id", "payload"],
+        )
+        row = detect_scene_cuts(df, threshold=0).collect()[0]
+        assert (row.n_frames, row.n_cuts, row.cut_idx_sum) == (1, 0, 0)
+        with pytest.raises(ValueError, match="threshold"):
+            detect_scene_cuts(df, threshold=-1)
+
+    def test_scene_synth_matches_closed_form(self, spark):
+        from cli_rag_spark.operators.multimodal import (
+            detect_scene_cuts,
+            synth_avi_scene_payloads,
+        )
+
+        ids = [0, 3, 7, 12, 19, 31]
+        df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        got = {
+            r.doc_id: (r.n_frames, r.n_cuts, r.cut_idx_sum)
+            for r in detect_scene_cuts(
+                synth_avi_scene_payloads(df), threshold=4
+            ).collect()
+        }
+        for i in ids:
+            n = 12 + i % 20
+            L = 3 + i % 5
+            k = (n - 1) // L
+            assert got[i] == (n, k, L * k * (k + 1) // 2), i
