@@ -507,3 +507,76 @@ def exact_substring_window_stats(
             ).alias("repeated_frac"),
         )
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 3,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """C4-style SPAN dedup (Raffel et al. 2020 §2.2 do it at
+    three-sentence granularity; here the unit is a fixed
+    ``span_words``-word segment): every exact duplicate occurrence of
+    a segment ANYWHERE in the corpus is removed except the first —
+    first = smallest (id, position) — and each document's text is
+    reassembled from its surviving segments. This is the REWRITE
+    member of the dedup family: dedup_exact/minhash drop whole
+    documents, exact_substring_window_stats only measures
+    duplication; this one edits the text, which is what C4's pipeline
+    actually ships.
+
+    Plan shape: one posexplode (pure JVM — sequence + slice +
+    array_join), ONE shuffle on the segment string for the
+    first-occurrence window, one keyed groupBy(id) to reassemble.
+    Segments are short (~span_words words), so the segment shuffle is
+    narrow; at 100 TB swap the partition key to md5(segment) and keep
+    the string only in the in-partition compare (the
+    bloom_decontamination fingerprint discipline) — semantics
+    unchanged. Returns one row per input row: ``carry`` columns +
+    (id, deduped text under ``text_col``, n_segs, n_kept).
+    """
+    from pyspark.sql import Window
+
+    if span_words < 1:
+        raise ValueError(f"span_words must be >= 1, got {span_words}")
+    carry = carry or []
+    words = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    segs = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * span_words + 1, span_words), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy(F.col(id_col).asc(), F.col("seg_idx").asc())
+    ranked = segs.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            *[F.first(c).alias(c) for c in carry],
+            F.count(F.lit(1)).alias("n_segs"),
+            F.count_if(F.col("_rn") == 1).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(F.col("seg_idx"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias(text_col),
+        )
+    )

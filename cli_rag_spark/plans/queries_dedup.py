@@ -481,3 +481,64 @@ ORACLE = {
         ORDER BY id_a, id_b
     """,
 }
+
+
+# --- C4-style span dedup (r7) ----------------------------------------
+
+SPAN_W = 3
+
+
+def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE member of the dedup family (operators/dedup.py
+    dedup_spans, C4 §2.2 at 3-word-segment granularity): every exact
+    duplicate segment occurrence corpus-wide is dropped except its
+    first (smallest doc, then position), and documents are
+    reassembled from the survivors. Per-source doc count, segment
+    totals, and the reassembled-character sum — the last is the
+    strong witness: a wrong winner, a mis-sliced segment, or a
+    reassembly in the wrong order all shift kept_chars."""
+    from cli_rag_spark.operators.dedup import dedup_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = dedup_spans(docs, span_words=SPAN_W, carry=["source"])
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_segs").cast("long").alias("total_segs"),
+            F.sum("n_kept").cast("long").alias("kept_segs"),
+            F.sum(F.length("text")).cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["span_dedup_stats"] = q_span_dedup_stats
+
+ORACLE["span_dedup_stats"] = f"""
+    WITH w AS (
+      SELECT doc_id, source, gs AS seg_idx,
+             array_to_string(words[(gs*{SPAN_W}+1):(gs*{SPAN_W}+{SPAN_W})], ' ') AS seg
+      FROM (
+        SELECT doc_id, source, string_split(text, ' ') AS words
+        FROM documents
+      )
+      CROSS JOIN generate_series(0, 63) t(gs)
+      WHERE gs * {SPAN_W} < len(words)
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM w
+    ), per_doc AS (
+      SELECT doc_id, source, count(*) AS n_segs,
+             count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+             coalesce(length(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                        ORDER BY seg_idx)), 0) AS kept_chars
+      FROM r GROUP BY doc_id, source
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_segs) AS BIGINT) AS total_segs,
+           CAST(sum(n_kept) AS BIGINT) AS kept_segs,
+           CAST(sum(kept_chars) AS BIGINT) AS kept_chars
+    FROM per_doc GROUP BY source
+    ORDER BY source
+"""

@@ -474,3 +474,58 @@ def test_audio_fingerprint_window_partition(data):
     for w in range(W - 1):
         want = "1" if Fraction(sums[w + 1], counts[w + 1]) > Fraction(sums[w], counts[w]) else "0"
         assert fp[w] == want
+
+
+# --- C4-style span dedup (r7) ----------------------------------------
+
+
+def test_dedup_spans_first_occurrence_wins(spark):
+    from cli_rag_spark.operators.dedup import dedup_spans
+
+    docs = [
+        (1, "a b c x y z"),          # segs: "a b c", "x y z"
+        (2, "a b c q q q"),          # "a b c" dup of doc1 seg0
+        (3, "x y z a b c"),          # both segs already seen
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r for r in dedup_spans(df, span_words=3).collect()}
+    assert (got[1].n_segs, got[1].n_kept, got[1].text) == (2, 2, "a b c x y z")
+    assert (got[2].n_segs, got[2].n_kept, got[2].text) == (2, 1, "q q q")
+    assert (got[3].n_segs, got[3].n_kept, got[3].text) == (2, 0, "")
+
+
+def test_dedup_spans_position_breaks_ties_within_doc(spark):
+    from cli_rag_spark.operators.dedup import dedup_spans
+
+    # the same segment twice inside ONE doc: keep the earlier one
+    df = spark.createDataFrame([(7, "p q p q")], ["doc_id", "text"])
+    row = dedup_spans(df, span_words=2).collect()[0]
+    assert (row.n_segs, row.n_kept, row.text) == (2, 1, "p q")
+
+
+def test_dedup_spans_tail_segment_and_carry(spark):
+    from cli_rag_spark.operators.dedup import dedup_spans
+
+    # 5 words at W=3: the 2-word tail is its own segment
+    df = spark.createDataFrame(
+        [(1, "web", "a b c d e")], ["doc_id", "source", "text"]
+    )
+    row = dedup_spans(df, span_words=3, carry=["source"]).collect()[0]
+    assert (row.source, row.n_segs, row.n_kept, row.text) == (
+        "web", 2, 2, "a b c d e"
+    )
+
+
+def test_dedup_spans_idempotent_and_validation(spark):
+    from cli_rag_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c x y z"), (2, "a b c q q q")], ["doc_id", "text"]
+    )
+    once = dedup_spans(df, span_words=3).select("doc_id", "text")
+    twice = dedup_spans(once, span_words=3).select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    import pytest
+
+    with pytest.raises(ValueError, match="span_words"):
+        dedup_spans(df, span_words=0)
