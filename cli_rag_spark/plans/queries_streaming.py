@@ -400,3 +400,75 @@ from cli_rag_spark.plans import queries_scale as _qsc  # noqa: E402
 
 QUERIES["streaming_cusum"] = q_streaming_cusum
 ORACLE["streaming_cusum"] = _qsc.ORACLE["cusum_changepoints"]
+
+
+# --- streaming quality router (r7) -----------------------------------
+
+
+def q_streaming_quality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream C4/Gopher curation gate (streaming/ops.py
+    quality_router_stream): documents arrive as a stream, the accept
+    flag is computed on ingest (stateless tokenize-once JVM
+    projections — the exact batch plan), and the per-(source,
+    accepted) doc/word/char totals are the only state. The oracle is
+    the batch gopher spec aggregated identically — streaming ingest
+    must land on exactly the batch answer."""
+    from cli_rag_spark.streaming.ops import quality_router_stream
+
+    stream = read_events_stream(spark, f"{sf_dir}/documents.parquet")
+    return run_to_memory(quality_router_stream(stream), "complete").orderBy(
+        "source", "accepted"
+    )
+
+
+QUERIES["streaming_quality_router"] = q_streaming_quality_router
+
+from cli_rag_spark.functions.quality import (  # noqa: E402
+    MAX_DUP_WORD_FRACTION,
+    MAX_TOP_WORD_FRACTION,
+    MAX_WORDS,
+    MEAN_WORD_LEN_RANGE,
+    MIN_ALPHA_WORD_FRACTION,
+    MIN_STOPWORDS,
+    MIN_WORDS,
+)
+from cli_rag_spark.plans.queries_text import _EN_STOP, _WS_TOKENS  # noqa: E402
+
+ORACLE["streaming_quality_router"] = rf"""
+    WITH t AS (
+      SELECT source, length(text) AS n_chars,
+             {_WS_TOKENS.format(col='text')} AS toks,
+             {_WS_TOKENS.format(col='lower(text)')} AS ltoks
+      FROM documents
+    ), m AS (
+      SELECT source, n_chars,
+             len(toks)::BIGINT AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS mwl,
+             CASE WHEN len(toks) > 0
+                  THEN list_max(list_transform(list_distinct(toks),
+                                               d -> len(list_filter(toks, x -> x = d))))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS topf,
+             CASE WHEN len(toks) > 0
+                  THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS dupf,
+             len(list_filter(ltoks, x -> x IN ({_EN_STOP})))::BIGINT AS n_stop,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS alphaf
+      FROM t
+    )
+    SELECT source,
+           CAST(CASE WHEN n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+                      AND mwl >= {MEAN_WORD_LEN_RANGE[0]} AND mwl <= {MEAN_WORD_LEN_RANGE[1]}
+                      AND topf <= {MAX_TOP_WORD_FRACTION} AND dupf <= {MAX_DUP_WORD_FRACTION}
+                      AND n_stop >= {MIN_STOPWORDS} AND alphaf >= {MIN_ALPHA_WORD_FRACTION}
+                     THEN 1 ELSE 0 END AS BIGINT) AS accepted,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM m
+    GROUP BY 1, 2
+    ORDER BY source, accepted
+"""

@@ -595,3 +595,26 @@ def daily_type_counts(
             "x",
         )
     )
+
+
+def quality_router_stream(stream: DataFrame) -> DataFrame:
+    """In-stream curation gate (r7) — the C4/Gopher quality filter
+    applied at INGEST: per (source, accepted) document counts, word
+    totals and char totals, the live routing/monitoring aggregate a
+    corpus ingest keeps. The accept flag is pure stateless JVM
+    projection (functions/quality.py staged tokenize-once columns —
+    identical plan in stream and batch), so the only state is the
+    O(sources × 2) running aggregate and the stream admits unbounded
+    corpora; the judged oracle is the BATCH gopher spec aggregated
+    identically — the stream must land on exactly the batch answer."""
+    from cli_rag_spark.functions.quality import with_quality_metrics
+
+    m = with_quality_metrics(stream)
+    return m.groupBy(
+        "source",
+        F.col("keep").cast("long").alias("accepted"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )

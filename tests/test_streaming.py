@@ -341,3 +341,24 @@ def test_multibatch_daily_counts_match_batch(spark, split_events_dir):
     got = sorted(tuple(r) for r in streamed.collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+def test_multibatch_quality_router_matches_batch(spark, sf_smoke_dir, tmp_path):
+    # in-stream C4/Gopher gate across micro-batches == batch filter
+    src = str(tmp_path / "docs_split")
+    load_table(spark, sf_smoke_dir, "documents").repartition(4).write.parquet(src)
+    stream = ops.read_events_stream(spark, src, max_files_per_trigger=1)
+    streamed = ops.run_to_memory(ops.quality_router_stream(stream), "complete")
+    from cli_rag_spark.functions.quality import with_quality_metrics
+
+    m = with_quality_metrics(spark.read.parquet(src))
+    batch = m.groupBy(
+        "source", F.col("keep").cast("long").alias("accepted")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) > 1
