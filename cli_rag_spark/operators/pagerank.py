@@ -316,8 +316,11 @@ def hits(
     def _l1_normalize(scored: DataFrame, col: str) -> DataFrame:
         # 1-row exact sum (grid values) broadcast back; a zero sum
         # (possible only with zero/negative weights) yields all-zero
-        # scores instead of NaN — the CASE is replayed in the oracle
-        un = scored.localCheckpoint(eager=False)  # two refs below: agg + join
+        # scores instead of NaN — the CASE is replayed in the oracle.
+        # The lazy checkpoint covers the double reference (agg + join)
+        # — without it the whole half-step subtree recomputes per ref;
+        # checkpoint=False (plan inspection) accepts the recompute.
+        un = scored.localCheckpoint(eager=False) if checkpoint else scored
         total = un.agg(F.coalesce(F.sum(col), F.lit(0.0)).alias("_t"))
         return un.crossJoin(F.broadcast(total)).select(
             "node",
@@ -357,4 +360,5 @@ def hits(
         ranks = _l1_normalize(hub_un, "hub")
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks.join(auth_ranks, "node").select("node", "hub", "auth")
+    final_auth = F.broadcast(auth_ranks) if broadcast_ranks else auth_ranks
+    return ranks.join(final_auth, "node").select("node", "hub", "auth")

@@ -452,3 +452,42 @@ def test_late_r7_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "waiting_suppliers")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_r7b_plan_shapes(spark, sf_dir):
+    # span dedup: segments are born in a pure-JVM Generate
+    # (sequence+slice posexplode); the only shuffles are the segment
+    # window and the per-doc reassembly groupBy — document text never
+    # rides more than those two keyed exchanges, and there is no join
+    plan = _plan(spark, sf_dir, "span_dedup_stats")
+    assert "Generate" in plan and "Window" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, bad
+
+    # Q17 shape: the per-part average is decorrelated to a broadcast
+    # hash join on the tiny one-brand aggregate — never a shuffle of
+    # the fact table per correlated reference
+    plan = _plan(spark, sf_dir, "small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # Q22 shape: the global scalar rides a 1-row broadcast
+    # (BroadcastNestedLoopJoin on a single row is the cheap form);
+    # the recent-orders exclusion is a real anti join
+    plan = _plan(spark, sf_dir, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hits_plan_broadcast_iterations(spark):
+    # with broadcast_ranks the per-iteration rank⋈edges joins are all
+    # broadcast hash joins — no sort-merge exchange of the edge table
+    from cli_rag_spark.operators.pagerank import hits
+
+    edges = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0), (2, 11, 1.0)], ["src", "dst", "w"]
+    )
+    out = hits(edges, weight="w", iters=2, broadcast_ranks=True, checkpoint=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
