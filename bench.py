@@ -95,6 +95,10 @@ HEADLINE = [
     "brand_affinity_pairs",      # mining: A-priori frequent pairs (r7)
     "audio_fingerprint_groups",  # multimodal: PCM energy-contour dedup (r7)
     "hard_negative_mining",      # vector: DPR hard-negative construction (r7)
+    "hits_top_suppliers",        # graph: HITS hubs/authorities, directed trade graph (r7)
+    "video_scene_cuts",          # multimodal: AVI shot-boundary detection (r7)
+    "span_dedup_stats",          # dedup: C4-style span rewrite + reassembly (r7)
+    "streaming_quality_router",  # streaming: Gopher gate at ingest (r7)
 ]
 
 

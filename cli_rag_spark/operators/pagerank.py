@@ -314,11 +314,16 @@ def hits(
     n_nodes = nodes.count()
 
     def _l1_normalize(scored: DataFrame, col: str) -> DataFrame:
-        # 1-row exact sum (grid values) broadcast back; a zero sum
-        # (possible only with zero/negative weights) yields all-zero
-        # scores instead of NaN — the CASE is replayed in the oracle.
-        # The lazy checkpoint covers the double reference (agg + join)
-        # — without it the whole half-step subtree recomputes per ref;
+        # exact L1 total (grid values sum exactly, any order) as a
+        # 1-row tree-aggregate broadcast back onto the scores — the
+        # scale-correct form: a Window.partitionBy() spelling would
+        # funnel the whole |nodes| table through ONE partition
+        # (measured equal wall at sf0.1 — the per-half-step jobs are
+        # scheduling floor, not the total's cost — so the partial-agg
+        # form wins on scale shape alone). A zero total (possible
+        # only with zero/negative weights) yields all-zero scores
+        # instead of NaN — the CASE is replayed in the oracle. The
+        # lazy checkpoint covers the double reference (agg + join);
         # checkpoint=False (plan inspection) accepts the recompute.
         un = scored.localCheckpoint(eager=False) if checkpoint else scored
         total = un.agg(F.coalesce(F.sum(col), F.lit(0.0)).alias("_t"))
