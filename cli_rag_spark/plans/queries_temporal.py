@@ -188,3 +188,75 @@ ORACLE["resample_user_hourly"] = f"""
     FROM joined
     ORDER BY key, slot_ts
 """
+
+
+# --- OHLC downsampling (r7) ------------------------------------------
+
+
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic time-series bar downsampling: per (event_type, day),
+    open / high / low / close / count / decimal-exact volume. The
+    open and close are the values at the (ts, event_id)-min/max rows
+    — event_id breaks timestamp ties deterministically, so both
+    engines pick the same row. One exchange on the (type, day) key
+    serves both direction windows AND the final aggregate (the
+    groupBy keys equal the window partition keys); volume accumulates
+    in DECIMAL(28,8) (the anomalous_events discipline) before the
+    single round."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = ev.withColumn("day", F.to_date("ts"))
+    w_a = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_d = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = base.withColumn("_ra", F.row_number().over(w_a)).withColumn(
+        "_rd", F.row_number().over(w_d)
+    )
+    return (
+        r.groupBy("event_type", "day")
+        .agg(
+            F.round(F.max(F.when(F.col("_ra") == 1, F.col("value"))), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(F.when(F.col("_rd") == 1, F.col("value"))), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("vol"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "open", "high", "low", "close", "n", "vol",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+QUERIES["ohlc_daily"] = q_ohlc_daily
+
+ORACLE["ohlc_daily"] = """
+    WITH r AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts ASC, event_id ASC) AS ra,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(max(CASE WHEN ra = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rd = 1 THEN value END), 2) AS close,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS vol
+    FROM r GROUP BY event_type, day
+    ORDER BY event_type, day
+"""

@@ -79,7 +79,7 @@ _PACKS = [
 # waiting_suppliers, ppr_top_nodes, jsonl_roundtrip_stats,
 # csv_roundtrip_stats, ann_ndcg_metrics, small_qty_revenue,
 # idle_rich_customers, hits_top_suppliers, video_scene_cuts,
-# span_dedup_stats, streaming_quality_router —
+# span_dedup_stats, streaming_quality_router, ohlc_daily —
 # added after this window froze, never judged), then the 12 r3 queries
 # that didn't fit (ordered_funnel, orders_upsert_stats,
 # pii_redaction_stats, repetition_scores, returned_item_customers,

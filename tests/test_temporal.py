@@ -210,3 +210,38 @@ def test_resample_validation_and_envelope(spark):
         resample_ffill(df, "k", "ts", "v", agg="median")
     with pytest.raises(ValueError, match="max_slots"):
         resample_ffill(df, "k", "ts", "v", step_seconds=60, max_slots=100)
+
+
+def test_ohlc_daily_tie_break_and_single_exchange(spark):
+    from cli_rag_spark.plans.queries_temporal import q_ohlc_daily  # noqa: F401
+    from pyspark.sql import Window
+
+    # two events at the SAME timestamp: event_id must break the tie
+    # (higher id wins close, lower id wins open)
+    rows = [
+        (1, "2024-01-01 09:00:00", "t", 10.0),
+        (2, "2024-01-01 09:00:00", "t", 30.0),
+        (3, "2024-01-01 12:00:00", "t", 20.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    base = df.withColumn("day", F.to_date("ts"))
+    w_a = Window.partitionBy("event_type", "day").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_d = Window.partitionBy("event_type", "day").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = base.withColumn("_ra", F.row_number().over(w_a)).withColumn("_rd", F.row_number().over(w_d))
+    out = r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("_ra") == 1, F.col("value"))).alias("open"),
+        F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+    ).collect()[0]
+    assert (out.open, out.close, out.high, out.low) == (10.0, 20.0, 30.0, 10.0)
+    # the (type, day) exchange is shared: windows + groupBy must not
+    # add a second hash exchange on the same keys
+    plan = (
+        r.groupBy("event_type", "day")
+        .agg(F.max("value"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
