@@ -130,6 +130,23 @@ QUERIES = [
     "mmr_rerank",
     "image_dhash_groups",
     "brand_affinity_pairs",
+    # late-r7 session additions. hits_top_suppliers: replicated trade
+    # graphs are m disconnected copies (pagerank axis) — each of the
+    # 6 half-step join/agg passes must grow with edges, L1 totals are
+    # 1-row aggregates at every scale. span_dedup_stats: rotated
+    # alphabets keep per-replica span-dup structure and add no
+    # cross-replica collisions — the segment-window shuffle is the
+    # axis. video_scene_cuts: Arrow map stage over synthesized AVI
+    # payloads — must be linear in documents like the decode rows.
+    # streaming_quality_router: stateless tokenize scan through the
+    # micro-batch machinery — scan-linear above the streaming floor.
+    # ohlc_daily: disjoint-user event replicas grow window+agg input
+    # linearly while the (type, day) key space is fixed.
+    "hits_top_suppliers",
+    "span_dedup_stats",
+    "video_scene_cuts",
+    "streaming_quality_router",
+    "ohlc_daily",
     # late-r7. audio_fingerprint_groups: same map-stage genus as the
     # image dHash — linear per-payload work, nothing else grows.
     # hard_negative_mining: the exact scoring pass is the axis (the
