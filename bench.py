@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Stdout protocol (driver keeps only the last 2,000 chars — r7 verdict):
+  line 1: the FULL per-query JSON (humans/logs; also written to
+          bench_full.json next to this script), e.g.
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"cosine_topk": sec, ...}, "sf": 0.1}
+     "queries": {"cosine_topk": sec, ...}, "builds": {...}, "sf": 0.1}
+  LAST line: a compact (<500 chars, asserted) summary that always
+  fits the driver's tail window:
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "n_queries": 69, "queries": {<3 slowest>}, "sf": 0.1}
 
 Timing protocol: each query is materialized with the `noop` sink
 (full execution, zero serialization cost) after a shared JVM warm-up,
@@ -135,6 +141,28 @@ def _build_rows(spark, sf_dir: str, name: str) -> int:
     return load_table(spark, sf_dir, "embeddings").count()
 
 
+def compact_line(full: dict) -> str:
+    """The guaranteed-parseable final stdout line (<=500 chars).
+
+    Keeps the documented envelope (metric/value/unit/queries/sf) with
+    `queries` trimmed to the three slowest entries so the line cannot
+    outgrow the driver's 2,000-char stdout tail window no matter how
+    many headline queries the full run times; `n_queries` carries the
+    true count. Length is asserted, not hoped.
+    """
+    slowest = dict(sorted(full["queries"].items(), key=lambda kv: -kv[1])[:3])
+    line = json.dumps({
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "n_queries": len(full["queries"]),
+        "queries": slowest,
+        "sf": full["sf"],
+    })
+    assert len(line) <= 500, f"compact bench line grew to {len(line)} chars"
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session(app_name="cli-rag-spark-bench")
@@ -186,14 +214,33 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    full = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "builds": builds,
         "sf": _sf_from_dir(sf_dir),
-    }))
+    }
+    # Output protocol (r7 verdict "What's wrong #1"): the driver keeps
+    # only the LAST 2,000 chars of stdout, and at 69 queries the full
+    # per-query JSON line is >2,000 chars, so a tail capture starts
+    # mid-line and json parsing fails even on a clean run. So: print
+    # the full detail FIRST (for humans / logs), persist it to
+    # bench_full.json next to this script (committed artifact, the
+    # numbers BENCH.md books come from here), and END stdout with one
+    # COMPACT summary line (~200 chars) that always fits the tail
+    # window. The compact line keeps the documented envelope
+    # (metric/value/unit/queries/sf) with `queries` trimmed to the
+    # three slowest entries; `n_queries` carries the true count.
+    print(json.dumps(full))
+    try:
+        with open(os.path.join(_REPO_DIR, "bench_full.json"), "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not kill the bench
+    print(compact_line(full))
     spark.stop()
 
 

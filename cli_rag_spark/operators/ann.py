@@ -181,15 +181,32 @@ def build_ivf_index(
 
     ``reuse_if_exists=True`` returns the persisted quantizer WITHOUT
     rewriting when the path already holds an index whose build params
-    AND input row count match — the build is deterministic in (data,
+    AND input CONTENT match — the build is deterministic in (data,
     params), so an identical-input rebuild is pure waste (bench r6:
-    an in-query rebuild inflated ivf_recall_stats ~3x). The check is
-    O(1) metadata + one count() on the input; any mismatch (params,
-    row count, pre-n_rows metadata) falls through to a full rebuild.
-    Callers that MUTATE the index afterwards (append_ivf_index
-    pipelines) must keep the default False — reusing would re-apply
-    the mutation to an already-mutated index."""
+    an in-query rebuild inflated ivf_recall_stats ~3x). The content
+    check is a row count plus an order-independent 64-bit fingerprint
+    (bit_xor of xxhash64 over each row's id, first/last vector
+    components, and dim), computed in the SAME single agg job as the
+    count — ADVICE r7 #2: a row count alone silently reused a stale
+    index over regenerated same-cardinality data. Any mismatch
+    (params, count, fingerprint, pre-fingerprint metadata) falls
+    through to a full rebuild. Callers that MUTATE the index
+    afterwards (append_ivf_index pipelines) must keep the default
+    False — reusing would re-apply the mutation to an already-mutated
+    index."""
     spark_ = vectors.sparkSession
+    stats = vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(
+            F.xxhash64(
+                F.col(id_col),
+                F.element_at(F.col(vec_col), 1),
+                F.element_at(F.col(vec_col), -1),
+                F.size(F.col(vec_col)),
+            )
+        ).alias("fp"),
+    ).first()
+    n_rows, content_fp = int(stats["n"]), int(stats["fp"])
     if reuse_if_exists:
         fs0, root0 = _hadoop_fs(spark_, path)
         meta_path0 = spark_._jvm.org.apache.hadoop.fs.Path(root0, _META_NAME)
@@ -200,12 +217,11 @@ def build_ivf_index(
                 "id_col": id_col,
                 "vec_col": vec_col,
                 "refine_iters": refine_iters,
+                "n_rows": n_rows,
+                "content_fp": content_fp,
             }
-            if all(meta.get(k) == v for k, v in want.items()) and (
-                meta.get("n_rows") == vectors.count()
-            ):
+            if all(meta.get(k) == v for k, v in want.items()):
                 return read_ivf_centroids(spark_, path)
-    n_rows = vectors.count()
     centroids = seed_centroids(vectors, n_centroids, id_col, vec_col)
     if refine_iters > 0:
         centroids = kmeans_refine(
@@ -239,6 +255,7 @@ def build_ivf_index(
                 "vec_col": vec_col,
                 "refine_iters": refine_iters,
                 "n_rows": n_rows,
+                "content_fp": content_fp,
             }
         ).encode("utf-8")))
     finally:

@@ -515,6 +515,13 @@ def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["span_dedup_stats"] = q_span_dedup_stats
 
+# Oracle segment enumeration is bounded at generate_series(0, 63) = 64
+# segments/doc = docs up to 64*SPAN_W={64 * SPAN_W} words (ADVICE r7
+# low #3: the bound must be visible, like chunk_fixed's 512-window
+# convention). Fixture docs max out at 100 words (34 segments), so the
+# cap sits ~5.6x above fixture growth; a fixture regeneration pushing
+# docs past {64 * SPAN_W} words would silently drop oracle segments
+# and read as an operator bug — raise the 63 here first.
 ORACLE["span_dedup_stats"] = f"""
     WITH w AS (
       SELECT doc_id, source, gs AS seg_idx,

@@ -45,48 +45,40 @@ _PACKS = [
 #   3. every query that has NEVER had a driver verdict;
 #   4. remaining slots filled least-recently-verified-first.
 #
-# STALENESS BOUND (restated r7 per VERDICT r6 "What's wrong #2" —
-# the old "~2 rounds" claim was arithmetically unachievable): with
-# 156 registered queries, 17 sentinels and ~31-33 rotating slots per
-# round, a full pass over the 139 non-sentinel queries takes ~4.5
-# rounds, so the honest worst-case staleness of a driver verdict is
-# ≤ 4-5 rounds (breached further only when a round's category-2/3
-# load crowds the fill, as in r6). The enforcement is "oldest
-# verdicts fill first". The every-run correctness gate is NOT the
-# driver window: every one of the 156 queries is value- and
-# dtype-exactly replayed against its DuckDB oracle on every local
-# test run (tests/test_parity.py); the driver window is the
-# independent external sample on top.
+# STALENESS BOUND (kept current per VERDICT r7 "What's wrong #3";
+# the arithmetic below MUST be updated whenever the registry count
+# changes): with 178 registered queries, 17 sentinels and exactly 33
+# rotating slots per round, a full pass over the 161 non-sentinel
+# queries takes 161/33 ≈ 4.9 rounds, so the honest worst-case
+# staleness of a driver verdict is ≤ 5 rounds — PROVIDED the
+# registry stops outgrowing the window. r6 left a 12-query
+# never-judged backlog; r7 left 22; unbounded, the bound drifts one
+# round per ~20 additions. NEW-QUERY CAP (adopted r8): at most 12
+# new judged queries per round (33 rotating slots − ~12 for
+# category-2 re-entries and backlog − ~9 stale fill keeps the pass
+# length ≤ 5 rounds at the current registry size). The every-run
+# correctness gate is NOT the driver window: every registered query
+# is value- and dtype-exactly replayed against its DuckDB oracle on
+# every local test run (tests/test_parity.py); the driver window is
+# the independent external sample on top.
 #
-# Round-7 window (VERDICT r6 "Next round #3"): 17 sentinels; the
-# TWELVE queries added late-r6 that have never received a driver
-# verdict; THREE category-2 re-entries whose implementation changed
-# this round (snapshot_optimize_stats representing the snapshot
-# family's new TTL-based stale-claim recovery in the shared
-# _claim_version commit path; knn_join_ivf and ivf_refined_topk for
-# build_ivf_index's reuse_if_exists fast path — lp_communities'
-# shuffle fusion and bootstrap_ci's try_element_at guard also
-# changed code, but both are in the never-judged twelve already;
-# pagerank's proposed setup-job fusion measured as a no-gain
-# negative result and was NOT kept, see BENCH.md ledger); the two
-# r2-stale deferrals (chunk_clean_stats, token_counts); then
-# oldest-first fill with 16 of the 28 r3-verified queries
-# (alphabetical within the cohort). The r8 head is owed, in order:
-# the NEW r7 queries (chunk_sliding, ann_rank_metrics,
-# image_dhash_groups, mmr_rerank, image_neardup_groups,
-# brand_affinity_pairs, brand_rules, orc_roundtrip_stats,
-# audio_fingerprint_groups, hard_negative_mining,
-# waiting_suppliers, ppr_top_nodes, jsonl_roundtrip_stats,
-# csv_roundtrip_stats, ann_ndcg_metrics, small_qty_revenue,
-# idle_rich_customers, hits_top_suppliers, video_scene_cuts,
-# span_dedup_stats, streaming_quality_router, ohlc_daily —
-# added after this window froze, never judged), then the 12 r3 queries
-# that didn't fit (ordered_funnel, orders_upsert_stats,
-# pii_redaction_stats, repetition_scores, returned_item_customers,
-# rolling_user_value, semantic_dedup, session_log,
-# streaming_interval_join, top_revenue_suppliers,
-# user_running_value, vocab_topk) — all replaying value-exact in
-# the local parity gate every test run meanwhile.
+# Round-8 window (VERDICT r7 "Next round #2"): 17 sentinels; the
+# TWENTY-TWO r7 queries that have never received a driver verdict
+# (span_dedup_stats also carries this round's code change — the
+# first-occurrence rewrite replacing the corpus-wide row_number
+# window, VERDICT r7 What's-wrong #2; hits_top_suppliers likewise
+# re-enters with its half-step job fusion); TWO category-2
+# re-entries whose implementation changed this round
+# (knn_join_ivf representing build_ivf_index's content-fingerprint
+# reuse guard — ADVICE r7 medium #2, siblings ivf_refined_topk /
+# ivf_recall_stats replay locally; snapshot_optimize_stats
+# representing the snapshot family's race-tolerant stale-claim
+# steal — ADVICE r7 medium #1); then oldest-first fill with 9 of
+# the 12 remaining r3-verified queries (alphabetical within the
+# cohort). The r9 head is owed, in order: the last 3 r3-stale
+# queries (top_revenue_suppliers, user_running_value, vocab_topk),
+# then any r8 additions — all replaying value-exact in the local
+# parity gate every test run meanwhile.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -107,33 +99,34 @@ _SENTINELS = [
     "hamming_topk",               # binary vectors (BINARY_VECTOR)
 ]
 _PRIORITY = _SENTINELS + [
-    # (3) never driver-checked: the late-r6 cohort — all twelve get
-    # their first external verdict this round (lp_communities and
-    # bootstrap_ci_revenue also carry this round's code changes:
-    # the LPA shuffle fusion and the try_element_at empty guard)
-    "audio_decode_stats", "lsh_recall_stats", "ivf_recall_stats",
-    "key_skew_stats", "bloom_join_stats", "cusum_changepoints",
-    "lp_communities", "bootstrap_ci_revenue", "kcore_stats",
-    "streaming_cusum", "video_frame_stats", "ngram_novelty",
-    # (2) changed since last verdict: snapshot_optimize_stats
-    # represents the snapshot family's TTL-based stale-claim
-    # recovery (sources/snapshots.py _claim_version — shared by
-    # every snapshot writer; its 7 siblings replay locally);
-    # knn_join_ivf and ivf_refined_topk re-enter for
-    # build_ivf_index's reuse_if_exists fast path (their results
-    # must be identical whether the index was rebuilt or reused)
-    "snapshot_optimize_stats", "knn_join_ivf", "ivf_refined_topk",
-    # the two r2-stale deferrals owed since the r6 window
-    "chunk_clean_stats", "token_counts",
-    # (4) least-recently-verified fill: 16 of the 28 r3-verified,
-    # alphabetical within the cohort; the remaining 12 head the r8
-    # fill (list in the rotation comment above)
-    "bpe_pair_stats", "cheapest_supplier_per_part",
-    "decimal_exact_totals", "dedup_canonical", "dedup_incremental",
-    "embedding_dim_stats", "embedding_norms", "event_type_stats",
-    "funnel_counts", "gopher_quality_flags", "hourly_event_windows",
-    "json_props", "label_centroids", "large_orders", "lm_perplexity",
-    "mixture_sample_counts",
+    # (3) never driver-checked: the 22-query r7 cohort — all get
+    # their first external verdict this round (span_dedup_stats and
+    # hits_top_suppliers also carry this round's code changes: the
+    # first-occurrence span rewrite and the HITS half-step fusion)
+    "chunk_sliding", "ann_rank_metrics", "image_dhash_groups",
+    "mmr_rerank", "image_neardup_groups", "brand_affinity_pairs",
+    "brand_rules", "orc_roundtrip_stats", "audio_fingerprint_groups",
+    "hard_negative_mining", "waiting_suppliers", "ppr_top_nodes",
+    "jsonl_roundtrip_stats", "csv_roundtrip_stats",
+    "ann_ndcg_metrics", "small_qty_revenue", "idle_rich_customers",
+    "hits_top_suppliers", "video_scene_cuts", "span_dedup_stats",
+    "streaming_quality_router", "ohlc_daily",
+    # (2) changed since last verdict: knn_join_ivf represents
+    # build_ivf_index's content-fingerprint reuse guard (ADVICE r7
+    # medium #2 — reuse must be keyed on data content, not row
+    # count; siblings ivf_refined_topk / ivf_recall_stats replay
+    # locally); snapshot_optimize_stats represents the snapshot
+    # family's race-tolerant stale-claim steal (ADVICE r7 medium
+    # #1 — the steal re-verifies the lock's identity before
+    # deleting; its 7 siblings replay locally)
+    "knn_join_ivf", "snapshot_optimize_stats",
+    # (4) least-recently-verified fill: 9 of the 12 remaining
+    # r3-verified, alphabetical within the cohort; the last 3 head
+    # the r9 fill (list in the rotation comment above)
+    "ordered_funnel", "orders_upsert_stats", "pii_redaction_stats",
+    "repetition_scores", "returned_item_customers",
+    "rolling_user_value", "semantic_dedup", "session_log",
+    "streaming_interval_join",
 ]
 
 

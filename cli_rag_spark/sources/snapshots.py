@@ -131,6 +131,58 @@ def _lock_is_stale(spark: SparkSession, path: str, version: int, ttl_seconds: fl
     return (time.time() - mtime_ms / 1000.0) > ttl_seconds
 
 
+def _steal_stale_lock(
+    spark: SparkSession, path: str, version: int, ttl_seconds: float
+) -> bool:
+    """Race-tolerant removal of a STALE claim lock (ADVICE r7 #1: the
+    old check-then-delete could delete a CONCURRENT STEALER'S fresh
+    lock — stealer A deletes + re-creates, stealer B's staleness
+    check ran against the old lock, B deletes A's fresh claim, both
+    publish). Guards, in order:
+
+    1. staleness re-verified here (exists, no manifest, mtime older
+       than ``ttl_seconds``) — the observed mtime identifies WHICH
+       lock we intend to remove;
+    2. identity re-checked immediately before removal: if the mtime
+       changed, someone re-claimed — our steal is lost;
+    3. removal is ``rename`` to a stealer-unique grave name, not
+       delete: two stealers renaming the same source race and
+       exactly one rename succeeds (the loser sees source-missing),
+       so a won rename proves we removed the lock we measured;
+       the grave is then deleted (vacuum also sweeps orphaned
+       graves from a stealer that crashed mid-steal).
+
+    Returns True iff THIS caller removed the stale lock. The
+    mtime-check→rename pair is two filesystem calls, not one atomic
+    primitive, so a sub-millisecond interleaving (fresh lock swapped
+    in between them) can still lose a fresh claim — see
+    :func:`_claim_version`'s invariant note."""
+    import time
+
+    fs, _ = _fs(spark, path)
+    lock = _lock_path(spark, path, version)
+    if fs.exists(_manifest_path(spark, path, version)):
+        return False
+    try:
+        mtime_ms = fs.getFileStatus(lock).getModificationTime()
+    except Exception:
+        return False  # lock gone — another stealer won
+    if (time.time() - mtime_ms / 1000.0) <= ttl_seconds:
+        return False
+    grave = spark._jvm.org.apache.hadoop.fs.Path(
+        path, f"._commit_v{version}.lock.steal_{uuid.uuid4().hex[:12]}"
+    )
+    try:
+        if fs.getFileStatus(lock).getModificationTime() != mtime_ms:
+            return False  # re-claimed since we measured: not ours to steal
+        if not fs.rename(lock, grave):
+            return False  # concurrent stealer renamed it first
+    except Exception:
+        return False
+    fs.delete(grave, False)
+    return True
+
+
 def force_unlock(spark: SparkSession, path: str, version: int) -> bool:
     """Operator override: drop the claim lock for ``version`` so the
     version number becomes committable again. Refuses (returns False)
@@ -149,18 +201,31 @@ def _claim_version(
     spark: SparkSession, path: str, version: int, ttl_seconds: float = CLAIM_TTL_SECONDS
 ) -> None:
     """Atomically claim the right to commit ``version``. Exactly one
-    writer per version wins; every other raises ConcurrentCommitError.
-    Local filesystem: java.io.File.createNewFile (POSIX O_CREAT|O_EXCL
-    — atomic; Hadoop's RawLocalFileSystem create(overwrite=False) is
-    check-then-create and races). Distributed stores: create with
-    overwrite=False, which IS the atomic claim primitive on HDFS; any
-    OTHER failure (IO, permissions) propagates as itself — only a
-    lost race maps to ConcurrentCommitError.
+    writer per version wins the CREATE; every loser raises
+    ConcurrentCommitError. Local filesystem: java.io.File.createNewFile
+    (POSIX O_CREAT|O_EXCL — atomic; Hadoop's RawLocalFileSystem
+    create(overwrite=False) is check-then-create and races).
+    Distributed stores: create with overwrite=False, which IS the
+    atomic claim primitive on HDFS; any OTHER failure (IO,
+    permissions) propagates as itself — only a lost race maps to
+    ConcurrentCommitError.
 
     A lost claim against a STALE lock (older than ``ttl_seconds``,
-    manifest never published — a crashed writer) is stolen: delete +
-    one retry. Two simultaneous stealers race on the re-create and
-    exactly one wins, preserving the one-writer-per-version invariant."""
+    manifest never published — a crashed writer) goes through
+    :func:`_steal_stale_lock`: the steal re-verifies the lock's
+    identity (mtime) and removes it by rename-to-grave, so a stealer
+    can no longer delete a CONCURRENT stealer's freshly re-created
+    claim (ADVICE r7 #1); a caller whose steal is lost raises rather
+    than retrying the create. Invariant note: the steal's
+    mtime-check → rename is two filesystem calls, not one atomic
+    primitive, so one-writer-per-version is guaranteed by the O_EXCL
+    create for LIVE locks, and held for stale-lock recovery up to a
+    sub-millisecond mtime-granularity interleaving — a claim
+    re-created inside the same filesystem timestamp tick as the
+    measured stale lock is indistinguishable from it. Writers that
+    cannot tolerate even that window must not share a version number
+    within a TTL of a crash (or use force_unlock under operator
+    serialization)."""
     fs, _ = _fs(spark, path)
     lock = _lock_path(spark, path, version)
 
@@ -180,8 +245,7 @@ def _claim_version(
             raise
 
     claimed = _try_claim()
-    if not claimed and _lock_is_stale(spark, path, version, ttl_seconds):
-        fs.delete(lock, False)
+    if not claimed and _steal_stale_lock(spark, path, version, ttl_seconds):
         claimed = _try_claim()
     if not claimed:
         raise ConcurrentCommitError(
@@ -679,6 +743,12 @@ def vacuum_snapshots(
     removed_locks = []
     for status in fs.listStatus(root):
         name = status.getPath().getName()
+        if name.startswith("._commit_v") and ".lock.steal_" in name:
+            # orphaned steal grave: a stealer that crashed between
+            # rename and delete (_steal_stale_lock step 3). The grave
+            # is off the claim path already — always collectable.
+            fs.delete(status.getPath(), False)
+            continue
         if name.startswith("._commit_v") and name.endswith(".lock"):
             v = int(name[len("._commit_v"):-len(".lock")])
             if _lock_is_stale(spark, path, v, CLAIM_TTL_SECONDS):

@@ -276,3 +276,76 @@ def test_append_uses_refined_quantizer(spark, sf_dir, tmp_path):
     key = lambda df: sorted((r["vec_id"], r["cid"]) for r in df.collect())
     got = spark.read.parquet(inc_path).select("vec_id", "cid")
     assert key(got) == key(expected)
+
+
+def test_reuse_if_exists_skips_rebuild_on_identical_input(spark, sf_dir, tmp_path):
+    """reuse_if_exists=True on byte-identical (data, params) returns
+    the persisted quantizer without rewriting the index files."""
+    import os
+
+    from cli_rag_spark.operators.ann import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    path = str(tmp_path / "ivf_reuse")
+    first = build_ivf_index(emb, path, n_centroids=8)
+    meta = os.path.join(path, "_ivf_meta.json")
+    mtime_before = os.path.getmtime(meta)
+    again = build_ivf_index(emb, path, n_centroids=8, reuse_if_exists=True)
+    assert os.path.getmtime(meta) == mtime_before, "reuse must not rewrite"
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(again) == key(first)
+
+
+def test_reuse_if_exists_rejects_changed_content_at_same_count(spark, sf_dir, tmp_path):
+    """ADVICE r7 #2: a row count alone let regenerated same-cardinality
+    data silently reuse a stale index. The content fingerprint must
+    force a rebuild when the vectors change but the count does not."""
+    import json as _json
+    import os
+
+    from cli_rag_spark.operators.ann import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    path = str(tmp_path / "ivf_content")
+    build_ivf_index(emb, path, n_centroids=8)
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        fp_before = _json.load(f)["content_fp"]
+
+    # same row count, different content (every component negated)
+    changed = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    assert changed.count() == emb.count()
+    build_ivf_index(changed, path, n_centroids=8, reuse_if_exists=True)
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta_after = _json.load(f)
+    assert meta_after["content_fp"] != fp_before, "rebuild must have run"
+
+
+def test_reuse_if_exists_rejects_pre_fingerprint_metadata(spark, sf_dir, tmp_path):
+    """An index persisted before the content_fp field existed must fall
+    through to a rebuild (never a blind reuse)."""
+    import json as _json
+    import os
+
+    from cli_rag_spark.operators.ann import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    path = str(tmp_path / "ivf_legacy")
+    build_ivf_index(emb, path, n_centroids=8)
+    meta_file = os.path.join(path, "_ivf_meta.json")
+    with open(meta_file) as f:
+        meta = _json.load(f)
+    del meta["content_fp"]
+    with open(meta_file, "w") as f:
+        _json.dump(meta, f)
+    # drop the Hadoop local-FS checksum sidecar invalidated by the
+    # out-of-band rewrite (ChecksumFileSystem verifies on read)
+    crc = os.path.join(path, "._ivf_meta.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    mtime_degraded = os.path.getmtime(meta_file)
+    build_ivf_index(emb, path, n_centroids=8, reuse_if_exists=True)
+    assert os.path.getmtime(meta_file) > mtime_degraded, "must rebuild"
+    with open(meta_file) as f:
+        assert "content_fp" in _json.load(f)

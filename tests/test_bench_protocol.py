@@ -1,0 +1,60 @@
+"""bench.py stdout-protocol regression tests (r7 verdict, What's wrong #1).
+
+The driver persists only the LAST 2,000 characters of bench stdout and
+json-parses what it finds there. r5's 46-query headline line fit; r7's
+69-query line did not, so two healthy rounds produced `parsed: null`.
+These tests pin the fix: the final stdout line is a compact summary
+that stays parseable no matter how many headline queries exist.
+"""
+
+import json
+
+import bench
+
+
+def _fake_full(n_queries: int) -> dict:
+    return {
+        "metric": "headline_total",
+        "value": 80.1,
+        "unit": "sec",
+        "queries": {f"query_with_a_long_name_{i:03d}": 0.01 * i for i in range(n_queries)},
+        "builds": {"mock_index_topk": {"build_sec": 3.4, "index_rows": 14000, "rows_per_sec": 4117.6}},
+        "sf": 0.1,
+    }
+
+
+def test_compact_line_fits_tail_window_at_current_headline_size():
+    line = bench.compact_line(_fake_full(len(bench.HEADLINE)))
+    assert len(line) <= 500
+
+
+def test_compact_line_fits_even_at_10x_query_count():
+    # The growth failure mode: the line must NOT scale with n_queries.
+    line = bench.compact_line(_fake_full(690))
+    assert len(line) <= 500
+
+
+def test_compact_line_parses_and_keeps_envelope():
+    full = _fake_full(69)
+    parsed = json.loads(bench.compact_line(full))
+    assert parsed["metric"] == "headline_total"
+    assert parsed["value"] == 80.1
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert parsed["n_queries"] == 69
+    # queries trimmed to the three slowest, values preserved
+    assert len(parsed["queries"]) == 3
+    assert parsed["queries"] == dict(
+        sorted(full["queries"].items(), key=lambda kv: -kv[1])[:3]
+    )
+
+
+def test_compact_line_is_last_json_object_in_simulated_tail():
+    # Simulate the driver: full line first, compact line last, keep the
+    # final 2,000 chars, parse the last line found there.
+    full = _fake_full(len(bench.HEADLINE))
+    stdout = json.dumps(full) + "\n" + bench.compact_line(full) + "\n"
+    tail = stdout[-2000:]
+    last_line = tail.strip().rsplit("\n", 1)[-1]
+    parsed = json.loads(last_line)
+    assert parsed["metric"] == "headline_total"

@@ -455,13 +455,20 @@ def test_late_r7_plan_shapes(spark, sf_dir):
 
 
 def test_session_r7b_plan_shapes(spark, sf_dir):
-    # span dedup: segments are born in a pure-JVM Generate
-    # (sequence+slice posexplode); the only shuffles are the segment
-    # window and the per-doc reassembly groupBy — document text never
-    # rides more than those two keyed exchanges, and there is no join
+    # span dedup (r8 rewrite, VERDICT r7 What's-wrong #2): segments
+    # are born in a pure-JVM Generate (sequence+slice posexplode);
+    # first-occurrence is the two-phase groupBy(md5(seg)) — the plan
+    # MUST show a partial min BEFORE the fingerprint exchange (map-
+    # side combine is what makes a billion-copy boilerplate span
+    # collapse to one row per map task) and MUST NOT contain a
+    # corpus-wide Window (window partitions are not AQE-skew-split)
     plan = _plan(spark, sf_dir, "span_dedup_stats")
-    assert "Generate" in plan and "Window" in plan
-    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+    assert "Generate" in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert plan.index("partial_min") > plan.index("Exchange hashpartitioning(_fp"), \
+        "partial min must sit below (after in tree order) the _fp exchange"
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, bad
 
     # Q17 shape: the per-part average is decorrelated to a broadcast

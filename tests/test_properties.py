@@ -516,6 +516,26 @@ def test_dedup_spans_tail_segment_and_carry(spark):
     )
 
 
+def test_span_oracle_segment_cap_clears_fixture(sf_dir):
+    # ADVICE r7 low #3: the span_dedup_stats oracle enumerates at most
+    # 64 segments/doc (generate_series(0, 63) = docs up to 64*SPAN_W
+    # words). A regenerated fixture with longer docs would make the
+    # oracle silently drop segments and read as an operator bug, so
+    # pin the headroom here: fixture max doc length must stay under
+    # the cap with margin.
+    import duckdb
+
+    from cli_rag_spark.plans.queries_dedup import SPAN_W
+
+    (max_words,) = duckdb.sql(
+        f"SELECT max(len(string_split(text, ' '))) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    assert max_words <= 64 * SPAN_W, (
+        f"fixture docs reach {max_words} words — raise the oracle's "
+        f"generate_series(0, 63) bound in queries_dedup.py first"
+    )
+
+
 def test_dedup_spans_idempotent_and_validation(spark):
     from cli_rag_spark.operators.dedup import dedup_spans
 

@@ -17,9 +17,19 @@ fast every-run subset.
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from cli_rag_spark.session import configure
 
 from pyspark.sql import SparkSession
+
+# The documented knob for memory-constrained hosts; when it is set the
+# absolute-floor assertions below would fail even though the config
+# plumbing works (ADVICE r7 #4) — those tests assert the CONFIGURED
+# value reached the JVM instead.
+_MEM_OVERRIDE = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
 
 
 def _configured_conf() -> dict[str, str]:
@@ -31,6 +41,11 @@ def _configured_conf() -> dict[str, str]:
 def test_driver_memory_is_explicit():
     conf = _configured_conf()
     mem = conf.get("spark.driver.memory", "")
+    if _MEM_OVERRIDE is not None:
+        assert mem == _MEM_OVERRIDE, (
+            "SPARK_GRAFT_DRIVER_MEM is set but did not reach the builder"
+        )
+        return
     assert mem.endswith("g") and int(mem[:-1]) >= 4, (
         "session must pin spark.driver.memory >= 4g: local-mode broadcast "
         "builds land on the driver heap and the 1g default OOMs the bench "
@@ -61,8 +76,24 @@ def test_broadcast_threshold_bounded():
 def test_live_jvm_heap_reflects_config(spark):
     # The conftest session is the process's first get_session(), so the
     # driver-memory config must have reached the JVM launch. Under the
-    # pre-r7 config this reads ~0.9 GiB.
+    # pre-r7 config this reads ~0.9 GiB. When the documented
+    # SPARK_GRAFT_DRIVER_MEM override is in play (e.g. a
+    # memory-constrained CI host sets it below the default — ADVICE r7
+    # #4), a fixed 4 GiB floor would fail on working plumbing, so
+    # assert against the configured value instead: the live heap must
+    # be within the usual JVM bookkeeping margin of -Xmx (maxMemory()
+    # reports less than -Xmx by up to ~1/16 for reserved areas).
     max_bytes = spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    if _MEM_OVERRIDE is not None:
+        if not _MEM_OVERRIDE.endswith("g"):
+            pytest.skip(f"non-gigabyte SPARK_GRAFT_DRIVER_MEM={_MEM_OVERRIDE!r}")
+        want_gib = int(_MEM_OVERRIDE[:-1])
+        assert max_bytes > want_gib * (1 << 30) * 13 // 16, (
+            f"driver JVM -Xmx is {max_bytes / (1 << 30):.2f} GiB vs the "
+            f"configured {want_gib} GiB; SPARK_GRAFT_DRIVER_MEM did not "
+            "reach the JVM launch"
+        )
+        return
     assert max_bytes > 4 * (1 << 30), (
         f"driver JVM -Xmx is {max_bytes / (1 << 30):.2f} GiB; "
         "spark.driver.memory did not reach the JVM launch"

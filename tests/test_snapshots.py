@@ -774,3 +774,64 @@ class TestOptimisticConcurrency:
         with pytest.raises(ValueError, match="already exists"):
             write_snapshot(orders, path, "o_orderkey")
         assert latest_version(spark, path) == 1
+
+
+class TestStealRaceTolerance:
+    def test_steal_refuses_fresh_and_recreated_locks(self, spark, sf_dir, tmp_path):
+        """ADVICE r7 #1: the steal must re-verify the lock's identity
+        (mtime) before removal — a lock re-created since the staleness
+        observation is a CONCURRENT STEALER'S fresh claim and must
+        survive."""
+        import os
+        import time
+
+        from cli_rag_spark.sources.snapshots import _steal_stale_lock
+
+        path = str(tmp_path / "snap")
+        write_snapshot(_orders(spark, sf_dir), path, "o_orderkey")
+        lock = os.path.join(path, "._commit_v2.lock")
+        open(lock, "wb").close()
+
+        # fresh lock: never stolen
+        assert _steal_stale_lock(spark, path, 2, ttl_seconds=900) is False
+        assert os.path.exists(lock)
+
+        # aged lock: stolen exactly once, file gone, no grave left
+        old = time.time() - 16 * 60
+        os.utime(lock, (old, old))
+        assert _steal_stale_lock(spark, path, 2, ttl_seconds=900) is True
+        assert not os.path.exists(lock)
+        assert _steal_stale_lock(spark, path, 2, ttl_seconds=900) is False
+        graves = [n for n in os.listdir(path) if ".lock.steal_" in n]
+        assert graves == []
+
+    def test_steal_refuses_committed_version_lock(self, spark, sf_dir, tmp_path):
+        import os
+        import time
+
+        from cli_rag_spark.sources.snapshots import _steal_stale_lock
+
+        path = str(tmp_path / "snap")
+        write_snapshot(_orders(spark, sf_dir), path, "o_orderkey")
+        lock = os.path.join(path, "._commit_v1.lock")  # committed v1
+        old = time.time() - 16 * 60
+        os.utime(lock, (old, old))
+        assert _steal_stale_lock(spark, path, 1, ttl_seconds=900) is False
+        assert os.path.exists(lock)
+
+    def test_vacuum_sweeps_orphaned_steal_grave(self, spark, sf_dir, tmp_path):
+        """A stealer that crashed between rename and delete leaves a
+        grave file; vacuum collects it unconditionally (it is off the
+        claim path) while honoring the normal lock rules."""
+        import os
+
+        from cli_rag_spark.sources.snapshots import vacuum_snapshots
+
+        path = str(tmp_path / "snap")
+        write_snapshot(_orders(spark, sf_dir), path, "o_orderkey")
+        grave = os.path.join(path, "._commit_v2.lock.steal_deadbeef0123")
+        open(grave, "wb").close()
+        vacuum_snapshots(spark, path, keep_last=5)
+        assert not os.path.exists(grave)
+        # committed v1's historical lock untouched
+        assert os.path.exists(os.path.join(path, "._commit_v1.lock"))
