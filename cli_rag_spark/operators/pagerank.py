@@ -292,6 +292,18 @@ def hits(
     (the dangling-mass pattern). ``broadcast_ranks`` map-sides both
     joins when the node table fits the broadcast budget.
 
+    Job-count fusion (r8, VERDICT r7 #5): mid-iteration scores are
+    SPARSE — a node absent from a half-step's aggregate has exactly
+    0.0 score, contributes nothing to the next join, and adds nothing
+    to the L1 total (grid sums are exact), so the per-half-step
+    ``nodes`` left-join + coalesce of the r7 shape is pure job floor.
+    The L1 total is aggregated straight off the groupBy output
+    (sharing its shuffle), and the full node set is restored ONCE at
+    the end with coalesce-to-0.0 — values are bit-identical to the
+    dense form (the DuckDB oracle that replays the dense spelling
+    still matches), with two broadcast builds and one checkpoint
+    fewer per round.
+
     Float determinism (the oracle gate): per-edge products and the
     normalized scores are snapped to the dyadic k/2^30 grid, so every
     double sum is EXACT and order-free (module docstring); the L1
@@ -313,57 +325,57 @@ def hits(
     )
     n_nodes = nodes.count()
 
-    def _l1_normalize(scored: DataFrame, col: str) -> DataFrame:
-        # exact L1 total (grid values sum exactly, any order) as a
-        # 1-row tree-aggregate broadcast back onto the scores — the
-        # scale-correct form: a Window.partitionBy() spelling would
-        # funnel the whole |nodes| table through ONE partition
-        # (measured equal wall at sf0.1 — the per-half-step jobs are
-        # scheduling floor, not the total's cost — so the partial-agg
-        # form wins on scale shape alone). A zero total (possible
-        # only with zero/negative weights) yields all-zero scores
-        # instead of NaN — the CASE is replayed in the oracle. The
-        # lazy checkpoint covers the double reference (agg + join);
-        # checkpoint=False (plan inspection) accepts the recompute.
-        un = scored.localCheckpoint(eager=False) if checkpoint else scored
-        total = un.agg(F.coalesce(F.sum(col), F.lit(0.0)).alias("_t"))
-        return un.crossJoin(F.broadcast(total)).select(
+    def _half(r: DataFrame, score_in: str, edge_key: str,
+              out_key: str, score_out: str) -> DataFrame:
+        # one keyed join + one partial-agg groupBy, then the exact L1
+        # total (grid values sum exactly, any order) as a 1-row
+        # tree-aggregate broadcast back onto the SAME groupBy output —
+        # no nodes join: absent nodes are exactly 0.0 and change
+        # neither the total nor the next half-step. A
+        # Window.partitionBy() total would funnel the whole table
+        # through ONE partition, so the partial-agg form wins on scale
+        # shape alone. A zero total (possible only with zero/negative
+        # weights) yields all-zero scores instead of NaN — the CASE is
+        # replayed in the oracle. The lazy checkpoint covers the
+        # double reference (total agg + normalize); checkpoint=False
+        # (plan inspection) accepts the recompute.
+        raw = (
+            r.join(e, r["node"] == e[edge_key])
+            .select(
+                F.col(out_key).alias("node"),
+                _dyadic(F.col(score_in) * F.col("w")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        if checkpoint:
+            raw = raw.localCheckpoint(eager=False)
+        total = raw.agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("_t"))
+        return raw.crossJoin(F.broadcast(total)).select(
             "node",
-            *[c for c in un.columns if c not in ("node", col, "_t")],
-            F.when(F.col("_t") > 0, _dyadic(F.col(col) / F.col("_t")))
+            F.when(F.col("_t") > 0, _dyadic(F.col("c") / F.col("_t")))
             .otherwise(F.lit(0.0))
-            .alias(col),
+            .alias(score_out),
         )
 
     ranks = nodes.withColumn("hub", _dyadic(F.lit(1.0 / n_nodes)))
     auth_ranks = None
     for _ in range(iters):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
-        auth_raw = (
-            r.join(e, r["node"] == e.src)
-            .select(F.col("dst").alias("node"), _dyadic(F.col("hub") * F.col("w")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("c"))
-        )
-        ac = F.broadcast(auth_raw) if broadcast_ranks else auth_raw
-        auth_un = nodes.join(ac, "node", "left_outer").select(
-            "node", F.coalesce(F.col("c"), F.lit(0.0)).alias("auth")
-        )
-        auth_ranks = _l1_normalize(auth_un, "auth")
-
+        auth_ranks = _half(r, "hub", "src", "dst", "auth")
         a = F.broadcast(auth_ranks) if broadcast_ranks else auth_ranks
-        hub_raw = (
-            a.join(e, a["node"] == e.dst)
-            .select(F.col("src").alias("node"), _dyadic(F.col("auth") * F.col("w")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("c"))
+        ranks = _half(a, "auth", "dst", "src", "hub")
+    # restore the full node set once: mid-iteration tables only carry
+    # nodes reachable on their side (hub ⊆ sources, auth ⊆ dsts); the
+    # missing scores are exactly 0.0
+    hc = F.broadcast(ranks) if broadcast_ranks else ranks
+    ac = F.broadcast(auth_ranks) if broadcast_ranks else auth_ranks
+    return (
+        nodes.join(hc, "node", "left_outer")
+        .join(ac, "node", "left_outer")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
         )
-        hc = F.broadcast(hub_raw) if broadcast_ranks else hub_raw
-        hub_un = nodes.join(hc, "node", "left_outer").select(
-            "node", F.coalesce(F.col("c"), F.lit(0.0)).alias("hub")
-        )
-        ranks = _l1_normalize(hub_un, "hub")
-        if checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
-    final_auth = F.broadcast(auth_ranks) if broadcast_ranks else auth_ranks
-    return ranks.join(final_auth, "node").select("node", "hub", "auth")
+    )
