@@ -105,6 +105,11 @@ HEADLINE = [
     "video_scene_cuts",          # multimodal: AVI shot-boundary detection (r7)
     "span_dedup_stats",          # dedup: C4-style span rewrite + reassembly (r7)
     "streaming_quality_router",  # streaming: Gopher gate at ingest (r7)
+    "curriculum_buckets",        # quantiles: histogram-CDF decile curriculum (r8)
+    "mad_outlier_stats",         # quantiles: exact median/MAD outlier gate (r8)
+    "decayed_item_popularity",   # temporal: dyadic half-life decay counter (r8)
+    "source_overlap_matrix",     # corpus: cross-source shingle Jaccard matrix (r8)
+    "token_truncation_stats",    # text: trim-to-budget loss accounting (r8)
 ]
 
 

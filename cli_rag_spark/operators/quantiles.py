@@ -1,0 +1,130 @@
+"""Exact distributed quantiles over QUANTIZED values — the
+histogram-CDF method.
+
+Exact quantiles normally need a global sort plus a global row index —
+the row_number window over one partition that every scale review in
+this repo bans (a single task sorts the corpus). But pipelines rarely
+need quantiles of raw doubles: quality scores, prices-in-cents,
+latencies-in-ms are all naturally QUANTIZED to a bounded integer
+grid. On a quantized column the exact CDF is computable from the
+value HISTOGRAM:
+
+    hist = groupBy(value).count()          -- map-side combinable
+    cdf  = running sum over the histogram  -- |distinct values| rows
+
+The only window runs over the histogram, whose size is bounded by the
+value grid (e.g. <= 1001 rows for a per-mille score), not the corpus —
+at 100 TB the groupBy partial-aggregates billions of rows into that
+fixed-size table and the window is driver-trivial. Every boundary is
+an exact integer comparison, so DuckDB replays the same SQL
+bit-identically (no percentile_disc/quantile semantics to reconcile
+across engines — both sides build the same histogram).
+
+Grouped forms partition the histogram window by the group key; skew
+is bounded by |grid| rows per group, never by row count.
+
+Semantics (deterministic, tie-stable):
+- ``bucket(v) = floor(cum_excl(v) * k / total)`` — a value's bucket is
+  where its FIRST occurrence lands in the sorted order; ties share one
+  bucket and never split (so bucket populations may be uneven exactly
+  when the data is tied — the honest answer).
+- ``median = min(v) with cum(v) * 2 >= total`` — the lower median.
+
+The reference engine has no quantile support (SURVEY §2: the C
+pipeline computes only cosine top-k); this operator is part of the
+training-data analytics surface (quality-score curricula, outlier
+gates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def value_histogram(
+    df: DataFrame, value: Column, group_cols: list[str] | None = None
+) -> DataFrame:
+    """``groupBy(groups, value).count()`` with running (inclusive) and
+    exclusive CDFs and the per-group total. Output: group cols + ``v``
+    (the quantized value), ``n``, ``cum`` (inclusive), ``cum_excl``,
+    ``total``. The window runs over the histogram (|grid| rows per
+    group), not the data."""
+    groups = group_cols or []
+    hist = df.groupBy(*groups, value.alias("v")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*groups).orderBy("v")
+    wall = Window.partitionBy(*groups)
+    return (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .withColumn("cum_excl", F.col("cum") - F.col("n"))
+        .withColumn("total", F.sum("n").over(wall))
+    )
+
+
+def quantile_buckets(
+    df: DataFrame, value: Column, k: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Assign each row its exact k-quantile bucket (0..k-1) by the
+    first-occurrence rule. Returns ``df`` + ``v`` + ``bucket``. One
+    shuffle for the histogram, one broadcast-able join back (the
+    histogram is |grid| rows — tiny by construction)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    groups = group_cols or []
+    hist = value_histogram(df, value, groups).select(
+        *groups,
+        "v",
+        F.floor(F.col("cum_excl") * k / F.col("total")).alias("bucket"),
+    )
+    return df.withColumn("v", value).join(F.broadcast(hist), [*groups, "v"])
+
+
+def exact_median(
+    df: DataFrame, value: Column, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Lower median per group: the smallest quantized value whose
+    inclusive CDF reaches half the population (``cum * 2 >= total``).
+    Returns one row per group: group cols + ``median``. No sort of the
+    data — a filter + min over the histogram."""
+    groups = group_cols or []
+    hist = value_histogram(df, value, groups)
+    agg = hist.where(F.col("cum") * 2 >= F.col("total"))
+    if groups:
+        return agg.groupBy(*groups).agg(F.min("v").alias("median"))
+    return agg.agg(F.min("v").alias("median"))
+
+
+def mad_outliers(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str] | None = None,
+    cutoff: int = 3,
+) -> DataFrame:
+    """Median-absolute-deviation outlier flags on a quantized integer
+    column: a row is an outlier when ``|x - median| > cutoff * MAD``
+    (MAD = lower median of ``|x - median|``). Two histogram-CDF passes
+    (median, then MAD) — both windows run over histograms, and the
+    per-group medians ride broadcast joins. Returns ``df`` + ``v``,
+    ``median``, ``mad``, ``is_outlier``. With MAD = 0 (over half the
+    group tied at the median) every deviation > 0 is an outlier — the
+    standard degenerate-MAD contract, replayed in the oracle."""
+    groups = group_cols or []
+    d = df.withColumn("v", value)
+    med = exact_median(d, F.col("v"), groups)
+    d = (
+        d.join(F.broadcast(med), groups)
+        if groups
+        else d.crossJoin(F.broadcast(med))
+    )
+    dev = d.withColumn("_dev", F.abs(F.col("v") - F.col("median")))
+    mad = exact_median(dev, F.col("_dev"), groups).withColumnRenamed(
+        "median", "mad"
+    )
+    dev = (
+        dev.join(F.broadcast(mad), groups)
+        if groups
+        else dev.crossJoin(F.broadcast(mad))
+    )
+    return dev.withColumn(
+        "is_outlier", F.col("_dev") > F.lit(cutoff) * F.col("mad")
+    ).drop("_dev")

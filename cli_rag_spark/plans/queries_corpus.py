@@ -1082,3 +1082,98 @@ ORACLE = {
         FROM vals GROUP BY pos ORDER BY pos
     """,
 }
+
+
+# --- cross-source overlap matrix (r8) ---------------------------------
+
+OVERLAP_SHINGLE = 5
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix over 5-word shingle fingerprints
+    — the corpus-composition diagnostic a mixture designer reads before
+    weighting sources (heavy off-diagonal mass means two "different"
+    sources are the same crawl twice). Upper triangle incl. the
+    diagonal (source_a <= source_b); ``jaccard_ppm`` is the exact
+    set Jaccard in floor-ppm.
+
+    Scale shape: shingles are born in one narrow map stage, collapse
+    to DISTINCT (fp, source) (map-side combinable), and the self-join
+    runs on the 128-bit md5 fingerprint — never the shingle text (the
+    bloom_decontamination shuffle-key discipline). A universal shingle
+    fans out to at most |sources|² join rows, and the pair aggregate
+    map-side combines into a <= |sources|² table, so there is no
+    all-pairs hazard at any corpus size. The distinct table is
+    checkpointed once — it feeds both join sides and the size table
+    (the r6 re-scan lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text"), OVERLAP_SHINGLE))
+            ).alias("g"),
+        )
+        .select("source", F.md5("g").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = t.select(F.col("source").alias("source_a"), "fp")
+    b = t.select(F.col("source").alias("source_b"), "fp")
+    shared = (
+        # both sides grow with the corpus: the merge hint pins the
+        # sort-merge plan so a long-lived JVM's stale size estimate
+        # can never broadcast a corpus-sized build side (the r6
+        # ngram_novelty incident, BENCH.md)
+        a.join(b.hint("merge"), "fp")
+        .where(F.col("source_a") <= F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = t.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            F.floor(
+                F.col("shared") * 1000000 / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+from cli_rag_spark.functions.text import word_shingles  # noqa: E402
+from cli_rag_spark.plans.queries_mining import _shingle_sql  # noqa: E402
+
+QUERIES["source_overlap_matrix"] = q_source_overlap_matrix
+
+ORACLE["source_overlap_matrix"] = f"""
+    WITH t AS (
+      SELECT DISTINCT source, md5(g) AS fp
+      FROM (SELECT source, unnest({_shingle_sql(OVERLAP_SHINGLE)}) AS g
+            FROM documents)
+    ), s AS (
+      SELECT source, count(*) AS n FROM t GROUP BY source
+    ), p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*)::BIGINT AS shared
+      FROM t a JOIN t b ON a.fp = b.fp AND a.source <= b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.shared,
+           floor(p.shared * 1000000 / (x.n + y.n - p.shared))::BIGINT
+             AS jaccard_ppm
+    FROM p JOIN s x ON p.source_a = x.source
+           JOIN s y ON p.source_b = y.source
+    ORDER BY p.source_a, p.source_b
+"""

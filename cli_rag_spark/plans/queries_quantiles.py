@@ -1,0 +1,176 @@
+"""Exact-quantile pack (operators/quantiles.py) — histogram-CDF
+quantiles over quantized integer measures.
+
+The scale story is the module's whole point: exact quantiles WITHOUT a
+global sort or a one-partition row_number window. Values are quantized
+to a bounded integer grid (a per-mille score, cents), the CDF is a
+running sum over the value HISTOGRAM (map-side-combinable groupBy →
+a window over |grid| rows), and every boundary decision is an integer
+comparison both engines replay bit-identically.
+
+Judged queries:
+- ``curriculum_buckets`` — decile curriculum over a stopword-density
+  quality score (the data-ordering step of curriculum training).
+- ``mad_outlier_stats`` — per-event-type median/MAD outlier gate over
+  ``value`` in exact cents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_rag_spark.functions.quality import stopword_count
+from cli_rag_spark.functions.text import token_count
+from cli_rag_spark.operators.quantiles import mad_outliers, quantile_buckets
+from cli_rag_spark.sources.documents import load_table
+from cli_rag_spark.plans.queries_text import _EN_STOP, _WS_TOKENS
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+CURRICULUM_K = 10
+MAD_CUTOFF = 3
+
+
+def _stop_density_pm(text):
+    """Stopword density per mille, floor-integer — the quantized
+    curriculum score: 0 for empty docs, else floor(n_stop*1000/n_words).
+    Integer by construction, so the histogram grid is <= 1001 keys."""
+    nw = token_count(text)
+    return F.when(
+        nw > 0, F.floor(stopword_count(text) * 1000 / nw)
+    ).otherwise(F.lit(0)).cast("long")
+
+
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile curriculum over the documents table: every doc gets its
+    exact stopword-density decile (first-occurrence rule, ties never
+    split), then per-bucket population stats — the ordering table a
+    curriculum-training data loader consumes. The only window runs
+    over the <=1001-row score histogram; the assignment is a broadcast
+    join back (operators/quantiles.py module docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_words"),
+        _stop_density_pm(F.col("text")).alias("score_pm"),
+    )
+    bucketed = quantile_buckets(scored, F.col("score_pm"), CURRICULUM_K)
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.min("score_pm").alias("min_score_pm"),
+            F.max("score_pm").alias("max_score_pm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["curriculum_buckets"] = q_curriculum_buckets
+
+# The oracle rebuilds the SAME histogram CDF (running sum over distinct
+# scores) rather than calling quantile_disc/ntile — window-function
+# quantile semantics differ across engines, histogram arithmetic
+# doesn't. floor(cum_excl * 10 / total): integer*10 stays exact in the
+# double division at any fixture scale (values <= 10 * n_docs).
+ORACLE["curriculum_buckets"] = rf"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_WS_TOKENS.format(col='text')})::BIGINT AS n_words,
+             CASE WHEN len({_WS_TOKENS.format(col='text')}) > 0
+                  THEN floor(
+                    len(list_filter({_WS_TOKENS.format(col='lower(text)')},
+                                    x -> x IN ({_EN_STOP}))) * 1000
+                    / len({_WS_TOKENS.format(col='text')}))
+                  ELSE 0 END::BIGINT AS score_pm
+      FROM documents
+    ), hist AS (
+      SELECT score_pm, count(*) AS n FROM s GROUP BY score_pm
+    ), cdf AS (
+      SELECT score_pm,
+             sum(n) OVER (ORDER BY score_pm) - n AS cum_excl,
+             sum(n) OVER () AS total
+      FROM hist
+    ), b AS (
+      SELECT score_pm, floor(cum_excl * {CURRICULUM_K} / total)::BIGINT AS bucket
+      FROM cdf
+    )
+    SELECT b.bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(s.n_words)::BIGINT AS total_words,
+           min(s.score_pm) AS min_score_pm,
+           max(s.score_pm) AS max_score_pm
+    FROM s JOIN b USING (score_pm)
+    GROUP BY b.bucket ORDER BY b.bucket
+"""
+
+
+def q_mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier gate per event type over ``value`` quantized
+    to exact cents (floor(value*100) — the float multiply and floor are
+    identical IEEE ops in both engines). Robust-statistics twin of the
+    z-score drift gates: median and MAD come from two histogram-CDF
+    passes (operators/quantiles.py mad_outliers), so no engine
+    quantile function is involved and the 3×MAD cut is an exact
+    integer comparison. Returns per-type medians and outlier counts."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    flagged = mad_outliers(
+        ev.select("event_type", "value"), cents,
+        group_cols=["event_type"], cutoff=MAD_CUTOFF,
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.first("median").alias("median_cents"),
+            F.first("mad").alias("mad_cents"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["mad_outlier_stats"] = q_mad_outlier_stats
+
+ORACLE["mad_outlier_stats"] = f"""
+    WITH s AS (
+      SELECT event_type, floor(value * 100)::BIGINT AS v FROM events
+    ), hist AS (
+      SELECT event_type, v, count(*) AS n FROM s GROUP BY event_type, v
+    ), cdf AS (
+      SELECT event_type, v,
+             sum(n) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    ), med AS (
+      SELECT event_type, min(v) AS median_cents
+      FROM cdf WHERE cum * 2 >= total GROUP BY event_type
+    ), dev AS (
+      SELECT s.event_type, s.v, abs(s.v - m.median_cents) AS dv,
+             m.median_cents
+      FROM s JOIN med m USING (event_type)
+    ), dhist AS (
+      SELECT event_type, dv, count(*) AS n FROM dev GROUP BY event_type, dv
+    ), dcdf AS (
+      SELECT event_type, dv,
+             sum(n) OVER (PARTITION BY event_type ORDER BY dv) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM dhist
+    ), mad AS (
+      SELECT event_type, min(dv) AS mad_cents
+      FROM dcdf WHERE cum * 2 >= total GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*)::BIGINT AS n_events,
+           d.median_cents,
+           mad.mad_cents,
+           sum(CASE WHEN d.dv > {MAD_CUTOFF} * mad.mad_cents
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type, d.median_cents, mad.mad_cents
+    ORDER BY d.event_type
+"""

@@ -260,3 +260,56 @@ ORACLE["ohlc_daily"] = """
     FROM r GROUP BY event_type, day
     ORDER BY event_type, day
 """
+
+
+# --- exponential time-decay popularity (r8) ---------------------------
+
+DECAY_SCALE = 1_000_000
+
+
+def q_decayed_item_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed event popularity per type — the recency-
+    weighted counter a trending/feed pipeline keeps (weight halves per
+    day of age). Exactness design: ages are integer days against the
+    corpus max day, and each event's weight is the INTEGER
+    ``floor(1e6 / 2^age_days)`` — division by a power of two is exact
+    in IEEE doubles and the floor lands both engines on the same
+    integer, so the decayed sum is an exact BIGINT (no float-order
+    drift, the dyadic-grid discipline of pagerank). Events older than
+    19 days decay to weight 0 — stated contract. One scan, a 1-row
+    broadcast anchor, one partial-agg groupBy; the anchor never
+    collects to the driver."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    anchor = ev.agg(F.max("d").alias("anchor"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .withColumn("age", F.datediff(F.col("anchor"), F.col("d")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.lit(DECAY_SCALE) / F.pow(F.lit(2.0), F.col("age")))
+            ).alias("decayed_ppm"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("last_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["decayed_item_popularity"] = q_decayed_item_popularity
+
+ORACLE["decayed_item_popularity"] = f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             (SELECT max(CAST(ts AS DATE)) FROM events) AS anchor
+      FROM events
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           sum(floor({DECAY_SCALE} / power(2.0, anchor - d)))::BIGINT
+             AS decayed_ppm,
+           strftime(max(d), '%Y-%m-%d') AS last_day
+    FROM e GROUP BY event_type ORDER BY event_type
+"""

@@ -499,3 +499,53 @@ ORACLE = {
         FROM chunks WHERE ct <> '' GROUP BY doc_id ORDER BY doc_id
     """,
 }
+
+
+# --- context-length truncation accounting (r8) ------------------------
+
+TRUNC_BUDGET = 64
+
+
+def q_token_truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim-to-token-budget accounting: what a fixed per-document
+    context budget (TRUNC_BUDGET whitespace tokens) keeps and drops,
+    per source — the loss report a pipeline publishes before cutting
+    long documents to a model's context. Pure single-scan integer
+    arithmetic (token counts, least/greatest), one partial-agg
+    groupBy on the 20-key source column — scan-bound at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = token_count(F.col("text")).cast("long")
+    return (
+        docs.select(
+            "source",
+            n.alias("n"),
+            F.least(n, F.lit(TRUNC_BUDGET)).alias("kept"),
+            F.greatest(n - TRUNC_BUDGET, F.lit(0)).alias("dropped"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n") > TRUNC_BUDGET).cast("long")).alias("n_truncated"),
+            F.sum("kept").alias("tokens_kept"),
+            F.sum("dropped").alias("tokens_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["token_truncation_stats"] = q_token_truncation_stats
+
+ORACLE["token_truncation_stats"] = rf"""
+    WITH t AS (
+      SELECT source,
+             len({_WS_TOKENS.format(col='text')})::BIGINT AS n
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN n > {TRUNC_BUDGET} THEN 1 ELSE 0 END)::BIGINT
+             AS n_truncated,
+           sum(least(n, {TRUNC_BUDGET}))::BIGINT AS tokens_kept,
+           sum(greatest(n - {TRUNC_BUDGET}, 0))::BIGINT AS tokens_dropped
+    FROM t GROUP BY source ORDER BY source
+"""

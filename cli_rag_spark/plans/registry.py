@@ -28,6 +28,7 @@ _PACKS = [
     "cli_rag_spark.plans.queries_corpus",
     "cli_rag_spark.plans.queries_mining",
     "cli_rag_spark.plans.queries_scale",
+    "cli_rag_spark.plans.queries_quantiles",
 ]
 
 # Registry ORDER is part of the external contract: the external audit
@@ -77,7 +78,10 @@ _PACKS = [
 # the 12 remaining r3-verified queries (alphabetical within the
 # cohort). The r9 head is owed, in order: the last 3 r3-stale
 # queries (top_revenue_suppliers, user_running_value, vocab_topk),
-# then any r8 additions — all replaying value-exact in the local
+# then the FIVE r8 additions (curriculum_buckets,
+# mad_outlier_stats, decayed_item_popularity,
+# source_overlap_matrix, token_truncation_stats — within the
+# 12-new-per-round cap) — all replaying value-exact in the local
 # parity gate every test run meanwhile.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking

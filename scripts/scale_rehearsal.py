@@ -157,6 +157,22 @@ QUERIES = [
     "audio_fingerprint_groups",
     "hard_negative_mining",
     "ppr_top_nodes",
+    # r8 additions. curriculum_buckets: the score histogram is pinned
+    # at <=1001 keys whatever the corpus — only the scan + map-side
+    # histogram combine grow; the broadcast join-back is grid-sized.
+    # mad_outlier_stats: same genus, cents grid bounded by the value
+    # domain, per-type histograms. decayed_item_popularity: one scan
+    # + a fixed 5-type aggregate — must be scan-linear under the
+    # floor. source_overlap_matrix: rotated alphabets grow the
+    # distinct (fp, source) table ~linearly with no cross-replica fp
+    # collisions; the pinned sort-merge self-join is the axis, the
+    # pair space stays at |sources|**2. token_truncation_stats: pure
+    # scan + 20-key partial agg — the floor-flat control row.
+    "curriculum_buckets",
+    "mad_outlier_stats",
+    "decayed_item_popularity",
+    "source_overlap_matrix",
+    "token_truncation_stats",
 ]
 
 

@@ -498,3 +498,44 @@ def test_hits_plan_broadcast_iterations(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_session_r8_plan_shapes(spark, sf_dir):
+    # curriculum deciles: the bucket assignment joins the histogram
+    # back as a BROADCAST (the histogram is <=1001 rows by the score
+    # grid), and the corpus never cartesians or sort-merges
+    plan = _plan(spark, sf_dir, "curriculum_buckets")
+    assert "BroadcastHashJoin" in plan
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+
+    # MAD gate: two histogram passes, medians ride broadcast joins —
+    # same constraints
+    plan = _plan(spark, sf_dir, "mad_outlier_stats")
+    assert "BroadcastHashJoin" in plan
+    for bad in ("SortMergeJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+
+    # decayed popularity: the 1-row anchor is the ONLY nested-loop
+    # member (broadcast 1-row crossJoin); the aggregate partial-aggs
+    plan = _plan(spark, sf_dir, "decayed_item_popularity")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row anchor
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+    # source overlap: the self-join is PINNED sort-merge on the md5
+    # FINGERPRINT (both sides grow with the corpus — the ngram_novelty
+    # broadcast-blowup discipline; shingle text never shuffles) and
+    # the small size tables ride broadcasts
+    plan = _plan(spark, sf_dir, "source_overlap_matrix")
+    assert "SortMergeJoin [fp" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    # truncation accounting: one scan, partial agg before the source
+    # exchange, a pruned 2-column read
+    plan = _plan(spark, sf_dir, "token_truncation_stats")
+    assert "partial_count" in plan
+    assert "Exchange hashpartitioning(source" in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" not in read_schema

@@ -1,0 +1,87 @@
+"""Histogram-CDF exact quantiles (operators/quantiles.py): bucket
+assignment, lower-median semantics, MAD outliers, tie behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_rag_spark.operators.quantiles import (
+    exact_median,
+    mad_outliers,
+    quantile_buckets,
+    value_histogram,
+)
+
+
+def _vals(spark, xs, col="x"):
+    return spark.createDataFrame([(int(v),) for v in xs], f"{col} long")
+
+
+def test_value_histogram_cdf(spark):
+    df = _vals(spark, [5, 3, 3, 9, 3])
+    rows = {
+        r["v"]: (r["n"], r["cum"], r["cum_excl"], r["total"])
+        for r in value_histogram(df, F.col("x")).collect()
+    }
+    assert rows == {3: (3, 3, 0, 5), 5: (1, 4, 3, 5), 9: (1, 5, 4, 5)}
+
+
+def test_quantile_buckets_first_occurrence_rule(spark):
+    # 10 values 0..9, k=5 -> buckets of 2
+    df = _vals(spark, range(10))
+    got = {r["x"]: r["bucket"] for r in quantile_buckets(df, F.col("x"), 5).collect()}
+    assert got == {v: v // 2 for v in range(10)}
+
+
+def test_quantile_buckets_ties_never_split(spark):
+    # 8 copies of one value + 2 others, k=4: the tied block lands in
+    # ONE bucket (its first occurrence's), later values in theirs
+    df = _vals(spark, [7] * 8 + [9, 11])
+    got = {(r["x"], r["bucket"]) for r in quantile_buckets(df, F.col("x"), 4).collect()}
+    assert got == {(7, 0), (9, 3), (11, 3)}
+    with pytest.raises(ValueError):
+        quantile_buckets(df, F.col("x"), 0)
+
+
+def test_exact_median_lower_semantics(spark):
+    assert exact_median(_vals(spark, [1, 3, 5]), F.col("x")).first()["median"] == 3
+    # even count: LOWER median
+    assert exact_median(_vals(spark, [1, 3, 5, 7]), F.col("x")).first()["median"] == 3
+
+
+def test_exact_median_grouped(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 9), ("a", 5), ("b", 2), ("b", 4)], "g string, x long"
+    )
+    got = {r["g"]: r["median"] for r in exact_median(df, F.col("x"), ["g"]).collect()}
+    assert got == {"a": 5, "b": 2}
+
+
+def test_mad_outliers_flags_and_degenerate_mad(spark):
+    # group a: median 10, MAD 1 -> 100 is an outlier (dev 90 > 3)
+    # group b: >half tied at 5 -> MAD 0 -> ANY deviation is an outlier
+    df = spark.createDataFrame(
+        [("a", 9), ("a", 10), ("a", 11), ("a", 100),
+         ("b", 5), ("b", 5), ("b", 5), ("b", 6)],
+        "g string, x long",
+    )
+    out = mad_outliers(df, F.col("x"), ["g"]).collect()
+    flags = {(r["g"], r["x"]): r["is_outlier"] for r in out}
+    assert flags[("a", 100)] is True
+    assert flags[("a", 9)] is False and flags[("a", 11)] is False
+    assert flags[("b", 6)] is True  # degenerate-MAD contract
+    assert flags[("b", 5)] is False
+    meds = {(r["g"]): (r["median"], r["mad"]) for r in out}
+    assert meds["a"] == (10, 1)
+    assert meds["b"] == (5, 0)
+
+
+def test_quantile_buckets_partition_invariance(spark):
+    # same buckets whatever the physical layout (exactness claim)
+    df = _vals(spark, [4, 8, 8, 8, 15, 16, 23, 42])
+    one = {(r["x"], r["bucket"]) for r in
+           quantile_buckets(df.coalesce(1), F.col("x"), 4).collect()}
+    many = {(r["x"], r["bucket"]) for r in
+            quantile_buckets(df.repartition(16), F.col("x"), 4).collect()}
+    assert one == many
