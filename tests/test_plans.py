@@ -539,3 +539,17 @@ def test_session_r8_plan_shapes(spark, sf_dir):
     assert "Exchange hashpartitioning(source" in plan
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "text" in read_schema and "doc_id" not in read_schema
+
+
+def test_session_r8b_plan_shapes(spark, sf_dir):
+    # degree distribution: narrow-key partial aggs only — no cartesian,
+    # no nested loop; the distinct pair aggregate combines map-side
+    plan = _plan(spark, sf_dir, "degree_distribution")
+    assert "partial_count" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+
+    # table profile: per-column pruned scans, never the Expand of the
+    # one-pass multi-distinct rewrite
+    plan = _plan(spark, sf_dir, "table_profile")
+    assert "Expand" not in plan

@@ -85,3 +85,29 @@ def test_quantile_buckets_partition_invariance(spark):
     many = {(r["x"], r["bucket"]) for r in
             quantile_buckets(df.repartition(16), F.col("x"), 4).collect()}
     assert one == many
+
+
+def test_quantiles_differential_vs_python_reference(spark):
+    # seeded random lists vs a pure-Python replay of the exact same
+    # semantics (histogram CDF, first-occurrence buckets, lower median)
+    import random
+
+    rng = random.Random(8)
+    for trial in range(5):
+        xs = [rng.randrange(0, 50) for _ in range(rng.randrange(1, 200))]
+        df = _vals(spark, xs)
+
+        # reference: first-occurrence bucket per distinct value
+        k = 7
+        total = len(xs)
+        ordered = sorted(xs)
+        first_idx = {}
+        for i, v in enumerate(ordered):
+            first_idx.setdefault(v, i)
+        ref_bucket = {v: (i * k) // total for v, i in first_idx.items()}
+        got = {r["x"]: r["bucket"] for r in quantile_buckets(df, F.col("x"), k).collect()}
+        assert got == ref_bucket, f"trial {trial}"
+
+        # reference lower median: element at index ceil(n/2)-1
+        ref_med = ordered[(total + 1) // 2 - 1]
+        assert exact_median(df, F.col("x")).first()["median"] == ref_med, f"trial {trial}"
