@@ -185,10 +185,11 @@ def build_ivf_index(
     params), so an identical-input rebuild is pure waste (bench r6:
     an in-query rebuild inflated ivf_recall_stats ~3x). The content
     check is a row count plus an order-independent 64-bit fingerprint
-    (bit_xor of xxhash64 over each row's id, first/last vector
-    components, and dim), computed in the SAME single agg job as the
-    count — ADVICE r7 #2: a row count alone silently reused a stale
-    index over regenerated same-cardinality data. Any mismatch
+    (bit_xor of xxhash64 over each row's id and its FULL vector —
+    xxhash64 hashes array contents, so any component change anywhere
+    flips the fingerprint), computed in the SAME single agg job as
+    the count — ADVICE r7 #2: a row count alone silently reused a
+    stale index over regenerated same-cardinality data. Any mismatch
     (params, count, fingerprint, pre-fingerprint metadata) falls
     through to a full rebuild. Callers that MUTATE the index
     afterwards (append_ivf_index pipelines) must keep the default
@@ -197,14 +198,7 @@ def build_ivf_index(
     spark_ = vectors.sparkSession
     stats = vectors.agg(
         F.count(F.lit(1)).alias("n"),
-        F.bit_xor(
-            F.xxhash64(
-                F.col(id_col),
-                F.element_at(F.col(vec_col), 1),
-                F.element_at(F.col(vec_col), -1),
-                F.size(F.col(vec_col)),
-            )
-        ).alias("fp"),
+        F.bit_xor(F.xxhash64(F.col(id_col), F.col(vec_col))).alias("fp"),
     ).first()
     n_rows, content_fp = int(stats["n"]), int(stats["fp"])
     if reuse_if_exists:

@@ -515,6 +515,7 @@ def dedup_spans(
     id_col: str = "doc_id",
     span_words: int = 3,
     carry: list[str] | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """C4-style SPAN dedup (Raffel et al. 2020 §2.2 do it at
     three-sentence granularity; here the unit is a fixed
@@ -570,6 +571,18 @@ def dedup_spans(
             )
         ).alias("seg_idx", "seg"),
     ).withColumn("_fp", F.md5(F.col("seg")))
+    if checkpoint:
+        # the segment stream fans into BOTH the first-occurrence
+        # aggregate and the join probe side; without a barrier the
+        # tokenize+Generate subtree executes twice (no shuffle sits
+        # below it, so ReuseExchange can't help). Measured at sf0.1,
+        # interleaved best-of-3: 1.87 s double-Generate vs 1.28 s
+        # checkpointed — tokenize costs more than writing+reading the
+        # segment stream locally. The trade at 100 TB: the checkpoint
+        # is one corpus-sized local-disk materialization; where
+        # executor disk (not CPU) is the constraint, pass
+        # ``checkpoint=False`` and pay the second Generate instead.
+        segs = segs.localCheckpoint(eager=False)
     firsts = segs.groupBy("_fp").agg(
         F.min(F.struct(F.col(id_col).alias("id"), F.col("seg_idx"))).alias("_first")
     )

@@ -27,7 +27,9 @@ Semantics (deterministic, tie-stable):
 - ``bucket(v) = floor(cum_excl(v) * k / total)`` — a value's bucket is
   where its FIRST occurrence lands in the sorted order; ties share one
   bucket and never split (so bucket populations may be uneven exactly
-  when the data is tied — the honest answer).
+  when the data is tied — the honest answer). Rows with a NULL
+  measure are excluded (the SQL aggregate convention): the histogram
+  filters them, so they get no bucket and enter no median.
 - ``median = min(v) with cum(v) * 2 >= total`` — the lower median.
 
 The reference engine has no quantile support (SURVEY §2: the C
@@ -51,7 +53,17 @@ def value_histogram(
     ``total``. The window runs over the histogram (|grid| rows per
     group), not the data."""
     groups = group_cols or []
-    hist = df.groupBy(*groups, value.alias("v")).agg(F.count(F.lit(1)).alias("n"))
+    # NULL measures are EXCLUDED (the SQL aggregate convention) —
+    # load-bearing for the oracle contract: Spark's window ORDER BY
+    # puts NULLS FIRST ascending while DuckDB puts them LAST, so a
+    # NULL row admitted into the histogram would shift every CDF
+    # value differently in the two engines and read as an operator
+    # bug. Filtering is the one semantics both engines share.
+    hist = (
+        df.where(value.isNotNull())
+        .groupBy(*groups, value.alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     w = Window.partitionBy(*groups).orderBy("v")
     wall = Window.partitionBy(*groups)
     return (
@@ -70,6 +82,9 @@ def quantile_buckets(
     histogram is |grid| rows — tiny by construction)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    taken = {"v", "bucket"} & set(df.columns)
+    if taken:
+        raise ValueError(f"df already has reserved column(s) {sorted(taken)}")
     groups = group_cols or []
     hist = value_histogram(df, value, groups).select(
         *groups,
@@ -107,7 +122,12 @@ def mad_outliers(
     per-group medians ride broadcast joins. Returns ``df`` + ``v``,
     ``median``, ``mad``, ``is_outlier``. With MAD = 0 (over half the
     group tied at the median) every deviation > 0 is an outlier — the
-    standard degenerate-MAD contract, replayed in the oracle."""
+    standard degenerate-MAD contract, replayed in the oracle. NULL
+    measures never enter the medians and come back with NULL
+    deviation and a NULL (not-true) flag."""
+    taken = {"v", "median", "mad", "is_outlier", "_dev"} & set(df.columns)
+    if taken:
+        raise ValueError(f"df already has reserved column(s) {sorted(taken)}")
     groups = group_cols or []
     d = df.withColumn("v", value)
     med = exact_median(d, F.col("v"), groups)

@@ -519,9 +519,12 @@ QUERIES["span_dedup_stats"] = q_span_dedup_stats
 # segments/doc = docs up to 64*SPAN_W={64 * SPAN_W} words (ADVICE r7
 # low #3: the bound must be visible, like chunk_fixed's 512-window
 # convention). Fixture docs max out at 100 words (34 segments), so the
-# cap sits ~5.6x above fixture growth; a fixture regeneration pushing
-# docs past {64 * SPAN_W} words would silently drop oracle segments
-# and read as an operator bug — raise the 63 here first.
+# cap sits ~1.9x above fixture growth (192-word cap / 100-word max —
+# same ratio in segments, 64/34); a fixture regeneration pushing docs
+# past {64 * SPAN_W} words would silently drop oracle segments and
+# read as an operator bug — the headroom test
+# (test_span_oracle_segment_cap_clears_fixture) trips first; raise
+# the 63 here when it does.
 ORACLE["span_dedup_stats"] = f"""
     WITH w AS (
       SELECT doc_id, source, gs AS seg_idx,

@@ -50,8 +50,11 @@ _PACKS = [
 # the arithmetic below MUST be updated whenever the registry count
 # changes): with 185 registered queries, 17 sentinels and exactly 33
 # rotating slots per round, a full pass over the 168 non-sentinel
-# queries takes 168/33 ≈ 5.1 rounds, so the honest worst-case
-# staleness of a driver verdict is ≤ 5 rounds — PROVIDED the
+# queries takes ceil(168/33) = 6 rounds, so the honest worst-case
+# staleness of a driver verdict is ≤ 6 rounds (rounding DOWN here is
+# how the r6 "~2 rounds" claim went wrong — count whole rounds, and
+# remember category-2/3 load eats into the 33 before stale fill gets
+# any) — PROVIDED the
 # registry stops outgrowing the window. r6 left a 12-query
 # never-judged backlog; r7 left 22; unbounded, the bound drifts one
 # round per ~20 additions. NEW-QUERY CAP (adopted r8): at most 12

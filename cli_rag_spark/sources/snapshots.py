@@ -116,21 +116,6 @@ def _lock_path(spark: SparkSession, path: str, version: int):
 CLAIM_TTL_SECONDS = 15 * 60
 
 
-def _lock_is_stale(spark: SparkSession, path: str, version: int, ttl_seconds: float) -> bool:
-    """True iff the claim lock for ``version`` exists, its version has
-    NO committed manifest (the writer died between claim and publish —
-    a published version's lock is merely historical), and the lock is
-    older than ``ttl_seconds``."""
-    import time
-
-    fs, _ = _fs(spark, path)
-    lock = _lock_path(spark, path, version)
-    if not fs.exists(lock) or fs.exists(_manifest_path(spark, path, version)):
-        return False
-    mtime_ms = fs.getFileStatus(lock).getModificationTime()
-    return (time.time() - mtime_ms / 1000.0) > ttl_seconds
-
-
 def _steal_stale_lock(
     spark: SparkSession, path: str, version: int, ttl_seconds: float
 ) -> bool:
@@ -179,7 +164,12 @@ def _steal_stale_lock(
             return False  # concurrent stealer renamed it first
     except Exception:
         return False
-    fs.delete(grave, False)
+    try:
+        fs.delete(grave, False)
+    except Exception:
+        pass  # steal already WON (lock is off the claim path); an IO
+        # hiccup deleting the grave must not void it — vacuum sweeps
+        # orphaned graves
     return True
 
 
@@ -751,8 +741,11 @@ def vacuum_snapshots(
             continue
         if name.startswith("._commit_v") and name.endswith(".lock"):
             v = int(name[len("._commit_v"):-len(".lock")])
-            if _lock_is_stale(spark, path, v, CLAIM_TTL_SECONDS):
-                fs.delete(status.getPath(), False)
+            # route through the race-tolerant steal (ADVICE r7 #1
+            # genus): a plain stale-check-then-delete here could
+            # delete a claimant's FRESH re-claim created between the
+            # check and the delete
+            if _steal_stale_lock(spark, path, v, CLAIM_TTL_SECONDS):
                 removed_locks.append(v)
 
     removed_dirs = []

@@ -311,9 +311,14 @@ def test_reuse_if_exists_rejects_changed_content_at_same_count(spark, sf_dir, tm
     with open(os.path.join(path, "_ivf_meta.json")) as f:
         fp_before = _json.load(f)["content_fp"]
 
-    # same row count, different content (every component negated)
+    # same row count, same ids, same first/last components and dim —
+    # ONLY an interior component changes (the adversarial case: a
+    # fingerprint of endpoints alone would miss it)
     changed = emb.withColumn(
-        "embedding", F.transform("embedding", lambda x: -x)
+        "embedding",
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 2, -x).otherwise(x)
+        ),
     )
     assert changed.count() == emb.count()
     build_ivf_index(changed, path, n_centroids=8, reuse_if_exists=True)

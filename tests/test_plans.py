@@ -463,13 +463,24 @@ def test_session_r7b_plan_shapes(spark, sf_dir):
     # collapse to one row per map task) and MUST NOT contain a
     # corpus-wide Window (window partitions are not AQE-skew-split)
     plan = _plan(spark, sf_dir, "span_dedup_stats")
-    assert "Generate" in plan
     assert "Window" not in plan
     assert "partial_min" in plan
     assert plan.index("partial_min") > plan.index("Exchange hashpartitioning(_fp"), \
         "partial min must sit below (after in tree order) the _fp exchange"
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, bad
+    # the judged form checkpoints the segment stream (it feeds both
+    # the aggregate and the probe side), so the Generate hides inside
+    # the ExistingRDD scan; the checkpoint=False spelling must still
+    # show segments born in one pure-JVM Generate
+    from cli_rag_spark.operators.dedup import dedup_spans
+    from cli_rag_spark.plans.queries_dedup import SPAN_W
+    from cli_rag_spark.sources.documents import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    raw = dedup_spans(docs, span_words=SPAN_W, carry=["source"], checkpoint=False)
+    rplan = raw._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in rplan and "Window" not in rplan
 
     # Q17 shape: the per-part average is decorrelated to a broadcast
     # hash join on the tiny one-brand aggregate — never a shuffle of

@@ -111,3 +111,26 @@ def test_quantiles_differential_vs_python_reference(spark):
         # reference lower median: element at index ceil(n/2)-1
         ref_med = ordered[(total + 1) // 2 - 1]
         assert exact_median(df, F.col("x")).first()["median"] == ref_med, f"trial {trial}"
+
+
+def test_null_measures_excluded_everywhere(spark):
+    # NULLs sort differently in Spark (FIRST) vs DuckDB (LAST) windows,
+    # so the operator excludes them outright — the one shared semantic
+    df = spark.createDataFrame(
+        [(1,), (None,), (3,), (None,), (5,)], "x int"
+    )
+    hist = value_histogram(df, F.col("x")).collect()
+    assert {r["v"] for r in hist} == {1, 3, 5}
+    assert all(r["total"] == 3 for r in hist)
+    assert exact_median(df, F.col("x")).first()["median"] == 3
+    got = quantile_buckets(df.withColumnRenamed("x", "y"), F.col("y"), 3)
+    assert got.count() == 3  # null rows dropped, not bucketed
+
+
+def test_reserved_column_guards(spark):
+    df = spark.createDataFrame([(1, 2)], "x int, bucket int")
+    with pytest.raises(ValueError, match="reserved"):
+        quantile_buckets(df, F.col("x"), 2)
+    df2 = spark.createDataFrame([(1, 2)], "x int, median int")
+    with pytest.raises(ValueError, match="reserved"):
+        mad_outliers(df2, F.col("x"))
