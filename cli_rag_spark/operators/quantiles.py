@@ -109,6 +109,39 @@ def exact_median(
     return agg.agg(F.min("v").alias("median"))
 
 
+def quantile_values(
+    df: DataFrame,
+    value: Column,
+    permilles: list[int],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact quantile VALUES at the given permille points (e.g.
+    ``[100, 500, 900]`` → p10/p50/p90), one column ``p{permille}``
+    per point, one row per group. Definition: the smallest quantized
+    value whose inclusive CDF reaches the point —
+    ``min(v) with cum * 1000 >= p * total`` — pure integer
+    comparisons (no float q·n), consistent with
+    :func:`exact_median` at p=500. One histogram pass serves ALL
+    requested points (each is a conditional min over the same
+    histogram rows); no join, no sort of the data."""
+    if not permilles:
+        raise ValueError("permilles must be non-empty")
+    bad = [p for p in permilles if not (0 < p <= 1000)]
+    if bad:
+        raise ValueError(f"permilles must be in (0, 1000], got {bad}")
+    groups = group_cols or []
+    hist = value_histogram(df, value, groups)
+    aggs = [
+        F.min(
+            F.when(F.col("cum") * 1000 >= p * F.col("total"), F.col("v"))
+        ).alias(f"p{p}")
+        for p in permilles
+    ]
+    if groups:
+        return hist.groupBy(*groups).agg(*aggs)
+    return hist.agg(*aggs)
+
+
 def mad_outliers(
     df: DataFrame,
     value: Column,

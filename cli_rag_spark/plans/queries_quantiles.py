@@ -13,6 +13,10 @@ Judged queries:
   quality score (the data-ordering step of curriculum training).
 - ``mad_outlier_stats`` — per-event-type median/MAD outlier gate over
   ``value`` in exact cents.
+- ``source_quality_quantiles`` — per-source p10/p50/p90 quality
+  profile (the mixture designer's companion to the overlap matrix).
+- ``winsorized_revenue_stats`` — robust aggregates with exact
+  [p1, p99] clamping, BIGINT cents end-to-end.
 """
 
 from __future__ import annotations
@@ -173,4 +177,128 @@ ORACLE["mad_outlier_stats"] = f"""
     FROM dev d JOIN mad USING (event_type)
     GROUP BY d.event_type, d.median_cents, mad.mad_cents
     ORDER BY d.event_type
+"""
+
+
+# --- exact quantile values: per-source quality profile (r8) -----------
+
+PROFILE_PERMILLES = [100, 500, 900]
+
+
+def q_source_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p10/p50/p90 of the stopword-density quality score —
+    the per-source quality PROFILE a mixture designer reads next to
+    the overlap matrix (a source whose p10 is another's p90 gets a
+    different weight, not a different filter). One histogram pass per
+    source serves all three points (operators/quantiles.py
+    quantile_values); everything is integer arithmetic on the
+    ≤1001-key score grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", _stop_density_pm(F.col("text")).alias("score_pm")
+    )
+    from cli_rag_spark.operators.quantiles import quantile_values
+
+    return quantile_values(
+        scored, F.col("score_pm"), PROFILE_PERMILLES, group_cols=["source"]
+    ).orderBy("source")
+
+
+QUERIES["source_quality_quantiles"] = q_source_quality_quantiles
+
+ORACLE["source_quality_quantiles"] = rf"""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN len({_WS_TOKENS.format(col='text')}) > 0
+                  THEN floor(
+                    len(list_filter({_WS_TOKENS.format(col='lower(text)')},
+                                    x -> x IN ({_EN_STOP}))) * 1000
+                    / len({_WS_TOKENS.format(col='text')}))
+                  ELSE 0 END::BIGINT AS v
+      FROM documents
+    ), hist AS (
+      SELECT source, v, count(*) AS n FROM s GROUP BY source, v
+    ), cdf AS (
+      SELECT source, v,
+             sum(n) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(n) OVER (PARTITION BY source) AS total
+      FROM hist
+    )
+    SELECT source,
+           min(CASE WHEN cum * 1000 >= 100 * total THEN v END) AS p100,
+           min(CASE WHEN cum * 1000 >= 500 * total THEN v END) AS p500,
+           min(CASE WHEN cum * 1000 >= 900 * total THEN v END) AS p900
+    FROM cdf GROUP BY source ORDER BY source
+"""
+
+
+# --- winsorized robust aggregates (r8) --------------------------------
+
+WINSOR_LO = 10    # p1
+WINSOR_HI = 990   # p99
+
+
+def q_winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized revenue aggregates per return flag: extended prices
+    in exact cents, clamped to the group's exact [p1, p99] before
+    summing — the robust total a reporting pipeline publishes so one
+    fat-finger row can't move the aggregate. The clamp bounds come
+    from the same histogram-CDF machinery (one pass, both points);
+    the clamped sum is a BIGINT of cents — no float order anywhere."""
+    from cli_rag_spark.operators.quantiles import quantile_values
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    bounds = quantile_values(
+        cents, F.col("c"), [WINSOR_LO, WINSOR_HI], group_cols=["l_returnflag"]
+    )
+    clamped = cents.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.greatest(
+            F.col(f"p{WINSOR_LO}"), F.least(F.col(f"p{WINSOR_HI}"), F.col("c"))
+        ).alias("w"),
+        (F.col("c") < F.col(f"p{WINSOR_LO}")).cast("long").alias("lo"),
+        (F.col("c") > F.col(f"p{WINSOR_HI}")).cast("long").alias("hi"),
+    )
+    return (
+        clamped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("winsorized_cents"),
+            F.sum("lo").alias("n_clamped_low"),
+            F.sum("hi").alias("n_clamped_high"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES["winsorized_revenue_stats"] = q_winsorized_revenue_stats
+
+ORACLE["winsorized_revenue_stats"] = f"""
+    WITH s AS (
+      SELECT l_returnflag, floor(l_extendedprice * 100)::BIGINT AS c
+      FROM lineitem
+    ), hist AS (
+      SELECT l_returnflag, c, count(*) AS n FROM s GROUP BY l_returnflag, c
+    ), cdf AS (
+      SELECT l_returnflag, c,
+             sum(n) OVER (PARTITION BY l_returnflag ORDER BY c) AS cum,
+             sum(n) OVER (PARTITION BY l_returnflag) AS total
+      FROM hist
+    ), b AS (
+      SELECT l_returnflag,
+             min(CASE WHEN cum * 1000 >= {WINSOR_LO} * total THEN c END) AS lo,
+             min(CASE WHEN cum * 1000 >= {WINSOR_HI} * total THEN c END) AS hi
+      FROM cdf GROUP BY l_returnflag
+    )
+    SELECT s.l_returnflag,
+           count(*)::BIGINT AS n,
+           sum(greatest(b.lo, least(b.hi, s.c)))::BIGINT AS winsorized_cents,
+           sum(CASE WHEN s.c < b.lo THEN 1 ELSE 0 END)::BIGINT AS n_clamped_low,
+           sum(CASE WHEN s.c > b.hi THEN 1 ELSE 0 END)::BIGINT AS n_clamped_high
+    FROM s JOIN b USING (l_returnflag)
+    GROUP BY s.l_returnflag ORDER BY s.l_returnflag
 """

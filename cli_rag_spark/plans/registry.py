@@ -48,9 +48,9 @@ _PACKS = [
 #
 # STALENESS BOUND (kept current per VERDICT r7 "What's wrong #3";
 # the arithmetic below MUST be updated whenever the registry count
-# changes): with 185 registered queries, 17 sentinels and exactly 33
-# rotating slots per round, a full pass over the 168 non-sentinel
-# queries takes ceil(168/33) = 6 rounds, so the honest worst-case
+# changes): with 187 registered queries, 17 sentinels and exactly 33
+# rotating slots per round, a full pass over the 170 non-sentinel
+# queries takes ceil(170/33) = 6 rounds, so the honest worst-case
 # staleness of a driver verdict is ≤ 6 rounds (rounding DOWN here is
 # how the r6 "~2 rounds" claim went wrong — count whole rounds, and
 # remember category-2/3 load eats into the 33 before stale fill gets
@@ -81,10 +81,11 @@ _PACKS = [
 # the 12 remaining r3-verified queries (alphabetical within the
 # cohort). The r9 head is owed, in order: the last 3 r3-stale
 # queries (top_revenue_suppliers, user_running_value, vocab_topk),
-# then the SEVEN r8 additions (curriculum_buckets,
+# then the NINE r8 additions (curriculum_buckets,
 # mad_outlier_stats, decayed_item_popularity,
 # source_overlap_matrix, token_truncation_stats, table_profile,
-# degree_distribution — within the 12-new-per-round cap) — all
+# degree_distribution, source_quality_quantiles,
+# winsorized_revenue_stats — within the 12-new-per-round cap) — all
 # replaying value-exact in the local parity gate every test run
 # meanwhile.
 _SENTINELS = [

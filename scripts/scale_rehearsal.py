@@ -182,6 +182,10 @@ QUERIES = [
     # scan+agg-linear member, never quadratic.
     "degree_distribution",
     "table_profile",
+    # quantile-values consumers: both are histogram-grid-bounded like
+    # curriculum/mad — the scan grows, the CDF window never does.
+    "source_quality_quantiles",
+    "winsorized_revenue_stats",
 ]
 
 

@@ -564,3 +564,18 @@ def test_session_r8b_plan_shapes(spark, sf_dir):
     # one-pass multi-distinct rewrite
     plan = _plan(spark, sf_dir, "table_profile")
     assert "Expand" not in plan
+
+
+def test_session_r8c_plan_shapes(spark, sf_dir):
+    # per-source quantile profile: one histogram pass serves all three
+    # points — a single aggregate over the CDF, no join, no cartesian
+    plan = _plan(spark, sf_dir, "source_quality_quantiles")
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+
+    # winsorized aggregates: the [p1, p99] bounds table is per-group
+    # tiny and must ride a broadcast join back onto the cents stream
+    plan = _plan(spark, sf_dir, "winsorized_revenue_stats")
+    assert "BroadcastHashJoin" in plan
+    for bad in ("SortMergeJoin", "CartesianProduct"):
+        assert bad not in plan, bad

@@ -134,3 +134,26 @@ def test_reserved_column_guards(spark):
     df2 = spark.createDataFrame([(1, 2)], "x int, median int")
     with pytest.raises(ValueError, match="reserved"):
         mad_outliers(df2, F.col("x"))
+
+
+def test_quantile_values_points_and_guards(spark):
+    from cli_rag_spark.operators.quantiles import quantile_values
+
+    df = _vals(spark, range(1, 11))  # 1..10
+    row = quantile_values(df, F.col("x"), [100, 500, 900, 1000]).first()
+    # smallest v with cum*1000 >= p*total: p100->1, p500->5, p900->9, p1000->10
+    assert (row["p100"], row["p500"], row["p900"], row["p1000"]) == (1, 5, 9, 10)
+    # consistency with exact_median at p=500
+    assert row["p500"] == exact_median(df, F.col("x")).first()["median"]
+
+    grouped = spark.createDataFrame(
+        [("a", 1), ("a", 100), ("b", 7)], "g string, x long"
+    )
+    got = {r["g"]: (r["p500"], r["p900"]) for r in
+           quantile_values(grouped, F.col("x"), [500, 900], ["g"]).collect()}
+    assert got == {"a": (1, 100), "b": (7, 7)}
+
+    with pytest.raises(ValueError, match="non-empty"):
+        quantile_values(df, F.col("x"), [])
+    with pytest.raises(ValueError, match="in \\(0, 1000\\]"):
+        quantile_values(df, F.col("x"), [0, 1001])
