@@ -78,8 +78,15 @@ def quantile_buckets(
 ) -> DataFrame:
     """Assign each row its exact k-quantile bucket (0..k-1) by the
     first-occurrence rule. Returns ``df`` + ``v`` + ``bucket``. One
-    shuffle for the histogram, one broadcast-able join back (the
-    histogram is |grid| rows — tiny by construction)."""
+    shuffle for the histogram, one broadcast join back.
+
+    CONTRACT — the value column must be QUANTIZED to a bounded grid
+    (cents, a per-mille score, ms buckets): the histogram here is
+    |grid| rows and is explicitly broadcast. Passing an effectively
+    continuous double column makes the histogram corpus-sized and
+    this broadcast a driver OOM (the r6 ngram-novelty failure genus).
+    Quantize first — that precondition is the whole module's design
+    (module docstring), not an optimization."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     taken = {"v", "bucket"} & set(df.columns)
