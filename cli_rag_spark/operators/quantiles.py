@@ -53,6 +53,12 @@ def value_histogram(
     ``total``. The window runs over the histogram (|grid| rows per
     group), not the data."""
     groups = group_cols or []
+    reserved = {"v", "n", "cum", "cum_excl", "total"} & set(groups)
+    if reserved:
+        raise ValueError(
+            f"group column(s) {sorted(reserved)} collide with histogram "
+            "output names"
+        )
     # NULL measures are EXCLUDED (the SQL aggregate convention) —
     # load-bearing for the oracle contract: Spark's window ORDER BY
     # puts NULLS FIRST ascending while DuckDB puts them LAST, so a
@@ -136,6 +142,8 @@ def quantile_values(
     bad = [p for p in permilles if not (0 < p <= 1000)]
     if bad:
         raise ValueError(f"permilles must be in (0, 1000], got {bad}")
+    if len(set(permilles)) != len(permilles):
+        raise ValueError(f"duplicate permilles: {permilles}")
     groups = group_cols or []
     hist = value_histogram(df, value, groups)
     aggs = [

@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from cli_rag_spark.functions.quality import stopword_count
 from cli_rag_spark.functions.text import token_count
-from cli_rag_spark.operators.quantiles import mad_outliers, quantile_buckets
+from cli_rag_spark.operators.quantiles import (
+    mad_outliers,
+    quantile_buckets,
+    quantile_values,
+)
 from cli_rag_spark.sources.documents import load_table
 from cli_rag_spark.plans.queries_text import _EN_STOP, _WS_TOKENS
 
@@ -35,6 +39,16 @@ ORACLE: dict = {}
 
 CURRICULUM_K = 10
 MAD_CUTOFF = 3
+
+# SQL twin of _stop_density_pm — ONE definition interpolated into
+# every oracle that shares the score grid (a density change edited in
+# one copy would silently desynchronize oracles otherwise)
+_STOP_DENSITY_SQL = rf"""CASE WHEN len({_WS_TOKENS.format(col='text')}) > 0
+                  THEN floor(
+                    len(list_filter({_WS_TOKENS.format(col='lower(text)')},
+                                    x -> x IN ({_EN_STOP}))) * 1000
+                    / len({_WS_TOKENS.format(col='text')}))
+                  ELSE 0 END::BIGINT"""
 
 
 def _stop_density_pm(text):
@@ -84,12 +98,7 @@ ORACLE["curriculum_buckets"] = rf"""
     WITH s AS (
       SELECT doc_id,
              len({_WS_TOKENS.format(col='text')})::BIGINT AS n_words,
-             CASE WHEN len({_WS_TOKENS.format(col='text')}) > 0
-                  THEN floor(
-                    len(list_filter({_WS_TOKENS.format(col='lower(text)')},
-                                    x -> x IN ({_EN_STOP}))) * 1000
-                    / len({_WS_TOKENS.format(col='text')}))
-                  ELSE 0 END::BIGINT AS score_pm
+             {_STOP_DENSITY_SQL} AS score_pm
       FROM documents
     ), hist AS (
       SELECT score_pm, count(*) AS n FROM s GROUP BY score_pm
@@ -113,15 +122,18 @@ ORACLE["curriculum_buckets"] = rf"""
 
 
 def q_mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median/MAD outlier gate per event type over ``value`` quantized
-    to exact cents (floor(value*100) — the float multiply and floor are
-    identical IEEE ops in both engines). Robust-statistics twin of the
+    """Median/MAD outlier gate per event type over ``value`` in TRUE
+    exact cents: DECIMAL(18,2) cast then ×100 — never floor(value*100)
+    on the raw double, which lands one cent low whenever the decimal
+    price's nearest double sits below it (2144.70 → 2144.6999…,
+    floor(×100) = 214469; the repo's decimal_exact_totals discipline).
+    Robust-statistics twin of the
     z-score drift gates: median and MAD come from two histogram-CDF
     passes (operators/quantiles.py mad_outliers), so no engine
     quantile function is involved and the 3×MAD cut is an exact
     integer comparison. Returns per-type medians and outlier counts."""
     ev = load_table(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100).cast("long")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     flagged = mad_outliers(
         ev.select("event_type", "value"), cents,
         group_cols=["event_type"], cutoff=MAD_CUTOFF,
@@ -142,7 +154,9 @@ QUERIES["mad_outlier_stats"] = q_mad_outlier_stats
 
 ORACLE["mad_outlier_stats"] = f"""
     WITH s AS (
-      SELECT event_type, floor(value * 100)::BIGINT AS v FROM events
+      SELECT event_type,
+             (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS v
+      FROM events
     ), hist AS (
       SELECT event_type, v, count(*) AS n FROM s GROUP BY event_type, v
     ), cdf AS (
@@ -197,8 +211,6 @@ def q_source_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "source", _stop_density_pm(F.col("text")).alias("score_pm")
     )
-    from cli_rag_spark.operators.quantiles import quantile_values
-
     return quantile_values(
         scored, F.col("score_pm"), PROFILE_PERMILLES, group_cols=["source"]
     ).orderBy("source")
@@ -209,12 +221,7 @@ QUERIES["source_quality_quantiles"] = q_source_quality_quantiles
 ORACLE["source_quality_quantiles"] = rf"""
     WITH s AS (
       SELECT source,
-             CASE WHEN len({_WS_TOKENS.format(col='text')}) > 0
-                  THEN floor(
-                    len(list_filter({_WS_TOKENS.format(col='lower(text)')},
-                                    x -> x IN ({_EN_STOP}))) * 1000
-                    / len({_WS_TOKENS.format(col='text')}))
-                  ELSE 0 END::BIGINT AS v
+             {_STOP_DENSITY_SQL} AS v
       FROM documents
     ), hist AS (
       SELECT source, v, count(*) AS n FROM s GROUP BY source, v
@@ -240,18 +247,23 @@ WINSOR_HI = 990   # p99
 
 def q_winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized revenue aggregates per return flag: extended prices
-    in exact cents, clamped to the group's exact [p1, p99] before
-    summing — the robust total a reporting pipeline publishes so one
-    fat-finger row can't move the aggregate. The clamp bounds come
-    from the same histogram-CDF machinery (one pass, both points);
-    the clamped sum is a BIGINT of cents — no float order anywhere."""
-    from cli_rag_spark.operators.quantiles import quantile_values
-
+    in TRUE exact cents (DECIMAL(18,2) cast then ×100 — floor(×100) on
+    the raw double lands one cent low for prices whose nearest double
+    sits below the decimal, e.g. 2144.70), clamped to the group's
+    exact [p1, p99] before summing — the robust total a reporting
+    pipeline publishes so one fat-finger row can't move the aggregate.
+    NULL prices are excluded up front (mirroring the quantile
+    machinery's NULL contract — without the filter they would clamp
+    to the p99 bound via NULL-skipping least/greatest). The clamp
+    bounds come from one histogram pass (both points); the clamped
+    sum is a BIGINT of cents — no float order anywhere."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(
         "l_returnflag",
-        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c"),
-    )
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    ).where(F.col("c").isNotNull())
     bounds = quantile_values(
         cents, F.col("c"), [WINSOR_LO, WINSOR_HI], group_cols=["l_returnflag"]
     )
@@ -279,8 +291,10 @@ QUERIES["winsorized_revenue_stats"] = q_winsorized_revenue_stats
 
 ORACLE["winsorized_revenue_stats"] = f"""
     WITH s AS (
-      SELECT l_returnflag, floor(l_extendedprice * 100)::BIGINT AS c
+      SELECT l_returnflag,
+             (CAST(l_extendedprice AS DECIMAL(18,2)) * 100)::BIGINT AS c
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
     ), hist AS (
       SELECT l_returnflag, c, count(*) AS n FROM s GROUP BY l_returnflag, c
     ), cdf AS (

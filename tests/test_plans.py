@@ -568,10 +568,10 @@ def test_session_r8b_plan_shapes(spark, sf_dir):
 
 def test_session_r8c_plan_shapes(spark, sf_dir):
     # per-source quantile profile: one histogram pass serves all three
-    # points — a single aggregate over the CDF, no join, no cartesian
+    # points — a single aggregate over the CDF, NO join of any kind
+    # (the one-pass contract COVERAGE.md claims)
     plan = _plan(spark, sf_dir, "source_quality_quantiles")
-    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
-        assert bad not in plan, bad
+    assert "Join" not in plan, plan[:400]
 
     # winsorized aggregates: the [p1, p99] bounds table is per-group
     # tiny and must ride a broadcast join back onto the cents stream

@@ -157,3 +157,14 @@ def test_quantile_values_points_and_guards(spark):
         quantile_values(df, F.col("x"), [])
     with pytest.raises(ValueError, match="in \\(0, 1000\\]"):
         quantile_values(df, F.col("x"), [0, 1001])
+
+
+def test_quantile_values_duplicate_and_group_collision_guards(spark):
+    from cli_rag_spark.operators.quantiles import quantile_values
+
+    df = _vals(spark, [1, 2, 3])
+    with pytest.raises(ValueError, match="duplicate"):
+        quantile_values(df, F.col("x"), [500, 500])
+    collide = spark.createDataFrame([(1, 2)], "total long, x long")
+    with pytest.raises(ValueError, match="collide"):
+        quantile_values(collide, F.col("x"), [500], group_cols=["total"])
