@@ -110,6 +110,10 @@ HEADLINE = [
     "decayed_item_popularity",   # temporal: dyadic half-life decay counter (r8)
     "source_overlap_matrix",     # corpus: cross-source shingle Jaccard matrix (r8)
     "token_truncation_stats",    # text: trim-to-budget loss accounting (r8)
+    "table_profile",             # storage: per-column catalog statistics (r8)
+    "degree_distribution",       # graph: log2-binned degree histogram (r8)
+    "source_quality_quantiles",  # quantiles: per-source p10/p50/p90 profile (r8)
+    "winsorized_revenue_stats",  # quantiles: exact [p1,p99]-clamped aggregates (r8)
 ]
 
 
