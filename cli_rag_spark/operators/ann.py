@@ -189,7 +189,12 @@ def build_ivf_index(
     xxhash64 hashes array contents, so any component change anywhere
     flips the fingerprint), computed in the SAME single agg job as
     the count — ADVICE r7 #2: a row count alone silently reused a
-    stale index over regenerated same-cardinality data. Any mismatch
+    stale index over regenerated same-cardinality data. Known
+    limitation: xor cancels even-multiplicity rows, so two datasets
+    differing only by DISTINCT duplicated-row pairs can share count
+    and fingerprint; ids are normally unique per row, which makes
+    that collision require a full duplicated (id, vector) pair —
+    acceptable, but stated (ADVICE r8). Any mismatch
     (params, count, fingerprint, pre-fingerprint metadata) falls
     through to a full rebuild. Callers that MUTATE the index
     afterwards (append_ivf_index pipelines) must keep the default
@@ -200,7 +205,11 @@ def build_ivf_index(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64(F.col(id_col), F.col(vec_col))).alias("fp"),
     ).first()
-    n_rows, content_fp = int(stats["n"]), int(stats["fp"])
+    # bit_xor over zero rows is NULL — map the empty input to fp=0 so
+    # the reuse_if_exists=False path still builds an empty index
+    # instead of raising an opaque TypeError (ADVICE r8).
+    n_rows = int(stats["n"])
+    content_fp = int(stats["fp"]) if stats["fp"] is not None else 0
     if reuse_if_exists:
         fs0, root0 = _hadoop_fs(spark_, path)
         meta_path0 = spark_._jvm.org.apache.hadoop.fs.Path(root0, _META_NAME)

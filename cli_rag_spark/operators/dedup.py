@@ -557,6 +557,16 @@ def dedup_spans(
     if span_words < 1:
         raise ValueError(f"span_words must be >= 1, got {span_words}")
     carry = carry or []
+    # reserved internal names — a carry/id column with one of these
+    # would collide silently or fail with an ambiguous-reference error
+    # downstream (ADVICE r8; same contract as operators/quantiles.py)
+    reserved = {"_fp", "_first", "_keep", "seg", "seg_idx"}
+    taken = reserved & {id_col, text_col, *carry}
+    if taken:
+        raise ValueError(
+            f"column(s) {sorted(taken)} collide with dedup_spans "
+            f"internal names {sorted(reserved)}"
+        )
     words = F.split(F.col(text_col), " ")
     n_segs = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
     segs = df.select(

@@ -86,6 +86,12 @@ def quantile_buckets(
     first-occurrence rule. Returns ``df`` + ``v`` + ``bucket``. One
     shuffle for the histogram, one broadcast join back.
 
+    With ``group_cols``, rows whose group key is NULL are EXCLUDED
+    from the output: the join-back is a plain equi-join, and NULL
+    never equals NULL — deliberately matching the oracle side's
+    ``JOIN ... USING`` semantics (DuckDB drops them identically), so
+    both engines agree. Same contract in :func:`mad_outliers`.
+
     CONTRACT — the value column must be QUANTIZED to a bounded grid
     (cents, a per-mille score, ms buckets): the histogram here is
     |grid| rows and is explicitly broadcast. Passing an effectively
@@ -172,7 +178,9 @@ def mad_outliers(
     group tied at the median) every deviation > 0 is an outlier — the
     standard degenerate-MAD contract, replayed in the oracle. NULL
     measures never enter the medians and come back with NULL
-    deviation and a NULL (not-true) flag."""
+    deviation and a NULL (not-true) flag. Rows with a NULL group key
+    are excluded from the output (plain equi-join semantics — see
+    :func:`quantile_buckets`)."""
     taken = {"v", "median", "mad", "is_outlier", "_dev"} & set(df.columns)
     if taken:
         raise ValueError(f"df already has reserved column(s) {sorted(taken)}")

@@ -152,13 +152,20 @@ def q_mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mad_outlier_stats"] = q_mad_outlier_stats
 
+# NULL-v discipline (ADVICE r8 medium): the histogram CTEs must
+# exclude NULL v exactly like the Spark side's value_histogram does —
+# a NULL group admitted into hist/dhist inflates `total` (DuckDB's
+# NULLS-LAST keeps it out of `cum`), shifting the median threshold.
+# NULL-v rows STAY in s/dev so n_events still counts them, mirroring
+# mad_outliers' keep-with-NULL-flag contract.
 ORACLE["mad_outlier_stats"] = f"""
     WITH s AS (
       SELECT event_type,
              (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS v
       FROM events
     ), hist AS (
-      SELECT event_type, v, count(*) AS n FROM s GROUP BY event_type, v
+      SELECT event_type, v, count(*) AS n FROM s
+      WHERE v IS NOT NULL GROUP BY event_type, v
     ), cdf AS (
       SELECT event_type, v,
              sum(n) OVER (PARTITION BY event_type ORDER BY v) AS cum,
@@ -172,7 +179,8 @@ ORACLE["mad_outlier_stats"] = f"""
              m.median_cents
       FROM s JOIN med m USING (event_type)
     ), dhist AS (
-      SELECT event_type, dv, count(*) AS n FROM dev GROUP BY event_type, dv
+      SELECT event_type, dv, count(*) AS n FROM dev
+      WHERE dv IS NOT NULL GROUP BY event_type, dv
     ), dcdf AS (
       SELECT event_type, dv,
              sum(n) OVER (PARTITION BY event_type ORDER BY dv) AS cum,

@@ -354,3 +354,16 @@ def test_reuse_if_exists_rejects_pre_fingerprint_metadata(spark, sf_dir, tmp_pat
     assert os.path.getmtime(meta_file) > mtime_degraded, "must rebuild"
     with open(meta_file) as f:
         assert "content_fp" in _json.load(f)
+
+
+def test_build_ivf_index_empty_input(spark, tmp_path):
+    # ADVICE r8 low: bit_xor over zero rows is NULL — the empty input
+    # must map to fp=0 and build an empty index, not raise TypeError
+    from cli_rag_spark.operators.ann import build_ivf_index
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf_empty")
+    centroids = build_ivf_index(empty, path, n_centroids=4)
+    assert centroids.count() == 0

@@ -549,3 +549,21 @@ def test_dedup_spans_idempotent_and_validation(spark):
 
     with pytest.raises(ValueError, match="span_words"):
         dedup_spans(df, span_words=0)
+
+
+def test_dedup_spans_reserved_column_guard(spark):
+    # ADVICE r8 low: carry/id/text names colliding with the operator's
+    # internal columns must raise up front (the quantiles contract),
+    # not fail downstream with an ambiguous-reference error
+    import pytest
+
+    from cli_rag_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [(1, "x", "a b c")], ["doc_id", "_fp", "text"]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        dedup_spans(df, carry=["_fp"])
+    df2 = spark.createDataFrame([(1, "a b c")], ["seg_idx", "text"])
+    with pytest.raises(ValueError, match="collide"):
+        dedup_spans(df2, id_col="seg_idx")

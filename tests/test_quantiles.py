@@ -168,3 +168,43 @@ def test_quantile_values_duplicate_and_group_collision_guards(spark):
     collide = spark.createDataFrame([(1, 2)], "total long, x long")
     with pytest.raises(ValueError, match="collide"):
         quantile_values(collide, F.col("x"), [500], group_cols=["total"])
+
+
+def test_mad_oracle_null_value_parity(spark, tmp_path):
+    """ADVICE r8 medium: the mad_outlier_stats oracle must exclude NULL
+    v from its histogram CTEs exactly like value_histogram does — the
+    shipped events fixture has zero NULL values, so only a NULL-bearing
+    fixture can prove the contract. Spark query and DuckDB oracle run
+    side-by-side on the same parquet and must agree row-for-row."""
+    import duckdb
+
+    from cli_rag_spark.plans.queries_quantiles import (
+        ORACLE,
+        q_mad_outlier_stats,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", None), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+        ("b", None), ("b", 5.0), ("b", 5.0), ("b", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = [
+        tuple(r)
+        for r in q_mad_outlier_stats(spark, str(tmp_path)).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{path}/*.parquet')"
+    )
+    want = con.execute(ORACLE["mad_outlier_stats"]).fetchall()
+    assert got == want
+    # hand-computed: NULLs counted in n_events but absent from medians
+    # a: cents [100,200,300,10000] -> median 200, devs [0,100,100,9800]
+    #    -> MAD 100, outliers dv>300 -> 1; n_events 5 (incl NULL row)
+    # b: cents [500,500,600] -> median 500, MAD 0 (degenerate),
+    #    outliers dv>0 -> 1; n_events 4 (incl NULL row)
+    assert got == [("a", 5, 200, 100, 1), ("b", 4, 500, 0, 1)]
