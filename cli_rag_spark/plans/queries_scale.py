@@ -112,27 +112,11 @@ LP_TOPN = 20
 def _trade_edges_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bidirectional customer<->supplier trade graph with BIGINT
     lineitem-count weights (the queries_mining pagerank graph, integer
-    weights so LPA's argmax is exact; same single-explode derivation —
-    a self-union would re-run the join+groupBy per direction)."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    ed = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    return ed.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("c_node").alias("src"), F.col("s_node").alias("dst")),
-                F.struct(F.col("s_node").alias("src"), F.col("c_node").alias("dst")),
-            )
-        ).alias("p"),
-        "w",
-    ).select("p.src", "p.dst", "w")
+    weights so LPA's argmax is exact). r9: reads the persisted pair
+    artifact (plans/trade_graph.py) like the rest of the family."""
+    from cli_rag_spark.plans.trade_graph import trade_edges_bidir_int
+
+    return trade_edges_bidir_int(spark, sf_dir)
 
 
 def q_lp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,113 @@
+"""The SHARED trade-graph artifact behind the graph query family.
+
+pagerank_top_nodes / ppr_top_nodes / hits_top_suppliers /
+lp_communities / degree_distribution all analyze the same structure:
+the weighted customer↔supplier pair table derived from
+``lineitem ⋈ orders`` (one row per trading pair, weight = lineitems
+shipped). Before r9 each query re-derived it — the derivation
+(the family's only corpus-sized join + groupBy) ran once per query
+and dominated the family's bench cost (VERDICT r8 "What's wrong #3").
+
+Now the pair table is a :func:`persisted_artifact`
+(sources/artifacts.py): built once per fixture state into a
+deterministic scratch path, fingerprinted on the SOURCE FILE LISTINGS
+of lineitem and orders plus a derivation version, and every consumer
+reads the materialized parquet. At a real deployment this is the
+graph sidecar next to the IVF index — derived tables that several
+analyses share are storage, not query lineage. Oracles are untouched:
+they re-derive the edges in SQL, which is precisely what makes the
+artifact's correctness checkable.
+
+Node encoding (unchanged from the r5 derivation): ``2*custkey`` for
+customers, ``2*suppkey + 1`` for suppliers — one integer node space
+with role recoverable from parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_rag_spark.sources.artifacts import (
+    persisted_artifact,
+    table_files_fingerprint,
+)
+from cli_rag_spark.sources.documents import load_table
+
+# bump on any change to the pair derivation below — invalidates
+# persisted artifacts built by older logic (the IVF-meta discipline)
+_PAIRS_VERSION = 1
+
+
+def trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per trading (customer, supplier) pair:
+    ``(c_node BIGINT, s_node BIGINT, w BIGINT)`` with w = number of
+    lineitems shipped between the pair. The persisted root of every
+    trade-graph view below."""
+    fingerprint = {
+        "artifact": "trade_pairs",
+        "version": _PAIRS_VERSION,
+        "lineitem": table_files_fingerprint(spark, f"{sf_dir}/lineitem.parquet"),
+        "orders": table_files_fingerprint(spark, f"{sf_dir}/orders.parquet"),
+    }
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_trade_pairs_{tag}"
+
+    def build() -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(
+                (F.col("o_custkey") * 2).alias("c_node"),
+                (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    return persisted_artifact(spark, path, fingerprint, build)
+
+
+def trade_edges_bidir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional weighted edges ``(src, dst, w DOUBLE)`` — the
+    PageRank/PPR graph (bidirectional ⇒ no dangling nodes). Both
+    directions come from ONE explode over the pair artifact — a
+    self-union would scan the artifact twice."""
+    pairs = trade_pairs(spark, sf_dir)
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c_node").alias("src"), F.col("s_node").alias("dst")),
+                F.struct(F.col("s_node").alias("src"), F.col("c_node").alias("dst")),
+            )
+        ).alias("p"),
+        F.col("w").cast("double").alias("w"),
+    ).select("p.src", "p.dst", "w")
+
+
+def trade_edges_bidir_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional edges with BIGINT weights — the LPA graph
+    (integer weights keep the label-vote argmax exact)."""
+    pairs = trade_pairs(spark, sf_dir)
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c_node").alias("src"), F.col("s_node").alias("dst")),
+                F.struct(F.col("s_node").alias("src"), F.col("c_node").alias("dst")),
+            )
+        ).alias("p"),
+        "w",
+    ).select("p.src", "p.dst", "w")
+
+
+def trade_edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed customer→supplier edges ``(src, dst, w DOUBLE)`` — the
+    HITS graph (hub mass on customers, authority mass on suppliers)."""
+    return trade_pairs(spark, sf_dir).select(
+        F.col("c_node").alias("src"),
+        F.col("s_node").alias("dst"),
+        F.col("w").cast("double").alias("w"),
+    )
