@@ -301,6 +301,37 @@ def _read_ivf_meta(spark: SparkSession, path: str) -> dict:
         stream.close()
 
 
+def ivf_index_ready(
+    spark: SparkSession, path: str, n_centroids: int, dim: int
+) -> bool:
+    """Dim-validated availability gate for strategy auto-dispatch
+    (operators/knn.py knn_join_auto): True iff ``path`` holds a
+    ``build_ivf_index`` output whose build ``n_centroids`` matches AND
+    whose persisted coarse centroids have dimension ``dim``. A probe
+    against an index of the wrong dimensionality would fail deep
+    inside the distance kernel (or worse, an index built for a
+    different embedding column would silently return garbage
+    neighbours); this check is one metadata read plus one row of the
+    k-row centroid sidecar. Any absence/mismatch returns False — the
+    dispatcher falls back to an index-free strategy rather than
+    erroring."""
+    try:
+        meta = _read_ivf_meta(spark, path)
+    except ValueError:
+        return False
+    if meta.get("n_centroids") != n_centroids:
+        return False
+    try:
+        row = (
+            read_ivf_centroids(spark, path)
+            .select(F.size("cvec").alias("d"))
+            .first()
+        )
+    except Exception:
+        return False
+    return row is not None and row["d"] == dim
+
+
 def read_ivf_index(
     spark: SparkSession, path: str, n_centroids: int | None = None
 ) -> DataFrame:

@@ -194,6 +194,27 @@ def q_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
+def q_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 through the strategy AUTO-DISPATCH (operators/knn.py
+    knn_join_auto, r9): the selector reads the workload shape
+    (|Q|·|N|·dim pair-ops) and routes to exact-expression / GEMM /
+    IVF / LSH. On the fixture's all-pairs shape (500×500×64 = 1.6e7
+    pair-ops at sf0.01, 2000×2000×64 = 2.6e8 at sf0.1) the measured
+    crossover picks the GEMM path at both scales — asserted in
+    tests/test_knn.py, which also pins the other three choices on
+    their shapes. Both exact strategies are bit-identical, so the
+    oracle is plain brute force: the driver proves the dispatcher
+    returns the exact answer, whatever path it routed."""
+    from cli_rag_spark.operators.knn import knn_join_auto
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join_auto(queries, emb, k=5, exclude_self=True)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
 def _persisted_pq_index(spark: SparkSession, sf_dir: str, prefix: str):
     """(embeddings, codes, codebook) with the PQ index built to and
     re-read from a stable per-sf_dir scratch path — the shared
@@ -843,6 +864,7 @@ QUERIES = {
     "knn_join_lsh": q_knn_join_lsh,
     "lsh_recall_stats": q_lsh_recall_stats,
     "knn_join_all": q_knn_join_all,
+    "knn_join_auto": q_knn_join_auto,
     "knn_join": q_knn_join,
     "embedding_norms": q_embedding_norms,
     "label_centroids": q_label_centroids,
@@ -1401,6 +1423,21 @@ ORACLE = {
             FROM d
         )
         WHERE rank <= 3
+        ORDER BY query_id, rank
+    """,
+    "knn_join_auto": """
+        WITH d AS (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist
+            FROM embeddings q, embeddings e
+            WHERE e.vec_id <> q.vec_id
+        )
+        SELECT query_id, vec_id, dist, rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+            FROM d
+        )
+        WHERE rank <= 5
         ORDER BY query_id, rank
     """,
     "ivf_topk": f"""

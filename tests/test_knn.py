@@ -372,3 +372,118 @@ def test_ndcg_semantics(spark):
 
     with _pytest.raises(ValueError, match="k"):
         ndcg_at_k(results, relevance, k=0)
+
+
+# --- strategy auto-dispatch (r9) --------------------------------------
+
+
+def test_choose_knn_strategy_pinned_choices():
+    """Every branch of the selector pinned on a concrete shape
+    (the choose_fuzzy_strategy test discipline)."""
+    import pytest
+
+    from cli_rag_spark.operators.knn import (
+        EXPR_MAX_PAIR_OPS,
+        GEMM_MAX_PAIR_OPS,
+        GEMM_MAX_QUERIES,
+        choose_knn_strategy,
+    )
+
+    # fixture interactive shape: 20 queries x 2000 rows x dim 64
+    assert choose_knn_strategy(20, 2_000, 64) == "exact"
+    # all-pairs fixture shapes (sf0.01 and sf0.1): past the measured
+    # expr crossover, well inside the GEMM envelope
+    assert choose_knn_strategy(500, 500, 64) == "gemm"
+    assert choose_knn_strategy(2_000, 2_000, 64) == "gemm"
+    # corpus-scale: brute force out of envelope -> index strategies
+    big_q, big_n = 10_000_000, 1_000_000_000
+    assert big_q * big_n * 64 > GEMM_MAX_PAIR_OPS
+    assert choose_knn_strategy(big_q, big_n, 64, ivf_available=True) == "ivf"
+    assert choose_knn_strategy(big_q, big_n, 64, ivf_available=False) == "lsh"
+    # driver-collect cap: a huge query side skips GEMM even when the
+    # pair-ops envelope would allow it
+    assert choose_knn_strategy(GEMM_MAX_QUERIES + 1, 100, 64) in ("ivf", "lsh")
+    # boundary exactness
+    assert choose_knn_strategy(1, EXPR_MAX_PAIR_OPS, 1) == "exact"
+    assert choose_knn_strategy(1, EXPR_MAX_PAIR_OPS + 1, 1) == "gemm"
+    with pytest.raises(ValueError, match="non-negative"):
+        choose_knn_strategy(-1, 10, 64)
+
+
+def test_knn_join_auto_routes_gemm_on_fixture_allpairs(spark, sf_dir):
+    """The judged query's shape routes to GEMM: the executed plan has
+    the Arrow mapInPandas stage and NO crossJoin-window brute force."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["knn_join_auto"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_auto_exact_path_plan_and_equivalence(spark, sf_dir):
+    """Small-Q shape routes to the expression path (no Python stage in
+    the plan) and returns exactly knn_join's rows."""
+    from cli_rag_spark.operators.knn import knn_join, knn_join_auto
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    auto = knn_join_auto(q, emb, k=3)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan
+    want = {tuple(r) for r in knn_join(q, emb, k=3).collect()}
+    assert {tuple(r) for r in auto.collect()} == want
+
+
+def test_knn_join_auto_ivf_path_with_validated_index(spark, sf_dir, tmp_path):
+    """With a dim-validated persisted index and a shape past the GEMM
+    envelope (forced via n_index hint), auto routes to IVF and matches
+    knn_join_ivf run directly."""
+    from cli_rag_spark.operators.ann import (
+        build_ivf_index,
+        ivf_index_ready,
+        knn_join_ivf,
+        read_ivf_index,
+    )
+    from cli_rag_spark.operators.knn import knn_join_auto
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_auto")
+    build_ivf_index(emb, path, n_centroids=8)
+    assert ivf_index_ready(spark, path, 8, 64)
+    assert not ivf_index_ready(spark, path, 16, 64)   # wrong build params
+    assert not ivf_index_ready(spark, path, 8, 128)   # wrong dimensionality
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # n_index hint pushes pair-ops past GEMM_MAX_PAIR_OPS: dispatch
+    # decides on the numbers it is given (at 100 TB they come from
+    # metadata), so the hint IS the production path
+    auto = knn_join_auto(
+        q, emb, k=3, n_index=10_000_000_000, ivf_path=path,
+        n_centroids=8, n_probe=2,
+    )
+    direct = knn_join_ivf(
+        q, read_ivf_index(spark, path, 8), k=3, n_centroids=8, n_probe=2,
+        validate_cid=False,
+    )
+    assert {tuple(r) for r in auto.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_knn_join_auto_lsh_fallback_without_index(spark, sf_dir):
+    """Same forced corpus-scale shape with NO index: falls back to LSH
+    banding (plan has the band equi-join, no cartesian)."""
+    from cli_rag_spark.operators.knn import knn_join_auto, knn_join_lsh
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    auto = knn_join_auto(q, emb, k=3, n_index=10_000_000_000)
+    direct = knn_join_lsh(q, emb, k=3, dim=64)
+    assert {tuple(r) for r in auto.collect()} == {tuple(r) for r in direct.collect()}
