@@ -114,6 +114,8 @@ HEADLINE = [
     "degree_distribution",       # graph: log2-binned degree histogram (r8)
     "source_quality_quantiles",  # quantiles: per-source p10/p50/p90 profile (r8)
     "winsorized_revenue_stats",  # quantiles: exact [p1,p99]-clamped aggregates (r8)
+    "knn_join_auto",             # vector: E7 strategy auto-dispatch -> GEMM (r9)
+    "vdb_roundtrip_stats",       # sources: .vdb codec round-trip checksums (r9)
 ]
 
 

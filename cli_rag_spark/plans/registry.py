@@ -48,9 +48,9 @@ _PACKS = [
 #
 # STALENESS BOUND (kept current per VERDICT r7 "What's wrong #3";
 # the arithmetic below MUST be updated whenever the registry count
-# changes): with 187 registered queries, 17 sentinels and exactly 33
-# rotating slots per round, a full pass over the 170 non-sentinel
-# queries takes ceil(170/33) = 6 rounds, so the honest worst-case
+# changes): with 189 registered queries, 17 sentinels and exactly 33
+# rotating slots per round, a full pass over the 172 non-sentinel
+# queries takes ceil(172/33) = 6 rounds, so the honest worst-case
 # staleness of a driver verdict is ≤ 6 rounds (rounding DOWN here is
 # how the r6 "~2 rounds" claim went wrong — count whole rounds, and
 # remember category-2/3 load eats into the 33 before stale fill gets
@@ -66,28 +66,37 @@ _PACKS = [
 # every local test run (tests/test_parity.py); the driver window is
 # the independent external sample on top.
 #
-# Round-8 window (VERDICT r7 "Next round #2"): 17 sentinels; the
-# TWENTY-TWO r7 queries that have never received a driver verdict
-# (span_dedup_stats also carries this round's code change — the
-# first-occurrence rewrite replacing the corpus-wide row_number
-# window, VERDICT r7 What's-wrong #2; hits_top_suppliers likewise
-# re-enters with its half-step job fusion); TWO category-2
-# re-entries whose implementation changed this round
-# (knn_join_ivf representing build_ivf_index's content-fingerprint
-# reuse guard — ADVICE r7 medium #2, siblings ivf_refined_topk /
-# ivf_recall_stats replay locally; snapshot_optimize_stats
-# representing the snapshot family's race-tolerant stale-claim
-# steal — ADVICE r7 medium #1); then oldest-first fill with 9 of
-# the 12 remaining r3-verified queries (alphabetical within the
-# cohort). The r9 head is owed, in order: the last 3 r3-stale
-# queries (top_revenue_suppliers, user_running_value, vocab_topk),
-# then the NINE r8 additions (curriculum_buckets,
-# mad_outlier_stats, decayed_item_popularity,
-# source_overlap_matrix, token_truncation_stats, table_profile,
-# degree_distribution, source_quality_quantiles,
-# winsorized_revenue_stats — within the 12-new-per-round cap) — all
-# replaying value-exact in the local parity gate every test run
-# meanwhile.
+# Round-9 window (VERDICT r8 "Next round #1"): 17 sentinels; THREE
+# category-2 re-entries whose implementation changed this round —
+# pagerank_top_nodes representing the graph family's move to the
+# persisted trade-pair artifact (plans/trade_graph.py; siblings
+# ppr/hits/lp/degree replay locally and degree_distribution is in
+# the window anyway as never-judged), knn_join_ivf representing
+# ann.py's empty-input fingerprint guard + the new ivf_index_ready
+# gate (ADVICE r8 low #2), span_dedup_stats representing
+# dedup_spans' reserved-column guard (ADVICE r8 low #3); ELEVEN
+# never-judged (category 3, within the 12-cap): the NINE r8
+# additions (curriculum_buckets, mad_outlier_stats — whose ORACLE
+# also changed this round, ADVICE r8 medium — decayed_item_
+# popularity, source_overlap_matrix, token_truncation_stats,
+# table_profile, degree_distribution, source_quality_quantiles,
+# winsorized_revenue_stats) plus the TWO r9 additions
+# (knn_join_auto — E7 strategy auto-dispatch, vdb_roundtrip_stats —
+# the .vdb codec through the oracle channel); then
+# least-recently-verified fill: the last 3 r3-stale queries
+# (top_revenue_suppliers, user_running_value, vocab_topk) and 16 of
+# the 33 r4-verified (alphabetical within the cohort, except
+# retention_cohorts takes the 16th slot in place of the next
+# alphabetical name so the events family keeps a representative —
+# the window contract test pins family coverage). The r10 head is
+# owed, in order: the remaining 18 r4-verified (alphabetical:
+# knn_join_lsh, local_supplier_volume, nation_trade_volume,
+# order_priority_rollup, part_supplier_agg, partitioned_compaction,
+# parts_above_brand_avg, pq_topk, rag_contexts_batch,
+# range_click_burst, salted_top_events, streaming_dedup_keys,
+# streaming_enriched_segments, streaming_hourly_windows,
+# streaming_upsert_totals, zorder_roundtrip, then the displaced
+# fill), then r5-verified oldest-first.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -108,34 +117,28 @@ _SENTINELS = [
     "hamming_topk",               # binary vectors (BINARY_VECTOR)
 ]
 _PRIORITY = _SENTINELS + [
-    # (3) never driver-checked: the 22-query r7 cohort — all get
-    # their first external verdict this round (span_dedup_stats and
-    # hits_top_suppliers also carry this round's code changes: the
-    # first-occurrence span rewrite and the HITS half-step fusion)
-    "chunk_sliding", "ann_rank_metrics", "image_dhash_groups",
-    "mmr_rerank", "image_neardup_groups", "brand_affinity_pairs",
-    "brand_rules", "orc_roundtrip_stats", "audio_fingerprint_groups",
-    "hard_negative_mining", "waiting_suppliers", "ppr_top_nodes",
-    "jsonl_roundtrip_stats", "csv_roundtrip_stats",
-    "ann_ndcg_metrics", "small_qty_revenue", "idle_rich_customers",
-    "hits_top_suppliers", "video_scene_cuts", "span_dedup_stats",
-    "streaming_quality_router", "ohlc_daily",
-    # (2) changed since last verdict: knn_join_ivf represents
-    # build_ivf_index's content-fingerprint reuse guard (ADVICE r7
-    # medium #2 — reuse must be keyed on data content, not row
-    # count; siblings ivf_refined_topk / ivf_recall_stats replay
-    # locally); snapshot_optimize_stats represents the snapshot
-    # family's race-tolerant stale-claim steal (ADVICE r7 medium
-    # #1 — the steal re-verifies the lock's identity before
-    # deleting; its 7 siblings replay locally)
-    "knn_join_ivf", "snapshot_optimize_stats",
-    # (4) least-recently-verified fill: 9 of the 12 remaining
-    # r3-verified, alphabetical within the cohort; the last 3 head
-    # the r9 fill (list in the rotation comment above)
-    "ordered_funnel", "orders_upsert_stats", "pii_redaction_stats",
-    "repetition_scores", "returned_item_customers",
-    "rolling_user_value", "semantic_dedup", "session_log",
-    "streaming_interval_join",
+    # (2) changed since last verdict (one representative per changed
+    # family, the r6 batching protocol — details in the rotation
+    # comment above)
+    "pagerank_top_nodes", "knn_join_ivf", "span_dedup_stats",
+    # (3) never driver-checked: the nine r8 additions...
+    "curriculum_buckets", "mad_outlier_stats",
+    "decayed_item_popularity", "source_overlap_matrix",
+    "token_truncation_stats", "table_profile", "degree_distribution",
+    "source_quality_quantiles", "winsorized_revenue_stats",
+    # ...and the two r9 additions
+    "knn_join_auto", "vdb_roundtrip_stats",
+    # (4) least-recently-verified fill: the last 3 r3-verified...
+    "top_revenue_suppliers", "user_running_value", "vocab_topk",
+    # ...then 16 of the 33 r4-verified (alphabetical; final slot goes
+    # to retention_cohorts for events-family coverage — see comment)
+    "active_high_value_orders", "approx_price_quantiles",
+    "brand_size_pivot", "curation_funnel",
+    "customer_balance_quartiles", "customer_order_distribution",
+    "customer_set_ops", "dedup_near_count", "embedding_near_dups",
+    "exact_substring_stats", "idle_suppliers", "ivf_topk",
+    "ivfpq_residual_topk", "ivfpq_topk", "knn_join_all",
+    "retention_cohorts",
 ]
 
 

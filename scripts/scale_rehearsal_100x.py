@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""100x scale rehearsal for the three heaviest NON-FLOOR plans
+(VERDICT r8 "Next round #4"): setsim_pairs, source_overlap_matrix,
+fuzzy_name_pairs at {1x, 10x, 100x} of sf0.1.
+
+Why a separate script from scale_rehearsal.py: at 10x the per-job
+floor still shadows the data term, so the booked alphas are lower
+bounds; 100x is where a plan genus flip (candidate blow-up, a stale
+size estimate broadcasting a corpus-sized side) would actually show.
+Only the tables these three queries touch are replicated (documents,
+customer) — the full-table generator would write ~60M lineitem rows
+nobody reads.
+
+Replica construction (same shape-preserving philosophy as
+scale_rehearsal.py, extended past its 26-rotation limit):
+
+- documents: replica i applies a SEEDED PSEUDORANDOM PERMUTATION of
+  the alphabet (splitmix64-keyed sort of a-z / A-Z) via translate().
+  A bijection preserves word/doc lengths, token structure, and every
+  intra-replica duplicate group exactly; distinct permutations per
+  replica mean shingles never collide across replicas, so candidate
+  work grows linearly by construction, not quadratically by artifact.
+  (The rotation trick caps at 26 distinct replicas; PRPs don't.)
+- customer: keys offset per replica; c_name DIGITS are permuted by a
+  seeded PRP of '0123456789'. Names differ only in digits, so a digit
+  bijection preserves every intra-replica edit distance exactly while
+  cross-replica names at the same position differ wherever the
+  permutations differ — without it, 100 identical copies of each name
+  would manufacture C(100,2) distance-0 pairs per name and the
+  measurement would be a collision artifact, not scaling.
+
+Prints one JSON line per query: per-scale best-of-N seconds, the
+fitted alpha over {1,10,100}, and whether the plan kept its join
+genus (source_overlap_matrix must stay SortMergeJoin — the r6
+ngram-novelty broadcast-OOM lesson). Paste the table into SCALING.md.
+
+Usage: python scripts/scale_rehearsal_100x.py [--runs 2] [--only ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import string
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+# 100x shingle/gram explosions need heap headroom in local mode (the
+# scale_rehearsal.py precedent); must be set before the JVM launches.
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 24g pyspark-shell")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cli_rag_spark.functions.hashing import _splitmix64  # noqa: E402
+from cli_rag_spark.plans import registry  # noqa: E402
+from cli_rag_spark.session import get_session  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = os.path.join(
+    "/tmp/scale_rehearsal_100x", os.path.basename(os.path.normpath(BASE_SF))
+)
+MULTIPLES = [1, 10, 100]
+QUERIES = ["setsim_pairs", "source_overlap_matrix", "fuzzy_name_pairs"]
+
+
+def _prp(alphabet: str, seed: int) -> str:
+    """Seeded pseudorandom permutation of `alphabet` (identity at 0)."""
+    if seed == 0:
+        return alphabet
+    return "".join(
+        sorted(alphabet, key=lambda c: _splitmix64(seed * 1013 + ord(c)))
+    )
+
+
+def generate(spark, m: int) -> str:
+    out = os.path.join(WORK, f"x{m}")
+    done = os.path.join(out, "_DONE_v1")
+    if os.path.exists(done):
+        return out
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    cust = spark.read.parquet(os.path.join(BASE_SF, "customer.parquet"))
+    doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
+    cust_off = cust.agg(F.max("c_custkey")).first()[0] + 1
+
+    lower, upper, digits = (
+        string.ascii_lowercase, string.ascii_uppercase, string.digits
+    )
+    d_parts, c_parts = [], []
+    for i in range(m):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_off))
+        if i:
+            d = d.withColumn(
+                "text",
+                F.translate(
+                    "text", lower + upper, _prp(lower, i) + _prp(upper, i)
+                ),
+            )
+        d_parts.append(d)
+        c = cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * cust_off))
+        if i:
+            c = c.withColumn("c_name", F.translate("c_name", digits, _prp(digits, i)))
+        c_parts.append(c)
+
+    d_all, c_all = d_parts[0], c_parts[0]
+    for d in d_parts[1:]:
+        d_all = d_all.unionByName(d)
+    for c in c_parts[1:]:
+        c_all = c_all.unionByName(c)
+    d_all.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    c_all.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
+    open(done, "w").close()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+    if args.fresh and os.path.isdir(WORK):
+        shutil.rmtree(WORK)
+
+    spark = get_session(app_name="cli-rag-spark-scale-100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+
+    dirs = {m: generate(spark, m) for m in MULTIPLES}
+    names = [n for n in QUERIES if not args.only or n in set(args.only)]
+    # warm-up
+    qs[names[0]](spark, dirs[1]).write.mode("overwrite").format("noop").save()
+
+    for name in names:
+        per_scale = {}
+        genus = {}
+        for m in MULTIPLES:
+            best = math.inf
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                df = qs[name](spark, dirs[m])
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            per_scale[m] = round(best, 3)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            genus[m] = (
+                "broadcast-flip"
+                if ("BroadcastHashJoin" in plan and name == "source_overlap_matrix")
+                else "ok"
+            )
+        xs = [math.log(m) for m in MULTIPLES]
+        ys = [math.log(per_scale[m]) for m in MULTIPLES]
+        xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
+        alpha = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+            (x - xbar) ** 2 for x in xs
+        )
+        # the 1x->10x slope is floor-shadowed; the 10x->100x slope is
+        # the honest large-scale exponent — print both
+        tail_alpha = (
+            math.log(per_scale[100] / per_scale[10]) / math.log(10)
+            if 100 in per_scale and 10 in per_scale
+            else None
+        )
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sec": per_scale,
+                    "alpha_1_100": round(alpha, 3),
+                    "alpha_10_100": round(tail_alpha, 3) if tail_alpha else None,
+                    "genus": genus,
+                }
+            ),
+            flush=True,
+        )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
