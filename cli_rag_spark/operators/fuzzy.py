@@ -175,6 +175,14 @@ def deletion_join(
     strings are long and high-entropy; use THIS when keys are short
     identifier-like strings — the two strategies are the same
     logical operator, like knn_join's exact/GEMM/LSH/IVF family).
+
+    Cluster-mass caveat (r9 100× rehearsal, SCALING.md): a true
+    near-duplicate cluster of size c necessarily yields C(c, 2)
+    candidate AND output pairs — that quadratic is the output's own
+    size, not a plan defect, but it means corpora carrying
+    million-row identical-key clusters should run exact dedup FIRST
+    (dedup_exact collapses the distance-0 mass) and fuzzy-link the
+    cluster representatives.
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")

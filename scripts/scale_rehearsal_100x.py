@@ -21,13 +21,21 @@ scale_rehearsal.py, extended past its 26-rotation limit):
   replica mean shingles never collide across replicas, so candidate
   work grows linearly by construction, not quadratically by artifact.
   (The rotation trick caps at 26 distinct replicas; PRPs don't.)
-- customer: keys offset per replica; c_name DIGITS are permuted by a
-  seeded PRP of '0123456789'. Names differ only in digits, so a digit
-  bijection preserves every intra-replica edit distance exactly while
-  cross-replica names at the same position differ wherever the
-  permutations differ — without it, 100 identical copies of each name
-  would manufacture C(100,2) distance-0 pairs per name and the
-  measurement would be a collision artifact, not scaling.
+- customer: keys offset per replica; c_name is permuted by a seeded
+  PRP over LETTERS AND DIGITS. Digits alone are not enough: a low-id
+  name ("Customer#000000001") contains only 2-3 DISTINCT digits, and
+  two 10-element digit PRPs agree on 2 specific values with
+  probability ~1/90 — across C(100,2) replica pairs that manufactures
+  ~55 colliding replica pairs per small-id name family, i.e. false
+  cross-replica duplicate clusters (measured: max variant bucket
+  38 -> 494 and candidate upper bound 52x for 10x data before the
+  letter PRP). Permuting the 8 distinct prefix letters too drops the
+  cross-replica agreement probability to ~26^-8 — the rehearsal then
+  measures the OPERATOR's growth on m independent populations, not
+  the generator's collision artifact. (FastSS candidate count is
+  inherently C(cluster, 2) per true near-dup cluster — cluster
+  structure is an input property; the generator must hold it fixed
+  per replica, which the bijection does.)
 
 Prints one JSON line per query: per-scale best-of-N seconds, the
 fitted alpha over {1,10,100}, and whether the plan kept its join
@@ -81,7 +89,7 @@ def _prp(alphabet: str, seed: int) -> str:
 
 def generate(spark, m: int) -> str:
     out = os.path.join(WORK, f"x{m}")
-    done = os.path.join(out, "_DONE_v1")
+    done = os.path.join(out, "_DONE_v2")  # v2: letter+digit name PRP
     if os.path.exists(done):
         return out
     if os.path.isdir(out):
@@ -108,7 +116,14 @@ def generate(spark, m: int) -> str:
         d_parts.append(d)
         c = cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * cust_off))
         if i:
-            c = c.withColumn("c_name", F.translate("c_name", digits, _prp(digits, i)))
+            c = c.withColumn(
+                "c_name",
+                F.translate(
+                    "c_name",
+                    lower + upper + digits,
+                    _prp(lower, i) + _prp(upper, i) + _prp(digits, i),
+                ),
+            )
         c_parts.append(c)
 
     d_all, c_all = d_parts[0], c_parts[0]
@@ -151,10 +166,16 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
             per_scale[m] = round(best, 3)
+            print(json.dumps({"query": name, "scale": m, "sec": per_scale[m]}),
+                  flush=True)
             plan = df._jdf.queryExecution().executedPlan().toString()
+            # the hazard is the corpus-sized fp SELF-JOIN losing its
+            # sort-merge pin (the r6 ngram-novelty OOM genus); the
+            # |sources|-row size table is SUPPOSED to broadcast, so
+            # the check is SMJ-present, not broadcast-absent
             genus[m] = (
                 "broadcast-flip"
-                if ("BroadcastHashJoin" in plan and name == "source_overlap_matrix")
+                if (name == "source_overlap_matrix" and "SortMergeJoin" not in plan)
                 else "ok"
             )
         xs = [math.log(m) for m in MULTIPLES]
