@@ -222,6 +222,7 @@ def main() -> None:
         "knn_join_lsh": 4,
         "embedding_near_dups": 4,
         "semantic_dedup": 4,
+        "knn_join_auto": 4,  # routes to the GEMM path on this shape
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -557,10 +557,12 @@ def dedup_spans(
     if span_words < 1:
         raise ValueError(f"span_words must be >= 1, got {span_words}")
     carry = carry or []
-    # reserved internal names — a carry/id column with one of these
-    # would collide silently or fail with an ambiguous-reference error
-    # downstream (ADVICE r8; same contract as operators/quantiles.py)
-    reserved = {"_fp", "_first", "_keep", "seg", "seg_idx"}
+    # reserved internal AND output names — a carry/id column with one
+    # of these would collide silently or fail with an
+    # ambiguous-reference error downstream (ADVICE r8 + r9 review:
+    # the output names n_segs/n_kept are as reserved as the
+    # intermediates; same contract as operators/quantiles.py)
+    reserved = {"_fp", "_first", "_keep", "seg", "seg_idx", "n_segs", "n_kept"}
     taken = reserved & {id_col, text_col, *carry}
     if taken:
         raise ValueError(

@@ -32,6 +32,8 @@ negate the artifact at scale.
 from __future__ import annotations
 
 import json
+import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -97,20 +99,48 @@ def persisted_artifact(
 
     On reuse AND after a build the returned DataFrame READS the
     parquet, so every consumer's plan starts from the materialized
-    artifact scan, never the derivation lineage. The meta sidecar is
-    written AFTER the parquet commit: a crash between the two leaves a
-    meta-less directory that the next call treats as absent and
-    rebuilds (overwrite-idempotent)."""
+    artifact scan, never the derivation lineage.
+
+    Concurrency contract (r9 review): builders NEVER write into the
+    final path. The build lands in a process-unique STAGING directory
+    (meta sidecar included) which is renamed into place — renames are
+    atomic, so a reader sees either a complete artifact (with its
+    meta) or none, never interleaved part files from two writers. Two
+    concurrent builders both produce complete, deterministic
+    artifacts and the last rename wins (wasted work, never a mixed
+    artifact); a reader racing the replace window can get a transient
+    read error on the briefly-absent path — a clean retry, not silent
+    corruption. A crash mid-stage leaves only an orphaned
+    ``<path>.__stage__*`` directory, which the next builder sweeps."""
     meta = _read_meta(spark, path)
     if meta is not None and meta.get("fingerprint") == fingerprint:
         return spark.read.parquet(path)
-    df = build()
-    df.write.mode("overwrite").parquet(path)
     fs, root = _fs(spark, path)
-    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
-    out = fs.create(meta_path, True)
+    jvm = spark._jvm
+    parent = root.getParent()
+    base = root.getName()
+    # sweep orphaned staging dirs from crashed builders
+    if parent is not None and fs.exists(parent):
+        for st in fs.listStatus(parent):
+            if st.getPath().getName().startswith(f"{base}.__stage__"):
+                fs.delete(st.getPath(), True)
+    staging = f"{path}.__stage__{os.getpid()}_{time.monotonic_ns()}"
+    df = build()
+    df.write.mode("overwrite").parquet(staging)
+    sfs, sroot = _fs(spark, staging)
+    meta_path = jvm.org.apache.hadoop.fs.Path(sroot, _META_NAME)
+    out = sfs.create(meta_path, True)
     try:
         out.write(bytearray(json.dumps({"fingerprint": fingerprint}).encode("utf-8")))
     finally:
         out.close()
+    # replace: delete-then-rename. rename(src, existing-dir) would
+    # MOVE src INTO it on hadoop local/HDFS, so dst must be absent.
+    if fs.exists(root):
+        fs.delete(root, True)
+    if not fs.rename(sroot, root):
+        # a concurrent builder renamed between our delete and rename:
+        # its artifact is complete (same deterministic build) — drop
+        # ours and read the winner
+        fs.delete(sroot, True)
     return spark.read.parquet(path)

@@ -69,8 +69,11 @@ SESSION_STATE_SCHEMA = StructType(
 # (schema, ns_cols) per source identity — the schema-discovery batch
 # read costs ~0.12 s per stream construction (measured r9, BENCH.md
 # "streaming floor attribution") and five judged queries re-derive it
-# from the same fixture every bench pass. Keyed on (path, mtime, size)
-# so a fixture rewrite invalidates (the artifacts.py identity rule).
+# from the same fixture every bench pass. Keyed on the RECURSIVE FILE
+# LISTING (path/length/mtime per data file — the artifacts.py
+# identity rule), NOT a single stat of the root: a directory's own
+# mtime/size does not change when a part file is rewritten in place
+# or a nested partition subdir gains files (r9 review).
 _SCHEMA_CACHE: dict = {}
 
 
@@ -79,10 +82,12 @@ def _events_schema(spark: SparkSession, events_path: str):
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
+    from cli_rag_spark.sources.artifacts import table_files_fingerprint
+
     try:
-        st = os.stat(events_path)
-        key = (events_path, int(st.st_mtime_ns), st.st_size)
-    except OSError:
+        listing = table_files_fingerprint(spark, events_path)
+        key = (events_path, tuple(map(tuple, listing)))
+    except Exception:  # missing path / Py4J IO errors: just don't cache
         key = None
     if key is not None and key in _SCHEMA_CACHE:
         return _SCHEMA_CACHE[key]

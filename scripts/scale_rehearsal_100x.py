@@ -150,8 +150,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.all_queries()
 
-    dirs = {m: generate(spark, m) for m in MULTIPLES}
     names = [n for n in QUERIES if not args.only or n in set(args.only)]
+    if not names:
+        ap.error(f"--only matched none of {QUERIES}")
+    dirs = {m: generate(spark, m) for m in MULTIPLES}
     # warm-up
     qs[names[0]](spark, dirs[1]).write.mode("overwrite").format("noop").save()
 
@@ -168,6 +170,14 @@ def main() -> None:
             per_scale[m] = round(best, 3)
             print(json.dumps({"query": name, "scale": m, "sec": per_scale[m]}),
                   flush=True)
+            # Execute THIS DataFrame's own QueryExecution before
+            # reading its plan: each timed write runs a separate QE,
+            # so without the collect the toString shows the INITIAL
+            # AdaptiveSparkPlan (isFinalPlan=false) and an AQE runtime
+            # re-plan — the exact flip this check exists to catch —
+            # would be invisible (r9 review). Outputs are aggregates
+            # (bounded rows), so the collect is cheap and untimed.
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
             # the hazard is the corpus-sized fp SELF-JOIN losing its
             # sort-merge pin (the r6 ngram-novelty OOM genus); the
@@ -197,7 +207,11 @@ def main() -> None:
                     "query": name,
                     "sec": per_scale,
                     "alpha_1_100": round(alpha, 3),
-                    "alpha_10_100": round(tail_alpha, 3) if tail_alpha else None,
+                    # `is not None`: a floor-flat tail alpha of 0.0 is a
+                    # measurement, not a missing value (r9 review)
+                    "alpha_10_100": (
+                        round(tail_alpha, 3) if tail_alpha is not None else None
+                    ),
                     "genus": genus,
                 }
             ),

@@ -487,3 +487,37 @@ def test_knn_join_auto_lsh_fallback_without_index(spark, sf_dir):
     auto = knn_join_auto(q, emb, k=3, n_index=10_000_000_000)
     direct = knn_join_lsh(q, emb, k=3, dim=64)
     assert {tuple(r) for r in auto.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_knn_join_auto_dim_discovery_guards(spark):
+    """r9 review: NULL/empty embeddings must not zero the pair-ops
+    model (dim=0 would route corpus-scale shapes to the exact
+    crossJoin) — discovery skips NULL rows and raises on empty
+    vectors; an index with no scorable rows returns empty."""
+    import pytest
+
+    from cli_rag_spark.operators.knn import knn_join_auto
+
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    # first row NULL, real dim discoverable from the second
+    idx = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    out = knn_join_auto(q, idx, k=1)
+    assert out.count() == 1  # the non-null row scores
+    # all embeddings empty arrays -> hard error, not a silent 'exact'
+    bad = spark.createDataFrame(
+        [(1, []), (2, [])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty/invalid vectors"):
+        knn_join_auto(q, bad, k=1, n_queries=10_000_000, n_index=10**9)
+    # no scorable rows at all -> dispatches (exact path) without
+    # crashing; the exact operator's own NULL semantics apply
+    # (NULL-embedding rows score NULL dist)
+    none_idx = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    rows = knn_join_auto(q, none_idx, k=1).collect()
+    assert all(r["dist"] is None for r in rows)

@@ -567,3 +567,14 @@ def test_dedup_spans_reserved_column_guard(spark):
     df2 = spark.createDataFrame([(1, "a b c")], ["seg_idx", "text"])
     with pytest.raises(ValueError, match="collide"):
         dedup_spans(df2, id_col="seg_idx")
+
+
+def test_dedup_spans_output_names_reserved(spark):
+    # r9 review: the OUTPUT names are as reserved as the intermediates
+    import pytest
+
+    from cli_rag_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame([(1, 7, "a b c")], ["doc_id", "n_segs", "text"])
+    with pytest.raises(ValueError, match="collide"):
+        dedup_spans(df, carry=["n_segs"])
