@@ -26,6 +26,24 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -> SparkSession.Builder:
     """Apply engine defaults to an existing builder (used by the driver's
     entry point, which owns the master URL)."""
+    # Shuffles can START wide and let AQE coalesce DOWN to the
+    # advisory size — the canonical way to keep per-partition
+    # sort/spill bounded as data grows without retuning
+    # shuffle.partitions. Measured BOTH ways (r9, BENCH.md ledger
+    # 0r): at 100× of sf0.1 a fixed 32-partition shuffle sorts 100×
+    # more rows per partition (source_overlap_matrix 52.4 s vs
+    # 14.3 s at 256 initial) — but at sf0.1 itself, 256 initial
+    # partitions tax EVERY exchange ~0.1-0.4 s (map-side shuffle
+    # files + coalesce planning), a measured ~10% headline
+    # regression. So the default stays data-proportionate-by-config:
+    # unset locally (AQE starts from shuffle.partitions), opt-in via
+    # SPARK_GRAFT_INITIAL_PARTITIONS for deployments and the 100×
+    # rehearsals (which set 256).
+    initial = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if initial:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial
+        )
     return (
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -63,6 +63,10 @@ if _REPO_DIR not in sys.path:
 # 100x shingle/gram explosions need heap headroom in local mode (the
 # scale_rehearsal.py precedent); must be set before the JVM launches.
 os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 24g pyspark-shell")
+# size shuffles to the data: at 100x a fixed 32-partition shuffle
+# sorts 100x more rows per partition (ledger 0r — 3.7x slower on the
+# overlap matrix); deployments set this knob, so the rehearsal does too
+os.environ.setdefault("SPARK_GRAFT_INITIAL_PARTITIONS", "256")
 
 from pyspark.sql import functions as F  # noqa: E402
 
