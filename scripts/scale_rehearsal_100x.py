@@ -79,7 +79,12 @@ WORK = os.path.join(
     "/tmp/scale_rehearsal_100x", os.path.basename(os.path.normpath(BASE_SF))
 )
 MULTIPLES = [1, 10, 100]
-QUERIES = ["setsim_pairs", "source_overlap_matrix", "fuzzy_name_pairs"]
+# the three VERDICT r8 #4 targets, then the flagship dedup ops added
+# once the harness existed (documents-only, same replica dirs)
+QUERIES = [
+    "setsim_pairs", "source_overlap_matrix", "fuzzy_name_pairs",
+    "minhash_candidates", "span_dedup_stats",
+]
 
 
 def _prp(alphabet: str, seed: int) -> str:
