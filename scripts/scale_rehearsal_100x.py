@@ -83,7 +83,8 @@ MULTIPLES = [1, 10, 100]
 # once the harness existed (documents-only, same replica dirs)
 QUERIES = [
     "setsim_pairs", "source_overlap_matrix", "fuzzy_name_pairs",
-    "minhash_candidates", "span_dedup_stats",
+    "minhash_candidates", "span_dedup_stats", "dedup_components",
+    "knn_join_lsh",
 ]
 
 
@@ -98,7 +99,11 @@ def _prp(alphabet: str, seed: int) -> str:
 
 def generate(spark, m: int) -> str:
     out = os.path.join(WORK, f"x{m}")
-    done = os.path.join(out, "_DONE_v2")  # v2: letter+digit name PRP
+    # v2: letter+digit name PRP; v3: + embeddings (sign-flip isometry
+    # per replica, the scale_rehearsal.py construction — norms and
+    # intra-replica cosine structure exact, cross-replica LSH buckets
+    # scrambled)
+    done = os.path.join(out, "_DONE_v3")
     if os.path.exists(done):
         return out
     if os.path.isdir(out):
@@ -106,14 +111,29 @@ def generate(spark, m: int) -> str:
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
     cust = spark.read.parquet(os.path.join(BASE_SF, "customer.parquet"))
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
     doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
     cust_off = cust.agg(F.max("c_custkey")).first()[0] + 1
+    vec_off = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(emb.select("embedding").first()[0])
 
     lower, upper, digits = (
         string.ascii_lowercase, string.ascii_uppercase, string.digits
     )
-    d_parts, c_parts = [], []
+    d_parts, c_parts, e_parts = [], [], []
     for i in range(m):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vec_off))
+        if i:
+            pattern = _splitmix64(i)
+            signs = F.array(*[
+                F.lit(-1.0 if (pattern >> (j % 64)) & 1 else 1.0)
+                for j in range(dim)
+            ])
+            e = e.withColumn(
+                "embedding",
+                F.zip_with("embedding", signs, lambda x, s: (x * s).cast("float")),
+            )
+        e_parts.append(e)
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_off))
         if i:
             d = d.withColumn(
@@ -135,13 +155,16 @@ def generate(spark, m: int) -> str:
             )
         c_parts.append(c)
 
-    d_all, c_all = d_parts[0], c_parts[0]
+    d_all, c_all, e_all = d_parts[0], c_parts[0], e_parts[0]
     for d in d_parts[1:]:
         d_all = d_all.unionByName(d)
     for c in c_parts[1:]:
         c_all = c_all.unionByName(c)
+    for e in e_parts[1:]:
+        e_all = e_all.unionByName(e)
     d_all.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     c_all.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
+    e_all.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
     open(done, "w").close()
     return out
 
