@@ -84,7 +84,7 @@ MULTIPLES = [1, 10, 100]
 QUERIES = [
     "setsim_pairs", "source_overlap_matrix", "fuzzy_name_pairs",
     "minhash_candidates", "span_dedup_stats", "dedup_components",
-    "knn_join_lsh",
+    "knn_join_lsh", "knn_join_ivf",
 ]
 
 
