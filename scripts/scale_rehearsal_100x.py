@@ -85,6 +85,10 @@ QUERIES = [
     "setsim_pairs", "source_overlap_matrix", "fuzzy_name_pairs",
     "minhash_candidates", "span_dedup_stats", "dedup_components",
     "knn_join_lsh", "knn_join_ivf",
+    # grid-boundedness at 100x: the quantile family's claim is that
+    # the CDF window NEVER grows with the corpus — only the scan and
+    # the map-side histogram combine do
+    "curriculum_buckets", "mad_outlier_stats",
 ]
 
 
@@ -102,8 +106,10 @@ def generate(spark, m: int) -> str:
     # v2: letter+digit name PRP; v3: + embeddings (sign-flip isometry
     # per replica, the scale_rehearsal.py construction — norms and
     # intra-replica cosine structure exact, cross-replica LSH buckets
-    # scrambled)
-    done = os.path.join(out, "_DONE_v3")
+    # scrambled); v4: + events (disjoint user/event ids per replica,
+    # same values/span — per-type value histograms replicate, so the
+    # quantile grid is m-invariant while the scan grows ×m)
+    done = os.path.join(out, "_DONE_v4")
     if os.path.exists(done):
         return out
     if os.path.isdir(out):
@@ -112,16 +118,23 @@ def generate(spark, m: int) -> str:
     docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
     cust = spark.read.parquet(os.path.join(BASE_SF, "customer.parquet"))
     emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    events = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
     doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
     cust_off = cust.agg(F.max("c_custkey")).first()[0] + 1
     vec_off = emb.agg(F.max("vec_id")).first()[0] + 1
+    user_off = events.agg(F.max("user_id")).first()[0] + 1
+    evt_off = events.agg(F.max("event_id")).first()[0] + 1
     dim = len(emb.select("embedding").first()[0])
 
     lower, upper, digits = (
         string.ascii_lowercase, string.ascii_uppercase, string.digits
     )
-    d_parts, c_parts, e_parts = [], [], []
+    d_parts, c_parts, e_parts, ev_parts = [], [], [], []
     for i in range(m):
+        ev_parts.append(
+            events.withColumn("user_id", F.col("user_id") + F.lit(i * user_off))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * evt_off))
+        )
         e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vec_off))
         if i:
             pattern = _splitmix64(i)
@@ -155,16 +168,19 @@ def generate(spark, m: int) -> str:
             )
         c_parts.append(c)
 
-    d_all, c_all, e_all = d_parts[0], c_parts[0], e_parts[0]
+    d_all, c_all, e_all, ev_all = d_parts[0], c_parts[0], e_parts[0], ev_parts[0]
     for d in d_parts[1:]:
         d_all = d_all.unionByName(d)
     for c in c_parts[1:]:
         c_all = c_all.unionByName(c)
     for e in e_parts[1:]:
         e_all = e_all.unionByName(e)
+    for ev in ev_parts[1:]:
+        ev_all = ev_all.unionByName(ev)
     d_all.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     c_all.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
     e_all.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    ev_all.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
     open(done, "w").close()
     return out
 
