@@ -41,6 +41,13 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
     # rehearsals (which set 256).
     initial = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
     if initial:
+        # fail fast with a readable message (the SPARK_GRAFT_SHUFFLE
+        # discipline) instead of an opaque Spark-internal requirement
+        # error at plan time
+        if int(initial) < 1:
+            raise ValueError(
+                f"SPARK_GRAFT_INITIAL_PARTITIONS must be >= 1, got {initial!r}"
+            )
         builder = builder.config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial
         )

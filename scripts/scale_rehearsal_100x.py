@@ -92,6 +92,57 @@ QUERIES = [
 ]
 
 
+def _curriculum_dup(m: int):
+    """curriculum_buckets over m ID-OFFSET COPIES of the base docs,
+    UNTRANSLATED — the honest 100× axis for this query (r9 review #3):
+    the registry query's stopword-density score goes ~0 on
+    PRP-translated replicas (a letter bijection destroys English
+    stopwords), collapsing the histogram toward a near-single-key
+    grid. Duplication replicates the score DISTRIBUTION exactly, so
+    the CDF window sees the full base grid while the scan grows ×m —
+    exactly the claim under test. (Duplication is unusable for the
+    dedup/fuzzy rehearsals — cross-copy collisions manufacture false
+    clusters — but quantiles have no cross-row identity, so it is the
+    shape-preserving construction HERE.)"""
+    from cli_rag_spark.plans.queries_quantiles import (
+        CURRICULUM_K,
+        _stop_density_pm,
+    )
+    from cli_rag_spark.functions.text import token_count
+    from cli_rag_spark.operators.quantiles import quantile_buckets
+    from cli_rag_spark.sources.documents import load_table
+
+    def run(spark, _sf_dir):
+        docs = load_table(spark, BASE_SF, "documents")
+        off = docs.agg(F.max("doc_id")).first()[0] + 1
+        all_docs = docs
+        for i in range(1, m):
+            all_docs = all_docs.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * off))
+            )
+        scored = all_docs.select(
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_words"),
+            _stop_density_pm(F.col("text")).alias("score_pm"),
+        )
+        bucketed = quantile_buckets(scored, F.col("score_pm"), CURRICULUM_K)
+        return (
+            bucketed.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_words").alias("total_words"),
+            )
+            .orderBy("bucket")
+        )
+
+    return run
+
+
+# name -> factory(m) -> callable(spark, sf_dir); rehearsal variants
+# whose workload shape needs scale-aware construction
+SCALED_QUERIES = {"curriculum_buckets_dup": _curriculum_dup}
+
+
 def _prp(alphabet: str, seed: int) -> str:
     """Seeded pseudorandom permutation of `alphabet` (identity at 0)."""
     if seed == 0:
@@ -119,12 +170,18 @@ def generate(spark, m: int) -> str:
     cust = spark.read.parquet(os.path.join(BASE_SF, "customer.parquet"))
     emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
     events = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+    # one job per table (not one per offset), and dim from a NON-NULL
+    # row — the same NULL-first-row hazard knn_join_auto guards
     doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
     cust_off = cust.agg(F.max("c_custkey")).first()[0] + 1
-    vec_off = emb.agg(F.max("vec_id")).first()[0] + 1
-    user_off = events.agg(F.max("user_id")).first()[0] + 1
-    evt_off = events.agg(F.max("event_id")).first()[0] + 1
-    dim = len(emb.select("embedding").first()[0])
+    emb_stats = emb.where(F.col("embedding").isNotNull()).agg(
+        F.max("vec_id").alias("mx"), F.max(F.size("embedding")).alias("d")
+    ).first()
+    vec_off, dim = emb_stats["mx"] + 1, int(emb_stats["d"])
+    ev_stats = events.agg(
+        F.max("user_id").alias("u"), F.max("event_id").alias("e")
+    ).first()
+    user_off, evt_off = ev_stats["u"] + 1, ev_stats["e"] + 1
 
     lower, upper, digits = (
         string.ascii_lowercase, string.ascii_uppercase, string.digits
@@ -198,44 +255,56 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.all_queries()
 
-    names = [n for n in QUERIES if not args.only or n in set(args.only)]
+    all_names = QUERIES + list(SCALED_QUERIES)
+    names = [n for n in all_names if not args.only or n in set(args.only)]
     if not names:
-        ap.error(f"--only matched none of {QUERIES}")
+        ap.error(f"--only matched none of {all_names}")
     dirs = {m: generate(spark, m) for m in MULTIPLES}
     # warm-up
-    qs[names[0]](spark, dirs[1]).write.mode("overwrite").format("noop").save()
+    warm = names[0]
+    if warm in SCALED_QUERIES:
+        SCALED_QUERIES[warm](1)(spark, dirs[1]).write.mode("overwrite").format("noop").save()
+    else:
+        qs[warm](spark, dirs[1]).write.mode("overwrite").format("noop").save()
 
     for name in names:
         per_scale = {}
         genus = {}
+        factory = SCALED_QUERIES.get(name)
         for m in MULTIPLES:
             best = math.inf
             for _ in range(args.runs):
                 t0 = time.perf_counter()
-                df = qs[name](spark, dirs[m])
+                fn = factory(m) if factory else (lambda s, d, _n=name: qs[_n](s, d))
+                df = fn(spark, dirs[m])
                 df.write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
             per_scale[m] = round(best, 3)
             print(json.dumps({"query": name, "scale": m, "sec": per_scale[m]}),
                   flush=True)
-            # Execute THIS DataFrame's own QueryExecution before
-            # reading its plan: each timed write runs a separate QE,
-            # so without the collect the toString shows the INITIAL
+            # The genus check applies only to the query with a pinned
+            # join (source_overlap_matrix); gating the plan capture on
+            # it avoids a full EXTRA execution of every other query
+            # per scale (r9 review #2). The capture must execute THIS
+            # DataFrame's own QueryExecution (collect) before reading
+            # the plan: each timed write runs a separate QE, so
+            # without it the toString shows the INITIAL
             # AdaptiveSparkPlan (isFinalPlan=false) and an AQE runtime
             # re-plan — the exact flip this check exists to catch —
-            # would be invisible (r9 review). Outputs are aggregates
-            # (bounded rows), so the collect is cheap and untimed.
-            df.collect()
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            # the hazard is the corpus-sized fp SELF-JOIN losing its
-            # sort-merge pin (the r6 ngram-novelty OOM genus); the
-            # |sources|-row size table is SUPPOSED to broadcast, so
-            # the check is SMJ-present, not broadcast-absent
-            genus[m] = (
-                "broadcast-flip"
-                if (name == "source_overlap_matrix" and "SortMergeJoin" not in plan)
-                else "ok"
-            )
+            # would be invisible. Its output is |sources|² rows.
+            if name == "source_overlap_matrix":
+                df.collect()
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                # the hazard is the corpus-sized fp SELF-JOIN losing
+                # its sort-merge pin (the r6 ngram-novelty OOM genus);
+                # the |sources|-row size table is SUPPOSED to
+                # broadcast, so the check is SMJ-present, not
+                # broadcast-absent
+                genus[m] = (
+                    "broadcast-flip" if "SortMergeJoin" not in plan else "ok"
+                )
+            else:
+                genus[m] = "ok"
         xs = [math.log(m) for m in MULTIPLES]
         ys = [math.log(per_scale[m]) for m in MULTIPLES]
         xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)

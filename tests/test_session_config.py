@@ -98,3 +98,28 @@ def test_live_jvm_heap_reflects_config(spark):
         f"driver JVM -Xmx is {max_bytes / (1 << 30):.2f} GiB; "
         "spark.driver.memory did not reach the JVM launch"
     )
+
+
+def test_initial_partitions_knob(monkeypatch):
+    """SPARK_GRAFT_INITIAL_PARTITIONS must reach the AQE conf when set
+    (the 100x rehearsals and deployments depend on it — ledger 0r),
+    stay ABSENT when unset (the measured local default), and fail
+    fast on a non-positive value."""
+    import pytest
+    from pyspark.sql import SparkSession
+
+    from cli_rag_spark.session import configure
+
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
+    monkeypatch.delenv("SPARK_GRAFT_INITIAL_PARTITIONS", raising=False)
+    b = configure(SparkSession.builder)
+    assert key not in b._options
+
+    monkeypatch.setenv("SPARK_GRAFT_INITIAL_PARTITIONS", "256")
+    b = configure(SparkSession.builder)
+    assert b._options.get(key) == "256"
+
+    monkeypatch.setenv("SPARK_GRAFT_INITIAL_PARTITIONS", "0")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        configure(SparkSession.builder)
