@@ -16,6 +16,12 @@ Timing protocol: each query is materialized with the `noop` sink
 so numbers measure the plan, not Spark startup. The headline set spans
 every operator family: vector search (E5-E7), dedup (E8), text/chunk
 (E2/E9), index pipeline (E3/E4), relational core (E12), events.
+
+Self-certification (r10): bench_full.json carries `env` (cpu_count,
+loadavg at start/end, whole-pass JVM-CPU vs whole-box busy-CPU) and a
+per-query `cpu` dict (jvm_cpu_sec vs sys_busy_sec vs other_cpu_sec for
+the best run) so an ambient-load-inflated pass is identifiable from
+the JSON alone — no prose recall needed.
 """
 
 from __future__ import annotations
@@ -124,6 +130,77 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+# --- machine-state self-certification (VERDICT r9 "Next round #1") ----
+# The r9 committed artifact (86.9 s) and the driver's re-run (115.7 s)
+# diverged by a uniform 1.33x on UNTOUCHED code — ambient load — and
+# nothing in the JSON could prove which pass was clean. These fields
+# make a noisy pass identifiable from bench_full.json alone:
+#   env.loadavg_start/end + cpu_count — the classic headroom check;
+#   per-query cpu: jvm_cpu_sec (this benchmark's own work, via
+#   /proc/<jvm pid>/stat utime+stime) vs sys_busy_sec (whole-box
+#   non-idle CPU over the same wall interval, via /proc/stat) — their
+#   difference, other_cpu_sec, is CPU burned by OTHER processes while
+#   the query ran. A clean pass has other_cpu_sec ≈ 0; the r9-style
+#   1.33x ambient pass shows it directly, per query.
+# All readers degrade to None off-Linux rather than failing the bench.
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
+def _jvm_pid(spark) -> int | None:
+    try:
+        return int(
+            spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+        )
+    except Exception:
+        return None
+
+
+def _proc_cpu_sec(pid: int | None) -> float | None:
+    """utime+stime of one process (the local-mode JVM does virtually
+    all of the bench's work; Python driver CPU is negligible)."""
+    if pid is None:
+        return None
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / _CLK_TCK
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _sys_busy_sec() -> float | None:
+    """Whole-box non-idle CPU seconds (sum over cores) since boot."""
+    try:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        idle = v[3] + (v[4] if len(v) > 4 else 0)
+        return (sum(v) - idle) / _CLK_TCK
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _cpu_delta(pid: int | None, jvm0, sys0) -> dict | None:
+    """jvm/sys/other CPU-second deltas for one timed interval."""
+    jvm1, sys1 = _proc_cpu_sec(pid), _sys_busy_sec()
+    if jvm0 is None or jvm1 is None or sys0 is None or sys1 is None:
+        return None
+    jvm, sysb = round(jvm1 - jvm0, 3), round(sys1 - sys0, 3)
+    return {
+        "jvm_cpu_sec": jvm,
+        "sys_busy_sec": sysb,
+        "other_cpu_sec": round(max(0.0, sysb - jvm), 3),
+    }
+
+
 def _materialize(df) -> None:
     # noop sink: full distributed execution of the plan, results
     # discarded executor-side (no driver collect bottleneck).
@@ -184,8 +261,12 @@ def compact_line(full: dict) -> str:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    wall_start = time.perf_counter()
+    load_start = _loadavg()
+    sys_busy_start = _sys_busy_sec()
     spark = get_session(app_name="cli-rag-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    jvm_cpu_start = _proc_cpu_sec(_jvm_pid(spark))
     queries = registry.all_queries()
 
     # Warm-up: JVM/codegen/Arrow path, not measured.
@@ -224,22 +305,48 @@ def main() -> None:
         "semantic_dedup": 4,
         "knn_join_auto": 4,  # routes to the GEMM path on this shape
     }
+    jvm_pid = _jvm_pid(spark)
     timings: dict[str, float] = {}
+    cpu: dict[str, dict] = {}
     for name in HEADLINE:
         best = float("inf")
         for _ in range(N_RUNS.get(name, 2)):
+            jvm0, sys0 = _proc_cpu_sec(jvm_pid), _sys_busy_sec()
             t0 = time.perf_counter()
             _materialize(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            if wall < best:
+                best = wall
+                delta = _cpu_delta(jvm_pid, jvm0, sys0)
+                if delta is not None:
+                    cpu[name] = delta
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    jvm_cpu_end, sys_busy_end = _proc_cpu_sec(jvm_pid), _sys_busy_sec()
     full = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cpu": cpu,
         "builds": builds,
+        "env": {
+            "cpu_count": os.cpu_count(),
+            "loadavg_start": load_start,
+            "loadavg_end": _loadavg(),
+            "jvm_cpu_sec_total": (
+                round(jvm_cpu_end - jvm_cpu_start, 3)
+                if jvm_cpu_start is not None and jvm_cpu_end is not None
+                else None
+            ),
+            "sys_busy_sec_total": (
+                round(sys_busy_end - sys_busy_start, 3)
+                if sys_busy_start is not None and sys_busy_end is not None
+                else None
+            ),
+            "wall_sec_total": round(time.perf_counter() - wall_start, 3),
+        },
         "sf": _sf_from_dir(sf_dir),
     }
     # Output protocol (r7 verdict "What's wrong #1"): the driver keeps

@@ -528,6 +528,40 @@ def build_pq_index(
         out.close()
 
 
+def pq_index_ready(
+    spark: SparkSession,
+    path: str,
+    dim: int,
+    m_subspaces: int | None = None,
+) -> bool:
+    """Dim-validated availability gate for strategy auto-dispatch
+    (operators/knn.py knn_join_auto) — the PQ mirror of
+    ann.ivf_index_ready (VERDICT r9 Next round #2): True iff ``path``
+    holds a ``build_pq_index`` output whose build ``dim`` matches the
+    query vectors' (and, when given, whose ``m_subspaces`` matches the
+    caller's ADC geometry). One metadata read, no Spark job. An ADC
+    join against a codebook of the wrong dimensionality doesn't fail
+    loudly — F.slice past the end returns a short sub-vector and the
+    LUT silently scores garbage — so absence/mismatch returns False
+    and the dispatcher falls back to an index-free strategy."""
+    fs, root = _hadoop_fs(spark, path)
+    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
+    if not fs.exists(meta_path):
+        return False
+    stream = fs.open(meta_path)
+    try:
+        meta = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    except Exception:
+        return False
+    finally:
+        stream.close()
+    if meta.get("dim") != dim:
+        return False
+    if m_subspaces is not None and meta.get("m_subspaces") != m_subspaces:
+        return False
+    return True
+
+
 def read_pq_index(
     spark: SparkSession,
     path: str,

@@ -771,8 +771,9 @@ def q_vdb_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     row identity, vector-db.c:167); write_vdb orders by id = vec_id,
     so the oracle reconstructs the position as
     row_number() over (order by vec_id) - 1."""
-    import hashlib
+    import os
     import tempfile
+    import time
 
     from cli_rag_spark.sources.vdb import read_vdb, write_vdb
 
@@ -782,10 +783,24 @@ def q_vdb_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("embedding"),
         F.concat(F.lit("vec-"), F.col("vec_id")).alias("text"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/cli_rag_spark_rt_{tag}.vdb"
+    # process-unique scratch path (ADVICE r9): a world-shared name
+    # keyed only on sf_dir let two concurrent runs (bench + pytest,
+    # parallel workers) interleave write_vdb's non-atomic rewrite with
+    # the other's read — and a predictable /tmp name is pre-creatable
+    # by another local user. read_vdb parses the whole blob driver-side
+    # into a local DataFrame, so the file is deletable immediately.
+    path = (
+        f"{tempfile.gettempdir()}/cli_rag_spark_rt_"
+        f"{os.getpid()}_{time.monotonic_ns()}.vdb"
+    )
     write_vdb(src, path)  # driver-side by design: single-blob format
-    rt = read_vdb(spark, path)
+    try:
+        rt = read_vdb(spark, path)
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
     fold = F.aggregate(
         F.col("embedding"), F.lit(0.0), lambda a, x: a + x
     )

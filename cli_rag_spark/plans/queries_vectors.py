@@ -584,6 +584,40 @@ def q_ivf_append_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_sqrt_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C ~ √N build default (ann.default_n_centroids, VERDICT r9
+    Next round #3) proven through the oracle channel: build_ivf_index
+    with n_centroids UNSET sizes the coarse quantizer as isqrt(N) from
+    the row count it already computes, and the per-list occupancy of
+    the persisted partitionBy(cid) index is replayed by an oracle that
+    derives the same C = floor(sqrt(count(*))) from the table itself —
+    so a policy regression (fixed C, wrong clamp, drifted seeding)
+    lands in a row-count or value mismatch. The resolved C is pinned
+    into every judged row via the n_centroids column (read from the
+    index's meta sidecar, no extra job). Index path follows the
+    scratch_root discipline (VERDICT r9 #4)."""
+    import hashlib
+
+    from cli_rag_spark.operators.ann import _read_ivf_meta
+    from cli_rag_spark.session import scratch_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{scratch_root()}/cli_rag_spark_ivfsqrt_{tag}"
+    build_ivf_index(emb, path, reuse_if_exists=True)  # default C = isqrt(N)
+    resolved_c = int(_read_ivf_meta(spark, path)["n_centroids"])
+    index = read_ivf_index(spark, path)
+    return (
+        index.groupBy(F.col("cid").cast("long").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").alias("sum_ids"),
+        )
+        .withColumn("n_centroids", F.lit(resolved_c).cast("long"))
+        .orderBy("cid")
+    )
+
+
 KM_CENTROIDS = 8
 KM_ITERS = 2
 
@@ -854,6 +888,7 @@ QUERIES = {
     "mmr_rerank": q_mmr_rerank,
     "hard_negative_mining": q_hard_negative_mining,
     "ivf_append_stats": q_ivf_append_stats,
+    "ivf_sqrt_partition_stats": q_ivf_sqrt_partition_stats,
     "cosine_topk": q_cosine_topk,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
@@ -992,6 +1027,31 @@ def _lsh_recall_oracle_sql() -> str:
 
 
 ORACLE = {
+    # the √N sizing policy replayed from the table itself: C =
+    # floor(sqrt(count(*))) — any drift in default_n_centroids, the
+    # seeding (vec_id < C), or the rounded-cosine assignment flips a
+    # row count or a sum_ids value
+    "ivf_sqrt_partition_stats": """
+        WITH cc AS (
+            SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS c FROM embeddings
+        ), cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+            FROM embeddings, cc WHERE vec_id < cc.c
+        ), assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6), c.cid
+                       ) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        )
+        SELECT a.cid, count(*)::BIGINT AS n_vecs,
+               sum(a.vec_id)::BIGINT AS sum_ids,
+               (SELECT c FROM cc) AS n_centroids
+        FROM assign a GROUP BY a.cid ORDER BY a.cid
+    """,
     "ivf_refined_topk": _ivf_refined_oracle(IVF_CENTROIDS, IVF_REFINE_ITERS, LSH_DIM, IVF_PROBE, K),
     "matryoshka_topk": _MATRYOSHKA_SQL,
     "embedding_covariance": _covariance_oracle_sql(),

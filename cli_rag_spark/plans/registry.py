@@ -48,55 +48,54 @@ _PACKS = [
 #
 # STALENESS BOUND (kept current per VERDICT r7 "What's wrong #3";
 # the arithmetic below MUST be updated whenever the registry count
-# changes): with 189 registered queries, 17 sentinels and exactly 33
-# rotating slots per round, a full pass over the 172 non-sentinel
-# queries takes ceil(172/33) = 6 rounds, so the honest worst-case
+# changes): with 190 registered queries, 17 sentinels and exactly 33
+# rotating slots per round, a full pass over the 173 non-sentinel
+# queries takes ceil(173/33) = 6 rounds, so the honest worst-case
 # staleness of a driver verdict is ≤ 6 rounds (rounding DOWN here is
 # how the r6 "~2 rounds" claim went wrong — count whole rounds, and
 # remember category-2/3 load eats into the 33 before stale fill gets
 # any) — PROVIDED the
 # registry stops outgrowing the window. r6 left a 12-query
-# never-judged backlog; r7 left 22; unbounded, the bound drifts one
-# round per ~20 additions. NEW-QUERY CAP (adopted r8): at most 12
-# new judged queries per round (33 rotating slots − ~12 for
-# category-2 re-entries and backlog − ~9 stale fill keeps the pass
-# length ≤ 5 rounds at the current registry size). The every-run
+# never-judged backlog; r7 left 22; r9 cleared it to ZERO (189/189
+# ever-judged, all green). NEW-QUERY CAP (adopted r8): at most 12
+# new judged queries per round; r10 adds ONE. The every-run
 # correctness gate is NOT the driver window: every registered query
 # is value- and dtype-exactly replayed against its DuckDB oracle on
 # every local test run (tests/test_parity.py); the driver window is
 # the independent external sample on top.
 #
-# Round-9 window (VERDICT r8 "Next round #1"): 17 sentinels; THREE
+# Round-10 window (VERDICT r9 "Next round #6"): 17 sentinels; THREE
 # category-2 re-entries whose implementation changed this round —
-# pagerank_top_nodes representing the graph family's move to the
-# persisted trade-pair artifact (plans/trade_graph.py; siblings
-# ppr/hits/lp/degree replay locally and degree_distribution is in
-# the window anyway as never-judged), knn_join_ivf representing
-# ann.py's empty-input fingerprint guard + the new ivf_index_ready
-# gate (ADVICE r8 low #2), span_dedup_stats representing
-# dedup_spans' reserved-column guard (ADVICE r8 low #3); ELEVEN
-# never-judged (category 3, within the 12-cap): the NINE r8
-# additions (curriculum_buckets, mad_outlier_stats — whose ORACLE
-# also changed this round, ADVICE r8 medium — decayed_item_
-# popularity, source_overlap_matrix, token_truncation_stats,
-# table_profile, degree_distribution, source_quality_quantiles,
-# winsorized_revenue_stats) plus the TWO r9 additions
-# (knn_join_auto — E7 strategy auto-dispatch, vdb_roundtrip_stats —
-# the .vdb codec through the oracle channel); then
-# least-recently-verified fill: the last 3 r3-stale queries
-# (top_revenue_suppliers, user_running_value, vocab_topk) and 16 of
-# the 33 r4-verified (alphabetical within the cohort, except
-# retention_cohorts takes the 16th slot in place of the next
-# alphabetical name so the events family keeps a representative —
-# the window contract test pins family coverage). The r10 head is
-# owed, in order: the remaining 18 r4-verified (alphabetical:
-# knn_join_lsh, local_supplier_volume, nation_trade_volume,
-# order_priority_rollup, part_supplier_agg, partitioned_compaction,
-# parts_above_brand_avg, pq_topk, rag_contexts_batch,
-# range_click_burst, salted_top_events, streaming_dedup_keys,
-# streaming_enriched_segments, streaming_hourly_windows,
-# streaming_upsert_totals, zorder_roundtrip, then the displaced
-# fill), then r5-verified oldest-first.
+# knn_join_auto (the dispatcher gained the PQ-ADC 5th strategy and
+# the dim-aware GEMM collect gate, VERDICT r9 #2 + ADVICE r9),
+# vdb_roundtrip_stats (process-unique scratch path, ADVICE r9 low
+# #4), pagerank_top_nodes representing the graph family's artifact
+# move to the configurable scratch_root + the age-gated staging
+# sweep and promotion/rename guards in sources/artifacts.py (ADVICE
+# r9 medium + low — every artifact consumer exercises that code);
+# ONE never-judged (category 3, within the 12-cap): the r10
+# addition ivf_sqrt_partition_stats (the C ~ √N build default,
+# VERDICT r9 #3, proven through the oracle channel). Then
+# least-recently-verified fill (29 slots): ALL 17 r4-verified
+# (alphabetical: knn_join_lsh, knn_join_pq, local_supplier_volume,
+# nation_trade_volume, order_priority_rollup, part_supplier_agg,
+# partitioned_compaction, parts_above_brand_avg, pq_topk,
+# rag_contexts_batch, range_click_burst, salted_top_events,
+# streaming_dedup_keys, streaming_enriched_segments,
+# streaming_hourly_windows, streaming_upsert_totals,
+# zorder_roundtrip) and 12 of the 29 r5-verified (alphabetical
+# within the cohort, except sessionization takes the 12th slot in
+# place of matryoshka_topk so the events family keeps a
+# representative — the window contract test pins family coverage).
+# The r11 head is owed, in order: the remaining 18 r5-verified
+# (matryoshka_topk, then maxsim_topk, ols_token_chars,
+# quality_drift_ks, quality_drift_psi, snapshot_cdc_stats,
+# snapshot_ref_travel, snapshot_schema_evolution,
+# snapshot_time_travel, snapshot_vacuum_stats,
+# streaming_incremental_dedup, streaming_trending,
+# tfidf_cosine_topk, token_budget_sample, triangle_census,
+# weighted_sample_stats, and the displaced fill), then r6-verified
+# oldest-first.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -120,25 +119,23 @@ _PRIORITY = _SENTINELS + [
     # (2) changed since last verdict (one representative per changed
     # family, the r6 batching protocol — details in the rotation
     # comment above)
-    "pagerank_top_nodes", "knn_join_ivf", "span_dedup_stats",
-    # (3) never driver-checked: the nine r8 additions...
-    "curriculum_buckets", "mad_outlier_stats",
-    "decayed_item_popularity", "source_overlap_matrix",
-    "token_truncation_stats", "table_profile", "degree_distribution",
-    "source_quality_quantiles", "winsorized_revenue_stats",
-    # ...and the two r9 additions
-    "knn_join_auto", "vdb_roundtrip_stats",
-    # (4) least-recently-verified fill: the last 3 r3-verified...
-    "top_revenue_suppliers", "user_running_value", "vocab_topk",
-    # ...then 16 of the 33 r4-verified (alphabetical; final slot goes
-    # to retention_cohorts for events-family coverage — see comment)
-    "active_high_value_orders", "approx_price_quantiles",
-    "brand_size_pivot", "curation_funnel",
-    "customer_balance_quartiles", "customer_order_distribution",
-    "customer_set_ops", "dedup_near_count", "embedding_near_dups",
-    "exact_substring_stats", "idle_suppliers", "ivf_topk",
-    "ivfpq_residual_topk", "ivfpq_topk", "knn_join_all",
-    "retention_cohorts",
+    "knn_join_auto", "vdb_roundtrip_stats", "pagerank_top_nodes",
+    # (3) never driver-checked: the one r10 addition
+    "ivf_sqrt_partition_stats",
+    # (4) least-recently-verified fill: all 17 r4-verified...
+    "knn_join_lsh", "knn_join_pq", "local_supplier_volume",
+    "nation_trade_volume", "order_priority_rollup",
+    "part_supplier_agg", "partitioned_compaction",
+    "parts_above_brand_avg", "pq_topk", "rag_contexts_batch",
+    "range_click_burst", "salted_top_events", "streaming_dedup_keys",
+    "streaming_enriched_segments", "streaming_hourly_windows",
+    "streaming_upsert_totals", "zorder_roundtrip",
+    # ...then 12 of the 29 r5-verified (alphabetical; final slot goes
+    # to sessionization for events-family coverage — see comment)
+    "bloom_decontamination", "bpe_encode_stats", "bpe_merges",
+    "collocations_topk", "dsir_selection", "embedding_covariance",
+    "fuzzy_name_pairs", "heavy_hitter_terms", "ivf_append_stats",
+    "kmeans_clusters", "leakproof_split_counts", "sessionization",
 ]
 
 

@@ -26,10 +26,11 @@ with role recoverable from parity.
 from __future__ import annotations
 
 import hashlib
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cli_rag_spark.session import scratch_root
 
 from cli_rag_spark.sources.artifacts import (
     persisted_artifact,
@@ -53,8 +54,12 @@ def trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem": table_files_fingerprint(spark, f"{sf_dir}/lineitem.parquet"),
         "orders": table_files_fingerprint(spark, f"{sf_dir}/orders.parquet"),
     }
+    # configurable root (VERDICT r9 #4): $SPARK_GRAFT_SCRATCH_DIR for
+    # deployments (tempdirs are node-local and GC-swept), tempdir
+    # locally; the md5(sf_dir) tag keeps two fixtures collision-free
+    # under any root.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/cli_rag_spark_trade_pairs_{tag}"
+    path = f"{scratch_root()}/cli_rag_spark_trade_pairs_{tag}"
 
     def build() -> DataFrame:
         orders = load_table(spark, sf_dir, "orders")

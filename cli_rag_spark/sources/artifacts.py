@@ -40,6 +40,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 _META_NAME = "_artifact_meta.json"
 
+# Staging dirs younger than this are presumed to belong to a LIVE
+# concurrent builder and are never swept (ADVICE r9, medium): sweeping
+# a live builder's staging between its parquet write and its meta
+# write would let fs.create silently recreate the dir with ONLY the
+# meta sidecar, and a data-less artifact would then be promoted and
+# poison every later reuse. One hour is generous — a real build is
+# seconds to minutes — while still reclaiming genuinely crashed
+# builders' orphans on the next rebuild.
+_STAGE_SWEEP_AGE_MS = 60 * 60 * 1000
+
 
 def _fs(spark: SparkSession, path: str):
     from cli_rag_spark.sources.compaction import _fs as fs_helper
@@ -101,17 +111,26 @@ def persisted_artifact(
     parquet, so every consumer's plan starts from the materialized
     artifact scan, never the derivation lineage.
 
-    Concurrency contract (r9 review): builders NEVER write into the
-    final path. The build lands in a process-unique STAGING directory
-    (meta sidecar included) which is renamed into place — renames are
-    atomic, so a reader sees either a complete artifact (with its
-    meta) or none, never interleaved part files from two writers. Two
-    concurrent builders both produce complete, deterministic
-    artifacts and the last rename wins (wasted work, never a mixed
-    artifact); a reader racing the replace window can get a transient
-    read error on the briefly-absent path — a clean retry, not silent
-    corruption. A crash mid-stage leaves only an orphaned
-    ``<path>.__stage__*`` directory, which the next builder sweeps."""
+    Concurrency contract (r9 review, hardened per ADVICE r9): builders
+    NEVER write into the final path. The build lands in a
+    process-unique STAGING directory (meta sidecar included) which is
+    renamed into place — renames are atomic, so a reader sees either a
+    complete artifact (with its meta) or none, never interleaved part
+    files from two writers. Two concurrent builders both produce
+    complete, deterministic artifacts and the last rename wins (wasted
+    work, never a mixed artifact); a reader racing the replace window
+    can get a transient read error on the briefly-absent path — a
+    clean retry, not silent corruption. A crash mid-stage leaves only
+    an orphaned ``<path>.__stage__*`` directory, swept by the next
+    builder ONLY once it is ≥1h old (a younger one may belong to a
+    live builder — deleting it mid-write could otherwise leave a
+    data-less dir to be promoted). Before promoting, the builder
+    re-verifies its own staging still holds data files + the expected
+    meta, so a swept-and-recreated staging can never be renamed into
+    place; after a failed rename it verifies a complete matching
+    artifact actually exists at ``path`` before discarding its own
+    output, and raises a descriptive error otherwise instead of
+    masking the real fault with a path-missing read error."""
     meta = _read_meta(spark, path)
     if meta is not None and meta.get("fingerprint") == fingerprint:
         return spark.read.parquet(path)
@@ -119,10 +138,14 @@ def persisted_artifact(
     jvm = spark._jvm
     parent = root.getParent()
     base = root.getName()
-    # sweep orphaned staging dirs from crashed builders
+    # sweep orphaned staging dirs from CRASHED builders — age-gated so
+    # a live concurrent builder's in-progress staging is never deleted
     if parent is not None and fs.exists(parent):
+        now_ms = int(time.time() * 1000)
         for st in fs.listStatus(parent):
-            if st.getPath().getName().startswith(f"{base}.__stage__"):
+            if not st.getPath().getName().startswith(f"{base}.__stage__"):
+                continue
+            if now_ms - int(st.getModificationTime()) >= _STAGE_SWEEP_AGE_MS:
                 fs.delete(st.getPath(), True)
     staging = f"{path}.__stage__{os.getpid()}_{time.monotonic_ns()}"
     df = build()
@@ -134,13 +157,39 @@ def persisted_artifact(
         out.write(bytearray(json.dumps({"fingerprint": fingerprint}).encode("utf-8")))
     finally:
         out.close()
+    # promotion guard: the staging must still contain the parquet data
+    # files we just wrote AND our meta. If another process swept and a
+    # later write recreated the dir, data files would be missing —
+    # never promote such a dir.
+    has_data = any(
+        not st.getPath().getName().startswith(("_", "."))
+        for st in sfs.listStatus(sroot)
+    )
+    staged_meta = _read_meta(spark, staging)
+    if not has_data or staged_meta is None or staged_meta.get("fingerprint") != fingerprint:
+        sfs.delete(sroot, True)
+        raise RuntimeError(
+            f"artifact staging at {staging} lost its data files before "
+            f"promotion (swept by a concurrent process?) — not promoting; "
+            f"retry the build"
+        )
     # replace: delete-then-rename. rename(src, existing-dir) would
     # MOVE src INTO it on hadoop local/HDFS, so dst must be absent.
     if fs.exists(root):
         fs.delete(root, True)
     if not fs.rename(sroot, root):
-        # a concurrent builder renamed between our delete and rename:
-        # its artifact is complete (same deterministic build) — drop
-        # ours and read the winner
-        fs.delete(sroot, True)
+        # rename can fail because a concurrent builder renamed between
+        # our delete and rename — but also for unrelated reasons
+        # (permissions, missing parent). Only discard our output once a
+        # complete artifact with the SAME fingerprint verifiably exists
+        # at the final path; otherwise surface the real fault.
+        winner = _read_meta(spark, path)
+        if winner is not None and winner.get("fingerprint") == fingerprint:
+            fs.delete(sroot, True)
+        else:
+            raise RuntimeError(
+                f"artifact rename {staging} -> {path} failed and no "
+                f"complete artifact with a matching fingerprint exists at "
+                f"the destination; staging output preserved for inspection"
+            )
     return spark.read.parquet(path)

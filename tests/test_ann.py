@@ -367,3 +367,49 @@ def test_build_ivf_index_empty_input(spark, tmp_path):
     path = str(tmp_path / "ivf_empty")
     centroids = build_ivf_index(empty, path, n_centroids=4)
     assert centroids.count() == 0
+
+
+def test_default_n_centroids_sqrt_rule():
+    """VERDICT r9 #3: C ~ sqrt(N) as executable policy, clamped to
+    [1, 65536]."""
+    import pytest
+
+    from cli_rag_spark.operators.ann import default_n_centroids
+
+    assert default_n_centroids(0) == 1
+    assert default_n_centroids(1) == 1
+    assert default_n_centroids(100) == 10
+    assert default_n_centroids(2_000) == 44          # isqrt, not round
+    assert default_n_centroids(10_000_000) == 3162
+    assert default_n_centroids(10**12) == 65536      # upper clamp
+    with pytest.raises(ValueError, match="non-negative"):
+        default_n_centroids(-1)
+
+
+def test_build_ivf_index_defaults_to_sqrt_n(spark, sf_dir, tmp_path):
+    """n_centroids=None sizes the quantizer by the sqrt rule from the
+    row count the build already computes — the persisted meta records
+    the RESOLVED C, so readers open it without knowing the policy."""
+    import json
+
+    from cli_rag_spark.operators.ann import (
+        build_ivf_index,
+        default_n_centroids,
+        read_ivf_index,
+    )
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    path = str(tmp_path / "ivf_sqrt")
+    cents = build_ivf_index(emb, path)
+    want_c = default_n_centroids(n)
+    assert cents.count() == want_c
+    with open(f"{path}/_ivf_meta.json") as f:
+        assert json.load(f)["n_centroids"] == want_c
+    # open-time validation still works against the resolved C
+    idx = read_ivf_index(spark, path, n_centroids=want_c)
+    assert idx.select("cid").distinct().count() <= want_c
+    # reuse path resolves the same default -> no rebuild
+    again = build_ivf_index(emb, path, reuse_if_exists=True)
+    assert again.count() == want_c

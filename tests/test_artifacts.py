@@ -108,3 +108,80 @@ def test_trade_edge_views_are_consistent(spark, sf_dir):
         .toString()
     )
     assert "Join" not in plan
+
+
+def test_stage_sweep_is_age_gated(spark, tmp_path):
+    """ADVICE r9 (medium): the orphan sweep must never delete a LIVE
+    concurrent builder's staging dir — only stale (>= 1h old) ones."""
+    import time as _time
+
+    path = str(tmp_path / "art")
+    fresh = f"{path}.__stage__999_1"
+    stale = f"{path}.__stage__999_2"
+    os.makedirs(fresh)
+    os.makedirs(stale)
+    old = _time.time() - 2 * 60 * 60
+    os.utime(stale, (old, old))
+    calls: list[int] = []
+    persisted_artifact(spark, path, {"v": 1}, _build_counter(spark, calls))
+    assert calls == [1]
+    assert os.path.isdir(fresh)          # live builder untouched
+    assert not os.path.exists(stale)     # crashed orphan reclaimed
+
+
+def test_dataless_staging_is_never_promoted(spark, tmp_path):
+    """The promotion guard: if the staging loses its data files between
+    the parquet write and the rename (the swept-and-recreated race),
+    the builder raises instead of promoting a data-less artifact that
+    every later caller would reuse and fail to read."""
+    import pyspark.sql.readwriter as rw
+
+    path = str(tmp_path / "art")
+
+    def build():
+        return spark.createDataFrame([(1, "a")], "k long, s string")
+
+    # the normal path first: a healthy artifact exists
+    assert persisted_artifact(spark, path, {"v": 1}, build).count() == 1
+
+    # reproduce a concurrent sweep landing between the parquet write
+    # and the meta write: wipe the staging's files right after writing
+    real_parquet = rw.DataFrameWriter.parquet
+
+    def wiping_parquet(self, p, *args, **kwargs):
+        real_parquet(self, p, *args, **kwargs)
+        if "__stage__" in p:
+            for name in os.listdir(p):
+                full = os.path.join(p, name)
+                if os.path.isfile(full):
+                    os.remove(full)
+
+    rw.DataFrameWriter.parquet = wiping_parquet
+    try:
+        with pytest.raises(RuntimeError, match="lost its data files"):
+            persisted_artifact(spark, path, {"v": 2}, build)
+    finally:
+        rw.DataFrameWriter.parquet = real_parquet
+    # the prior healthy artifact is still intact and readable
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_scratch_root_env_override_and_fixture_isolation(monkeypatch, tmp_path):
+    """VERDICT r9 #4: the artifact root is configurable off the
+    node-local tempdir, and distinct fixtures never collide under any
+    root (deterministic md5 tags)."""
+    import hashlib
+
+    from cli_rag_spark.session import scratch_root
+
+    monkeypatch.delenv("SPARK_GRAFT_SCRATCH_DIR", raising=False)
+    import tempfile
+
+    assert scratch_root() == tempfile.gettempdir()
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_DIR", str(tmp_path) + "/")
+    assert scratch_root() == str(tmp_path)
+    tags = {
+        hashlib.md5(d.encode()).hexdigest()[:12]
+        for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    }
+    assert len(tags) == 2

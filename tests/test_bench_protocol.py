@@ -58,3 +58,36 @@ def test_compact_line_is_last_json_object_in_simulated_tail():
     last_line = tail.strip().rsplit("\n", 1)[-1]
     parsed = json.loads(last_line)
     assert parsed["metric"] == "headline_total"
+
+
+def test_machine_state_helpers_produce_sane_fields():
+    """VERDICT r9 #1: the self-certification fields must be readable on
+    this box (Linux) and numerically sane, so bench_full.json can
+    prove/disprove an ambient-load-inflated pass by itself."""
+    load = bench._loadavg()
+    assert load is not None and len(load) == 3
+    assert all(x >= 0.0 for x in load)
+    busy = bench._sys_busy_sec()
+    assert busy is not None and busy > 0
+    import os
+
+    me = os.getpid()
+    cpu = bench._proc_cpu_sec(me)
+    assert cpu is not None and cpu >= 0
+    assert bench._proc_cpu_sec(None) is None
+
+
+def test_cpu_delta_composes_and_degrades():
+    # missing readings -> None (off-Linux degradation)
+    assert bench._cpu_delta(None, None, None) is None
+    # real deltas: other_cpu_sec = clamp(sys - jvm, >= 0)
+    import os
+
+    me = os.getpid()
+    jvm0, sys0 = bench._proc_cpu_sec(me), bench._sys_busy_sec()
+    # burn a little CPU so the deltas are visible
+    sum(i * i for i in range(400_000))
+    out = bench._cpu_delta(me, jvm0, sys0)
+    assert out is not None
+    assert set(out) == {"jvm_cpu_sec", "sys_busy_sec", "other_cpu_sec"}
+    assert out["other_cpu_sec"] >= 0.0

@@ -521,3 +521,118 @@ def test_knn_join_auto_dim_discovery_guards(spark):
     )
     rows = knn_join_auto(q, none_idx, k=1).collect()
     assert all(r["dist"] is None for r in rows)
+
+
+def test_choose_knn_strategy_gemm_elems_gate():
+    """ADVICE r9: the GEMM driver-collect budget is rows·dim, not rows.
+    1M queries x dim 4096 x 12-row index is inside the pair-ops
+    envelope and under the row cap, but the collected matrix would be
+    ~32 GB — must NOT route to gemm."""
+    from cli_rag_spark.operators.knn import (
+        GEMM_MAX_PAIR_OPS,
+        GEMM_MAX_QUERIES,
+        GEMM_MAX_QUERY_ELEMS,
+        choose_knn_strategy,
+    )
+
+    q, n, dim = 1_000_000, 12, 4096
+    assert q <= GEMM_MAX_QUERIES and q * n * dim <= GEMM_MAX_PAIR_OPS
+    assert q * dim > GEMM_MAX_QUERY_ELEMS
+    assert choose_knn_strategy(q, n, dim) == "lsh"
+    # the same shape at a collectable dim still takes the BLAS path
+    assert choose_knn_strategy(q, n, 64) == "gemm"
+
+
+def test_choose_knn_strategy_pq_branch_pinned():
+    """The 5th strategy (VERDICT r9 #2): PQ-ADC is chosen when brute
+    force is out of envelope, no IVF index exists, a PQ index does,
+    and the Q·N ADC pair-row shuffle is affordable; IVF outranks it
+    (sub-N probe beats a full-codes scan); past PQ_MAX_ADC_ROWS the
+    collision-bounded LSH candidates win."""
+    from cli_rag_spark.operators.knn import (
+        GEMM_MAX_PAIR_OPS,
+        PQ_MAX_ADC_ROWS,
+        choose_knn_strategy,
+    )
+
+    q, n = 50_000, 20_000  # 6.4e10 pair-ops at dim 64: past GEMM
+    assert q * n * 64 > GEMM_MAX_PAIR_OPS and q * n <= PQ_MAX_ADC_ROWS
+    assert choose_knn_strategy(q, n, 64, pq_available=True) == "pq"
+    assert choose_knn_strategy(q, n, 64, pq_available=False) == "lsh"
+    assert (
+        choose_knn_strategy(q, n, 64, ivf_available=True, pq_available=True)
+        == "ivf"
+    )
+    big_q, big_n = 10_000_000, 1_000_000_000
+    assert big_q * big_n > PQ_MAX_ADC_ROWS
+    assert choose_knn_strategy(big_q, big_n, 64, pq_available=True) == "lsh"
+
+
+def test_gemm_query_elems_guard(spark, sf_dir):
+    """knn_join_gemm bounds the driver collect in ELEMENTS: with dim
+    passed the cap applies BEFORE the collect (row_cap = elems/dim);
+    without dim the collected rows' actual width is re-checked."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb, 5)
+    with pytest.raises(ValueError, match="collect budget"):
+        knn_join_gemm(q, emb, k=1, dim=64, max_query_elems=64)
+    with pytest.raises(ValueError, match="max_query_elems"):
+        knn_join_gemm(q, emb, k=1, max_query_elems=64)
+    # generous budget: unchanged results
+    ok = knn_join_gemm(q, emb, k=2, dim=64)
+    want = {tuple(r) for r in knn_join(q, emb, k=2).collect()}
+    assert {tuple(r) for r in ok.collect()} == want
+
+
+def test_knn_join_auto_pq_path_with_validated_index(spark, sf_dir, tmp_path):
+    """With a dim-validated persisted PQ index, no IVF index, and a
+    shape past the GEMM envelope (forced via n_index hint), auto
+    routes to PQ-ADC: result matches pq_knn_join run directly (modulo
+    the contract rename est_d2 -> dist) and the executed plan scans
+    the persisted codes parquet — never an embedding column."""
+    from cli_rag_spark.operators.knn import knn_join_auto
+    from cli_rag_spark.operators.pq import (
+        build_pq_index,
+        pq_index_ready,
+        pq_knn_join,
+        read_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq_auto")
+    build_pq_index(emb, path, m_subspaces=4, k_codes=16)
+    assert pq_index_ready(spark, path, 64, 4)
+    assert not pq_index_ready(spark, path, 128, 4)  # wrong dim
+    assert not pq_index_ready(spark, path, 64, 8)   # wrong geometry
+    assert not pq_index_ready(spark, str(tmp_path / "missing"), 64, 4)
+    q = _queries(emb, 5)
+    # 5 x 2e8 x 64 = 6.4e10 pair-ops (past GEMM) with Q*N = 1e9 rows
+    # (inside the ADC shuffle budget) -> "pq"
+    auto = knn_join_auto(
+        q, emb, k=3, n_index=200_000_000, pq_path=path, pq_m_subspaces=4,
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "est_d2" in plan  # the ADC estimate, renamed to the contract
+    # the routing, plan-asserted: the scan reads the persisted codes
+    assert any("pq_auto/codes" in f for f in auto.inputFiles())
+    codes, cb = read_pq_index(spark, path, m_subspaces=4)
+    direct = pq_knn_join(q, codes, cb, k=3, m_subspaces=4).withColumnRenamed(
+        "est_d2", "dist"
+    )
+    assert {tuple(r) for r in auto.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    # IVF still outranks PQ when both indexes are ready
+    from cli_rag_spark.operators.ann import build_ivf_index
+
+    ivf_path = str(tmp_path / "ivf_pref")
+    build_ivf_index(emb, ivf_path, n_centroids=8)
+    both = knn_join_auto(
+        q, emb, k=3, n_index=200_000_000,
+        ivf_path=ivf_path, n_centroids=8, n_probe=2,
+        pq_path=path, pq_m_subspaces=4,
+    )
+    files = " ".join(both.inputFiles())
+    assert "ivf_pref" in files and "pq_auto" not in files
