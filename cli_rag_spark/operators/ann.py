@@ -273,7 +273,17 @@ def build_ivf_index(
     assigned = vectors.join(
         assign_centroids(vectors, centroids, id_col, vec_col), id_col
     )
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    # One shuffle on cid before the partitioned write so each list is
+    # written by exactly one task → file count ≈ C, not tasks × C.
+    # Without it, every upstream task emits one file per cid it holds:
+    # measured at the 100× rehearsal with the √N default (C=447 under
+    # 256 initial partitions), the probe-side file listing/footer cost
+    # dominated the query (9.24 s vs 2.6 s at C=8) — the classic
+    # small-files failure, paid at build time once instead of by every
+    # reader forever.
+    assigned.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(path)
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/{_CENTROID_DIR}")
     fs, root = _hadoop_fs(spark, path)
     meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
@@ -417,7 +427,12 @@ def append_ivf_index(
     # column order must match the existing files (append does not
     # reconcile schemas by name)
     assigned = assigned.select(*index.columns)
-    assigned.write.mode("append").partitionBy("cid").parquet(path)
+    # same small-files discipline as the build: one writer task per
+    # touched cid, so an append adds ≈|touched lists| files, not
+    # tasks × lists
+    assigned.repartition("cid").write.mode("append").partitionBy(
+        "cid"
+    ).parquet(path)
 
 
 def ivf_topk(

@@ -21,6 +21,12 @@ All hashing is md5-based (functions/hashing.py) so every strategy is
 DuckDB-oracle-checkable. Spark's native murmur3 would be faster per
 byte but unverifiable; at scale the md5 cost is dwarfed by the
 shuffle, and the choice is documented here as deliberate.
+
+r10 adds :func:`choose_dedup_strategy` / :func:`dedup_near_auto` —
+the near-dup candidate strategy picked from a bounded sample's
+shingle-posting skew (exact all-pairs Jaccard while the projected
+self-join volume is floor-bounded, banded MinHash past it), the third
+dispatcher alongside fuzzy_join_auto and knn_join_auto.
 """
 
 from __future__ import annotations
@@ -298,6 +304,122 @@ def dedup_near(
     cands = minhash_candidates(df, text_col, id_col, shingle_words, n_hashes, n_bands)
     verified = jaccard_pairs(df, pairs=cands, text_col=text_col, id_col=id_col,
                              shingle_words=shingle_words)
+    drops = (
+        verified.where(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, id_col, "anti")
+
+
+# choose_dedup_strategy thresholds — the third auto-dispatcher, after
+# choose_fuzzy_strategy (sampled gram selectivity) and
+# choose_knn_strategy (pure pair-ops arithmetic). Near-dup candidate
+# generation has the fuzzy shape, not the knn shape: the all-pairs
+# shingle self-join's cost is Σ_g df(g)² over posting lists — invisible
+# in row counts (natural-text trigram postings are hapax ≈ everywhere,
+# but one stopword-y shingle shared by 1% of a 10M-doc corpus is a
+# 10^10-row join on its own), so the dispatcher must SAMPLE.
+#
+# ALLPAIRS_MAX_JOIN_ROWS: the projected full-corpus shingle self-join
+# volume above which banding wins. Measured r10 on this box (sf0.1
+# documents, 5000 docs): the true all-pairs volume is 2.79e6 join
+# rows; the exact path runs 3.14 s (~8.9e5 rows/s through the shingle
+# join + intersection agg), while minhash candidates + verify runs
+# 1.72 s — banding already wins there, and below ~1e6 rows both sit
+# at the job floor. The 2000-doc sample's projection read 3.16e6 for
+# that corpus (1.13× of actual — the instrument validated against
+# ground truth). 2e6 therefore keeps the exact path — whose value is
+# zero recall loss — only where it is also the FAST path, and routes
+# everything else to banding.
+ALLPAIRS_MAX_JOIN_ROWS = 2_000_000
+DEDUP_AUTO_SAMPLE_N = 2_000
+
+
+def choose_dedup_strategy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    n_docs: int | None = None,
+    sample_n: int = DEDUP_AUTO_SAMPLE_N,
+) -> str:
+    """``"allpairs"`` (exact :func:`jaccard_pairs` over every pair —
+    zero recall loss) or ``"minhash"`` (banded candidates → verify) —
+    decided from a bounded sample's shingle-posting skew, the
+    choose_fuzzy_strategy discipline (VERDICT r9 #7b).
+
+    Decision procedure, two bounded sample jobs: explode each sampled
+    doc's distinct shingles, count per-shingle document frequency
+    within the sample, and sum df² — the exact number of rows the
+    all-pairs shingle self-join would produce ON THE SAMPLE.
+    Corpus-frequency shingles scale df ∝ N/n, so the full-corpus
+    projection is Σdf² · (N/n)²; hapax shingles (df=1, the
+    natural-text common case) are over-projected by that square,
+    which errs toward "minhash" — the side that stays safe when the
+    model is wrong. Projection ≤ ALLPAIRS_MAX_JOIN_ROWS → allpairs.
+
+    ``n_docs`` is the full-corpus count (pass it from table metadata
+    at scale); when None it costs one count() job."""
+    if n_docs is None:
+        n_docs = df.count()
+    if n_docs <= 1:
+        return "allpairs"
+    sample = (
+        df.select(F.col(id_col), F.col(text_col))
+        .where(F.col(text_col).isNotNull())
+        .limit(sample_n)
+    )
+    sh = sample.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_words))
+        ).alias("_g"),
+    )
+    stats = (
+        sh.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(F.sum(F.col("_df") * F.col("_df")).alias("sum_df2"))
+        .first()
+    )
+    n_sampled = sample.count()
+    if stats is None or stats["sum_df2"] is None or n_sampled == 0:
+        return "allpairs"  # no shingled text: either path is empty
+    scale = max(1.0, n_docs / n_sampled)
+    projected = float(stats["sum_df2"]) * scale * scale
+    return "allpairs" if projected <= ALLPAIRS_MAX_JOIN_ROWS else "minhash"
+
+
+def dedup_near_auto(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """:func:`dedup_near` with the candidate strategy chosen by
+    :func:`choose_dedup_strategy` — same survivor contract.
+
+    On the "allpairs" route the verification set is EVERY pair (exact
+    Jaccard, no banding recall loss); on "minhash" it is the banded
+    candidates — the trade every LSH dedup makes at scale. Both
+    routes share the greedy keep-lowest-id survivor rule, so a
+    dispatch flip as the corpus grows changes recall, never the rule.
+    """
+    strategy = choose_dedup_strategy(
+        df, text_col, id_col, shingle_words, n_docs=n_docs
+    )
+    if strategy == "minhash":
+        return dedup_near(
+            df, threshold, text_col, id_col, shingle_words, n_hashes, n_bands
+        )
+    verified = jaccard_pairs(
+        df, pairs=None, text_col=text_col, id_col=id_col,
+        shingle_words=shingle_words,
+    )
     drops = (
         verified.where(F.col("jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
