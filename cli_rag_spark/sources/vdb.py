@@ -161,6 +161,125 @@ def read_vdb(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def vdb_to_parquet(spark: SparkSession, vdb_path: str, parquet_path: str) -> None:
-    """Migration helper: reference index → engine index."""
-    read_vdb(spark, vdb_path).write.mode("overwrite").parquet(parquet_path)
+def read_vdb_distributed(
+    spark: SparkSession,
+    path: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``.vdb`` file → DF[id, embedding, text], parsed ON EXECUTORS —
+    the multi-GB import path (VERDICT r9 #7a): :func:`read_vdb` holds
+    the whole blob plus Python row lists on the driver, which is fine
+    for fidelity round-trips and wrong for a 10 GB reference index.
+
+    The format has no split points, but it IS offset-indexable in two
+    parts: vector records are FIXED-STRIDE (dim·8 bytes each, or
+    dim//8+1 for BINARY_VECTOR), so any row range is a seek; text
+    records are length-prefixed, so offsets are sequential — the
+    driver walks the text section ONCE with a buffered reader keeping
+    only the P partition-boundary offsets (O(P) memory, never the
+    blob), and each executor task seeks to its own (vector, text)
+    offsets and parses its row range inside one Arrow-batched
+    mapInPandas stage.
+
+    Requires ``path`` readable from every executor (shared FS /
+    NFS / local mode) — the same contract as any file-based source.
+    Row-for-row identical to :func:`read_vdb` (pinned in tests).
+    """
+    with open(path, "rb", buffering=1 << 20) as f:
+        head = f.read(21)
+        if head[:4] != MAGIC:
+            raise ValueError(f"bad magic {head[:4]!r}: not a .vdb file")
+        vtype = head[4]
+        n, dim = struct.unpack_from("<QQ", head, 5)
+        if vtype == DOUBLE_VECTOR:
+            stride = dim * 8
+        elif vtype == BINARY_VECTOR:
+            stride = dim // 8 + 1
+        else:
+            raise ValueError(f"unknown vector type byte {vtype}")
+        text_base = 21 + n * stride
+        # one buffered sequential walk of the text lengths, recording
+        # offsets only at partition boundaries
+        parts = max(1, min(num_partitions, n or 1))
+        bounds = [(p * n) // parts for p in range(parts + 1)]
+        f.seek(text_base)
+        text_offsets: list[int] = []
+        bi = 0
+        off = text_base
+        for i in range(n):
+            while bi <= parts and bounds[bi] == i:
+                text_offsets.append(off)
+                bi += 1
+            (tlen,) = struct.unpack("<Q", f.read(8))
+            off += 8 + tlen
+            f.seek(tlen, 1)
+        while bi <= parts:
+            text_offsets.append(off)
+            bi += 1
+
+    specs = [
+        (bounds[p], bounds[p + 1], text_offsets[p])
+        for p in range(parts)
+        if bounds[p + 1] > bounds[p]
+    ]
+    spec_df = spark.createDataFrame(
+        specs or [(0, 0, text_base)], "lo long, hi long, text_off long"
+    ).repartition(max(1, len(specs)))
+
+    vtype_b, dim_b, stride_b, path_b = vtype, int(dim), stride, path
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for lo, hi, text_off in pdf.itertuples(index=False):
+                if hi <= lo:
+                    continue
+                count = int(hi - lo)
+                with open(path_b, "rb") as fh:
+                    fh.seek(21 + int(lo) * stride_b)
+                    vec_raw = fh.read(count * stride_b)
+                    fh.seek(int(text_off))
+                    texts = []
+                    for _ in range(count):
+                        (tlen,) = struct.unpack("<Q", fh.read(8))
+                        texts.append(
+                            fh.read(tlen).decode("utf-8", errors="replace")
+                        )
+                vecs = []
+                for i in range(count):
+                    rec = vec_raw[i * stride_b:(i + 1) * stride_b]
+                    if vtype_b == DOUBLE_VECTOR:
+                        vecs.append(list(struct.unpack(f"<{dim_b}d", rec)))
+                    else:
+                        vecs.append([
+                            float((rec[j // 8] >> (j % 8)) & 1)
+                            for j in range(dim_b)
+                        ])
+                yield pd.DataFrame({
+                    "id": range(int(lo), int(hi)),
+                    "embedding": vecs,
+                    "text": texts,
+                })
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+        StructField("text", StringType()),
+    ])
+    return spec_df.mapInPandas(parse, schema=schema)
+
+
+def vdb_to_parquet(
+    spark: SparkSession,
+    vdb_path: str,
+    parquet_path: str,
+    distributed: bool = False,
+) -> None:
+    """Migration helper: reference index → engine index.
+
+    ``distributed=True`` parses on executors
+    (:func:`read_vdb_distributed`) — use it for multi-GB imports where
+    the driver-side codec would hold the whole blob."""
+    reader = read_vdb_distributed if distributed else read_vdb
+    reader(spark, vdb_path).write.mode("overwrite").parquet(parquet_path)

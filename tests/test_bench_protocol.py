@@ -79,15 +79,15 @@ def test_machine_state_helpers_produce_sane_fields():
 
 def test_cpu_delta_composes_and_degrades():
     # missing readings -> None (off-Linux degradation)
-    assert bench._cpu_delta(None, None, None) is None
-    # real deltas: other_cpu_sec = clamp(sys - jvm, >= 0)
+    assert bench._cpu_delta(None, None, None, 0.0) is None
+    # real deltas: other_cpu_sec = clamp(sys - jvm - py, >= 0)
     import os
 
     me = os.getpid()
-    jvm0, sys0 = bench._proc_cpu_sec(me), bench._sys_busy_sec()
+    jvm0, sys0, py0 = bench._proc_cpu_sec(me), bench._sys_busy_sec(), bench._py_cpu_sec()
     # burn a little CPU so the deltas are visible
     sum(i * i for i in range(400_000))
-    out = bench._cpu_delta(me, jvm0, sys0)
+    out = bench._cpu_delta(me, jvm0, sys0, py0)
     assert out is not None
-    assert set(out) == {"jvm_cpu_sec", "sys_busy_sec", "other_cpu_sec"}
+    assert set(out) == {"jvm_cpu_sec", "py_cpu_sec", "sys_busy_sec", "other_cpu_sec"}
     assert out["other_cpu_sec"] >= 0.0
