@@ -18,10 +18,12 @@ every operator family: vector search (E5-E7), dedup (E8), text/chunk
 (E2/E9), index pipeline (E3/E4), relational core (E12), events.
 
 Self-certification (r10): bench_full.json carries `env` (cpu_count,
-loadavg at start/end, whole-pass JVM-CPU vs whole-box busy-CPU) and a
-per-query `cpu` dict (jvm_cpu_sec vs sys_busy_sec vs other_cpu_sec for
-the best run) so an ambient-load-inflated pass is identifiable from
-the JSON alone — no prose recall needed.
+loadavg at start/end, whole-pass JVM-CPU / driver-Python-CPU /
+whole-box busy-CPU — all windows starting at the same post-JVM-launch
+instant) and a per-query `cpu` dict (jvm_cpu_sec, py_cpu_sec,
+sys_busy_sec, other_cpu_sec for the best run) so an
+ambient-load-inflated pass is identifiable from the JSON alone — no
+prose recall needed.
 """
 
 from __future__ import annotations
@@ -178,10 +180,14 @@ def _proc_cpu_sec(pid: int | None) -> float | None:
 
 
 def _sys_busy_sec() -> float | None:
-    """Whole-box non-idle CPU seconds (sum over cores) since boot."""
+    """Whole-box non-idle CPU seconds (sum over cores) since boot.
+    Only fields user..steal are summed: guest/guest_nice (fields 9-10)
+    are already contained in user/nice, so including them would
+    double-count KVM guest time and report phantom ambient load on a
+    virtualization host (r10 review #5)."""
     try:
         with open("/proc/stat") as f:
-            v = [int(x) for x in f.readline().split()[1:]]
+            v = [int(x) for x in f.readline().split()[1:9]]
         idle = v[3] + (v[4] if len(v) > 4 else 0)
         return (sum(v) - idle) / _CLK_TCK
     except (OSError, ValueError, IndexError):
@@ -276,11 +282,16 @@ def compact_line(full: dict) -> str:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name="cli-rag-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # all pass-level windows start at the SAME instant, after the JVM
+    # is up — starting sys_busy before the JVM launch charged Spark
+    # startup to "ambient" and misdiagnosed clean passes (r10 review
+    # #4); startup is deliberately outside the certified window.
     wall_start = time.perf_counter()
     load_start = _loadavg()
     sys_busy_start = _sys_busy_sec()
-    spark = get_session(app_name="cli-rag-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    py_cpu_start = _py_cpu_sec()
     jvm_cpu_start = _proc_cpu_sec(_jvm_pid(spark))
     queries = registry.all_queries()
 
@@ -339,6 +350,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     jvm_cpu_end, sys_busy_end = _proc_cpu_sec(jvm_pid), _sys_busy_sec()
+    py_cpu_total = round(_py_cpu_sec() - py_cpu_start, 3)
     full = {
         "metric": "headline_total",
         "value": total,
@@ -355,6 +367,7 @@ def main() -> None:
                 if jvm_cpu_start is not None and jvm_cpu_end is not None
                 else None
             ),
+            "py_cpu_sec_total": py_cpu_total,
             "sys_busy_sec_total": (
                 round(sys_busy_end - sys_busy_start, 3)
                 if sys_busy_start is not None and sys_busy_end is not None

@@ -273,34 +273,77 @@ def build_ivf_index(
     assigned = vectors.join(
         assign_centroids(vectors, centroids, id_col, vec_col), id_col
     )
-    # One shuffle on cid before the partitioned write so each list is
-    # written by exactly one task → file count ≈ C, not tasks × C.
-    # Without it, every upstream task emits one file per cid it holds:
-    # measured at the 100× rehearsal with the √N default (C=447 under
-    # 256 initial partitions), the probe-side file listing/footer cost
-    # dominated the query (9.24 s vs 2.6 s at C=8) — the classic
-    # small-files failure, paid at build time once instead of by every
-    # reader forever.
+    # Write-atomic build (r10 review #2): everything lands in a
+    # process-unique STAGING directory renamed into place, so a
+    # concurrent builder or reader on the same path never sees a
+    # half-written index (the persisted_artifact discipline,
+    # sources/artifacts.py — two racing builders both produce complete
+    # deterministic indexes and the last rename wins). One shuffle on
+    # cid before the partitioned write so each list is written by
+    # exactly one task → file count ≈ C, not tasks × C: measured at
+    # the 100× rehearsal with the √N default (C=447 under 256 initial
+    # partitions), the probe-side file listing/footer cost dominated
+    # the query (9.24 s unbounded vs 1.84 s) — the classic small-files
+    # failure, paid at build time once instead of by every reader.
+    meta_want = {
+        "n_centroids": n_centroids,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "refine_iters": refine_iters,
+        "n_rows": n_rows,
+        "content_fp": content_fp,
+    }
+    import os as _os
+    import time as _time
+
+    # reclaim crashed builders' staging dirs — age-gated (≥1h) so a
+    # LIVE concurrent builder's in-progress staging is never deleted
+    # (the artifacts.py sweep discipline, ADVICE r9 medium)
+    fs0, root0 = _hadoop_fs(spark, path)
+    parent0 = root0.getParent()
+    if parent0 is not None and fs0.exists(parent0):
+        now_ms = int(_time.time() * 1000)
+        base0 = root0.getName()
+        for st in fs0.listStatus(parent0):
+            if not st.getPath().getName().startswith(f"{base0}.__stage__"):
+                continue
+            if now_ms - int(st.getModificationTime()) >= 60 * 60 * 1000:
+                fs0.delete(st.getPath(), True)
+
+    staging = f"{path}.__stage__{_os.getpid()}_{_time.monotonic_ns()}"
     assigned.repartition("cid").write.mode("overwrite").partitionBy(
         "cid"
-    ).parquet(path)
-    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/{_CENTROID_DIR}")
-    fs, root = _hadoop_fs(spark, path)
-    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
-    out = fs.create(meta_path, True)
+    ).parquet(staging)
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{staging}/{_CENTROID_DIR}"
+    )
+    sfs, sroot = _hadoop_fs(spark, staging)
+    meta_path = spark._jvm.org.apache.hadoop.fs.Path(sroot, _META_NAME)
+    out = sfs.create(meta_path, True)
     try:
-        out.write(bytearray(json.dumps(
-            {
-                "n_centroids": n_centroids,
-                "id_col": id_col,
-                "vec_col": vec_col,
-                "refine_iters": refine_iters,
-                "n_rows": n_rows,
-                "content_fp": content_fp,
-            }
-        ).encode("utf-8")))
+        out.write(bytearray(json.dumps(meta_want).encode("utf-8")))
     finally:
         out.close()
+    fs, root = _hadoop_fs(spark, path)
+    if fs.exists(root):
+        fs.delete(root, True)
+    if not fs.rename(sroot, root):
+        # a concurrent builder renamed first — its index is complete
+        # and deterministic. Only discard ours once a matching meta
+        # verifiably exists at the destination (the artifacts.py
+        # failed-rename discipline); otherwise surface the real fault.
+        try:
+            winner = _read_ivf_meta(spark, path)
+        except ValueError:
+            winner = None
+        if winner == meta_want:
+            fs.delete(sroot, True)
+        else:
+            raise RuntimeError(
+                f"IVF index rename {staging} -> {path} failed and no "
+                f"complete index with matching build metadata exists at "
+                f"the destination; staging preserved for inspection"
+            )
     return centroids
 
 

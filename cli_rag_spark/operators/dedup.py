@@ -376,13 +376,23 @@ def choose_dedup_strategy(
             F.array_distinct(word_shingles(F.col(text_col), shingle_words))
         ).alias("_g"),
     )
+    # ONE sample job (r10 review #6): each row's group size df(g) via
+    # a window over _g makes Σ_rows df = Σ_g df², and the distinct-doc
+    # count rides the same aggregate — no second evaluation of the
+    # non-deterministic limit() plan. The window key is the shingle:
+    # bounded by the 2000-doc sample, so the hot-key hazard of
+    # corpus-keyed windows does not apply.
+    from pyspark.sql import Window as _W
+
     stats = (
-        sh.groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .agg(F.sum(F.col("_df") * F.col("_df")).alias("sum_df2"))
+        sh.withColumn("_df", F.count(F.lit(1)).over(_W.partitionBy("_g")))
+        .agg(
+            F.sum("_df").alias("sum_df2"),
+            F.count_distinct(F.col(id_col)).alias("n_sampled"),
+        )
         .first()
     )
-    n_sampled = sample.count()
+    n_sampled = int(stats["n_sampled"]) if stats is not None else 0
     if stats is None or stats["sum_df2"] is None or n_sampled == 0:
         return "allpairs"  # no shingled text: either path is empty
     scale = max(1.0, n_docs / n_sampled)

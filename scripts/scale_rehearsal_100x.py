@@ -403,8 +403,13 @@ def main() -> None:
         xs = [math.log(m) for m in multiples]
         ys = [math.log(per_scale[m]) for m in multiples]
         xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
-        alpha = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
-            (x - xbar) ** 2 for x in xs
+        # a single-scale run has no slope: skip the regression instead
+        # of dividing by a zero variance after the timed work is done
+        alpha = (
+            sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys))
+            / sum((x - xbar) ** 2 for x in xs)
+            if len(multiples) > 1
+            else None
         )
         # the 1x->10x slope is floor-shadowed; the slope between the
         # two LARGEST scales is the honest large-scale exponent —
@@ -420,7 +425,9 @@ def main() -> None:
                 {
                     "query": name,
                     "sec": per_scale,
-                    "alpha_1_100": round(alpha, 3),
+                    "alpha_1_100": (
+                        round(alpha, 3) if alpha is not None else None
+                    ),
                     # `is not None`: a floor-flat tail alpha of 0.0 is a
                     # measurement, not a missing value (r9 review)
                     "alpha_tail": (

@@ -636,3 +636,33 @@ def test_knn_join_auto_pq_path_with_validated_index(spark, sf_dir, tmp_path):
     )
     files = " ".join(both.inputFiles())
     assert "ivf_pref" in files and "pq_auto" not in files
+
+
+def test_knn_join_auto_resolves_default_c_from_meta(spark, sf_dir, tmp_path):
+    """An index built with the r10 C ~ sqrt(N) default (no explicit C)
+    must still be auto-dispatched: the dispatcher resolves the
+    resolved C from the index's meta sidecar instead of silently
+    falling back to LSH (r10 review #3)."""
+    from cli_rag_spark.operators.ann import (
+        _read_ivf_meta,
+        build_ivf_index,
+        knn_join_ivf,
+        read_ivf_index,
+    )
+    from cli_rag_spark.operators.knn import knn_join_auto
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_defaultc")
+    build_ivf_index(emb, path)  # C resolved internally (isqrt(N))
+    c = int(_read_ivf_meta(spark, path)["n_centroids"])
+    q = _queries(emb, 5)
+    auto = knn_join_auto(q, emb, k=3, n_index=10_000_000_000, ivf_path=path)
+    assert any("ivf_defaultc" in f for f in auto.inputFiles())
+    direct = knn_join_ivf(
+        q, read_ivf_index(spark, path), k=3, n_centroids=c,
+        n_probe=max(1, c // 4), validate_cid=False,
+    )
+    assert {tuple(r) for r in auto.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
