@@ -197,26 +197,32 @@ def _prp(alphabet: str, seed: int) -> str:
 
 
 def generate_docs_only(spark, m: int) -> str:
-    """Documents-only replica dir for the 1000× certification run
-    (VERDICT r9 #5): minhash_candidates touches only the documents
-    table, and the full 4-table generator would write ~2 GB of events
-    nobody reads. Replicas are written in CHUNKED APPENDS (50 PRP
-    branches per write job) because a single 1000-way union-translate
-    plan takes minutes to even analyze."""
+    """Documents+embeddings replica dir for the 1000× certification
+    runs (VERDICT r9 #5): the certified queries touch only those two
+    tables, and the full 4-table generator would write ~2 GB of events
+    nobody reads. Replicas are written in CHUNKED APPENDS (50 PRP /
+    sign-flip branches per write job) because a single 1000-way
+    union-translate plan takes minutes to even analyze."""
     out = os.path.join(WORK, f"x{m}")
-    done = os.path.join(out, "_DONE_v4_docsonly")
+    done = os.path.join(out, "_DONE_v5_docsemb")
     if os.path.exists(done):
         return out
     if os.path.isdir(out):
         shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
     doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
+    emb_stats = emb.where(F.col("embedding").isNotNull()).agg(
+        F.max("vec_id").alias("mx"), F.max(F.size("embedding")).alias("d")
+    ).first()
+    vec_off, dim = emb_stats["mx"] + 1, int(emb_stats["d"])
     lower, upper = string.ascii_lowercase, string.ascii_uppercase
-    dst = os.path.join(out, "documents.parquet")
+    dst_d = os.path.join(out, "documents.parquet")
+    dst_e = os.path.join(out, "embeddings.parquet")
     CHUNK = 50
     for lo in range(0, m, CHUNK):
-        parts = []
+        d_parts, e_parts = [], []
         for i in range(lo, min(lo + CHUNK, m)):
             d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_off))
             if i:
@@ -226,13 +232,36 @@ def generate_docs_only(spark, m: int) -> str:
                         "text", lower + upper, _prp(lower, i) + _prp(upper, i)
                     ),
                 )
-            parts.append(d)
-        chunk = parts[0]
-        for d in parts[1:]:
-            chunk = chunk.unionByName(d)
-        chunk.write.mode("append" if lo else "overwrite").parquet(dst)
+            d_parts.append(d)
+            e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vec_off))
+            if i:
+                pattern = _splitmix64(i)
+                signs = F.array(*[
+                    F.lit(-1.0 if (pattern >> (j % 64)) & 1 else 1.0)
+                    for j in range(dim)
+                ])
+                e = e.withColumn(
+                    "embedding",
+                    F.zip_with("embedding", signs, lambda x, s: (x * s).cast("float")),
+                )
+            e_parts.append(e)
+        dchunk, echunk = d_parts[0], e_parts[0]
+        for d in d_parts[1:]:
+            dchunk = dchunk.unionByName(d)
+        for e in e_parts[1:]:
+            echunk = echunk.unionByName(e)
+        mode = "append" if lo else "overwrite"
+        dchunk.write.mode(mode).parquet(dst_d)
+        echunk.write.mode(mode).parquet(dst_e)
     open(done, "w").close()
     return out
+
+
+# queries runnable on the docs+embeddings >100x replica dirs
+BIG_SCALE_OK = {
+    "minhash_candidates", "span_dedup_stats", "dedup_components",
+    "knn_join_lsh",
+}
 
 
 def generate(spark, m: int) -> str:
@@ -348,9 +377,9 @@ def main() -> None:
     if not names:
         ap.error(f"--only matched none of {all_names}")
     multiples = sorted(set(args.multiples))
-    if any(m > 100 for m in multiples) and set(names) - {"minhash_candidates"}:
-        ap.error(">100x replica dirs carry only documents; "
-                 "use --only minhash_candidates")
+    if any(m > 100 for m in multiples) and set(names) - BIG_SCALE_OK:
+        ap.error(f">100x replica dirs carry only documents+embeddings; "
+                 f"use --only with a subset of {sorted(BIG_SCALE_OK)}")
     dirs = {
         m: (generate_docs_only(spark, m) if m > 100 else generate(spark, m))
         for m in multiples
