@@ -124,6 +124,7 @@ HEADLINE = [
     "winsorized_revenue_stats",  # quantiles: exact [p1,p99]-clamped aggregates (r8)
     "knn_join_auto",             # vector: E7 strategy auto-dispatch -> GEMM (r9)
     "vdb_roundtrip_stats",       # sources: .vdb codec round-trip checksums (r9)
+    "ivf_sqrt_partition_stats",  # vector: C~sqrt(N) build default + occupancy (r10)
 ]
 
 
@@ -240,7 +241,7 @@ def _materialize(df) -> None:
 # the five-query graph family — plans/trade_graph.py).
 BUILD_PHASE = {
     "mock_index_topk", "quantized_topk", "ivf_recall_stats",
-    "pagerank_top_nodes",
+    "pagerank_top_nodes", "ivf_sqrt_partition_stats",
 }
 
 

@@ -666,3 +666,30 @@ def test_knn_join_auto_resolves_default_c_from_meta(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in auto.collect()} == {
         tuple(r) for r in direct.collect()
     }
+
+
+def test_knn_join_auto_pq_exclude_self(spark, sf_dir, tmp_path):
+    """exclude_self on the PQ route: k+1 fetch, self-row drop, re-rank
+    — no result row may pair a query with itself, ranks stay 1..k."""
+    from cli_rag_spark.operators.knn import knn_join_auto
+    from cli_rag_spark.operators.pq import build_pq_index
+
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq_self")
+    build_pq_index(emb, path, m_subspaces=4, k_codes=16)
+    q = _queries(emb, 5)
+    out = knn_join_auto(
+        q, emb, k=3, exclude_self=True,
+        n_index=200_000_000, pq_path=path, pq_m_subspaces=4,
+    ).collect()
+    assert out, "pq route returned nothing"
+    for r in out:
+        assert r["query_id"] != r["vec_id"]
+        assert 1 <= r["rank"] <= 3
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

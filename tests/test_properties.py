@@ -578,3 +578,69 @@ def test_dedup_spans_output_names_reserved(spark):
     df = spark.createDataFrame([(1, 7, "a b c")], ["doc_id", "n_segs", "text"])
     with pytest.raises(ValueError, match="collide"):
         dedup_spans(df, carry=["n_segs"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    q=st.integers(min_value=0, max_value=10**12),
+    n=st.integers(min_value=0, max_value=10**12),
+    dim=st.integers(min_value=0, max_value=10**5),
+    ivf=st.booleans(),
+    pq=st.booleans(),
+)
+def test_choose_knn_strategy_total_and_safe(q, n, dim, ivf, pq):
+    """The E7 dispatcher is TOTAL over non-negative shapes, never
+    returns an unavailable index strategy, and never routes a shape
+    past the driver-collect element budget to gemm (the ADVICE r9
+    high-dim hazard, as a property rather than one pinned case)."""
+    from cli_rag_spark.operators.knn import (
+        GEMM_MAX_PAIR_OPS,
+        GEMM_MAX_QUERIES,
+        GEMM_MAX_QUERY_ELEMS,
+        choose_knn_strategy,
+    )
+
+    s = choose_knn_strategy(q, n, dim, ivf_available=ivf, pq_available=pq)
+    assert s in ("exact", "gemm", "ivf", "pq", "lsh")
+    if s == "ivf":
+        assert ivf
+    if s == "pq":
+        assert pq
+    if s == "gemm":
+        assert q <= GEMM_MAX_QUERIES
+        assert q * dim <= GEMM_MAX_QUERY_ELEMS
+        assert q * n * dim <= GEMM_MAX_PAIR_OPS
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    q=st.integers(min_value=1, max_value=10**9),
+    n=st.integers(min_value=1, max_value=10**9),
+    dim=st.integers(min_value=1, max_value=8192),
+)
+def test_choose_knn_strategy_growth_monotone(q, n, dim):
+    """Growing any single dimension of the workload never moves the
+    choice from an index/banding strategy BACK to a brute-force one —
+    the dispatch frontier is monotone (a flip in the other direction
+    at scale would mean a corpus growing past the envelope suddenly
+    gets a full scan)."""
+    from cli_rag_spark.operators.knn import choose_knn_strategy
+
+    order = {"exact": 0, "gemm": 1, "lsh": 2}
+    base = choose_knn_strategy(q, n, dim)
+    for q2, n2, d2 in ((q * 10, n, dim), (q, n * 10, dim), (q, n, dim * 4)):
+        grown = choose_knn_strategy(q2, n2, d2)
+        assert order[grown] >= order[base], (base, grown, (q, n, dim), (q2, n2, d2))
+
+
+@settings(max_examples=200, deadline=None)
+@given(n=st.integers(min_value=0, max_value=10**18))
+def test_default_n_centroids_properties(n):
+    """C is within [1, 65536], never exceeds max(1, N), and is
+    monotone non-decreasing in N (spot-checked around the clamp)."""
+    from cli_rag_spark.operators.ann import default_n_centroids
+
+    c = default_n_centroids(n)
+    assert 1 <= c <= 65536
+    assert c <= max(1, n)
+    assert default_n_centroids(n + 1) >= c
