@@ -267,8 +267,27 @@ def compact_line(full: dict) -> str:
     outgrow the driver's 2,000-char stdout tail window no matter how
     many headline queries the full run times; `n_queries` carries the
     true count. Length is asserted, not hoped.
+
+    `load1_start` and `other_cpu` (pass-level sys − jvm − py_driver
+    CPU-seconds) ride along so the DRIVER-side record of a re-run —
+    the artifact that diverged 1.33× from the committed one in r9 —
+    carries its own cleanliness evidence: ~105 CPU-s is this bench's
+    own worker-daemon baseline on this box; far above it means the
+    pass ran against ambient load (BENCH.md r10).
     """
     slowest = dict(sorted(full["queries"].items(), key=lambda kv: -kv[1])[:3])
+    env = full.get("env", {})
+    other = None
+    if all(
+        isinstance(env.get(k), (int, float))
+        for k in ("sys_busy_sec_total", "jvm_cpu_sec_total", "py_cpu_sec_total")
+    ):
+        other = round(
+            env["sys_busy_sec_total"]
+            - env["jvm_cpu_sec_total"]
+            - env["py_cpu_sec_total"],
+            1,
+        )
     line = json.dumps({
         "metric": full["metric"],
         "value": full["value"],
@@ -276,6 +295,8 @@ def compact_line(full: dict) -> str:
         "n_queries": len(full["queries"]),
         "queries": slowest,
         "sf": full["sf"],
+        "load1_start": (env.get("loadavg_start") or [None])[0],
+        "other_cpu": other,
     })
     assert len(line) <= 500, f"compact bench line grew to {len(line)} chars"
     return line

@@ -260,7 +260,7 @@ def generate_docs_only(spark, m: int) -> str:
 # queries runnable on the docs+embeddings >100x replica dirs
 BIG_SCALE_OK = {
     "minhash_candidates", "span_dedup_stats", "dedup_components",
-    "knn_join_lsh",
+    "knn_join_lsh", "source_overlap_matrix",
 }
 
 

@@ -91,3 +91,23 @@ def test_cpu_delta_composes_and_degrades():
     assert out is not None
     assert set(out) == {"jvm_cpu_sec", "py_cpu_sec", "sys_busy_sec", "other_cpu_sec"}
     assert out["other_cpu_sec"] >= 0.0
+
+
+def test_compact_line_carries_cleanliness_fields():
+    """The driver records only the compact line — it must carry the
+    pass-level cleanliness evidence (VERDICT r9 #1 applied to the
+    DRIVER's own re-run, the artifact that actually diverged)."""
+    full = _fake_full(81)
+    full["env"] = {
+        "loadavg_start": [0.42, 1.0, 2.0],
+        "jvm_cpu_sec_total": 650.0,
+        "py_cpu_sec_total": 20.0,
+        "sys_busy_sec_total": 775.5,
+    }
+    parsed = json.loads(bench.compact_line(full))
+    assert parsed["load1_start"] == 0.42
+    assert parsed["other_cpu"] == 105.5
+    assert len(bench.compact_line(full)) <= 500
+    # off-Linux degradation: fields present, null, line still parses
+    degraded = json.loads(bench.compact_line(_fake_full(81)))
+    assert degraded["other_cpu"] is None and degraded["load1_start"] is None
