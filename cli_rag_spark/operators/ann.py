@@ -205,6 +205,9 @@ def build_ivf_index(
     centroids, fixed at the root: the quantizer travels with the
     index).
 
+    ``path`` is normalized of trailing slashes up front (the staging
+    name derives from it; see artifacts.norm_path).
+
     ``reuse_if_exists=True`` returns the persisted quantizer WITHOUT
     rewriting when the path already holds an index whose build params
     AND input CONTENT match — the build is deterministic in (data,
@@ -226,6 +229,9 @@ def build_ivf_index(
     afterwards (append_ivf_index pipelines) must keep the default
     False — reusing would re-apply the mutation to an already-mutated
     index."""
+    from cli_rag_spark.sources.artifacts import norm_path
+
+    path = norm_path(path)
     spark_ = vectors.sparkSession
     stats = vectors.agg(
         F.count(F.lit(1)).alias("n"),
@@ -273,18 +279,27 @@ def build_ivf_index(
     assigned = vectors.join(
         assign_centroids(vectors, centroids, id_col, vec_col), id_col
     )
-    # Write-atomic build (r10 review #2): everything lands in a
-    # process-unique STAGING directory renamed into place, so a
-    # concurrent builder or reader on the same path never sees a
-    # half-written index (the persisted_artifact discipline,
-    # sources/artifacts.py — two racing builders both produce complete
-    # deterministic indexes and the last rename wins). One shuffle on
-    # cid before the partitioned write so each list is written by
-    # exactly one task → file count ≈ C, not tasks × C: measured at
-    # the 100× rehearsal with the √N default (C=447 under 256 initial
+    # Write-atomic build (r10 review): everything lands in a
+    # process-unique STAGING directory promoted by the SHARED helpers
+    # in sources/artifacts.py (one copy of the concurrency-critical
+    # sweep/verify/rename code — age-gated recursive-mtime orphan
+    # sweep, data+_SUCCESS promotion guard, nested-rename TOCTOU
+    # check, verified failed-rename fallback). One shuffle on cid
+    # before the partitioned write so each list is written by exactly
+    # one task → file count ≈ C, not tasks × C: measured at the 100×
+    # rehearsal with the √N default (C=447 under 256 initial
     # partitions), the probe-side file listing/footer cost dominated
     # the query (9.24 s unbounded vs 1.84 s) — the classic small-files
     # failure, paid at build time once instead of by every reader.
+    import os as _os
+    import time as _time
+
+    from cli_rag_spark.sources.artifacts import (
+        promote_staging,
+        sweep_stale_stagings,
+        write_json_sidecar,
+    )
+
     meta_want = {
         "n_centroids": n_centroids,
         "id_col": id_col,
@@ -293,23 +308,7 @@ def build_ivf_index(
         "n_rows": n_rows,
         "content_fp": content_fp,
     }
-    import os as _os
-    import time as _time
-
-    # reclaim crashed builders' staging dirs — age-gated (≥1h) so a
-    # LIVE concurrent builder's in-progress staging is never deleted
-    # (the artifacts.py sweep discipline, ADVICE r9 medium)
-    fs0, root0 = _hadoop_fs(spark, path)
-    parent0 = root0.getParent()
-    if parent0 is not None and fs0.exists(parent0):
-        now_ms = int(_time.time() * 1000)
-        base0 = root0.getName()
-        for st in fs0.listStatus(parent0):
-            if not st.getPath().getName().startswith(f"{base0}.__stage__"):
-                continue
-            if now_ms - int(st.getModificationTime()) >= 60 * 60 * 1000:
-                fs0.delete(st.getPath(), True)
-
+    sweep_stale_stagings(spark, path)
     staging = f"{path}.__stage__{_os.getpid()}_{_time.monotonic_ns()}"
     assigned.repartition("cid").write.mode("overwrite").partitionBy(
         "cid"
@@ -317,33 +316,8 @@ def build_ivf_index(
     centroids.coalesce(1).write.mode("overwrite").parquet(
         f"{staging}/{_CENTROID_DIR}"
     )
-    sfs, sroot = _hadoop_fs(spark, staging)
-    meta_path = spark._jvm.org.apache.hadoop.fs.Path(sroot, _META_NAME)
-    out = sfs.create(meta_path, True)
-    try:
-        out.write(bytearray(json.dumps(meta_want).encode("utf-8")))
-    finally:
-        out.close()
-    fs, root = _hadoop_fs(spark, path)
-    if fs.exists(root):
-        fs.delete(root, True)
-    if not fs.rename(sroot, root):
-        # a concurrent builder renamed first — its index is complete
-        # and deterministic. Only discard ours once a matching meta
-        # verifiably exists at the destination (the artifacts.py
-        # failed-rename discipline); otherwise surface the real fault.
-        try:
-            winner = _read_ivf_meta(spark, path)
-        except ValueError:
-            winner = None
-        if winner == meta_want:
-            fs.delete(sroot, True)
-        else:
-            raise RuntimeError(
-                f"IVF index rename {staging} -> {path} failed and no "
-                f"complete index with matching build metadata exists at "
-                f"the destination; staging preserved for inspection"
-            )
+    write_json_sidecar(spark, staging, _META_NAME, meta_want)
+    promote_staging(spark, staging, path, _META_NAME, meta_want, what="IVF index")
     return centroids
 
 

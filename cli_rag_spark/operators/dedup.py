@@ -370,22 +370,35 @@ def choose_dedup_strategy(
         .where(F.col(text_col).isNotNull())
         .limit(sample_n)
     )
+    # explode_OUTER so docs too short to emit a shingle still count in
+    # the sampled population: n_sampled must be ALL sampled docs, not
+    # just shingled ones, or the (N/n_sampled)² projection inflates
+    # quadratically on short-doc corpora (second r10 review) and flips
+    # small exact-path corpora to banding for no reason.
     sh = sample.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.array_distinct(word_shingles(F.col(text_col), shingle_words))
         ).alias("_g"),
     )
     # ONE sample job (r10 review #6): each row's group size df(g) via
     # a window over _g makes Σ_rows df = Σ_g df², and the distinct-doc
     # count rides the same aggregate — no second evaluation of the
-    # non-deterministic limit() plan. The window key is the shingle:
-    # bounded by the 2000-doc sample, so the hot-key hazard of
-    # corpus-keyed windows does not apply.
+    # non-deterministic limit() plan. NULL-shingle rows (shingle-less
+    # docs) are excluded from the volume term but kept in the doc
+    # count. The window key is the shingle: bounded by the 2000-doc
+    # sample, so the hot-key hazard of corpus-keyed windows does not
+    # apply.
     from pyspark.sql import Window as _W
 
     stats = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(_W.partitionBy("_g")))
+        sh.withColumn(
+            "_df",
+            F.when(
+                F.col("_g").isNotNull(),
+                F.count(F.lit(1)).over(_W.partitionBy("_g")),
+            ).otherwise(F.lit(0)),
+        )
         .agg(
             F.sum("_df").alias("sum_df2"),
             F.count_distinct(F.col(id_col)).alias("n_sampled"),
@@ -393,7 +406,7 @@ def choose_dedup_strategy(
         .first()
     )
     n_sampled = int(stats["n_sampled"]) if stats is not None else 0
-    if stats is None or stats["sum_df2"] is None or n_sampled == 0:
+    if stats is None or not stats["sum_df2"] or n_sampled == 0:
         return "allpairs"  # no shingled text: either path is empty
     scale = max(1.0, n_docs / n_sampled)
     projected = float(stats["sum_df2"]) * scale * scale

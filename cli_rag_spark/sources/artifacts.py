@@ -80,16 +80,145 @@ def table_files_fingerprint(spark: SparkSession, path: str) -> list[list]:
     return out
 
 
-def _read_meta(spark: SparkSession, path: str) -> dict | None:
+def norm_path(path: str) -> str:
+    """Strip trailing slashes (scheme-safe): ``f"{path}.__stage__…"``
+    with a trailing slash would otherwise place the staging INSIDE the
+    destination directory, and the pre-rename delete of the
+    destination would destroy the just-written staging (r10 review)."""
+    while path.endswith("/") and not path.endswith("://"):
+        path = path[:-1]
+    return path
+
+
+def read_json_sidecar(spark: SparkSession, path: str, name: str) -> dict | None:
+    """The JSON sidecar ``<path>/<name>``, or None if absent/unreadable."""
     fs, root = _fs(spark, path)
-    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
+    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, name)
     if not fs.exists(meta_path):
         return None
     stream = fs.open(meta_path)
     try:
         return json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    except ValueError:
+        return None
     finally:
         stream.close()
+
+
+def write_json_sidecar(
+    spark: SparkSession, path: str, name: str, payload: dict
+) -> None:
+    fs, root = _fs(spark, path)
+    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, name)
+    out = fs.create(meta_path, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict | None:
+    return read_json_sidecar(spark, path, _META_NAME)
+
+
+def _newest_mtime_ms(fs, jpath) -> int:
+    """Newest modification time under ``jpath`` — the directory itself
+    plus every file recursively (a LIVE partitioned-parquet write only
+    touches nested ``_temporary`` paths, so the stage ROOT's mtime
+    alone would flag an in-progress >1h build as a stale orphan — r10
+    review #2)."""
+    newest = int(fs.getFileStatus(jpath).getModificationTime())
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        newest = max(newest, int(it.next().getModificationTime()))
+    return newest
+
+
+def sweep_stale_stagings(spark: SparkSession, path: str) -> None:
+    """Reclaim crashed builders' ``<path>.__stage__*`` dirs — only
+    those whose NEWEST recursive mtime is ≥ _STAGE_SWEEP_AGE_MS old
+    (a live builder keeps creating files, so its staging always has a
+    recent one; ADVICE r9 medium + r10 review #2)."""
+    path = norm_path(path)
+    fs, root = _fs(spark, path)
+    parent = root.getParent()
+    base = root.getName()
+    if parent is None or not fs.exists(parent):
+        return
+    now_ms = int(time.time() * 1000)
+    for st in fs.listStatus(parent):
+        if not st.getPath().getName().startswith(f"{base}.__stage__"):
+            continue
+        if now_ms - _newest_mtime_ms(fs, st.getPath()) >= _STAGE_SWEEP_AGE_MS:
+            fs.delete(st.getPath(), True)
+
+
+def promote_staging(
+    spark: SparkSession,
+    staging: str,
+    path: str,
+    meta_name: str,
+    expected_meta: dict,
+    what: str = "artifact",
+) -> None:
+    """Atomically promote a fully-written staging dir into ``path``.
+
+    Guards, in order (each a real failure seen or reviewed r9-r10):
+    1. The staging must still hold its parquet ``_SUCCESS`` (or data
+       files) AND the expected meta — a staging swept by a concurrent
+       process and recreated by a late write has neither, and must
+       never be promoted (`_SUCCESS` rather than data-files-only so a
+       legitimately EMPTY build still promotes).
+    2. After a delete-then-rename that REPORTS success, verify the
+       staging did not land INSIDE the destination: if a concurrent
+       winner recreated ``path`` between our delete and rename, Hadoop
+       rename moves the source INTO the existing dir and returns true
+       (r10 review #1) — detect the nested dir, remove it, and fall
+       through to winner validation.
+    3. On a failed/forfeited rename, discard our output ONLY once a
+       complete result with the SAME meta verifiably exists at the
+       destination; otherwise raise with the staging preserved."""
+    path = norm_path(path)
+    sfs, sroot = _fs(spark, staging)
+    jvm = spark._jvm
+    has_data = any(
+        not st.getPath().getName().startswith(("_", "."))
+        for st in sfs.listStatus(sroot)
+    )
+    has_success = sfs.exists(jvm.org.apache.hadoop.fs.Path(sroot, "_SUCCESS"))
+    staged_meta = read_json_sidecar(spark, staging, meta_name)
+    if not (has_data or has_success) or staged_meta != expected_meta:
+        sfs.delete(sroot, True)
+        raise RuntimeError(
+            f"{what} staging at {staging} lost its data files before "
+            f"promotion (swept by a concurrent process?) — not promoting; "
+            f"retry the build"
+        )
+    fs, root = _fs(spark, path)
+    # replace: delete-then-rename. rename(src, existing-dir) would
+    # MOVE src INTO it on hadoop local/HDFS, so dst must be absent.
+    if fs.exists(root):
+        fs.delete(root, True)
+    renamed = fs.rename(sroot, root)
+    if renamed:
+        nested = jvm.org.apache.hadoop.fs.Path(root, sroot.getName())
+        if fs.exists(nested):
+            # a concurrent winner recreated the destination first and
+            # our "successful" rename landed inside it
+            fs.delete(nested, True)
+            renamed = False
+    if not renamed:
+        winner = read_json_sidecar(spark, path, meta_name)
+        if winner == expected_meta:
+            if sfs.exists(sroot):
+                sfs.delete(sroot, True)
+            return
+        raise RuntimeError(
+            f"{what} rename {staging} -> {path} failed and no complete "
+            f"{what} with a matching fingerprint exists at the "
+            f"destination; staging output preserved for inspection "
+            f"where the rename itself failed"
+        )
 
 
 def persisted_artifact(
@@ -131,65 +260,15 @@ def persisted_artifact(
     artifact actually exists at ``path`` before discarding its own
     output, and raises a descriptive error otherwise instead of
     masking the real fault with a path-missing read error."""
+    path = norm_path(path)
     meta = _read_meta(spark, path)
     if meta is not None and meta.get("fingerprint") == fingerprint:
         return spark.read.parquet(path)
-    fs, root = _fs(spark, path)
-    jvm = spark._jvm
-    parent = root.getParent()
-    base = root.getName()
-    # sweep orphaned staging dirs from CRASHED builders — age-gated so
-    # a live concurrent builder's in-progress staging is never deleted
-    if parent is not None and fs.exists(parent):
-        now_ms = int(time.time() * 1000)
-        for st in fs.listStatus(parent):
-            if not st.getPath().getName().startswith(f"{base}.__stage__"):
-                continue
-            if now_ms - int(st.getModificationTime()) >= _STAGE_SWEEP_AGE_MS:
-                fs.delete(st.getPath(), True)
+    sweep_stale_stagings(spark, path)
     staging = f"{path}.__stage__{os.getpid()}_{time.monotonic_ns()}"
     df = build()
     df.write.mode("overwrite").parquet(staging)
-    sfs, sroot = _fs(spark, staging)
-    meta_path = jvm.org.apache.hadoop.fs.Path(sroot, _META_NAME)
-    out = sfs.create(meta_path, True)
-    try:
-        out.write(bytearray(json.dumps({"fingerprint": fingerprint}).encode("utf-8")))
-    finally:
-        out.close()
-    # promotion guard: the staging must still contain the parquet data
-    # files we just wrote AND our meta. If another process swept and a
-    # later write recreated the dir, data files would be missing —
-    # never promote such a dir.
-    has_data = any(
-        not st.getPath().getName().startswith(("_", "."))
-        for st in sfs.listStatus(sroot)
-    )
-    staged_meta = _read_meta(spark, staging)
-    if not has_data or staged_meta is None or staged_meta.get("fingerprint") != fingerprint:
-        sfs.delete(sroot, True)
-        raise RuntimeError(
-            f"artifact staging at {staging} lost its data files before "
-            f"promotion (swept by a concurrent process?) — not promoting; "
-            f"retry the build"
-        )
-    # replace: delete-then-rename. rename(src, existing-dir) would
-    # MOVE src INTO it on hadoop local/HDFS, so dst must be absent.
-    if fs.exists(root):
-        fs.delete(root, True)
-    if not fs.rename(sroot, root):
-        # rename can fail because a concurrent builder renamed between
-        # our delete and rename — but also for unrelated reasons
-        # (permissions, missing parent). Only discard our output once a
-        # complete artifact with the SAME fingerprint verifiably exists
-        # at the final path; otherwise surface the real fault.
-        winner = _read_meta(spark, path)
-        if winner is not None and winner.get("fingerprint") == fingerprint:
-            fs.delete(sroot, True)
-        else:
-            raise RuntimeError(
-                f"artifact rename {staging} -> {path} failed and no "
-                f"complete artifact with a matching fingerprint exists at "
-                f"the destination; staging output preserved for inspection"
-            )
+    expected = {"fingerprint": fingerprint}
+    write_json_sidecar(spark, staging, _META_NAME, expected)
+    promote_staging(spark, staging, path, _META_NAME, expected, what="artifact")
     return spark.read.parquet(path)

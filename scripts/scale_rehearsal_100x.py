@@ -361,8 +361,8 @@ def main() -> None:
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument(
         "--multiples", nargs="*", type=int, default=MULTIPLES,
-        help="scales to run; >100 implies docs-only replica dirs and is "
-             "restricted to documents-only queries (minhash_candidates)",
+        help="scales to run; >100 implies documents+embeddings replica "
+             "dirs and is restricted to the BIG_SCALE_OK queries",
     )
     args = ap.parse_args()
     if args.fresh and os.path.isdir(WORK):

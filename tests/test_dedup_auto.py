@@ -80,3 +80,32 @@ def test_dedup_near_auto_minhash_route_equals_dedup_near(spark, sf_dir):
     assert {r["doc_id"] for r in auto.select("doc_id").collect()} == {
         r["doc_id"] for r in direct.select("doc_id").collect()
     }
+
+
+def test_choose_strategy_short_doc_corpus_not_inflated(spark):
+    """Second r10 review: shingle-less docs (titles, snippets) must
+    count in the sampled population — otherwise the (N/n)² projection
+    inflates quadratically and a small exact-path corpus flips to
+    banding for no reason."""
+    rows = [(i, "hi") for i in range(1900)] + [
+        (1900 + i, f"unique words number {i} appear here in this longer text")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 100 shingled docs with near-hapax shingles: true volume is tiny;
+    # the old estimator projected it x(2000/100)^2 = 400x
+    assert choose_dedup_strategy(df) == "allpairs"
+
+
+def test_build_ivf_index_trailing_slash_path(spark, sf_dir, tmp_path):
+    """Second r10 review: a trailing slash must not place the staging
+    INSIDE the index dir (where the pre-rename delete would destroy
+    it)."""
+    from cli_rag_spark.operators.ann import build_ivf_index, read_ivf_index
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_slash") + "/"
+    build_ivf_index(emb, path, n_centroids=4)
+    idx = read_ivf_index(spark, str(tmp_path / "ivf_slash"), n_centroids=4)
+    assert idx.count() == emb.count()
