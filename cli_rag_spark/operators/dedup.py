@@ -365,33 +365,73 @@ def choose_dedup_strategy(
         n_docs = df.count()
     if n_docs <= 1:
         return "allpairs"
+    # Representative sampling: a bare limit(sample_n) takes the HEAD of
+    # the first partitions, so a sorted/clustered corpus (near-dups
+    # grouped together, one skewed leading file) biases the projected
+    # self-join volume in either direction and misroutes the dispatch
+    # (ADVICE r10). Filter on a content hash of the id instead — every
+    # ~(n_docs/sample_n)-th doc by hash order, deterministic across
+    # runs AND partitionings (unlike df.sample, whose draw depends on
+    # partition layout), no shuffle, no extra job. The limit stays as a
+    # hard cap on an already-representative subset.
+    rate = max(1, -(-n_docs // sample_n))  # ceil(n_docs / sample_n)
     sample = (
         df.select(F.col(id_col), F.col(text_col))
         .where(F.col(text_col).isNotNull())
+        .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(rate)) == 0)
         .limit(sample_n)
     )
-    # explode_OUTER so docs too short to emit a shingle still count in
-    # the sampled population: n_sampled must be ALL sampled docs, not
-    # just shingled ones, or the (N/n_sampled)² projection inflates
-    # quadratically on short-doc corpora (second r10 review) and flips
-    # small exact-path corpora to banding for no reason.
+    stats = _shingle_sample_stats(sample, id_col, text_col, shingle_words)
+    if stats is None or int(stats["n_sampled"] or 0) == 0:
+        # degenerate: the hash draw found nothing (a frame far smaller
+        # than the caller's n_docs hint, or a pathological id set) —
+        # fall back to the head sample rather than answering with no
+        # evidence; the head's bias is bounded by this being the
+        # sparse-select case only
+        stats = _shingle_sample_stats(
+            df.select(F.col(id_col), F.col(text_col))
+            .where(F.col(text_col).isNotNull())
+            .limit(sample_n),
+            id_col, text_col, shingle_words,
+        )
+    n_sampled = int(stats["n_sampled"]) if stats is not None else 0
+    if stats is None or not stats["sum_df2"] or n_sampled == 0:
+        return "allpairs"  # no shingled text: either path is empty
+    scale = max(1.0, n_docs / n_sampled)
+    projected = float(stats["sum_df2"]) * scale * scale
+    return "allpairs" if projected <= ALLPAIRS_MAX_JOIN_ROWS else "minhash"
+
+
+def _shingle_sample_stats(
+    sample: DataFrame, id_col: str, text_col: str, shingle_words: int
+):
+    """One bounded job over a ≤sample_n-doc frame → Row(sum_df2,
+    n_sampled) — Σ_g df(g)² (the exact all-pairs shingle self-join
+    volume ON THE SAMPLE) plus the sampled-doc count.
+
+    explode_OUTER so docs too short to emit a shingle still count in
+    the sampled population: n_sampled must be ALL sampled docs, not
+    just shingled ones, or the (N/n_sampled)² projection inflates
+    quadratically on short-doc corpora (second r10 review) and flips
+    small exact-path corpora to banding for no reason.
+
+    ONE sample job (r10 review #6): each row's group size df(g) via
+    a window over _g makes Σ_rows df = Σ_g df², and the distinct-doc
+    count rides the same aggregate — no second evaluation of the
+    non-deterministic limit() plan. NULL-shingle rows (shingle-less
+    docs) are excluded from the volume term but kept in the doc
+    count. The window key is the shingle: bounded by the 2000-doc
+    sample, so the hot-key hazard of corpus-keyed windows does not
+    apply."""
     sh = sample.select(
         F.col(id_col),
         F.explode_outer(
             F.array_distinct(word_shingles(F.col(text_col), shingle_words))
         ).alias("_g"),
     )
-    # ONE sample job (r10 review #6): each row's group size df(g) via
-    # a window over _g makes Σ_rows df = Σ_g df², and the distinct-doc
-    # count rides the same aggregate — no second evaluation of the
-    # non-deterministic limit() plan. NULL-shingle rows (shingle-less
-    # docs) are excluded from the volume term but kept in the doc
-    # count. The window key is the shingle: bounded by the 2000-doc
-    # sample, so the hot-key hazard of corpus-keyed windows does not
-    # apply.
     from pyspark.sql import Window as _W
 
-    stats = (
+    return (
         sh.withColumn(
             "_df",
             F.when(
@@ -405,12 +445,6 @@ def choose_dedup_strategy(
         )
         .first()
     )
-    n_sampled = int(stats["n_sampled"]) if stats is not None else 0
-    if stats is None or not stats["sum_df2"] or n_sampled == 0:
-        return "allpairs"  # no shingled text: either path is empty
-    scale = max(1.0, n_docs / n_sampled)
-    projected = float(stats["sum_df2"]) * scale * scale
-    return "allpairs" if projected <= ALLPAIRS_MAX_JOIN_ROWS else "minhash"
 
 
 def dedup_near_auto(

@@ -479,6 +479,17 @@ def build_pq_index(
     The codes scan at query time reads only (id, m, code) — column
     pruning means the ADC path never touches an embedding byte.
     """
+    # one agg job: count + order-independent content fingerprint of the
+    # input (the build_ivf_index discipline, ann.py:236) so dispatchers
+    # can OPTIONALLY verify the persisted codes still describe the
+    # corpus they're asked about (ADVICE r10: index-backed strategies
+    # otherwise answer from the artifact regardless of the live data)
+    stats = vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col(id_col), F.col(vec_col))).alias("fp"),
+    ).first()
+    n_rows = int(stats["n"])
+    content_fp = int(stats["fp"]) if stats["fp"] is not None else 0
     codebook = build_pq_codebook(vectors, m_subspaces, k_codes, id_col, vec_col)
     # bounded 1-row probe on the SEEDED codebook, BEFORE refinement and
     # BEFORE any write: an empty vectors frame (or absent seed ids)
@@ -523,9 +534,27 @@ def build_pq_index(
             "id_col": id_col,
             "refine_iters": refine_iters,
             "round_digits": round_digits,
+            "n_rows": n_rows,
+            "content_fp": content_fp,
         }).encode("utf-8")))
     finally:
         out.close()
+
+
+def _read_pq_meta(spark: SparkSession, path: str) -> dict | None:
+    """The ``_pq_meta.json`` sidecar at ``path``, or None if
+    absent/unreadable — one metadata read, no Spark job."""
+    fs, root = _hadoop_fs(spark, path)
+    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
+    if not fs.exists(meta_path):
+        return None
+    stream = fs.open(meta_path)
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    except Exception:
+        return None
+    finally:
+        stream.close()
 
 
 def pq_index_ready(
@@ -544,17 +573,9 @@ def pq_index_ready(
     loudly — F.slice past the end returns a short sub-vector and the
     LUT silently scores garbage — so absence/mismatch returns False
     and the dispatcher falls back to an index-free strategy."""
-    fs, root = _hadoop_fs(spark, path)
-    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _META_NAME)
-    if not fs.exists(meta_path):
+    meta = _read_pq_meta(spark, path)
+    if meta is None:
         return False
-    stream = fs.open(meta_path)
-    try:
-        meta = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
-    except Exception:
-        return False
-    finally:
-        stream.close()
     if meta.get("dim") != dim:
         return False
     if m_subspaces is not None and meta.get("m_subspaces") != m_subspaces:

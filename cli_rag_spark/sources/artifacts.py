@@ -80,6 +80,25 @@ def table_files_fingerprint(spark: SparkSession, path: str) -> list[list]:
     return out
 
 
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total data-file bytes under ``path`` (recursive, hidden files
+    excluded) — the zero-scan input-size estimate behind the
+    scale-aware shuffle-width rule (session.scaled_shuffle_width).
+    O(#files) metadata calls, the same listing identity
+    :func:`table_files_fingerprint` uses."""
+    fs, jpath = _fs(spark, path)
+    if not fs.exists(jpath):
+        raise ValueError(f"size source does not exist: {path}")
+    total = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().startswith(("_", ".")):
+            continue
+        total += int(st.getLen())
+    return total
+
+
 def norm_path(path: str) -> str:
     """Strip trailing slashes (scheme-safe): ``f"{path}.__stage__…"``
     with a trailing slash would otherwise place the staging INSIDE the
@@ -121,17 +140,27 @@ def _read_meta(spark: SparkSession, path: str) -> dict | None:
     return read_json_sidecar(spark, path, _META_NAME)
 
 
-def _newest_mtime_ms(fs, jpath) -> int:
+def _newest_mtime_ms(fs, jpath, now_ms: int) -> int:
     """Newest modification time under ``jpath`` — the directory itself
     plus every file recursively (a LIVE partitioned-parquet write only
     touches nested ``_temporary`` paths, so the stage ROOT's mtime
     alone would flag an in-progress >1h build as a stale orphan — r10
-    review #2)."""
-    newest = int(fs.getFileStatus(jpath).getModificationTime())
-    it = fs.listFiles(jpath, True)
-    while it.hasNext():
-        newest = max(newest, int(it.next().getModificationTime()))
-    return newest
+    review #2).
+
+    A sibling staging may belong to a LIVE concurrent builder whose
+    ``_temporary`` files are created/moved/deleted mid-iteration (and
+    the whole dir vanishes on its promote), so any listing/stat call
+    here can throw FileNotFoundException — an unreadable or vanished
+    staging is treated as LIVE (returns ``now_ms``, never swept) rather
+    than aborting the innocent sweeping builder (ADVICE r10, medium)."""
+    try:
+        newest = int(fs.getFileStatus(jpath).getModificationTime())
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            newest = max(newest, int(it.next().getModificationTime()))
+        return newest
+    except Exception:  # noqa: BLE001 — Py4JJavaError wrapping FNFE/IOE
+        return now_ms
 
 
 def sweep_stale_stagings(spark: SparkSession, path: str) -> None:
@@ -149,8 +178,11 @@ def sweep_stale_stagings(spark: SparkSession, path: str) -> None:
     for st in fs.listStatus(parent):
         if not st.getPath().getName().startswith(f"{base}.__stage__"):
             continue
-        if now_ms - _newest_mtime_ms(fs, st.getPath()) >= _STAGE_SWEEP_AGE_MS:
-            fs.delete(st.getPath(), True)
+        if now_ms - _newest_mtime_ms(fs, st.getPath(), now_ms) >= _STAGE_SWEEP_AGE_MS:
+            try:
+                fs.delete(st.getPath(), True)
+            except Exception:  # noqa: BLE001 — a racing sweeper already won
+                pass
 
 
 def promote_staging(

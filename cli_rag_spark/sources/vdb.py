@@ -35,6 +35,7 @@ files bit-for-bit.
 
 from __future__ import annotations
 
+import os
 import struct
 
 from pyspark.sql import DataFrame, SparkSession
@@ -185,8 +186,13 @@ def read_vdb_distributed(
     NFS / local mode) — the same contract as any file-based source.
     Row-for-row identical to :func:`read_vdb` (pinned in tests).
     """
+    file_size = os.path.getsize(path)
     with open(path, "rb", buffering=1 << 20) as f:
         head = f.read(21)
+        if len(head) < 21:
+            raise ValueError(
+                f"truncated .vdb header: {len(head)} bytes, need 21 ({path})"
+            )
         if head[:4] != MAGIC:
             raise ValueError(f"bad magic {head[:4]!r}: not a .vdb file")
         vtype = head[4]
@@ -198,8 +204,18 @@ def read_vdb_distributed(
         else:
             raise ValueError(f"unknown vector type byte {vtype}")
         text_base = 21 + n * stride
+        if text_base > file_size:
+            raise ValueError(
+                f"corrupt .vdb: header claims {n} vectors × {stride} B "
+                f"ending at byte {text_base}, but the file is only "
+                f"{file_size} B ({path})"
+            )
         # one buffered sequential walk of the text lengths, recording
-        # offsets only at partition boundaries
+        # offsets only at partition boundaries. Every length read and
+        # the resulting offset is validated against the file size so a
+        # truncated/corrupt file raises a ValueError naming the byte
+        # offset here on the driver, instead of an opaque struct.error
+        # or executor-side garbage from seeking past EOF (ADVICE r10).
         parts = max(1, min(num_partitions, n or 1))
         bounds = [(p * n) // parts for p in range(parts + 1)]
         f.seek(text_base)
@@ -210,8 +226,19 @@ def read_vdb_distributed(
             while bi <= parts and bounds[bi] == i:
                 text_offsets.append(off)
                 bi += 1
-            (tlen,) = struct.unpack("<Q", f.read(8))
+            chunk = f.read(8)
+            if len(chunk) != 8:
+                raise ValueError(
+                    f"corrupt .vdb: truncated text-length prefix for "
+                    f"record {i} at byte {off} ({path})"
+                )
+            (tlen,) = struct.unpack("<Q", chunk)
             off += 8 + tlen
+            if off > file_size:
+                raise ValueError(
+                    f"corrupt .vdb: record {i} claims text length {tlen} "
+                    f"ending at byte {off}, past EOF at {file_size} ({path})"
+                )
             f.seek(tlen, 1)
         while bi <= parts:
             text_offsets.append(off)

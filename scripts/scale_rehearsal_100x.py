@@ -138,45 +138,82 @@ def _curriculum_dup(m: int):
     return run
 
 
-def _knn_ivf_sqrtc(m: int):
-    """knn_join_ivf with the C ~ √N BUILD DEFAULT (VERDICT r9 #3): the
-    r9 rehearsal row held C=8 fixed, so the probe scanned a constant
-    25% of the corpus and was "flat" only because that linear term sat
-    under the job floor. Here each scale builds its index with
-    n_centroids UNSET (ann.default_n_centroids → isqrt(N): 44 at 1×,
-    141 at 10×, 447 at 100× for the 2k-row base), n_probe fixed at 2 —
-    probe volume is n_probe·N/C ≈ 2√N rows, the genuinely sublinear
-    design-rule shape (α→0.5 in probe work, floor-bounded below it).
-    reuse_if_exists makes run 2 the measured steady state (build
-    amortized exactly like the judged q_knn_join_ivf)."""
+def _ivf_sqrtc_parts(spark, sf_dir):
+    """(embeddings, index, C, queries) for the grown-C rehearsal rows —
+    one √N-default index per scale dir, reused across timing and
+    recall measurements."""
     import hashlib
 
     from cli_rag_spark.operators.ann import (
         _read_ivf_meta,
         build_ivf_index,
-        knn_join_ivf,
         read_ivf_index,
     )
     from cli_rag_spark.session import scratch_root
     from cli_rag_spark.sources.documents import load_table
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{scratch_root()}/cli_rag_spark_ivfsqrt100x_{tag}"
+    build_ivf_index(emb, path, reuse_if_exists=True)  # default C
+    c = int(_read_ivf_meta(spark, path)["n_centroids"])
+    index = read_ivf_index(spark, path)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return emb, index, c, queries
+
+
+def _knn_ivf_sqrtc(m: int, n_probe=2):
+    """knn_join_ivf with the C ~ √N BUILD DEFAULT (VERDICT r9 #3): the
+    r9 rehearsal row held C=8 fixed, so the probe scanned a constant
+    25% of the corpus and was "flat" only because that linear term sat
+    under the job floor. Here each scale builds its index with
+    n_centroids UNSET (ann.default_n_centroids → isqrt(N): 44 at 1×,
+    141 at 10×, 447 at 100× for the 2k-row base). ``n_probe=2``
+    reproduces the r10 speed row; ``n_probe="rule"`` applies the r11
+    √C default (ann.default_n_probe) — the recall-holding probe width.
+    reuse_if_exists makes run 2 the measured steady state (build
+    amortized exactly like the judged q_knn_join_ivf)."""
+    from cli_rag_spark.operators.ann import default_n_probe, knn_join_ivf
+
     def run(spark, sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = f"{scratch_root()}/cli_rag_spark_ivfsqrt100x_{tag}"
-        build_ivf_index(emb, path, reuse_if_exists=True)  # default C
-        c = int(_read_ivf_meta(spark, path)["n_centroids"])
-        index = read_ivf_index(spark, path)
-        queries = emb.where(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"),
-        )
+        _, index, c, queries = _ivf_sqrtc_parts(spark, sf_dir)
+        probe = default_n_probe(c) if n_probe == "rule" else n_probe
         return knn_join_ivf(
-            queries, index, k=3, n_centroids=c, n_probe=2,
+            queries, index, k=3, n_centroids=c, n_probe=probe,
             validate_cid=False,
         )
 
     return run
+
+
+def _ivf_recall_at_scale(spark, sf_dir) -> dict:
+    """recall@3 of the grown-C probe vs EXACT ground truth, at BOTH
+    probe widths — the measurement VERDICT r10 #1 demanded: the speed
+    rows alone could certify an index that is fast and useless at
+    100×. Ground truth is knn_join_gemm over the same 10 queries (10·N
+    ·dim pair-ops — ~1.3e9 at the 2M-vector 1000× dir, still inside
+    the GEMM envelope). Not part of any timed row."""
+    from cli_rag_spark.operators.ann import default_n_probe, knn_join_ivf
+    from cli_rag_spark.operators.knn import knn_join_gemm, topk_recall
+
+    emb, index, c, queries = _ivf_sqrtc_parts(spark, sf_dir)
+    exact = knn_join_gemm(queries, emb, k=3, dim=64)
+    out = {"C": c, "n_probe_rule": default_n_probe(c)}
+    for label, probe in (("fixed2", 2), ("rule", default_n_probe(c))):
+        approx = knn_join_ivf(
+            queries, index, k=3, n_centroids=c, n_probe=probe,
+            validate_cid=False,
+        )
+        row = (
+            topk_recall(exact, approx, k=3)
+            .agg(F.avg("recall").alias("r"))
+            .first()
+        )
+        out[f"recall3_{label}"] = round(float(row["r"]), 4)
+    return out
 
 
 # name -> factory(m) -> callable(spark, sf_dir); rehearsal variants
@@ -184,6 +221,7 @@ def _knn_ivf_sqrtc(m: int):
 SCALED_QUERIES = {
     "curriculum_buckets_dup": _curriculum_dup,
     "knn_join_ivf_sqrtc": _knn_ivf_sqrtc,
+    "knn_join_ivf_sqrtc_rule": lambda m: _knn_ivf_sqrtc(m, n_probe="rule"),
 }
 
 
@@ -394,6 +432,7 @@ def main() -> None:
     for name in names:
         per_scale = {}
         genus = {}
+        recall = {}
         factory = SCALED_QUERIES.get(name)
         for m in multiples:
             best = math.inf
@@ -429,6 +468,12 @@ def main() -> None:
                 )
             else:
                 genus[m] = "ok"
+            # recall@k beside wall time at grown C (VERDICT r10 #1) —
+            # measured AFTER the timed runs, never inside them
+            if name in ("knn_join_ivf_sqrtc", "knn_join_ivf_sqrtc_rule"):
+                recall[m] = _ivf_recall_at_scale(spark, dirs[m])
+                print(json.dumps({"query": name, "scale": m,
+                                  "recall": recall[m]}), flush=True)
         xs = [math.log(m) for m in multiples]
         ys = [math.log(per_scale[m]) for m in multiples]
         xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
@@ -464,6 +509,7 @@ def main() -> None:
                     ),
                     "tail_scales": [lo, hi] if lo is not None else None,
                     "genus": genus,
+                    **({"recall": recall} if recall else {}),
                 }
             ),
             flush=True,

@@ -413,3 +413,56 @@ def test_build_ivf_index_defaults_to_sqrt_n(spark, sf_dir, tmp_path):
     # reuse path resolves the same default -> no rebuild
     again = build_ivf_index(emb, path, reuse_if_exists=True)
     assert again.count() == want_c
+
+
+def test_default_n_probe_rule():
+    """VERDICT r10 #1: the probe-width companion of C ~ √N — n_probe =
+    isqrt(C), floor 1, never more than C. A fixed n_probe under grown
+    C probes a collapsing fraction; √C keeps the probed fraction at
+    C^-1/2 and probe volume sub-linear (N^(3/4) under C=√N)."""
+    import pytest
+
+    from cli_rag_spark.operators.ann import default_n_probe
+
+    assert default_n_probe(1) == 1
+    assert default_n_probe(2) == 1
+    assert default_n_probe(4) == 2
+    assert default_n_probe(44) == 6
+    assert default_n_probe(141) == 11
+    assert default_n_probe(447) == 21
+    assert default_n_probe(65536) == 256
+    with pytest.raises(ValueError, match="n_centroids"):
+        default_n_probe(0)
+
+
+def test_knn_join_auto_default_n_probe_uses_rule(spark, sf_dir, tmp_path):
+    """knn_join_auto with n_probe unset must probe default_n_probe(C)
+    lists — pinned by matching the explicit-probe run."""
+    from cli_rag_spark.operators.ann import (
+        build_ivf_index,
+        default_n_probe,
+        knn_join_ivf,
+        read_ivf_index,
+    )
+    from cli_rag_spark.operators.knn import knn_join_auto
+    from cli_rag_spark.sources.documents import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_nprobe_rule")
+    build_ivf_index(emb, path, n_centroids=9)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    auto = knn_join_auto(
+        q, emb, k=3, n_index=10_000_000_000, ivf_path=path, n_centroids=9,
+    )
+    direct = knn_join_ivf(
+        q, read_ivf_index(spark, path, 9), k=3, n_centroids=9,
+        n_probe=default_n_probe(9), validate_cid=False,
+    )
+    assert {tuple(r) for r in auto.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    # and the rule differs from the old C//4 default here (9//4=2 vs 3)
+    assert default_n_probe(9) == 3

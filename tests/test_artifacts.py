@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from cli_rag_spark.sources.artifacts import (
     persisted_artifact,
+    sweep_stale_stagings,
     table_files_fingerprint,
 )
 
@@ -185,3 +186,25 @@ def test_scratch_root_env_override_and_fixture_isolation(monkeypatch, tmp_path):
         for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
     }
     assert len(tags) == 2
+
+
+def test_sweep_treats_vanished_staging_as_live(spark, tmp_path):
+    """ADVICE r10 (medium): a sibling staging owned by a LIVE builder
+    can vanish (promote) or churn files mid-listing — the sweep must
+    treat an unreadable staging as live and move on, never abort the
+    sweeping builder."""
+    from cli_rag_spark.sources.artifacts import _fs, _newest_mtime_ms
+
+    dest = str(tmp_path / "art")
+    fs, root = _fs(spark, dest)
+    gone = spark._jvm.org.apache.hadoop.fs.Path(
+        str(tmp_path / "art.__stage__does_not_exist")
+    )
+    now_ms = 1_000_000
+    # a vanished path reads as "live now" -> never swept
+    assert _newest_mtime_ms(fs, gone, now_ms) == now_ms
+    # and the full sweep over a parent containing a real fresh staging
+    # plus nothing else still runs clean
+    os.makedirs(str(tmp_path / "art.__stage__123_456"), exist_ok=True)
+    sweep_stale_stagings(spark, dest)
+    assert os.path.isdir(str(tmp_path / "art.__stage__123_456"))

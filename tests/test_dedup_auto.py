@@ -109,3 +109,23 @@ def test_build_ivf_index_trailing_slash_path(spark, sf_dir, tmp_path):
     build_ivf_index(emb, path, n_centroids=4)
     idx = read_ivf_index(spark, str(tmp_path / "ivf_slash"), n_centroids=4)
     assert idx.count() == emb.count()
+
+
+def test_choose_strategy_sample_not_head_biased(spark):
+    """ADVICE r10: the 2000-doc probe must be REPRESENTATIVE, not the
+    head of the first partitions — a corpus whose duplicate cluster
+    lives entirely past the head (sorted/clustered input) must still
+    route to banding. The hash-of-id filter samples every ~rate-th doc
+    by content, so the tail cluster is seen."""
+    uniq = [
+        (i, f"totally unique words {i} alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(3000)
+    ]
+    dup = [(3000 + i, "same stop words every single time here") for i in range(2000)]
+    df = spark.createDataFrame(uniq + dup, "doc_id long, text string").coalesce(1)
+    # head-2000 sampling would see ONLY hapax docs -> "allpairs" (and a
+    # ~4e6-row misrouted self-join); the representative sample sees the
+    # cluster's df ~ 2000/rate and projects past the cap
+    assert choose_dedup_strategy(df) == "minhash"
+    # deterministic: the hash draw does not depend on partitioning
+    assert choose_dedup_strategy(df.repartition(7)) == "minhash"

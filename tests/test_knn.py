@@ -693,3 +693,77 @@ def test_knn_join_auto_pq_exclude_self(spark, sf_dir, tmp_path):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_gemm_null_lead_vector_still_guarded(spark):
+    """ADVICE r10: the post-collect element re-check must use the MAX
+    vector width across all collected rows — a NULL/narrow first row
+    must not skip the budget (and the dim probe must find the real
+    width before the collect when dim is omitted)."""
+    import pytest
+
+    from cli_rag_spark.operators.knn import knn_join_gemm
+
+    wide = [float(i) for i in range(64)]
+    q = spark.createDataFrame(
+        [(1, None), (2, wide), (3, wide)],
+        "query_id long, query_vec array<double>",
+    )
+    idx = spark.createDataFrame(
+        [(10, wide)], "vec_id long, embedding array<double>"
+    )
+    # budget of 64 elements: 3 rows x width 64 = 192 must be rejected
+    # even though the first row is NULL (the old first-row check let
+    # this straight through to the scorer)
+    with pytest.raises(ValueError, match="max_query_elems"):
+        knn_join_gemm(q, idx, k=1, max_query_elems=64)
+    # same shape, generous budget: scores fine; the NULL query row is
+    # unrepresentable in the GEMM operand and drops
+    ok = knn_join_gemm(q, idx, k=1).collect()
+    assert {r["query_id"] for r in ok} == {2, 3}
+
+
+def test_knn_join_auto_verify_index_content(spark, sf_dir, tmp_path):
+    """ADVICE r10: index-backed dispatch answers from the persisted
+    artifact; with verify_index_content=True a corpus that drifted
+    from the build must fall back to an index-free strategy, and a
+    matching corpus must keep the IVF route."""
+    from cli_rag_spark.operators.ann import build_ivf_index, knn_join_ivf, read_ivf_index
+    from cli_rag_spark.operators.knn import knn_join_auto, knn_join_lsh
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_verify")
+    build_ivf_index(emb, path, n_centroids=8)
+    q = _queries(emb, 5)
+    # matching content: the IVF route survives verification
+    auto = knn_join_auto(
+        q, emb, k=3, n_index=10_000_000_000, ivf_path=path,
+        n_centroids=8, n_probe=2, verify_index_content=True,
+    )
+    direct = knn_join_ivf(
+        q, read_ivf_index(spark, path, 8), k=3, n_centroids=8, n_probe=2,
+        validate_cid=False,
+    )
+    assert {tuple(r) for r in auto.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    # drifted corpus (one row dropped): verification rejects the stale
+    # artifact and the dispatch falls back to LSH over the LIVE frame
+    drifted = emb.where(F.col("vec_id") != 17)
+    auto2 = knn_join_auto(
+        q, drifted, k=3, n_index=10_000_000_000, ivf_path=path,
+        n_centroids=8, n_probe=2, verify_index_content=True,
+    )
+    lsh = knn_join_lsh(q, drifted, k=3, dim=64)
+    assert {tuple(r) for r in auto2.collect()} == {
+        tuple(r) for r in lsh.collect()
+    }
+    # default (False): the artifact answers regardless — documented
+    auto3 = knn_join_auto(
+        q, drifted, k=3, n_index=10_000_000_000, ivf_path=path,
+        n_centroids=8, n_probe=2,
+    )
+    assert {tuple(r) for r in auto3.collect()} == {
+        tuple(r) for r in direct.collect()
+    }

@@ -789,3 +789,49 @@ class TestVdbDistributed:
         back = spark.read.parquet(out)
         assert back.count() == 11
         assert {r["id"] for r in back.select("id").collect()} == set(range(11))
+
+
+def test_vdb_distributed_corruption_guards(spark, tmp_path):
+    """ADVICE r10: a truncated/corrupt .vdb must raise ValueError
+    naming the byte offset during the driver offset walk — never an
+    opaque struct.error or executor-side garbage from seeking past
+    EOF."""
+    import pytest
+
+    from cli_rag_spark.sources.vdb import read_vdb_distributed, write_vdb
+
+    rows = [(i, [float(i), 2.0], f"text-{i}") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "id long, embedding array<double>, text string"
+    )
+    path = os.path.join(str(tmp_path), "ok.vdb")
+    write_vdb(df, path, vec_type=1)
+    raw = open(path, "rb").read()
+
+    # header shorter than 21 bytes
+    p1 = os.path.join(str(tmp_path), "shorthead.vdb")
+    open(p1, "wb").write(raw[:12])
+    with pytest.raises(ValueError, match="truncated .vdb header"):
+        read_vdb_distributed(spark, p1)
+
+    # vector section truncated: header claims more bytes than the file
+    p2 = os.path.join(str(tmp_path), "shortvec.vdb")
+    open(p2, "wb").write(raw[:30])
+    with pytest.raises(ValueError, match="file is only"):
+        read_vdb_distributed(spark, p2)
+
+    # text section truncated mid length-prefix
+    p3 = os.path.join(str(tmp_path), "shorttext.vdb")
+    open(p3, "wb").write(raw[:len(raw) - len(raw[21 + 5 * 16:]) + 3])
+    with pytest.raises(ValueError, match="truncated text-length prefix"):
+        read_vdb_distributed(spark, p3)
+
+    # oversized text length seeks past EOF -> named offset, not garbage
+    p4 = os.path.join(str(tmp_path), "badlen.vdb")
+    import struct as _struct
+    text_base = 21 + 5 * 16
+    bad = bytearray(raw)
+    bad[text_base:text_base + 8] = _struct.pack("<Q", 1 << 40)
+    open(p4, "wb").write(bytes(bad))
+    with pytest.raises(ValueError, match="past EOF"):
+        read_vdb_distributed(spark, p4)

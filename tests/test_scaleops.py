@@ -265,3 +265,78 @@ def test_key_skew_profile_single_key(spark):
     assert out["max_cnt"] == out["p50_cnt"] == out["p99_cnt"] == 9
     assert out["max_share_ppm"] == 1000000
     assert out["skew_x100"] == 100
+
+
+class TestScaledShuffleWidth:
+    """session.scaled_shuffle_width (VERDICT r10 #2): the scale-aware
+    exchange-width rule behind the overlap matrix's 1000x fix."""
+
+    def test_rule_arithmetic(self, spark):
+        from cli_rag_spark.session import scaled_shuffle_width
+
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # under budget: caller changes nothing
+        assert scaled_shuffle_width(spark, 0) is None
+        assert scaled_shuffle_width(spark, base * 32 * 1024 * 1024) is None
+        # one byte over the base budget: first width past base
+        got = scaled_shuffle_width(spark, base * 32 * 1024 * 1024 + 1)
+        assert got == base + 1
+        # cap bounds scheduler pressure
+        assert scaled_shuffle_width(spark, 10**15) == 4096
+        import pytest
+
+        with pytest.raises(ValueError, match="non-negative"):
+            scaled_shuffle_width(spark, -1)
+
+    def test_keyed_repartition_plus_distinct_is_one_exchange(self, spark):
+        """The distinct's HashAggregate must REUSE the keyed
+        repartition exchange (same keys satisfy ClusteredDistribution)
+        — the claim that the widened plan still has exactly one
+        shuffle."""
+        df = spark.range(1000).select(
+            (F.col("id") % 7).alias("a"), (F.col("id") % 11).alias("b")
+        )
+        out = df.repartition(64, "a", "b").distinct()
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange") == 1, plan
+        assert "hashpartitioning(a" in final and ", 64)" in final
+
+    def test_overlap_matrix_local_plan_unchanged(self, spark, sf_dir):
+        """At fixture scale the estimate sits far under the base
+        budget: the rule returns None and the judged plan carries NO
+        repartition node (zero local tax, byte-identical to r10)."""
+        from cli_rag_spark.plans.registry import all_queries
+
+        df = all_queries()["source_overlap_matrix"](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" not in plan
+        # hash-partitioned exchanges exist (distinct, join) but none at
+        # a widened explicit count: the explicit repartition would show
+        # hashpartitioning(source, fp, <n>) with n > shuffle.partitions
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        import re
+
+        for m in re.finditer(r"hashpartitioning\([^)]*?(\d+)\)", plan):
+            assert int(m.group(1)) <= base, m.group(0)
+
+    def test_dir_bytes_counts_data_files_only(self, spark, tmp_path):
+        from cli_rag_spark.sources.artifacts import dir_bytes
+
+        p = str(tmp_path / "t")
+        spark.range(100).write.parquet(p)
+        import os as _os
+
+        want = sum(
+            _os.path.getsize(_os.path.join(root, f))
+            for root, _, files in _os.walk(p)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        assert dir_bytes(spark, p) == want > 0
+        import pytest
+
+        with pytest.raises(ValueError, match="does not exist"):
+            dir_bytes(spark, str(tmp_path / "nope"))
