@@ -321,9 +321,7 @@ def hits(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()
 
     def _half(r: DataFrame, score_in: str, edge_key: str,
               out_key: str, score_out: str) -> DataFrame:
@@ -358,7 +356,23 @@ def hits(
             .alias(score_out),
         )
 
-    ranks = nodes.withColumn("hub", _dyadic(F.lit(1.0 / n_nodes)))
+    # hub_0 = 1.0 uniformly (r11, VERDICT r10 #3): the first
+    # half-step L1-normalizes, so any uniform positive constant
+    # yields the same normalized auth up to grid rounding — 1.0 is
+    # exactly on the dyadic grid and needs no |V| count, removing
+    # the nodes.count() job and the eager nodes checkpoint it
+    # forced (~2 scheduled jobs per call). The oracle replays
+    # h0 = 1.0 verbatim, so bit-exactness is preserved by spec.
+    # Since hub_0 is constant over exactly the srcs that the first
+    # half-step joins on, seeding from the edge list's distinct
+    # srcs is identical to seeding all of `nodes` — and skips
+    # carrying dst-only nodes (hub contribution: none) through the
+    # first join.
+    ranks = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("hub", _dyadic(F.lit(1.0)))
+    )
     auth_ranks = None
     for _ in range(iters):
         r = F.broadcast(ranks) if broadcast_ranks else ranks

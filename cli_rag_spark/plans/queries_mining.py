@@ -740,10 +740,11 @@ def _hits_oracle() -> str:
           GROUP BY o_custkey, l_suppkey
         ), nodes AS MATERIALIZED (
           SELECT src AS node FROM edges UNION SELECT dst FROM edges
-        ), nn AS (
-          SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
         ), h0 AS MATERIALIZED (
-          SELECT node, floor(1.0/nn.n * {_G})/{_G} AS hub FROM nodes, nn
+          -- hub_0 = 1.0 (r11): the first half-step L1-normalizes, so
+          -- the uniform seed needs no 1/|V| — and 1.0 is exactly on
+          -- the dyadic grid (replays operators/pagerank.py hits)
+          SELECT node, 1.0 AS hub FROM nodes
         ),{body}
         SELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
         FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON h.node = a.node

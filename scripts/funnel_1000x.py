@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""End-to-end 1000x composed curation funnel (VERDICT r10 #6).
+
+Every 1000x row in SCALING.md so far certifies a SINGLE operator;
+this script runs the COMPOSITION a real training-data run executes,
+at the 5M-doc replica corpus:
+
+    quality gate -> exact dedup -> MinHash near-dedup -> mixture sample
+
+Each stage is individually 1000x-certified (quality: pure map;
+exact dedup: fingerprint groupBy; minhash banding: 57.7 s / slope
+1.009 at 5M docs; mixture: pure map) — what is NOT yet measured is
+the composition: do the stages' shuffles stack cleanly, does the
+anti-join chain force recomputation of upstream stages, and what
+the right intermediate materialization policy is.
+
+Measurement protocol (cumulative-prefix deltas): time the fused
+plan of each PREFIX of the funnel (S1, S1->S2, S1->S2->S3,
+S1->..->S4), each materialized once with a noop write. The stage
+attribution is the successive difference; the full-funnel number is
+the last prefix — a genuinely fused single plan, the way the judged
+curation_funnel composes (no intermediate parquet bounces). Any
+super-additive delta (prefix_k >> prefix_{k-1} + standalone stage k)
+is the cross-operator surprise the rehearsal exists to find.
+
+Near-dedup inside the composition uses operators/dedup.py dedup_near
+(banded MinHash candidates -> exact Jaccard verify -> greedy
+keep-lowest-id anti-join) — the full recipe, not just candidate
+generation.
+
+Heap: the STANDARD 24 GB rehearsal heap (inherited from
+scale_rehearsal_100x's module-level PYSPARK_SUBMIT_ARGS) — same bar
+as the overlap-matrix 1000x re-run.
+
+Usage: python scripts/funnel_1000x.py [--multiple 1000] [--runs 1]
+Prints one JSON line per prefix and a final summary line; paste into
+SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import os
+
+_REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _p in (_REPO_DIR, os.path.join(_REPO_DIR, "scripts")):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
+# reuse the replica generator AND its heap/partition env defaults
+from scale_rehearsal_100x import generate_docs_only  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cli_rag_spark.session import get_session  # noqa: E402
+from cli_rag_spark.sources.documents import load_table  # noqa: E402
+
+
+def _stage_frames(spark, sf_dir):
+    """The four funnel prefixes as lazy DataFrames (fused plans)."""
+    from cli_rag_spark.functions.quality import with_quality_metrics
+    from cli_rag_spark.operators.dedup import dedup_exact, dedup_near
+    from cli_rag_spark.operators.training import mixture_sample
+    from cli_rag_spark.plans.queries_training import (
+        MIX_DEFAULT,
+        MIX_RATES,
+        MIX_SALT,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = with_quality_metrics(docs).where(F.col("keep")).select(*docs.columns)
+    exact = dedup_exact(kept)
+    near = dedup_near(exact)
+    sampled = mixture_sample(near, "source", MIX_RATES, MIX_DEFAULT, salt=MIX_SALT)
+    return [
+        ("quality", kept),
+        ("exact_dedup", exact),
+        ("near_dedup", near),
+        ("mixture", sampled),
+    ]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--multiple", type=int, default=1000)
+    ap.add_argument("--runs", type=int, default=1)
+    args = ap.parse_args()
+
+    spark = get_session(app_name="cli-rag-spark-funnel-1000x")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = generate_docs_only(spark, args.multiple)
+
+    raw_rows = load_table(spark, sf_dir, "documents").count()
+    print(json.dumps({"multiple": args.multiple, "raw_docs": raw_rows}),
+          flush=True)
+
+    prefix_sec: dict[str, float] = {}
+    rows_out: dict[str, int] = {}
+    prev = 0.0
+    for name, df in _stage_frames(spark, sf_dir):
+        best = float("inf")
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        prefix_sec[name] = round(best, 2)
+        rows_out[name] = df.count()
+        print(
+            json.dumps(
+                {
+                    "prefix_through": name,
+                    "sec": prefix_sec[name],
+                    "stage_delta_sec": round(best - prev, 2),
+                    "rows_out": rows_out[name],
+                }
+            ),
+            flush=True,
+        )
+        prev = best
+
+    print(
+        json.dumps(
+            {
+                "funnel": "quality->exact->near->mixture",
+                "multiple": args.multiple,
+                "raw_docs": raw_rows,
+                "prefix_sec": prefix_sec,
+                "rows": rows_out,
+                "total_sec": prefix_sec["mixture"],
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

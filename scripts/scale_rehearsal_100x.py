@@ -200,19 +200,43 @@ def _ivf_recall_at_scale(spark, sf_dir) -> dict:
     from cli_rag_spark.operators.knn import knn_join_gemm, topk_recall
 
     emb, index, c, queries = _ivf_sqrtc_parts(spark, sf_dir)
-    exact = knn_join_gemm(queries, emb, k=3, dim=64)
+    # two query sets: the in-sample set (each query IS an index row —
+    # guaranteed top-1 self-match, NNs co-located by the corpus's
+    # planted-pair structure) and an OUT-OF-SAMPLE perturbed set
+    # (q' = q + 0.5·||q||·rademacher/√dim, seeded by vec_id) that can
+    # land near list boundaries — the set on which a too-narrow probe
+    # actually loses recall. 10 rows: driver-side numpy is fine.
+    q_rows = queries.orderBy("query_id").collect()
+    dim = len(q_rows[0]["query_vec"])
+    pert = []
+    for r in q_rows:
+        v = list(r["query_vec"])
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        eps = 0.5 * nrm / math.sqrt(dim)
+        pv = [
+            x + (eps if _splitmix64(r["query_id"] * 64 + j) & 1 else -eps)
+            for j, x in enumerate(v)
+        ]
+        pert.append((r["query_id"], pv))
+    perturbed = spark.createDataFrame(
+        pert, "query_id long, query_vec array<double>"
+    ).select(
+        "query_id", F.col("query_vec").cast("array<float>").alias("query_vec")
+    )
     out = {"C": c, "n_probe_rule": default_n_probe(c)}
-    for label, probe in (("fixed2", 2), ("rule", default_n_probe(c))):
-        approx = knn_join_ivf(
-            queries, index, k=3, n_centroids=c, n_probe=probe,
-            validate_cid=False,
-        )
-        row = (
-            topk_recall(exact, approx, k=3)
-            .agg(F.avg("recall").alias("r"))
-            .first()
-        )
-        out[f"recall3_{label}"] = round(float(row["r"]), 4)
+    for qlabel, qset in (("", queries), ("_oos", perturbed)):
+        exact = knn_join_gemm(qset, emb, k=3, dim=64)
+        for label, probe in (("fixed2", 2), ("rule", default_n_probe(c))):
+            approx = knn_join_ivf(
+                qset, index, k=3, n_centroids=c, n_probe=probe,
+                validate_cid=False,
+            )
+            row = (
+                topk_recall(exact, approx, k=3)
+                .agg(F.avg("recall").alias("r"))
+                .first()
+            )
+            out[f"recall3_{label}{qlabel}"] = round(float(row["r"]), 4)
     return out
 
 

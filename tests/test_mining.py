@@ -471,7 +471,9 @@ def _numpy_hits(edges, iters):
     nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
-    hub = [1.0 / n] * n
+    # hub_0 = 1.0 (r11): replays the operator's count-free uniform
+    # seed; the first half-step L1-normalizes it away
+    hub = [1.0] * n
     auth = [0.0] * n
     for _ in range(iters):
         auth = [0.0] * n
