@@ -1135,7 +1135,19 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if width is not None:
         proj = proj.repartition(width, "source", "fp")
-    t = proj.distinct().localCheckpoint(eager=False)
+        # In the width-rule regime the distinct table itself is
+        # corpus-sized (the 1000× point is ~250M rows), and
+        # localCheckpoint stores DESERIALIZED row objects — ~200 B a
+        # row, ~50 GB there, which is what actually OOM'd the 24 GB
+        # rehearsal heap AFTER the width rule bounded the sort
+        # buffers (r11). The columnar compressed cache stores the
+        # same table ~10× smaller and spills batch-by-batch, while
+        # still materializing once for the three consumers below.
+        from pyspark import StorageLevel
+
+        t = proj.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        t = proj.distinct().localCheckpoint(eager=False)
     a = t.select(F.col("source").alias("source_a"), "fp")
     b = t.select(F.col("source").alias("source_b"), "fp")
     shared = (

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cli_rag_spark.operators.dedup import (
     dedup_exact,
     dedup_near,
+    dedup_near_auto,
     embedding_near_pairs,
     jaccard_pairs,
     minhash_candidates,
@@ -100,6 +101,33 @@ def q_dedup_near_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-lowest-id. Survivor count + id checksum."""
     docs = load_table(spark, sf_dir, "documents")
     out = dedup_near(
+        docs,
+        threshold=NEAR_DUP_JACCARD,
+        shingle_words=SHINGLE_WORDS,
+        n_hashes=N_HASHES,
+        n_bands=N_BANDS,
+    )
+    return out.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def q_dedup_near_auto_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup AUTO-DISPATCH (operators/dedup.dedup_near_auto,
+    r10's third dispatcher) as a judged query: choose_dedup_strategy
+    samples shingle-posting skew and routes exact all-pairs Jaccard
+    under the measured 2e6 projected-join-rows crossover, banded
+    MinHash past it. At every oracle scale (fixture, sf0.01) the
+    projection sits orders of magnitude under the crossover (the sf0.1
+    ground truth is 2.79e6 rows at 5,000 docs; (N/10)² scaling puts
+    sf0.01 near 2.8e4), so the committed route is "allpairs" and the
+    oracle replays EXACT all-pairs Jaccard — meaning a dispatch
+    misroute to banding at this scale would surface as a value
+    mismatch wherever banding loses a pair. Survivor count + id
+    checksum, same contract as dedup_near_count."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_near_auto(
         docs,
         threshold=NEAR_DUP_JACCARD,
         shingle_words=SHINGLE_WORDS,
@@ -222,6 +250,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "hamming_topk": q_hamming_topk,
     "dedup_near_count": q_dedup_near_count,
+    "dedup_near_auto_count": q_dedup_near_auto_count,
     "minhash_candidates": q_minhash_candidates,
     "dedup_incremental": q_dedup_incremental,
     "ngram_jaccard": q_ngram_jaccard,
@@ -296,6 +325,33 @@ ORACLE = {
           JOIN shex a ON a.doc_id = c.id_a
           JOIN shex b ON b.doc_id = c.id_b AND b.shingle = a.shingle
           GROUP BY c.id_a, c.id_b
+        ), drops AS (
+          SELECT DISTINCT id_b AS doc_id
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) >= {NEAR_DUP_JACCARD}
+        )
+        SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+    # the AUTO route at oracle scale is provably "allpairs" (projected
+    # self-join volume ≪ the 2e6 crossover — see the query docstring),
+    # so the oracle is EXACT all-pairs Jaccard with no banding step: a
+    # misroute to banding would hash-mismatch wherever banding loses a
+    # pair
+    "dedup_near_auto_count": f"""
+        WITH sh0 AS (
+          SELECT doc_id, {_SHINGLES} AS sh FROM documents
+        ), shex AS (
+          SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM sh0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM shex GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM shex a
+          JOIN shex b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
         ), drops AS (
           SELECT DISTINCT id_b AS doc_id
           FROM inter

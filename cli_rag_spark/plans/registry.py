@@ -48,54 +48,58 @@ _PACKS = [
 #
 # STALENESS BOUND (kept current per VERDICT r7 "What's wrong #3";
 # the arithmetic below MUST be updated whenever the registry count
-# changes): with 190 registered queries, 17 sentinels and exactly 33
-# rotating slots per round, a full pass over the 173 non-sentinel
-# queries takes ceil(173/33) = 6 rounds, so the honest worst-case
+# changes): with 191 registered queries, 17 sentinels and exactly 33
+# rotating slots per round, a full pass over the 174 non-sentinel
+# queries takes ceil(174/33) = 6 rounds, so the honest worst-case
 # staleness of a driver verdict is ≤ 6 rounds (rounding DOWN here is
 # how the r6 "~2 rounds" claim went wrong — count whole rounds, and
 # remember category-2/3 load eats into the 33 before stale fill gets
 # any) — PROVIDED the
 # registry stops outgrowing the window. r6 left a 12-query
-# never-judged backlog; r7 left 22; r9 cleared it to ZERO (189/189
-# ever-judged, all green). NEW-QUERY CAP (adopted r8): at most 12
-# new judged queries per round; r10 adds ONE. The every-run
+# never-judged backlog; r7 left 22; r9 cleared it to ZERO; the
+# backlog stays zero through r10 (190/190 ever-judged, all green).
+# NEW-QUERY CAP (adopted r8): at most 12 new judged queries per
+# round; r11 adds ONE (dedup_near_auto_count). The every-run
 # correctness gate is NOT the driver window: every registered query
 # is value- and dtype-exactly replayed against its DuckDB oracle on
 # every local test run (tests/test_parity.py); the driver window is
 # the independent external sample on top.
 #
-# Round-10 window (VERDICT r9 "Next round #6"): 17 sentinels; THREE
-# category-2 re-entries whose implementation changed this round —
-# knn_join_auto (the dispatcher gained the PQ-ADC 5th strategy and
-# the dim-aware GEMM collect gate, VERDICT r9 #2 + ADVICE r9),
-# vdb_roundtrip_stats (process-unique scratch path, ADVICE r9 low
-# #4), pagerank_top_nodes representing the graph family's artifact
-# move to the configurable scratch_root + the age-gated staging
-# sweep and promotion/rename guards in sources/artifacts.py (ADVICE
-# r9 medium + low — every artifact consumer exercises that code);
-# ONE never-judged (category 3, within the 12-cap): the r10
-# addition ivf_sqrt_partition_stats (the C ~ √N build default,
-# VERDICT r9 #3, proven through the oracle channel). Then
-# least-recently-verified fill (29 slots): ALL 17 r4-verified
-# (alphabetical: knn_join_lsh, knn_join_pq, local_supplier_volume,
-# nation_trade_volume, order_priority_rollup, part_supplier_agg,
-# partitioned_compaction, parts_above_brand_avg, pq_topk,
-# rag_contexts_batch, range_click_burst, salted_top_events,
-# streaming_dedup_keys, streaming_enriched_segments,
-# streaming_hourly_windows, streaming_upsert_totals,
-# zorder_roundtrip) and 12 of the 29 r5-verified (alphabetical
-# within the cohort, except sessionization takes the 12th slot in
-# place of matryoshka_topk so the events family keeps a
-# representative — the window contract test pins family coverage).
-# The r11 head is owed, in order: the remaining 18 r5-verified
-# (matryoshka_topk, then maxsim_topk, ols_token_chars,
-# quality_drift_ks, quality_drift_psi, snapshot_cdc_stats,
-# snapshot_ref_travel, snapshot_schema_evolution,
-# snapshot_time_travel, snapshot_vacuum_stats,
-# streaming_incremental_dedup, streaming_trending,
-# tfidf_cosine_topk, token_budget_sample, triangle_census,
-# weighted_sample_stats, and the displaced fill), then r6-verified
-# oldest-first.
+# Round-11 window: 17 sentinels; FIVE category-2 re-entries whose
+# implementation or oracle changed this round — lp_communities
+# (label_propagation round-1 identity fusion: no |V| distinct, no
+# first join — VERDICT r10 #3), hits_top_suppliers (hub_0 = 1.0
+# count-free seed, ORACLE CHANGED with it; also re-covers the
+# artifacts.py staging-sweep hardening from ADVICE r10, since its
+# edges load through the persisted pair artifact), knn_join_auto
+# (verify_index_content fingerprint gate + pre-collect GEMM element
+# budget + the √C default probe width — ADVICE r10 + VERDICT r10
+# #1), vdb_roundtrip_stats (read_vdb_distributed length/offset
+# validation, ADVICE r10 #4), source_overlap_matrix (the
+# scale-aware shuffle-width rule ahead of its distinct, VERDICT r10
+# #2 — first driver verdict for this query since the rule landed);
+# ONE never-judged (category 3, within the 12-cap): the r11
+# addition dedup_near_auto_count (the near-dup dispatcher judged
+# end-to-end; its oracle pins the allpairs route at oracle scale,
+# closing the r10 gap where choose_dedup_strategy was test-only —
+# and d604c4b changed its sampling, so the dispatcher is also
+# freshly changed code). Then least-recently-verified fill
+# (27 slots, reconstructed from CORRECTNESS_r1–r10 last-verdict
+# rounds, oldest first, alphabetical within a round): ALL 17
+# remaining r5-verified (matryoshka_topk, maxsim_topk,
+# ols_token_chars, quality_drift_ks, quality_drift_psi,
+# setsim_pairs, snapshot_cdc_stats, snapshot_ref_travel,
+# snapshot_schema_evolution, snapshot_time_travel,
+# snapshot_vacuum_stats, streaming_incremental_dedup,
+# streaming_trending, tfidf_cosine_topk, token_budget_sample,
+# triangle_census, weighted_sample_stats) and the first 10
+# r6-verified (anomalous_events, audio_window_stats,
+# binary_metadata, chunk_fixed, cosine_histogram, decontamination,
+# dedup_exact_count, event_transitions, fingerprint_dups,
+# hybrid_rrf_topk). The r12 head is owed: the remaining r6-verified
+# oldest-first (lang_id_confusion, maxsim_rerank, mixture_weights,
+# ngram_jaccard, pack_chunks_stats, price_percentiles, ...), then
+# r7-verified.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -119,23 +123,23 @@ _PRIORITY = _SENTINELS + [
     # (2) changed since last verdict (one representative per changed
     # family, the r6 batching protocol — details in the rotation
     # comment above)
-    "knn_join_auto", "vdb_roundtrip_stats", "pagerank_top_nodes",
-    # (3) never driver-checked: the one r10 addition
-    "ivf_sqrt_partition_stats",
-    # (4) least-recently-verified fill: all 17 r4-verified...
-    "knn_join_lsh", "knn_join_pq", "local_supplier_volume",
-    "nation_trade_volume", "order_priority_rollup",
-    "part_supplier_agg", "partitioned_compaction",
-    "parts_above_brand_avg", "pq_topk", "rag_contexts_batch",
-    "range_click_burst", "salted_top_events", "streaming_dedup_keys",
-    "streaming_enriched_segments", "streaming_hourly_windows",
-    "streaming_upsert_totals", "zorder_roundtrip",
-    # ...then 12 of the 29 r5-verified (alphabetical; final slot goes
-    # to sessionization for events-family coverage — see comment)
-    "bloom_decontamination", "bpe_encode_stats", "bpe_merges",
-    "collocations_topk", "dsir_selection", "embedding_covariance",
-    "fuzzy_name_pairs", "heavy_hitter_terms", "ivf_append_stats",
-    "kmeans_clusters", "leakproof_split_counts", "sessionization",
+    "lp_communities", "hits_top_suppliers", "knn_join_auto",
+    "vdb_roundtrip_stats", "source_overlap_matrix",
+    # (3) never driver-checked: the one r11 addition
+    "dedup_near_auto_count",
+    # (4) least-recently-verified fill: all 17 remaining r5-verified...
+    "matryoshka_topk", "maxsim_topk", "ols_token_chars",
+    "quality_drift_ks", "quality_drift_psi", "setsim_pairs",
+    "snapshot_cdc_stats", "snapshot_ref_travel",
+    "snapshot_schema_evolution", "snapshot_time_travel",
+    "snapshot_vacuum_stats", "streaming_incremental_dedup",
+    "streaming_trending", "tfidf_cosine_topk", "token_budget_sample",
+    "triangle_census", "weighted_sample_stats",
+    # ...then the first 10 r6-verified (alphabetical)
+    "anomalous_events", "audio_window_stats", "binary_metadata",
+    "chunk_fixed", "cosine_histogram", "decontamination",
+    "dedup_exact_count", "event_transitions", "fingerprint_dups",
+    "hybrid_rrf_topk",
 ]
 
 
