@@ -426,7 +426,20 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the chain is three narrow shuffles (quality is a
     pure map; dedup shuffles 32-char fingerprints + a semi-join on
     ids; mixture is a map-side filter) over ONE corpus scan — exactly
-    how the 100 TB run is shaped, no stage rereads the raw text."""
+    how the 100 TB run is shaped, no stage rereads the raw text.
+
+    Materialization policy (r11, measured at the 1000× composed
+    rehearsal — scripts/funnel_1000x.py): the quality gate is the
+    funnel's expensive stage (a tokenization-heavy scan) AND its most
+    selective (1.25% keep on the replica corpus), and every
+    downstream stage plus every per-stage count re-derives it in a
+    fused plan — 246.8 s fused vs 108.0 s staged at 5M docs (2.3×).
+    So the gate's survivors and the exact-dedup survivors, each
+    consumed ≥2× below, persist through the columnar compressed
+    cache (spills batch-by-batch; the post-gate table is corpus-×
+    -selectivity sized, the cacheable regime by construction)."""
+    from pyspark import StorageLevel
+
     from cli_rag_spark.functions.quality import with_quality_metrics
     from cli_rag_spark.operators.dedup import dedup_exact
     from cli_rag_spark.operators.training import mixture_sample
@@ -437,8 +450,13 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = with_quality_metrics(docs).where(F.col("keep")).select(*docs.columns)
-    surv = dedup_exact(kept)
+    kept = (
+        with_quality_metrics(docs)
+        .where(F.col("keep"))
+        .select(*docs.columns)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    surv = dedup_exact(kept).persist(StorageLevel.MEMORY_AND_DISK)
     sampled = mixture_sample(surv, "source", MIX_RATES, MIX_DEFAULT, salt=MIX_SALT)
 
     def stage(df: DataFrame, name: str) -> DataFrame:

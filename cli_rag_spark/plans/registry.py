@@ -65,7 +65,7 @@ _PACKS = [
 # every local test run (tests/test_parity.py); the driver window is
 # the independent external sample on top.
 #
-# Round-11 window: 17 sentinels; FIVE category-2 re-entries whose
+# Round-11 window: 17 sentinels; SIX category-2 re-entries whose
 # implementation or oracle changed this round — lp_communities
 # (label_propagation round-1 identity fusion: no |V| distinct, no
 # first join — VERDICT r10 #3), hits_top_suppliers (hub_0 = 1.0
@@ -76,15 +76,19 @@ _PACKS = [
 # budget + the √C default probe width — ADVICE r10 + VERDICT r10
 # #1), vdb_roundtrip_stats (read_vdb_distributed length/offset
 # validation, ADVICE r10 #4), source_overlap_matrix (the
-# scale-aware shuffle-width rule ahead of its distinct, VERDICT r10
-# #2 — first driver verdict for this query since the rule landed);
+# scale-aware shuffle-width rule + columnar-cache materialization
+# ahead of its distinct, VERDICT r10 #2 — first driver verdict for
+# this query since the rule landed), curation_funnel (the measured
+# materialization policy from the 1000× composed rehearsal: the
+# quality-kept and exact-dedup survivor tables persist through the
+# columnar cache — 5.35 → 0.82-1.32 s at sf0.1, VERDICT r10 #6);
 # ONE never-judged (category 3, within the 12-cap): the r11
 # addition dedup_near_auto_count (the near-dup dispatcher judged
 # end-to-end; its oracle pins the allpairs route at oracle scale,
 # closing the r10 gap where choose_dedup_strategy was test-only —
 # and d604c4b changed its sampling, so the dispatcher is also
 # freshly changed code). Then least-recently-verified fill
-# (27 slots, reconstructed from CORRECTNESS_r1–r10 last-verdict
+# (26 slots, reconstructed from CORRECTNESS_r1–r10 last-verdict
 # rounds, oldest first, alphabetical within a round): ALL 17
 # remaining r5-verified (matryoshka_topk, maxsim_topk,
 # ols_token_chars, quality_drift_ks, quality_drift_psi,
@@ -92,12 +96,14 @@ _PACKS = [
 # snapshot_schema_evolution, snapshot_time_travel,
 # snapshot_vacuum_stats, streaming_incremental_dedup,
 # streaming_trending, tfidf_cosine_topk, token_budget_sample,
-# triangle_census, weighted_sample_stats) and the first 10
-# r6-verified (anomalous_events, audio_window_stats,
-# binary_metadata, chunk_fixed, cosine_histogram, decontamination,
-# dedup_exact_count, event_transitions, fingerprint_dups,
-# hybrid_rrf_topk). The r12 head is owed: the remaining r6-verified
-# oldest-first (lang_id_confusion, maxsim_rerank, mixture_weights,
+# triangle_census, weighted_sample_stats) and the first 9 r6-verified
+# (anomalous_events, audio_window_stats, binary_metadata,
+# chunk_fixed, cosine_histogram, decontamination,
+# dedup_exact_count, event_transitions, fingerprint_dups — 26 fill
+# slots after curation_funnel's cat-2 entry displaced the 10th,
+# hybrid_rrf_topk, to the r12 head). The r12 head is owed:
+# hybrid_rrf_topk, then the remaining r6-verified oldest-first
+# (lang_id_confusion, maxsim_rerank, mixture_weights,
 # ngram_jaccard, pack_chunks_stats, price_percentiles, ...), then
 # r7-verified.
 _SENTINELS = [
@@ -124,7 +130,7 @@ _PRIORITY = _SENTINELS + [
     # family, the r6 batching protocol — details in the rotation
     # comment above)
     "lp_communities", "hits_top_suppliers", "knn_join_auto",
-    "vdb_roundtrip_stats", "source_overlap_matrix",
+    "vdb_roundtrip_stats", "source_overlap_matrix", "curation_funnel",
     # (3) never driver-checked: the one r11 addition
     "dedup_near_auto_count",
     # (4) least-recently-verified fill: all 17 remaining r5-verified...
@@ -139,7 +145,6 @@ _PRIORITY = _SENTINELS + [
     "anomalous_events", "audio_window_stats", "binary_metadata",
     "chunk_fixed", "cosine_histogram", "decontamination",
     "dedup_exact_count", "event_transitions", "fingerprint_dups",
-    "hybrid_rrf_topk",
 ]
 
 

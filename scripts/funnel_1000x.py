@@ -83,10 +83,72 @@ def _stage_frames(spark, sf_dir):
     ]
 
 
+def run_staged(spark, sf_dir, multiple: int) -> None:
+    """The MATERIALIZED policy: each stage writes parquet and the next
+    stage reads it back — what a production funnel does between
+    checkpointable stages. Times include the writes (that's the
+    policy's real cost); compare with the fused cumulative-prefix
+    numbers to decide where materialization pays."""
+    import shutil
+    import tempfile
+
+    from cli_rag_spark.functions.quality import with_quality_metrics
+    from cli_rag_spark.operators.dedup import dedup_exact, dedup_near
+    from cli_rag_spark.operators.training import mixture_sample
+    from cli_rag_spark.plans.queries_training import (
+        MIX_DEFAULT,
+        MIX_RATES,
+        MIX_SALT,
+    )
+
+    work = tempfile.mkdtemp(prefix="funnel_staged_")
+    docs = load_table(spark, sf_dir, "documents")
+    stage_sec = {}
+    rows = {}
+
+    def materialize(name, df):
+        t0 = time.perf_counter()
+        path = os.path.join(work, name)
+        df.write.mode("overwrite").parquet(path)
+        stage_sec[name] = round(time.perf_counter() - t0, 2)
+        out = spark.read.parquet(path)
+        rows[name] = out.count()
+        print(json.dumps({"staged_stage": name, "sec": stage_sec[name],
+                          "rows_out": rows[name]}), flush=True)
+        return out
+
+    kept = materialize(
+        "quality", with_quality_metrics(docs).where(F.col("keep")).select(*docs.columns)
+    )
+    exact = materialize("exact_dedup", dedup_exact(kept))
+    near = materialize("near_dedup", dedup_near(exact))
+    t0 = time.perf_counter()
+    sampled = mixture_sample(near, "source", MIX_RATES, MIX_DEFAULT, salt=MIX_SALT)
+    n = sampled.count()
+    stage_sec["mixture"] = round(time.perf_counter() - t0, 2)
+    rows["mixture"] = n
+    print(
+        json.dumps(
+            {
+                "funnel": "staged(parquet) quality->exact->near->mixture",
+                "multiple": multiple,
+                "stage_sec": stage_sec,
+                "rows": rows,
+                "total_sec": round(sum(stage_sec.values()), 2),
+            }
+        ),
+        flush=True,
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--multiple", type=int, default=1000)
     ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--staged", action="store_true",
+                    help="materialize each stage to parquet instead of "
+                         "the fused cumulative-prefix protocol")
     args = ap.parse_args()
 
     spark = get_session(app_name="cli-rag-spark-funnel-1000x")
@@ -96,6 +158,11 @@ def main() -> None:
     raw_rows = load_table(spark, sf_dir, "documents").count()
     print(json.dumps({"multiple": args.multiple, "raw_docs": raw_rows}),
           flush=True)
+
+    if args.staged:
+        run_staged(spark, sf_dir, args.multiple)
+        spark.stop()
+        return
 
     prefix_sec: dict[str, float] = {}
     rows_out: dict[str, int] = {}
