@@ -544,28 +544,52 @@ def test_choose_knn_strategy_gemm_elems_gate():
 
 
 def test_choose_knn_strategy_pq_branch_pinned():
-    """The 5th strategy (VERDICT r9 #2): PQ-ADC is chosen when brute
-    force is out of envelope, no IVF index exists, a PQ index does,
-    and the Q·N ADC pair-row shuffle is affordable; IVF outranks it
-    (sub-N probe beats a full-codes scan); past PQ_MAX_ADC_ROWS the
-    collision-bounded LSH candidates win."""
+    """The 5th strategy (VERDICT r9 #2, re-gated by the r11 routed
+    measurement): PQ-ADC is chosen when brute force is out of the
+    MEASURED GEMM envelope, no IVF index exists, a PQ index does, the
+    workload is high-dim (dim ≥ PQ_MIN_DIM — at dim 64 the 2M-row
+    measurement read LSH 251 s/recall 0.69 vs ADC 530 s/recall 0.11,
+    so low-dim never routes pq), and the Q·N ADC pair-row shuffle is
+    affordable; IVF outranks it (sub-N probe beats a full-codes
+    scan); past PQ_MAX_ADC_ROWS the collision-bounded LSH candidates
+    win."""
     from cli_rag_spark.operators.knn import (
         GEMM_MAX_PAIR_OPS,
+        GEMM_MAX_QUERY_ELEMS,
         PQ_MAX_ADC_ROWS,
+        PQ_MIN_DIM,
         choose_knn_strategy,
     )
 
-    q, n = 50_000, 20_000  # 6.4e10 pair-ops at dim 64: past GEMM
-    assert q * n * 64 > GEMM_MAX_PAIR_OPS and q * n <= PQ_MAX_ADC_ROWS
-    assert choose_knn_strategy(q, n, 64, pq_available=True) == "pq"
-    assert choose_knn_strategy(q, n, 64, pq_available=False) == "lsh"
+    # the high-dim memory-bound niche: past the measured GEMM ops cap,
+    # under the ADC shuffle cap, query matrix collectable
+    q, n, dim = 1_000, 1_500_000, 4096
+    assert q * n * dim > GEMM_MAX_PAIR_OPS and q * n <= PQ_MAX_ADC_ROWS
+    assert q * dim <= GEMM_MAX_QUERY_ELEMS and dim >= PQ_MIN_DIM
+    assert choose_knn_strategy(q, n, dim, pq_available=True) == "pq"
+    assert choose_knn_strategy(q, n, dim, pq_available=False) == "lsh"
     assert (
-        choose_knn_strategy(q, n, 64, ivf_available=True, pq_available=True)
+        choose_knn_strategy(q, n, dim, ivf_available=True, pq_available=True)
         == "ivf"
     )
+    # the dim gate in isolation: a huge query side blocks GEMM via the
+    # row/elems caps (not ops), the ADC shuffle is affordable — then
+    # dim decides: 64 (the measured LSH-wins region) routes lsh, the
+    # same shape at PQ_MIN_DIM routes pq
+    from cli_rag_spark.operators.knn import GEMM_MAX_QUERIES
+
+    qbig, nsmall = 2_000_000, 1_000
+    assert qbig > GEMM_MAX_QUERIES and qbig * nsmall <= PQ_MAX_ADC_ROWS
+    assert qbig * nsmall * PQ_MIN_DIM <= GEMM_MAX_PAIR_OPS
+    assert choose_knn_strategy(qbig, nsmall, 64, pq_available=True) == "lsh"
+    assert (
+        choose_knn_strategy(qbig, nsmall, PQ_MIN_DIM, pq_available=True)
+        == "pq"
+    )
+    # past the ADC shuffle envelope: LSH even at high dim
     big_q, big_n = 10_000_000, 1_000_000_000
     assert big_q * big_n > PQ_MAX_ADC_ROWS
-    assert choose_knn_strategy(big_q, big_n, 64, pq_available=True) == "lsh"
+    assert choose_knn_strategy(big_q, big_n, 4096, pq_available=True) == "lsh"
 
 
 def test_gemm_query_elems_guard(spark, sf_dir):
@@ -588,11 +612,14 @@ def test_gemm_query_elems_guard(spark, sf_dir):
 
 def test_knn_join_auto_pq_path_with_validated_index(spark, sf_dir, tmp_path):
     """With a dim-validated persisted PQ index, no IVF index, and a
-    shape past the GEMM envelope (forced via n_index hint), auto
-    routes to PQ-ADC: result matches pq_knn_join run directly (modulo
-    the contract rename est_d2 -> dist) and the executed plan scans
-    the persisted codes parquet — never an embedding column."""
-    from cli_rag_spark.operators.knn import knn_join_auto
+    shape in the measured PQ niche (HIGH-dim, GEMM blocked by the
+    query-side caps via hints, ADC shuffle affordable — r11: dim 64
+    can never route pq, the 2M-row measurement put LSH ahead on wall
+    and recall there), auto routes to PQ-ADC: result matches
+    pq_knn_join run directly (modulo the contract rename est_d2 ->
+    dist) and the executed plan scans the persisted codes parquet —
+    never an embedding column."""
+    from cli_rag_spark.operators.knn import PQ_MIN_DIM, knn_join_auto
     from cli_rag_spark.operators.pq import (
         build_pq_index,
         pq_index_ready,
@@ -600,18 +627,31 @@ def test_knn_join_auto_pq_path_with_validated_index(spark, sf_dir, tmp_path):
         read_pq_index,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # synthetic high-dim frame: the fixture's 64-dim vectors tiled to
+    # PQ_MIN_DIM (per-subspace structure preserved; values real)
+    hd = F.slice(
+        F.flatten(F.array_repeat(F.col("embedding"), PQ_MIN_DIM // 64 + 1)),
+        1,
+        PQ_MIN_DIM,
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", hd.alias("embedding"))
+    )
     path = str(tmp_path / "pq_auto")
     build_pq_index(emb, path, m_subspaces=4, k_codes=16)
-    assert pq_index_ready(spark, path, 64, 4)
-    assert not pq_index_ready(spark, path, 128, 4)  # wrong dim
-    assert not pq_index_ready(spark, path, 64, 8)   # wrong geometry
-    assert not pq_index_ready(spark, str(tmp_path / "missing"), 64, 4)
+    assert pq_index_ready(spark, path, PQ_MIN_DIM, 4)
+    assert not pq_index_ready(spark, path, 64, 4)   # wrong dim
+    assert not pq_index_ready(spark, path, PQ_MIN_DIM, 8)  # wrong geometry
+    assert not pq_index_ready(spark, str(tmp_path / "missing"), PQ_MIN_DIM, 4)
     q = _queries(emb, 5)
-    # 5 x 2e8 x 64 = 6.4e10 pair-ops (past GEMM) with Q*N = 1e9 rows
-    # (inside the ADC shuffle budget) -> "pq"
+    # hinted 2e6 queries x 1e3 rows: GEMM blocked by the row AND elems
+    # caps (2e6 > 1e6 rows; 2e6·dim > 64e6 elems), ADC rows 2e9 at the
+    # cap, dim >= PQ_MIN_DIM -> "pq"
     auto = knn_join_auto(
-        q, emb, k=3, n_index=200_000_000, pq_path=path, pq_m_subspaces=4,
+        q, emb, k=3, n_queries=2_000_000, n_index=1_000,
+        pq_path=path, pq_m_subspaces=4,
     )
     plan = auto._jdf.queryExecution().executedPlan().toString()
     assert "est_d2" in plan  # the ADC estimate, renamed to the contract
@@ -630,7 +670,7 @@ def test_knn_join_auto_pq_path_with_validated_index(spark, sf_dir, tmp_path):
     ivf_path = str(tmp_path / "ivf_pref")
     build_ivf_index(emb, ivf_path, n_centroids=8)
     both = knn_join_auto(
-        q, emb, k=3, n_index=200_000_000,
+        q, emb, k=3, n_queries=2_000_000, n_index=1_000,
         ivf_path=ivf_path, n_centroids=8, n_probe=2,
         pq_path=path, pq_m_subspaces=4,
     )
