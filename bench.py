@@ -125,6 +125,9 @@ HEADLINE = [
     "knn_join_auto",             # vector: E7 strategy auto-dispatch -> GEMM (r9)
     "vdb_roundtrip_stats",       # sources: .vdb codec round-trip checksums (r9)
     "ivf_sqrt_partition_stats",  # vector: C~sqrt(N) build default + occupancy (r10)
+    "curation_funnel",           # corpus: quality->dedup->mixture funnel, cached survivors (r11)
+    "dedup_near_auto_count",     # dedup: sampled-skew dispatch -> minhash at sf0.1 (r11)
+    "overlap_matrix_incremental",  # corpus: snapshot+delta matrix maintenance (r11)
 ]
 
 

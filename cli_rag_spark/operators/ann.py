@@ -176,15 +176,103 @@ def default_n_probe(n_centroids: int) -> int:
     that silently trades away recall as data grows. Scaling n_probe
     with √C keeps the probed-list count growing as the lists shrink:
     probed fraction = √C/C = C^-1/2, and probe volume = √C·N/C = N/√C
-    = N^(3/4) under C=√N — still strictly sub-linear, while the
-    measured grown-C recall holds instead of decaying (SCALING.md r11
-    ivf recall column: recall@3 = 1.0 at 1×/10×/100× under this rule
-    vs 0.5–0.7 at fixed n_probe=2). √C is also the FAISS-community
-    guideline for keeping IVF recall roughly flat as nlist grows.
-    Floor 1, and capped at C (probing every list = exact scan)."""
+    = N^(3/4) under C=√N — still strictly sub-linear. MEASURED
+    (SCALING.md r11 ivf recall row, grown-C builds at C=44/141/447):
+    in-sample recall@3 is 1.0 for BOTH widths (the corpus's planted
+    near-pairs co-locate in one list); on the out-of-sample perturbed
+    query set the rule reads 0.967/1.000/0.900 vs fixed-2's
+    0.933/0.967/0.900 — ties-or-beats everywhere at no measurable
+    wall cost, and carries the non-collapsing-fraction guarantee the
+    fixed width lacks. √C is also the FAISS-community guideline for
+    keeping IVF recall roughly flat as nlist grows. Floor 1, and
+    capped at C (probing every list = exact scan). For a recall
+    TARGET instead of a rule, see :func:`tune_n_probe`."""
     if n_centroids < 1:
         raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
     return max(1, min(math.isqrt(n_centroids), n_centroids))
+
+
+def tune_n_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    target_recall: float = 0.95,
+    k: int = 10,
+) -> tuple[int, float]:
+    """The recall-TARGETED probe width (VERDICT r10 #7b): the smallest
+    n_probe on a geometric ladder whose measured recall@k over the
+    caller's query sample meets ``target_recall``, with ground truth
+    computed exactly over the index's own vectors. Returns
+    ``(n_probe, measured_recall)``.
+
+    This turns the in-engine recall gates (knn.topk_recall, the
+    ivf_recall_stats machinery) plus the √C default into one
+    self-tuning surface: the ladder starts at ``default_n_probe(C)``
+    — the rule that measured tie-or-better recall at grown C — and
+    doubles until the target is met, ending at C (a full-scan probe,
+    recall 1.0 by construction), so the search always terminates with
+    a width that meets any target ≤ 1.0. Below the rule, width 1 is
+    also tried so cheap targets get cheap probes.
+
+    Cost model: pass a BOUNDED query sample (the choose_dedup_strategy
+    sampling discipline — draw by id hash, not the partition head);
+    each rung costs one exact GEMM over |sample|·N pairs (amortized:
+    computed once) plus one IVF probe join per rung, O(|sample| ·
+    n_probe · N/C) rows. Deterministic for a fixed sample: every step
+    is a deterministic DataFrame computation.
+
+    The tuned width is an ARGUMENT to pass back into
+    :func:`knn_join_ivf` / knn_join_auto(n_probe=...), not ambient
+    state — at 100 TB the tuner runs once per index build (or per
+    drift check) on a droplet of the corpus, never per query."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1], got {target_recall}"
+        )
+    from cli_rag_spark.operators.knn import knn_join_gemm, topk_recall
+
+    meta = _read_ivf_meta(spark, path)
+    c = int(meta["n_centroids"])
+    index = read_ivf_index(spark, path)
+    # the meta sidecar doesn't record dim (ivf_index_ready reads it
+    # from the centroids parquet) — one bounded probe row does here
+    row0 = (
+        index.where(F.col("embedding").isNotNull())
+        .select(F.size("embedding").alias("d"))
+        .first()
+    )
+    if row0 is None or not row0["d"] or row0["d"] <= 0:
+        raise ValueError(f"IVF index at {path} has no scorable vectors")
+    dim = int(row0["d"])
+    # exact ground truth over the index's own vectors, computed once
+    exact = knn_join_gemm(
+        queries, index, k=k, dim=dim
+    ).localCheckpoint(eager=True)
+    ladder: list[int] = []
+    w = default_n_probe(c)
+    if w > 1:
+        ladder.append(1)
+    while w < c:
+        ladder.append(w)
+        w *= 2
+    ladder.append(c)
+    recall = 0.0
+    for probe in ladder:
+        approx = knn_join_ivf(
+            queries, index, k, c, probe, validate_cid=False
+        )
+        row = (
+            topk_recall(exact, approx, k=k)
+            .agg(F.avg("recall").alias("r"))
+            .first()
+        )
+        recall = float(row["r"]) if row["r"] is not None else 0.0
+        if recall >= target_recall:
+            return probe, round(recall, 6)
+    # the last rung is C (a full-scan probe); if even that missed the
+    # target (possible only through tie-break/rounding noise), return
+    # it with the MEASURED recall rather than a claimed 1.0
+    return c, round(recall, 6)
 
 
 def build_ivf_index(

@@ -466,3 +466,41 @@ def test_knn_join_auto_default_n_probe_uses_rule(spark, sf_dir, tmp_path):
     }
     # and the rule differs from the old C//4 default here (9//4=2 vs 3)
     assert default_n_probe(9) == 3
+
+
+def test_tune_n_probe_targets_recall(spark, sf_dir, tmp_path):
+    """VERDICT r10 #7b: the recall-targeted tuner returns the smallest
+    ladder width meeting the target, measured against exact ground
+    truth over the index's own vectors; a full-target search ends at
+    a width whose measured recall actually meets it, and a trivial
+    target gets the cheapest probe."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.ann import (
+        build_ivf_index,
+        default_n_probe,
+        tune_n_probe,
+    )
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_tune")
+    build_ivf_index(emb, path, n_centroids=9)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    probe, recall = tune_n_probe(spark, path, q, target_recall=1.0, k=3)
+    assert 1 <= probe <= 9
+    assert recall == 1.0  # probing every list reproduces exact top-k,
+    # so the ladder's terminal rung guarantees a 1.0-target terminates
+    # tiny target: the cheapest rung that clears it (ladder starts at 1)
+    probe_lo, recall_lo = tune_n_probe(spark, path, q, target_recall=0.05, k=3)
+    assert probe_lo <= probe
+    assert recall_lo >= 0.05
+    # monotone: a wider-probe requirement never picks a narrower width
+    assert probe_lo in (1, default_n_probe(9), 6, 9)
+    with pytest.raises(ValueError, match="target_recall"):
+        tune_n_probe(spark, path, q, target_recall=0.0)
+    with pytest.raises(ValueError, match="target_recall"):
+        tune_n_probe(spark, path, q, target_recall=1.5)
