@@ -807,3 +807,29 @@ def test_knn_join_auto_verify_index_content(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in auto3.collect()} == {
         tuple(r) for r in direct.collect()
     }
+
+
+def test_tune_lsh_bands_targets_recall(spark, sf_dir):
+    """VERDICT r10 #7b (banding half): smallest divisor-ladder band
+    count meeting the target; an unreachable target returns the last
+    rung with its MEASURED recall, never a claimed number."""
+    import pytest
+
+    from cli_rag_spark.operators.knn import tune_lsh_bands
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    q = _queries(emb, 8)
+    bands, recall = tune_lsh_bands(q, emb, dim=64, target_recall=0.5, k=3)
+    assert bands in (1, 2, 4, 8, 16) and recall >= 0.5
+    # a trivial target never needs more bands than a strict one
+    bands_lo, recall_lo = tune_lsh_bands(q, emb, dim=64, target_recall=0.01, k=3)
+    assert bands_lo <= bands and recall_lo >= 0.01
+    # determinism: same sample + seed -> same pick
+    again = tune_lsh_bands(q, emb, dim=64, target_recall=0.5, k=3)
+    assert again == (bands, recall)
+    with pytest.raises(ValueError, match="target_recall"):
+        tune_lsh_bands(q, emb, dim=64, target_recall=0.0)
+    with pytest.raises(ValueError, match="n_planes"):
+        tune_lsh_bands(q, emb, dim=64, n_planes=0)
