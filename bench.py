@@ -128,6 +128,7 @@ HEADLINE = [
     "curation_funnel",           # corpus: quality->dedup->mixture funnel, cached survivors (r11)
     "dedup_near_auto_count",     # dedup: sampled-skew dispatch -> minhash at sf0.1 (r11)
     "overlap_matrix_incremental",  # corpus: snapshot+delta matrix maintenance (r11)
+    "knn_join_ivfpq",            # vector: batch IVFADC join — sub-linear E7 member (r11)
 ]
 
 

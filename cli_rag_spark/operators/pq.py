@@ -406,6 +406,106 @@ def pq_knn_join(
     )
 
 
+def knn_join_ivfpq(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    assign: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probe: int,
+    m_subspaces: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Batch IVFADC kNN JOIN — :func:`ivfpq_topk` generalized from one
+    query to a query TABLE, and the answer to what the r11 routed
+    measurement proved about the flat paths (SCALING.md): at Q·N
+    scale, pq_knn_join's ADC shuffle and knn_join_lsh's collision
+    verify are both Θ(Q·N) with constants 27-57× worse than plain
+    GEMM, so past the GEMM envelope the only right shape is
+    SUB-linear — IVF prunes the rows per query, PQ shrinks the bytes:
+    candidate volume is Q · n_probe · (N/C) · M narrow code rows
+    instead of Q·N, and no embedding is read at query time.
+
+    Plan: (1) per-query probe — centroids × broadcast queries, one
+    window top-``n_probe`` per query (C·Q tiny rows); (2) candidates
+    — the codes scan joins the cid assignment once, then the
+    broadcast (query, cid) probe list — this inner join IS the
+    pruning, fanning each code row out only to the queries that probe
+    its list; (3) the per-query LUT (Q·M·K rows, broadcast — the
+    pq_knn_join spelling) scores candidates by (query, m, code), and
+    the partial-agg groupBy sums M lookups per (query, id). Same
+    deterministic (est_d2, id) contract and [query_id, id, est_d2,
+    rank] shape as every other E7 strategy.
+
+    Pass ``codes``/``codebook`` from :func:`read_pq_index` and
+    ``assign``/``centroids`` from the persisted IVF artifact (the
+    coarse quantizer travels with its assignment — the ivfpq_topk
+    ADVICE r4 rule); everything downstream of the artifacts is
+    SQL-oracle-replayable."""
+    from pyspark.sql import Window
+
+    q = queries.select(query_id, query_vec)
+    probed = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            query_id,
+            "cid",
+            F.round(
+                cosine_distance(F.col("cvec"), F.col(query_vec)), round_digits
+            ).alias("_d"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.col("_d").asc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("_rn") <= n_probe)
+        .select(query_id, "cid")
+    )
+    ds = _d_sub(F.col(query_vec).cast("array<double>"), m_subspaces)
+    lut = (
+        codebook.crossJoin(F.broadcast(q))
+        .select(
+            query_id,
+            "m",
+            "code",
+            F.round(
+                l2_sq(
+                    F.col("cvec"),
+                    F.slice(
+                        F.col(query_vec).cast("array<double>"),
+                        F.col("m") * ds + 1,
+                        ds,
+                    ),
+                ),
+                round_digits,
+            ).alias("d2"),
+        )
+    )
+    cand = (
+        codes.join(assign.select(id_col, "cid"), id_col)
+        .join(F.broadcast(probed), "cid")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("est_d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.join(F.broadcast(lut), [query_id, "m", "code"])
+        .groupBy(query_id, id_col)
+        .agg(F.round(F.sum("d2"), round_digits).alias("est_d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "est_d2", "rank")
+    )
+
+
 def refine_pq_codebook(
     vectors: DataFrame,
     codebook: DataFrame,

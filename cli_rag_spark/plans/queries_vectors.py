@@ -34,6 +34,7 @@ from cli_rag_spark.operators.pq import (
     build_pq_index,
     ivfpq_residual_topk,
     ivfpq_topk,
+    knn_join_ivfpq,
     pq_adc_scores,
     pq_knn_join,
     read_pq_index,
@@ -276,6 +277,34 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, q, k=K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
         m_subspaces=PQ_M, k_codes=PQ_K, codes=codes, codebook=cb,
+    )
+
+
+def q_knn_join_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVFADC kNN join (operators/pq.py knn_join_ivfpq, r11) —
+    the SUB-linear member of the E7 family the routed-shape
+    measurement demanded (SCALING.md r11: past the GEMM envelope both
+    flat paths lose by 27-57×): per query, probe the 2 nearest of 8
+    coarse lists and ADC-score only those lists' persisted codes —
+    candidate volume Q·n_probe·(N/C)·M narrow rows, embeddings
+    untouched at query time. Probe, encode argmin, per-query LUT, and
+    ADC sum are all seeded/deterministic, so the 10-query batch is
+    oracle-replayed end to end."""
+    from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+
+    emb, codes, cb = _persisted_pq_index(spark, sf_dir, "ivfpq")
+    cent = seed_centroids(emb, IVF_CENTROIDS)
+    assign = assign_centroids(emb, cent)
+    q = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = knn_join_ivfpq(
+        q, codes, cb, assign, cent, k=K, n_probe=IVF_PROBE,
+        m_subspaces=PQ_M,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
     )
 
 
@@ -892,6 +921,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "knn_join_ivfpq": q_knn_join_ivfpq,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "knn_join_pq": q_knn_join_pq,
     "quantized_topk": q_quantized_topk,
@@ -1277,6 +1307,76 @@ ORACLE = {
         JOIN lut l USING (m, code)
         GROUP BY codes.vec_id
         ORDER BY est_d2, codes.vec_id LIMIT {K}
+    """,
+    # ivfpq_topk's spelling generalized to a query TABLE: probe and
+    # LUT become per-query (window / key on query_id), top-k becomes
+    # rank-per-query — the r11 batch IVFADC join replayed end to end
+    "knn_join_ivfpq": f"""
+        WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        cb AS (
+            SELECT ms.m, e.vec_id AS code,
+                   (e.embedding::DOUBLE[])[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS cvec
+            FROM embeddings e, ms WHERE e.vec_id < {PQ_K}
+        ), subs AS (
+            SELECT e.vec_id, ms.m,
+                   (e.embedding::DOUBLE[])[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS subvec
+            FROM embeddings e, ms
+        ), codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT s.vec_id, s.m, c.code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                                     i -> (s.subvec[i]-c.cvec[i])*(s.subvec[i]-c.cvec[i]))), 6), c.code
+                       ) AS rn
+                FROM subs s JOIN cb c USING (m)
+            ) WHERE rn = 1
+        ), cent AS (
+            SELECT vec_id AS cid, embedding AS ccvec FROM embeddings
+            WHERE vec_id < {IVF_CENTROIDS}
+        ), qs AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < {LSH_QUERIES}
+        ), assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.ccvec::DOUBLE[]), 6), c.cid
+                       ) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        ), probe AS (
+            SELECT query_id, cid FROM (
+                SELECT q.query_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(1 - list_cosine_similarity(c.ccvec::DOUBLE[], q.qv), 6), c.cid
+                       ) AS rn
+                FROM cent c, qs q
+            ) WHERE rn <= {IVF_PROBE}
+        ), lut AS (
+            SELECT q.query_id, c.m, c.code,
+                   round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> (c.cvec[i]-q.qv[c.m*{LSH_DIM // PQ_M}+i])*(c.cvec[i]-q.qv[c.m*{LSH_DIM // PQ_M}+i]))), 6) AS d2
+            FROM cb c, qs q
+        ), est AS (
+            SELECT p.query_id, codes.vec_id, round(sum(l.d2), 6) AS est_d2
+            FROM codes
+            JOIN assign a ON codes.vec_id = a.vec_id
+            JOIN probe p ON a.cid = p.cid
+            JOIN lut l ON l.query_id = p.query_id
+                      AND l.m = codes.m AND l.code = codes.code
+            GROUP BY p.query_id, codes.vec_id
+        )
+        SELECT query_id, vec_id, est_d2, rank FROM (
+            SELECT query_id, vec_id, est_d2,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY est_d2, vec_id
+                   ) AS rank
+            FROM est
+        ) WHERE rank <= {K}
+        ORDER BY query_id, rank
     """,
     "knn_join_ivf": f"""
         WITH {_IVF_SCORED_CTES}

@@ -48,9 +48,9 @@ _PACKS = [
 #
 # STALENESS BOUND (kept current per VERDICT r7 "What's wrong #3";
 # the arithmetic below MUST be updated whenever the registry count
-# changes): with 192 registered queries, 17 sentinels and exactly 33
-# rotating slots per round, a full pass over the 175 non-sentinel
-# queries takes ceil(175/33) = 6 rounds, so the honest worst-case
+# changes): with 193 registered queries, 17 sentinels and exactly 33
+# rotating slots per round, a full pass over the 176 non-sentinel
+# queries takes ceil(176/33) = 6 rounds, so the honest worst-case
 # staleness of a driver verdict is ≤ 6 rounds (rounding DOWN here is
 # how the r6 "~2 rounds" claim went wrong — count whole rounds, and
 # remember category-2/3 load eats into the 33 before stale fill gets
@@ -59,8 +59,8 @@ _PACKS = [
 # never-judged backlog; r7 left 22; r9 cleared it to ZERO; the
 # backlog stays zero through r10 (190/190 ever-judged, all green).
 # NEW-QUERY CAP (adopted r8): at most 12 new judged queries per
-# round; r11 adds TWO (dedup_near_auto_count,
-# overlap_matrix_incremental). The every-run
+# round; r11 adds THREE (dedup_near_auto_count,
+# overlap_matrix_incremental, knn_join_ivfpq). The every-run
 # correctness gate is NOT the driver window: every registered query
 # is value- and dtype-exactly replayed against its DuckDB oracle on
 # every local test run (tests/test_parity.py); the driver window is
@@ -83,15 +83,17 @@ _PACKS = [
 # materialization policy from the 1000× composed rehearsal: the
 # quality-kept and exact-dedup survivor tables persist through the
 # columnar cache — 5.35 → 0.82-1.32 s at sf0.1, VERDICT r10 #6);
-# TWO never-judged (category 3, within the 12-cap): the r11
+# THREE never-judged (category 3, within the 12-cap): the r11
 # additions dedup_near_auto_count (the near-dup dispatcher judged
 # end-to-end; its oracle pins the allpairs route at oracle scale,
 # closing the r10 gap where choose_dedup_strategy was test-only —
 # and d604c4b changed its sampling, so the dispatcher is also
 # freshly changed code) and overlap_matrix_incremental (VERDICT
 # r10 #7a — snapshot + delta maintenance, oracle = the batch
-# recomputation verbatim). Then least-recently-verified fill
-# (25 slots, reconstructed from CORRECTNESS_r1–r10 last-verdict
+# recomputation verbatim) and knn_join_ivfpq (the batch IVFADC
+# join — the sub-linear E7 member the routed-shape measurement
+# demanded; full-chain oracle). Then least-recently-verified fill
+# (24 slots, reconstructed from CORRECTNESS_r1–r10 last-verdict
 # rounds, oldest first, alphabetical within a round): ALL 17
 # remaining r5-verified (matryoshka_topk, maxsim_topk,
 # ols_token_chars, quality_drift_ks, quality_drift_psi,
@@ -99,13 +101,13 @@ _PACKS = [
 # snapshot_schema_evolution, snapshot_time_travel,
 # snapshot_vacuum_stats, streaming_incremental_dedup,
 # streaming_trending, tfidf_cosine_topk, token_budget_sample,
-# triangle_census, weighted_sample_stats) and the first 8 r6-verified
+# triangle_census, weighted_sample_stats) and the first 7 r6-verified
 # (anomalous_events, audio_window_stats, binary_metadata,
 # chunk_fixed, cosine_histogram, decontamination,
-# dedup_exact_count, event_transitions — 25 fill slots after
-# curation_funnel's cat-2 entry and overlap_matrix_incremental's
-# cat-3 entry displaced the last two r6 fills, fingerprint_dups
-# and hybrid_rrf_topk, to the r12 head). The r12 head is owed:
+# dedup_exact_count — 24 fill slots after curation_funnel's cat-2
+# entry and the three cat-3 entries displaced the last three r6
+# fills, event_transitions, fingerprint_dups and hybrid_rrf_topk,
+# to the r12 head). The r12 head is owed: event_transitions,
 # fingerprint_dups, hybrid_rrf_topk, then the remaining
 # r6-verified oldest-first
 # (lang_id_confusion, maxsim_rerank, mixture_weights,
@@ -136,8 +138,9 @@ _PRIORITY = _SENTINELS + [
     # comment above)
     "lp_communities", "hits_top_suppliers", "knn_join_auto",
     "vdb_roundtrip_stats", "source_overlap_matrix", "curation_funnel",
-    # (3) never driver-checked: the two r11 additions
+    # (3) never driver-checked: the three r11 additions
     "dedup_near_auto_count", "overlap_matrix_incremental",
+    "knn_join_ivfpq",
     # (4) least-recently-verified fill: all 17 remaining r5-verified...
     "matryoshka_topk", "maxsim_topk", "ols_token_chars",
     "quality_drift_ks", "quality_drift_psi", "setsim_pairs",
@@ -146,10 +149,10 @@ _PRIORITY = _SENTINELS + [
     "snapshot_vacuum_stats", "streaming_incremental_dedup",
     "streaming_trending", "tfidf_cosine_topk", "token_budget_sample",
     "triangle_census", "weighted_sample_stats",
-    # ...then the first 8 r6-verified (alphabetical)
+    # ...then the first 7 r6-verified (alphabetical)
     "anomalous_events", "audio_window_stats", "binary_metadata",
     "chunk_fixed", "cosine_histogram", "decontamination",
-    "dedup_exact_count", "event_transitions",
+    "dedup_exact_count",
 ]
 
 

@@ -361,3 +361,48 @@ def test_ivfpq_topk_explicit_centroids(spark, sf_dir):
         .collect()
     }
     assert hit_cids and hit_cids <= probed
+
+
+def test_knn_join_ivfpq_matches_per_query_topk(spark, sf_dir):
+    """The batch IVFADC join must reproduce ivfpq_topk run per query —
+    same probe, same LUT, same ADC sums, same (est_d2, id) ranking."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+    from cli_rag_spark.operators.pq import (
+        build_pq_codebook,
+        ivfpq_topk,
+        knn_join_ivfpq,
+        pq_encode,
+    )
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    cb = build_pq_codebook(emb, 4, 16)
+    codes = pq_encode(emb, cb, 4)
+    cent = seed_centroids(emb, 8)
+    assign = assign_centroids(emb, cent)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch = {
+        (r["query_id"], r["vec_id"], r["est_d2"], r["rank"])
+        for r in knn_join_ivfpq(
+            q, codes, cb, assign, cent, k=3, n_probe=2
+        ).collect()
+    }
+    single = set()
+    for qid in range(4):
+        one = emb.where(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("query_vec")
+        )
+        rows = ivfpq_topk(
+            emb, one, k=3, n_centroids=8, n_probe=2,
+            codes=codes, codebook=cb, assign=assign, centroids=cent,
+        ).collect()
+        for rank, r in enumerate(rows, start=1):
+            single.add((qid, r["vec_id"], r["est_d2"], rank))
+    assert batch == single
