@@ -66,7 +66,7 @@ _PACKS = [
 # every local test run (tests/test_parity.py); the driver window is
 # the independent external sample on top.
 #
-# Round-11 window: 17 sentinels; SIX category-2 re-entries whose
+# Round-11 window: 17 sentinels; EIGHT category-2 re-entries whose
 # implementation or oracle changed this round — lp_communities
 # (label_propagation round-1 identity fusion: no |V| distinct, no
 # first join — VERDICT r10 #3), hits_top_suppliers (hub_0 = 1.0
@@ -82,7 +82,12 @@ _PACKS = [
 # this query since the rule landed), curation_funnel (the measured
 # materialization policy from the 1000× composed rehearsal: the
 # quality-kept and exact-dedup survivor tables persist through the
-# columnar cache — 5.35 → 0.82-1.32 s at sf0.1, VERDICT r10 #6);
+# columnar cache — 5.35 → 0.82-1.32 s at sf0.1, VERDICT r10 #6),
+# and ivf_recall_stats + ivf_sqrt_partition_stats (VERDICT r10 #1's
+# "Done" names both explicitly; operators/ann.py changed this round
+# — default_n_probe is now knn_join_auto's unset default and
+# tune_n_probe shares the module — so the IVF probe/recall chain
+# gets fresh external verdicts alongside the grown-C recall booking);
 # THREE never-judged (category 3, within the 12-cap): the r11
 # additions dedup_near_auto_count (the near-dup dispatcher judged
 # end-to-end; its oracle pins the allpairs route at oracle scale,
@@ -93,7 +98,7 @@ _PACKS = [
 # recomputation verbatim) and knn_join_ivfpq (the batch IVFADC
 # join — the sub-linear E7 member the routed-shape measurement
 # demanded; full-chain oracle). Then least-recently-verified fill
-# (24 slots, reconstructed from CORRECTNESS_r1–r10 last-verdict
+# (22 slots, reconstructed from CORRECTNESS_r1–r10 last-verdict
 # rounds, oldest first, alphabetical within a round): ALL 17
 # remaining r5-verified (matryoshka_topk, maxsim_topk,
 # ols_token_chars, quality_drift_ks, quality_drift_psi,
@@ -101,15 +106,15 @@ _PACKS = [
 # snapshot_schema_evolution, snapshot_time_travel,
 # snapshot_vacuum_stats, streaming_incremental_dedup,
 # streaming_trending, tfidf_cosine_topk, token_budget_sample,
-# triangle_census, weighted_sample_stats) and the first 7 r6-verified
+# triangle_census, weighted_sample_stats) and the first 5 r6-verified
 # (anomalous_events, audio_window_stats, binary_metadata,
-# chunk_fixed, cosine_histogram, decontamination,
-# dedup_exact_count — 24 fill slots after curation_funnel's cat-2
-# entry and the three cat-3 entries displaced the last three r6
-# fills, event_transitions, fingerprint_dups and hybrid_rrf_topk,
-# to the r12 head). The r12 head is owed: event_transitions,
-# fingerprint_dups, hybrid_rrf_topk, then the remaining
-# r6-verified oldest-first
+# chunk_fixed, cosine_histogram — 22 fill slots after the three
+# extra cat-2 entries and the three cat-3 entries displaced the
+# last five r6 fills, decontamination, dedup_exact_count,
+# event_transitions, fingerprint_dups and hybrid_rrf_topk, to the
+# r12 head). The r12 head is owed: decontamination,
+# dedup_exact_count, event_transitions, fingerprint_dups,
+# hybrid_rrf_topk, then the remaining r6-verified oldest-first
 # (lang_id_confusion, maxsim_rerank, mixture_weights,
 # ngram_jaccard, pack_chunks_stats, price_percentiles, ...), then
 # r7-verified.
@@ -138,6 +143,7 @@ _PRIORITY = _SENTINELS + [
     # comment above)
     "lp_communities", "hits_top_suppliers", "knn_join_auto",
     "vdb_roundtrip_stats", "source_overlap_matrix", "curation_funnel",
+    "ivf_recall_stats", "ivf_sqrt_partition_stats",
     # (3) never driver-checked: the three r11 additions
     "dedup_near_auto_count", "overlap_matrix_incremental",
     "knn_join_ivfpq",
@@ -149,10 +155,9 @@ _PRIORITY = _SENTINELS + [
     "snapshot_vacuum_stats", "streaming_incremental_dedup",
     "streaming_trending", "tfidf_cosine_topk", "token_budget_sample",
     "triangle_census", "weighted_sample_stats",
-    # ...then the first 7 r6-verified (alphabetical)
+    # ...then the first 5 r6-verified (alphabetical)
     "anomalous_events", "audio_window_stats", "binary_metadata",
-    "chunk_fixed", "cosine_histogram", "decontamination",
-    "dedup_exact_count",
+    "chunk_fixed", "cosine_histogram",
 ]
 
 
