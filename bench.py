@@ -129,6 +129,7 @@ HEADLINE = [
     "dedup_near_auto_count",     # dedup: sampled-skew dispatch -> minhash at sf0.1 (r11)
     "overlap_matrix_incremental",  # corpus: snapshot+delta matrix maintenance (r11)
     "knn_join_ivfpq",            # vector: batch IVFADC join — sub-linear E7 member (r11)
+    "tuner_widths",              # vector: recall-targeted n_probe/bands tuners (r12)
 ]
 
 
@@ -152,6 +153,49 @@ def _sf_from_dir(sf_dir: str) -> float:
 # All readers degrade to None off-Linux rather than failing the bench.
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+# --- clean-pass stamping (VERDICT r11 "Next round #2") ----------------
+# The r11 official artifact regressed 41% because the driver's pass ran
+# inside the thermal/contention shadow of ~3 h of 32-core rehearsals,
+# and nothing REFUSED the dirty number — the self-certification fields
+# existed but a human had to read them. These thresholds machine-stamp
+# the artifact instead: `clean: false` + dirty_reasons whenever the
+# pass fails its own invariants, so a dirty pass can never silently be
+# the round's official number.
+#   OTHER_CPU_BASELINE: this bench's own pyspark worker daemons burn
+#   ~105 CPU-s per pass on this box (forked outside the driver's /proc
+#   view — BENCH.md r10 attribution); 15% above that means foreign
+#   processes competed with the measured queries.
+#   LOAD1_MAX_CLEAN: runnable backlog at pass START; the r11 dirty
+#   pass began at load1 6.78 vs ~0.1-1.6 on clean passes.
+OTHER_CPU_BASELINE = 105.0
+OTHER_CPU_SLACK = 1.15
+LOAD1_MAX_CLEAN = 2.0
+
+
+def _cleanliness(env: dict) -> tuple[bool, list[str]]:
+    reasons: list[str] = []
+    load_start = env.get("loadavg_start") or []
+    if load_start and load_start[0] > LOAD1_MAX_CLEAN:
+        reasons.append(
+            f"load1_start {load_start[0]:.2f} > {LOAD1_MAX_CLEAN}"
+        )
+    if all(
+        isinstance(env.get(k), (int, float))
+        for k in ("sys_busy_sec_total", "jvm_cpu_sec_total", "py_cpu_sec_total")
+    ):
+        other = (
+            env["sys_busy_sec_total"]
+            - env["jvm_cpu_sec_total"]
+            - env["py_cpu_sec_total"]
+        )
+        cap = OTHER_CPU_BASELINE * OTHER_CPU_SLACK
+        if other > cap:
+            reasons.append(
+                f"other_cpu {other:.1f} > {cap:.1f} "
+                f"(worker-daemon baseline {OTHER_CPU_BASELINE} x {OTHER_CPU_SLACK})"
+            )
+    return (not reasons), reasons
 
 
 def _loadavg() -> list[float] | None:
@@ -301,6 +345,7 @@ def compact_line(full: dict) -> str:
         "sf": full["sf"],
         "load1_start": (env.get("loadavg_start") or [None])[0],
         "other_cpu": other,
+        "clean": full.get("clean"),
     })
     assert len(line) <= 500, f"compact bench line grew to {len(line)} chars"
     return line
@@ -403,6 +448,7 @@ def main() -> None:
         },
         "sf": _sf_from_dir(sf_dir),
     }
+    full["clean"], full["dirty_reasons"] = _cleanliness(full["env"])
     # Output protocol (r7 verdict "What's wrong #1"): the driver keeps
     # only the LAST 2,000 chars of stdout, and at 69 queries the full
     # per-query JSON line is >2,000 chars, so a tail capture starts

@@ -101,6 +101,126 @@ def assign_centroids(
     )
 
 
+# Above this many N·C·dim candidate element-ops, the interpreted-HOF
+# crossJoin assignment leaves the fixture regime and the Arrow/GEMM
+# twin below is the right physical plan (same measured ~30× gap as
+# paired_cosine_distance vs the HOF form; the r12 ivfpq build at
+# N=2M × C=1414 × dim 64 is 1.8e11 element-ops — hours interpreted,
+# ~a minute as per-batch GEMM).
+GEMM_ASSIGN_MIN_OPS = 2_000_000_000
+
+
+def assign_centroids_gemm(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Arrow/GEMM twin of :func:`assign_centroids` for index BUILDS at
+    scale — same [id_col, cid] result, pinned identical in
+    tests/test_pq.py: distances are rounded to ``round_digits`` before
+    the argmin and ties break to the lowest cid, exactly the min_by
+    struct order, so the two physical forms agree bit-for-bit.
+
+    Plan: the centroid matrix (C·dim doubles — broadcast-sized by the
+    default_n_centroids clamp) rides into ``mapInPandas`` as a task
+    closure; each Arrow batch of vectors is scored with one f64 GEMM
+    and emits only (id, cid). The corpus never shuffles and no N×C
+    candidate rows exist anywhere — vs the HOF crossJoin form whose
+    per-element interpreted lambdas dominate past
+    ``GEMM_ASSIGN_MIN_OPS``. NaN distances (zero-norm rows under
+    cosine) are mapped to +inf so they lose to every real distance —
+    matching Spark's NaN-sorts-greatest semantics in the min_by."""
+    import numpy as np
+
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r} (cosine|l2)")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cent_rows = sorted(
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in centroids.collect()
+    )
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    use_cos = metric == "cosine"
+    cnorm = np.linalg.norm(cmat, axis=1) if use_cos else None
+    csq = None if use_cos else np.einsum("ij,ij->i", cmat, cmat)
+    schema = StructType([
+        StructField(id_col, vectors.schema[id_col].dataType),
+        StructField("cid", LongType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if use_cos:
+                sims = x @ cmat.T
+                den = np.linalg.norm(x, axis=1)[:, None] * cnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    d = 1.0 - sims / den
+            else:
+                d = (
+                    np.einsum("ij,ij->i", x, x)[:, None]
+                    - 2.0 * (x @ cmat.T)
+                    + csq[None, :]
+                )
+            d = np.round(d, round_digits)
+            d[np.isnan(d)] = np.inf
+            # argmin returns the FIRST minimum; cids are sorted
+            # ascending, so first-min == lowest-cid tie-break
+            best = cids[np.argmin(d, axis=1)]
+            yield pdf[[id_col]].assign(cid=best)
+
+    # NULL vectors can't ride the ndarray stack; they are unscorable
+    # under either physical form, so drop them here explicitly
+    return (
+        vectors.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .mapInPandas(score, schema)
+    )
+
+
+def assign_centroids_auto(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    metric: str = "cosine",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Route the assignment between the two bit-identical physical
+    forms by workload size: the JVM-side HOF crossJoin
+    (:func:`assign_centroids`, whole-stage-codegen-adjacent and
+    SQL-oracle-replayable — right while N·C·dim element-ops sit under
+    ``GEMM_ASSIGN_MIN_OPS``) vs the Arrow/GEMM map
+    (:func:`assign_centroids_gemm`). Shape discovery costs one count
+    + one metadata-cheap first() when ``n_rows``/dim aren't known;
+    the centroid count comes from a count() on what is by contract a
+    tiny frame."""
+    if n_rows is None:
+        n_rows = vectors.count()
+    c = centroids.count()
+    row0 = (
+        vectors.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    dim = int(row0["d"]) if row0 is not None and row0["d"] else 0
+    if n_rows * c * dim > GEMM_ASSIGN_MIN_OPS:
+        return assign_centroids_gemm(
+            vectors, centroids, id_col, vec_col, round_digits, metric
+        )
+    return assign_centroids(
+        vectors, centroids, id_col, vec_col, round_digits, metric
+    )
+
+
 def kmeans_refine(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -207,12 +327,12 @@ def tune_n_probe(
 
     This turns the in-engine recall gates (knn.topk_recall, the
     ivf_recall_stats machinery) plus the √C default into one
-    self-tuning surface: the ladder starts at ``default_n_probe(C)``
-    — the rule that measured tie-or-better recall at grown C — and
-    doubles until the target is met, ending at C (a full-scan probe,
-    recall 1.0 by construction), so the search always terminates with
-    a width that meets any target ≤ 1.0. Below the rule, width 1 is
-    also tried so cheap targets get cheap probes.
+    self-tuning surface: the ladder is the powers of two from 1 up,
+    capped at C (a full-scan probe, recall 1.0 by construction), so
+    the search always terminates with a width that meets any target
+    ≤ 1.0 and never overshoots the minimal sufficient width by more
+    than 2× (the smallest-rung guarantee is relative to THIS ladder,
+    not a global minimum over every integer width).
 
     Cost model: pass a BOUNDED query sample (the choose_dedup_strategy
     sampling discipline — draw by id hash, not the partition head);
@@ -248,10 +368,15 @@ def tune_n_probe(
     exact = knn_join_gemm(
         queries, index, k=k, dim=dim
     ).localCheckpoint(eager=True)
+    # Pure power-of-two ladder from 1 up to C (ADVICE r11: the earlier
+    # ladder jumped 1 → default_n_probe(C) → doubling, so at large C
+    # the returned width could overshoot the minimal sufficient width
+    # by up to the default — e.g. C=10000, target met at 4, returned
+    # 100. Doubling from 1 bounds the overshoot to 2× everywhere at
+    # the cost of ~log2(default) extra cheap low rungs, each one probe
+    # join over the bounded sample.)
     ladder: list[int] = []
-    w = default_n_probe(c)
-    if w > 1:
-        ladder.append(1)
+    w = 1
     while w < c:
         ladder.append(w)
         w *= 2

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import functools
 import json
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +67,12 @@ __all__ = [
     "ivfpq_topk",
     "ivfpq_residual_topk",
     "pq_knn_join",
+    "knn_join_ivfpq",
+    "pq_encode_gemm",
+    "default_pq_geometry",
+    "build_ivfpq_index",
+    "ivfpq_index_ready",
+    "read_ivfpq_index",
 ]
 
 _META_NAME = "_pq_meta.json"
@@ -127,6 +134,85 @@ def pq_encode(
     )
     return scored.groupBy(id_col, "m").agg(
         F.min_by(F.col("code"), F.struct(F.col("_d"), F.col("code"))).alias("code")
+    )
+
+
+def pq_encode_gemm(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Arrow/GEMM twin of :func:`pq_encode` for index BUILDS at scale
+    — same [id_col, m, code] result, pinned identical in
+    tests/test_pq.py (distances rounded to ``round_digits`` before
+    the argmin, ties → lowest code — codewords are scanned in
+    ascending code order so NumPy's first-minimum argmin IS the
+    min_by struct tie-break).
+
+    The interpreted-HOF encoder evaluates N·K·dim element ops through
+    per-element lambdas; at the r12 default geometry for a 2M × 64
+    corpus (m=8 × K=256) that is 3.3e10 ops — hours. Here the M
+    codebook matrices (M·K·d_sub doubles, tiny) ride into
+    ``mapInPandas`` as a closure and each Arrow batch is scored with
+    one squared-L2 GEMM expansion per subspace, emitting only the
+    N·M narrow code rows. NULL vectors are unscorable and dropped,
+    as in assign_centroids_gemm."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebook.select("m", "code", "cvec").collect():
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cvec"]])
+        )
+    if sorted(by_m) != list(range(m_subspaces)):
+        raise ValueError(
+            f"codebook subspaces {sorted(by_m)} do not match "
+            f"m_subspaces={m_subspaces}"
+        )
+    code_ids: dict[int, "np.ndarray"] = {}
+    mats: dict[int, "np.ndarray"] = {}
+    for m, lst in by_m.items():
+        lst.sort()
+        code_ids[m] = np.array([c for c, _ in lst], dtype=np.int64)
+        mats[m] = np.array([v for _, v in lst], dtype=np.float64)
+    schema = StructType([
+        StructField(id_col, vectors.schema[id_col].dataType),
+        StructField("m", IntegerType()),
+        StructField("code", LongType()),
+    ])
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ds = x.shape[1] // m_subspaces
+            ids = pdf[id_col].to_numpy()
+            for m in range(m_subspaces):
+                sub = x[:, m * ds:(m + 1) * ds]
+                cb = mats[m]
+                d2 = (
+                    np.einsum("ij,ij->i", sub, sub)[:, None]
+                    - 2.0 * (sub @ cb.T)
+                    + np.einsum("ij,ij->i", cb, cb)[None, :]
+                )
+                d2 = np.round(d2, round_digits)
+                best = code_ids[m][np.argmin(d2, axis=1)]
+                yield pd.DataFrame(
+                    {id_col: ids, "m": np.int32(m), "code": best}
+                )
+
+    return (
+        vectors.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .mapInPandas(encode, schema)
     )
 
 
@@ -715,4 +801,289 @@ def read_pq_index(
     return (
         spark.read.parquet(f"{path}/codes"),
         spark.read.parquet(f"{path}/codebook"),
+    )
+
+
+# --- persisted IVFPQ index (r12, VERDICT r11 "Next round #1") ---------
+
+_IVFPQ_META_NAME = "_ivfpq_meta.json"
+
+
+def default_pq_geometry(dim: int, n_rows: int) -> tuple[int, int]:
+    """``(m_subspaces, k_codes)`` sized from the workload — the PQ
+    mirror of :func:`~cli_rag_spark.operators.ann.default_n_centroids`
+    / ``default_n_probe`` (VERDICT r11 #1: the r11 routed measurement
+    put ADC recall@10 at 0.106 at 2M rows because the fixed m=4 ×
+    K=16 default carries only 16 bits of structure; the geometry must
+    scale with the corpus, not ship as a constant).
+
+    * ``k_codes``: 256 (8-bit codes, the standard FAISS/Jégou cell
+      budget — one byte per subspace) once the corpus can train them
+      (n ≥ 65536 = 256² rows, so each codeword sees ≥256 training
+      sub-vectors); 16 below that (the fixture-friendly small
+      default), halved further only when n_rows < k_codes (the
+      seeded codebook draws its codewords from the k lowest-id
+      vectors, so k > n would seed an incomplete book).
+    * ``m_subspaces``: the smallest divisor of ``dim`` whose total
+      code width m·log2(k_codes) reaches ``max(32, 2·log2(n_rows))``
+      bits — the birthday bound: with b code bits, expected exact
+      code collisions ≈ n²/2^b, so b ≥ 2·log2(n) keeps distinct
+      vectors distinguishable in expectation; the 32-bit floor keeps
+      small-corpus geometry from degenerating. Divisibility is
+      required by the encoder's ``F.slice`` sub-vector layout; when
+      no divisor reaches the target the result is ``dim`` itself
+      (1-dim subspaces — scalar quantization, the finest this layout
+      expresses).
+
+    At the r11 routed shape (dim 64, N=2M) this yields m=8 × K=256 —
+    64 bits/vector, 8 code bytes/row — instead of the refuted 16-bit
+    default."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if n_rows < 0:
+        raise ValueError(f"n_rows must be non-negative, got {n_rows}")
+    k_codes = 256 if n_rows >= 65536 else 16
+    if 0 < n_rows < k_codes:
+        # largest power of two <= n_rows, floor 2
+        k_codes = max(2, 1 << (n_rows.bit_length() - 1))
+    bits_needed = max(32, 2 * math.ceil(math.log2(max(n_rows, 2))))
+    bits_per_sub = k_codes.bit_length() - 1  # log2 of a power of two
+    m_raw = math.ceil(bits_needed / bits_per_sub)
+    for m in range(m_raw, dim + 1):
+        if dim % m == 0:
+            return m, k_codes
+    return dim, k_codes
+
+
+def build_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int | None = None,
+    m_subspaces: int | None = None,
+    k_codes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+    coarse_refine_iters: int = 0,
+    round_digits: int = 6,
+) -> None:
+    """Build and PERSIST the combined IVF+PQ artifact the sub-linear
+    batch strategy (:func:`knn_join_ivfpq`) answers from — WITHOUT
+    storing the f64 embeddings (that is the point: this is the
+    memory-bound regime where the full-precision index is the thing
+    that doesn't fit). Four parquet children under ``path``:
+
+    * ``centroids`` — the coarse quantizer (C rows of dim doubles);
+    * ``assign``    — the inverted file as narrow (id, cid) rows;
+    * ``codebook``  — M·K per-subspace codewords;
+    * ``codes``     — N·M (id, m, code) rows, ~1 B/subspace/vector;
+
+    plus ``_ivfpq_meta.json`` (geometry + row count + content
+    fingerprint), written LAST so a partial build is never readable
+    (the build_pq_index convention: meta presence is the validity
+    marker). Defaults: ``n_centroids`` = C~√N
+    (ann.default_n_centroids), ``(m_subspaces, k_codes)`` =
+    :func:`default_pq_geometry` — all three recorded in the meta so
+    :func:`read_ivfpq_index` and the knn_join_auto dispatcher resolve
+    them without the caller knowing what the build computed.
+
+    ``coarse_refine_iters`` Lloyd-refines the coarse quantizer before
+    assignment; ``refine_iters`` Lloyd-refines each PQ sub-codebook
+    before encoding (both 0 → pure seeded, SQL-oracle-replayable).
+    The corpus-side assignment goes through
+    :func:`~cli_rag_spark.operators.ann.assign_centroids_auto` — the
+    GEMM twin takes over past the interpreted-HOF envelope, pinned
+    bit-identical at fixture scale in tests/test_pq.py."""
+    from cli_rag_spark.operators.ann import (
+        assign_centroids_auto,
+        default_n_centroids,
+        kmeans_refine,
+        seed_centroids,
+    )
+    from cli_rag_spark.sources.artifacts import norm_path
+
+    path = norm_path(path)
+    spark = vectors.sparkSession
+    row0 = (
+        vectors.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    if row0 is None or row0["d"] is None or int(row0["d"]) <= 0:
+        raise ValueError(
+            "build_ivfpq_index: no scorable vectors (empty input or "
+            "empty/NULL vector column) — refusing to write an empty index"
+        )
+    dim = int(row0["d"])
+    stats = vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col(id_col), F.col(vec_col))).alias("fp"),
+    ).first()
+    n_rows = int(stats["n"])
+    content_fp = int(stats["fp"]) if stats["fp"] is not None else 0
+    if n_centroids is None:
+        n_centroids = default_n_centroids(n_rows)
+    geo_m, geo_k = default_pq_geometry(dim, n_rows)
+    if m_subspaces is None:
+        m_subspaces = geo_m
+    if k_codes is None:
+        k_codes = geo_k
+    if dim % m_subspaces != 0:
+        raise ValueError(
+            f"dim {dim} is not divisible by m_subspaces {m_subspaces}: "
+            "the F.slice sub-vector layout would drop trailing "
+            "components and score garbage"
+        )
+    # coarse quantizer: seed -> optional Lloyd -> materialize ONCE as
+    # a literal local frame (C rows of dim doubles; the
+    # build_ivf_index discipline — the refine lineage must not
+    # re-execute per consumer)
+    centroids = seed_centroids(vectors, n_centroids, id_col, vec_col)
+    if coarse_refine_iters > 0:
+        centroids = kmeans_refine(
+            vectors, centroids, n_iters=coarse_refine_iters,
+            id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        )
+    rows = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in centroids.collect()
+    ]
+    if not rows:
+        raise ValueError(
+            "build_ivfpq_index: seeded coarse quantizer is empty — "
+            "refusing to write an empty index"
+        )
+    centroids = spark.createDataFrame(rows, "cid long, cvec array<double>")
+    # PQ codebook: seed -> probe (pre-write emptiness/geometry guard,
+    # the build_pq_index discipline) -> optional Lloyd
+    codebook = build_pq_codebook(vectors, m_subspaces, k_codes, id_col, vec_col)
+    probe = codebook.select(F.size("cvec").alias("ds")).first()
+    if probe is None:
+        raise ValueError(
+            "build_ivfpq_index: seeded PQ codebook is empty (the k_codes "
+            "lowest-id seed rows are absent) — refusing to write"
+        )
+    if refine_iters > 0:
+        codebook = refine_pq_codebook(
+            vectors, codebook, m_subspaces, refine_iters,
+            id_col, vec_col, round_digits,
+        )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    # re-read persisted bytes so assignment + encode score exactly what
+    # future readers will see (and refine lineages run once)
+    centroids = spark.read.parquet(f"{path}/centroids")
+    codebook = spark.read.parquet(f"{path}/codebook")
+    assign = assign_centroids_auto(
+        vectors, centroids, id_col, vec_col, round_digits=round_digits,
+        n_rows=n_rows,
+    )
+    assign.write.mode("overwrite").parquet(f"{path}/assign")
+    # same size-routing rule as the assignment: the encoder evaluates
+    # N·K·dim element ops (bit-identical twins, pinned in tests)
+    from cli_rag_spark.operators.ann import GEMM_ASSIGN_MIN_OPS
+
+    if n_rows * k_codes * dim > GEMM_ASSIGN_MIN_OPS:
+        codes = pq_encode_gemm(
+            vectors, codebook, m_subspaces, id_col, vec_col, round_digits
+        )
+    else:
+        codes = pq_encode(
+            vectors, codebook, m_subspaces, id_col, vec_col, round_digits
+        )
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    fs, root = _hadoop_fs(spark, path)
+    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _IVFPQ_META_NAME)
+    out = fs.create(meta_path, True)
+    try:
+        out.write(bytearray(json.dumps({
+            "n_centroids": n_centroids,
+            "m_subspaces": m_subspaces,
+            "k_codes": k_codes,
+            "dim": dim,
+            "id_col": id_col,
+            "refine_iters": refine_iters,
+            "coarse_refine_iters": coarse_refine_iters,
+            "round_digits": round_digits,
+            "n_rows": n_rows,
+            "content_fp": content_fp,
+        }).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_ivfpq_meta(spark: SparkSession, path: str) -> dict | None:
+    """The ``_ivfpq_meta.json`` sidecar at ``path``, or None if
+    absent/unreadable — one metadata read, no Spark job."""
+    fs, root = _hadoop_fs(spark, path)
+    meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _IVFPQ_META_NAME)
+    if not fs.exists(meta_path):
+        return None
+    stream = fs.open(meta_path)
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    except Exception:
+        return None
+    finally:
+        stream.close()
+
+
+def ivfpq_index_ready(
+    spark: SparkSession,
+    path: str,
+    dim: int,
+    m_subspaces: int | None = None,
+) -> bool:
+    """Dim-validated availability gate for strategy auto-dispatch —
+    the IVFPQ mirror of pq_index_ready/ann.ivf_index_ready: True iff
+    ``path`` holds a :func:`build_ivfpq_index` output whose build
+    ``dim`` matches the query vectors' (and, when given, whose
+    ``m_subspaces`` matches the caller's). One metadata read, no
+    Spark job; absence/mismatch returns False and the dispatcher
+    falls back rather than probing the wrong geometry."""
+    meta = _read_ivfpq_meta(spark, path)
+    if meta is None:
+        return False
+    if meta.get("dim") != dim:
+        return False
+    if m_subspaces is not None and meta.get("m_subspaces") != m_subspaces:
+        return False
+    return True
+
+
+def read_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    m_subspaces: int | None = None,
+    k_codes: int | None = None,
+    dim: int | None = None,
+    n_centroids: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Open a persisted IVFPQ index → ``(codes, codebook, assign,
+    centroids)`` — exactly the four frames :func:`knn_join_ivfpq`
+    takes, in its argument order. Any caller-expected geometry that
+    disagrees with the build metadata raises ``ValueError`` before a
+    Spark job runs (the read_pq_index contract: wrong-geometry ADC
+    returns silently wrong distances, not errors)."""
+    meta = _read_ivfpq_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"no {_IVFPQ_META_NAME} at {path}: not a build_ivfpq_index output"
+        )
+    for arg, key in (
+        (m_subspaces, "m_subspaces"),
+        (k_codes, "k_codes"),
+        (dim, "dim"),
+        (n_centroids, "n_centroids"),
+    ):
+        if arg is not None and meta[key] != arg:
+            raise ValueError(
+                f"IVFPQ index at {path} was built with {key}={meta[key]}, "
+                f"caller expected {arg}"
+            )
+    return (
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/codebook"),
+        spark.read.parquet(f"{path}/assign"),
+        spark.read.parquet(f"{path}/centroids"),
     )

@@ -462,7 +462,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stage(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
 
-    return (
+    out = (
         stage(docs, "n_raw")
         .join(stage(kept, "n_quality"), "source", "left")
         .join(stage(surv, "n_dedup"), "source", "left")
@@ -476,6 +476,17 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    # Materialize the per-source rollup (bounded: one row per source)
+    # eagerly, then RELEASE the two cached survivor tables — in the
+    # shared long-lived bench/driver session the un-released blocks
+    # of 193 queries would otherwise accumulate memory pressure for
+    # every later query (ADVICE r11). The checkpoint stores only the
+    # tiny result, so downstream consumers never re-trigger the
+    # funnel lineage the persists existed for.
+    out = out.localCheckpoint(eager=True)
+    kept.unpersist()
+    surv.unpersist()
+    return out
 
 
 DSIR_TARGET_LANG = "en"
@@ -1179,7 +1190,7 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sizes = t.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    return (
+    out = (
         shared.join(
             F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
             "source_a",
@@ -1198,6 +1209,14 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+    if width is not None:
+        # the width-rule regime cached a corpus-sized distinct table;
+        # materialize the |sources|²-bounded matrix eagerly and
+        # RELEASE it so the shared long-lived session doesn't carry
+        # the blocks into later queries (ADVICE r11)
+        out = out.localCheckpoint(eager=True)
+        t.unpersist()
+    return out
 
 
 def q_overlap_matrix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,6 +52,8 @@ LSH_PLANES = 16
 LSH_BANDS = 4
 LSH_SEED = 42
 LSH_QUERIES = 10
+TUNE_TARGET = 0.95  # recall target fed to both recall-targeted tuners
+TUNE_K = 3
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,6 +447,60 @@ def q_ivf_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_r") <= 3)
     )
     return topk_recall(exact, approx, k=3).orderBy("query_id")
+
+
+def q_tuner_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-TARGETED tuners, judged (VERDICT r11 #5 — both were
+    pytest-only): one row per tuner with the width it chose and the
+    recall it measured at that width, against the same fixture index
+    and query set the other ANN gates use.
+
+    * ``ivf_n_probe`` — operators/ann.py tune_n_probe on the
+      persisted C=8 IVF index: the smallest power-of-two probe width
+      (ladder 1,2,4, capped at C=8) whose measured recall@3 over the
+      10-query sample meets TUNE_TARGET; ground truth is exact GEMM
+      over the index's own vectors (self included — the tuner's
+      contract).
+    * ``lsh_n_bands`` — operators/knn.py tune_lsh_bands at the 16/4
+      fixture plane geometry: the smallest divisor-of-16 band count
+      meeting the target, or the terminal rung with its MEASURED
+      recall (banding has no guaranteed-1.0 rung).
+
+    Both searches are deterministic DataFrame computations for a
+    fixed sample, so the ORACLE REPLAYS THE WHOLE LADDER in SQL:
+    per-rung recall@3 (the ivf_recall_stats machinery generalized
+    over a rungs table), then the same smallest-meeting-rung /
+    terminal-rung selection — a tuner that walked its ladder wrong,
+    rounded recall differently, or overshot the minimal rung
+    (ADVICE r11 on the old 1→default jump) hash-mismatches."""
+    import hashlib
+    import tempfile
+
+    from cli_rag_spark.operators.ann import tune_n_probe
+    from cli_rag_spark.operators.knn import tune_lsh_bands
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_ivf_{tag}"
+    build_ivf_index(emb, path, n_centroids=IVF_CENTROIDS, reuse_if_exists=True)
+    qset = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    w_ivf, r_ivf = tune_n_probe(
+        spark, path, qset, target_recall=TUNE_TARGET, k=TUNE_K
+    )
+    w_lsh, r_lsh = tune_lsh_bands(
+        qset, emb, LSH_DIM, target_recall=TUNE_TARGET, k=TUNE_K,
+        n_planes=LSH_PLANES, seed=LSH_SEED,
+    )
+    return spark.createDataFrame(
+        [
+            ("ivf_n_probe", w_ivf, float(r_ivf)),
+            ("lsh_n_bands", w_lsh, float(r_lsh)),
+        ],
+        "tuner string, width long, recall double",
+    ).orderBy("tuner")
 
 
 def _ivf_ranked_vs_exact(spark: SparkSession, sf_dir: str):
@@ -912,6 +968,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "knn_join_ivf": q_knn_join_ivf,
     "ivf_recall_stats": q_ivf_recall_stats,
+    "tuner_widths": q_tuner_widths,
     "ann_rank_metrics": q_ann_rank_metrics,
     "ann_ndcg_metrics": q_ann_ndcg_metrics,
     "mmr_rerank": q_mmr_rerank,
@@ -1053,6 +1110,166 @@ def _lsh_recall_oracle_sql() -> str:
         LEFT JOIN lsh3 l ON e.query_id = l.query_id AND e.vec_id = l.vec_id
         GROUP BY e.query_id
         ORDER BY e.query_id
+    """
+
+
+def _tuner_oracle_sql() -> str:
+    """Full SQL replay of BOTH recall-targeted ladder searches
+    (q_tuner_widths): per-rung recall@TUNE_K against the exact GEMM
+    gold set (self included — the tuners' ground-truth contract),
+    then smallest-rung-meeting-target selection with the measured
+    terminal rung as fallback. Rounding chain mirrors the engine
+    exactly: per-query recall = round(hits/k, 4) (knn.topk_recall),
+    rung recall = round(avg, 6) (the tuners' return)."""
+    # tune_n_probe's ladder: powers of two below C, then C itself
+    ivf_ladder: list[int] = []
+    w = 1
+    while w < IVF_CENTROIDS:
+        ivf_ladder.append(w)
+        w *= 2
+    ivf_ladder.append(IVF_CENTROIDS)
+    ivf_rungs = ", ".join(
+        f"({w}, {i})" for i, w in enumerate(ivf_ladder, 1)
+    )
+    # tune_lsh_bands' ladder: the divisors of n_planes, ascending
+    lsh_ladder = [
+        b for b in range(1, LSH_PLANES + 1) if LSH_PLANES % b == 0
+    ]
+    lsh_rungs = ", ".join(
+        f"({b}, {i})" for i, b in enumerate(lsh_ladder, 1)
+    )
+    planes = _hyperplanes(LSH_DIM, LSH_PLANES, LSH_SEED)
+    bit_cols = ", ".join(
+        "CASE WHEN ("
+        + " + ".join(f"embedding[{i + 1}]::DOUBLE * {v!r}" for i, v in enumerate(p))
+        + f") >= 0 THEN 1 ELSE 0 END AS b{j}"
+        for j, p in enumerate(planes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT {b} AS nb, vec_id, {j} AS band, "
+        + " || ".join(
+            f"b{j * (LSH_PLANES // b) + i}::VARCHAR"
+            for i in range(LSH_PLANES // b)
+        )
+        + " AS bsig FROM sig"
+        for b in lsh_ladder
+        for j in range(b)
+    )
+    pick = (
+        f"row_number() OVER (ORDER BY "
+        f"CASE WHEN recall >= {TUNE_TARGET} THEN 0 ELSE 1 END, "
+        f"CASE WHEN recall >= {TUNE_TARGET} THEN ord ELSE -ord END) AS pr"
+    )
+    return f"""
+        WITH exd AS (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dist
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {LSH_QUERIES}) q,
+                 embeddings e
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+                FROM exd
+            ) WHERE rn <= {TUNE_K}
+        ),
+        cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+            WHERE vec_id < {IVF_CENTROIDS}
+        ),
+        iassign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6), c.cid
+                       ) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        ),
+        qprobe AS (
+            SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(1 - list_cosine_similarity(q.embedding::DOUBLE[], c.cvec), 6), c.cid
+                   ) AS probe_rn
+            FROM embeddings q, cent c WHERE q.vec_id < {LSH_QUERIES}
+        ),
+        iscored AS (
+            SELECT p.query_id, e.vec_id, p.probe_rn,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], p.qv), 6) AS dist
+            FROM embeddings e
+            JOIN iassign a ON e.vec_id = a.vec_id
+            JOIN qprobe p ON a.cid = p.cid
+        ),
+        ivf_rungs(w, ord) AS (VALUES {ivf_rungs}),
+        ivf_approx AS (
+            SELECT w, query_id, vec_id FROM (
+                SELECT r.w, s.query_id, s.vec_id,
+                       row_number() OVER (PARTITION BY r.w, s.query_id ORDER BY s.dist, s.vec_id) AS rn
+                FROM ivf_rungs r JOIN iscored s ON s.probe_rn <= r.w
+            ) WHERE rn <= {TUNE_K}
+        ),
+        ivf_perq AS (
+            SELECT r.w, x.query_id, round(count(a.vec_id) / {TUNE_K}.0, 4) AS rec
+            FROM ivf_rungs r CROSS JOIN exact x
+            LEFT JOIN ivf_approx a
+              ON a.w = r.w AND a.query_id = x.query_id AND a.vec_id = x.vec_id
+            GROUP BY r.w, x.query_id
+        ),
+        ivf_rung_recall AS (
+            SELECT r.w, r.ord, round(avg(rec), 6) AS recall
+            FROM ivf_perq p JOIN ivf_rungs r ON p.w = r.w
+            GROUP BY r.w, r.ord
+        ),
+        ivf_pick AS (
+            SELECT w, recall FROM (
+                SELECT *, {pick} FROM ivf_rung_recall
+            ) WHERE pr = 1
+        ),
+        sig AS (SELECT vec_id, {bit_cols} FROM embeddings),
+        lbands AS ({band_rows}),
+        lcand AS (
+            SELECT DISTINCT q.nb, q.vec_id AS query_id, i.vec_id
+            FROM (SELECT * FROM lbands WHERE vec_id < {LSH_QUERIES}) q
+            JOIN lbands i ON q.nb = i.nb AND q.band = i.band AND q.bsig = i.bsig
+        ),
+        lscored AS (
+            SELECT c.nb, c.query_id, c.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS dist
+            FROM lcand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+        ),
+        lsh_approx AS (
+            SELECT nb, query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY nb, query_id ORDER BY dist, vec_id) AS rn
+                FROM lscored
+            ) WHERE rn <= {TUNE_K}
+        ),
+        lsh_rungs(nb, ord) AS (VALUES {lsh_rungs}),
+        lsh_perq AS (
+            SELECT r.nb, x.query_id, round(count(a.vec_id) / {TUNE_K}.0, 4) AS rec
+            FROM lsh_rungs r CROSS JOIN exact x
+            LEFT JOIN lsh_approx a
+              ON a.nb = r.nb AND a.query_id = x.query_id AND a.vec_id = x.vec_id
+            GROUP BY r.nb, x.query_id
+        ),
+        lsh_rung_recall AS (
+            SELECT r.nb, r.ord, round(avg(rec), 6) AS recall
+            FROM lsh_perq p JOIN lsh_rungs r ON p.nb = r.nb
+            GROUP BY r.nb, r.ord
+        ),
+        lsh_pick AS (
+            SELECT nb, recall FROM (
+                SELECT *, {pick} FROM lsh_rung_recall
+            ) WHERE pr = 1
+        )
+        SELECT tuner, width, recall FROM (
+            SELECT 'ivf_n_probe' AS tuner, CAST(w AS BIGINT) AS width, recall FROM ivf_pick
+            UNION ALL
+            SELECT 'lsh_n_bands' AS tuner, CAST(nb AS BIGINT) AS width, recall FROM lsh_pick
+        ) ORDER BY tuner
     """
 
 
@@ -1570,6 +1787,7 @@ ORACLE = {
     """,
     "knn_join_lsh": _lsh_oracle_sql(),
     "lsh_recall_stats": _lsh_recall_oracle_sql(),
+    "tuner_widths": _tuner_oracle_sql(),
     "knn_join_all": """
         WITH d AS (
             SELECT q.vec_id AS query_id, e.vec_id,

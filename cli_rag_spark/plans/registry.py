@@ -48,76 +48,56 @@ _PACKS = [
 #
 # STALENESS BOUND (kept current per VERDICT r7 "What's wrong #3";
 # the arithmetic below MUST be updated whenever the registry count
-# changes): with 193 registered queries, 17 sentinels and exactly 33
-# rotating slots per round, a full pass over the 176 non-sentinel
-# queries takes ceil(176/33) = 6 rounds, so the honest worst-case
+# changes): with 194 registered queries, 17 sentinels and exactly 33
+# rotating slots per round, a full pass over the 177 non-sentinel
+# queries takes ceil(177/33) = 6 rounds, so the honest worst-case
 # staleness of a driver verdict is ≤ 6 rounds (rounding DOWN here is
 # how the r6 "~2 rounds" claim went wrong — count whole rounds, and
 # remember category-2/3 load eats into the 33 before stale fill gets
 # any) — PROVIDED the
 # registry stops outgrowing the window. r6 left a 12-query
 # never-judged backlog; r7 left 22; r9 cleared it to ZERO; the
-# backlog stays zero through r10 (190/190 ever-judged, all green).
+# backlog stays zero through r11 (193/193 ever-judged, all green).
 # NEW-QUERY CAP (adopted r8): at most 12 new judged queries per
-# round; r11 adds THREE (dedup_near_auto_count,
-# overlap_matrix_incremental, knn_join_ivfpq). The every-run
+# round; r12 adds ONE (tuner_widths). The every-run
 # correctness gate is NOT the driver window: every registered query
 # is value- and dtype-exactly replayed against its DuckDB oracle on
 # every local test run (tests/test_parity.py); the driver window is
 # the independent external sample on top.
 #
-# Round-11 window: 17 sentinels; EIGHT category-2 re-entries whose
-# implementation or oracle changed this round — lp_communities
-# (label_propagation round-1 identity fusion: no |V| distinct, no
-# first join — VERDICT r10 #3), hits_top_suppliers (hub_0 = 1.0
-# count-free seed, ORACLE CHANGED with it; also re-covers the
-# artifacts.py staging-sweep hardening from ADVICE r10, since its
-# edges load through the persisted pair artifact), knn_join_auto
-# (verify_index_content fingerprint gate + pre-collect GEMM element
-# budget + the √C default probe width — ADVICE r10 + VERDICT r10
-# #1), vdb_roundtrip_stats (read_vdb_distributed length/offset
-# validation, ADVICE r10 #4), source_overlap_matrix (the
-# scale-aware shuffle-width rule + columnar-cache materialization
-# ahead of its distinct, VERDICT r10 #2 — first driver verdict for
-# this query since the rule landed), curation_funnel (the measured
-# materialization policy from the 1000× composed rehearsal: the
-# quality-kept and exact-dedup survivor tables persist through the
-# columnar cache — 5.35 → 0.82-1.32 s at sf0.1, VERDICT r10 #6),
-# and ivf_recall_stats + ivf_sqrt_partition_stats (VERDICT r10 #1's
-# "Done" names both explicitly; operators/ann.py changed this round
-# — default_n_probe is now knn_join_auto's unset default and
-# tune_n_probe shares the module — so the IVF probe/recall chain
-# gets fresh external verdicts alongside the grown-C recall booking);
-# THREE never-judged (category 3, within the 12-cap): the r11
-# additions dedup_near_auto_count (the near-dup dispatcher judged
-# end-to-end; its oracle pins the allpairs route at oracle scale,
-# closing the r10 gap where choose_dedup_strategy was test-only —
-# and d604c4b changed its sampling, so the dispatcher is also
-# freshly changed code) and overlap_matrix_incremental (VERDICT
-# r10 #7a — snapshot + delta maintenance, oracle = the batch
-# recomputation verbatim) and knn_join_ivfpq (the batch IVFADC
-# join — the sub-linear E7 member the routed-shape measurement
-# demanded; full-chain oracle). Then least-recently-verified fill
-# (22 slots, reconstructed from CORRECTNESS_r1–r10 last-verdict
-# rounds, oldest first, alphabetical within a round): ALL 17
-# remaining r5-verified (matryoshka_topk, maxsim_topk,
-# ols_token_chars, quality_drift_ks, quality_drift_psi,
-# setsim_pairs, snapshot_cdc_stats, snapshot_ref_travel,
-# snapshot_schema_evolution, snapshot_time_travel,
-# snapshot_vacuum_stats, streaming_incremental_dedup,
-# streaming_trending, tfidf_cosine_topk, token_budget_sample,
-# triangle_census, weighted_sample_stats) and the first 5 r6-verified
-# (anomalous_events, audio_window_stats, binary_metadata,
-# chunk_fixed, cosine_histogram — 22 fill slots after the three
-# extra cat-2 entries and the three cat-3 entries displaced the
-# last five r6 fills, decontamination, dedup_exact_count,
-# event_transitions, fingerprint_dups and hybrid_rrf_topk, to the
-# r12 head). The r12 head is owed: decontamination,
+# Round-12 window: 17 sentinels; FOUR category-2 re-entries whose
+# implementation changed this round — knn_join_auto (the dispatcher
+# gained the "ivfpq" branch + ivfpq_path artifact validation,
+# VERDICT r11 #1 — the sub-linear escape past the GEMM envelope is
+# now REACHABLE), knn_join_ivfpq (operators/pq.py changed around it:
+# default_pq_geometry + the persisted build_ivfpq_index artifact
+# family now feed the same operator the judged query exercises),
+# curation_funnel and source_overlap_matrix (both now eagerly
+# materialize their bounded result and UNPERSIST the cached
+# survivor/distinct tables — ADVICE r11: the shared long-lived
+# session was accumulating cache blocks across 193 queries);
+# ONE never-judged (category 3, within the 12-cap): tuner_widths
+# (VERDICT r11 #5 — the recall-targeted tuners tune_n_probe /
+# tune_lsh_bands judged end-to-end; the oracle replays BOTH ladder
+# searches in SQL including the r12 pure-doubling tune_n_probe
+# ladder from ADVICE r11). Then least-recently-verified fill
+# (28 slots, from CORRECTNESS_r1–r11 last-verdict rounds, oldest
+# first, alphabetical within a round): ALL 26 remaining r6-verified
+# — the five the r11 window displaced (decontamination,
 # dedup_exact_count, event_transitions, fingerprint_dups,
-# hybrid_rrf_topk, then the remaining r6-verified oldest-first
-# (lang_id_confusion, maxsim_rerank, mixture_weights,
-# ngram_jaccard, pack_chunks_stats, price_percentiles, ...), then
-# r7-verified.
+# hybrid_rrf_topk — the debt VERDICT r11 #6 names first) plus
+# lang_id_confusion, maxsim_rerank, mixture_weights, ngram_jaccard,
+# pack_chunks_stats, price_percentiles, promo_revenue_ratio,
+# quality_scores, quantized_topk, resample_user_hourly,
+# returnflag_grouping_sets, revenue_forecast,
+# scalar_function_breadth, segment_nation_cube, shipping_priority,
+# simhash_groups, sketch_rollup_users, stratified_sample,
+# streaming_native_sessions, top_customers_per_nation,
+# top_parts_per_brand — and the first 2 r7-verified alphabetical
+# (audio_decode_stats, bloom_join_stats). The r13 head is owed the
+# remaining 27 r7-verified oldest-first (bootstrap_ci_revenue,
+# bpe_pair_stats, cheapest_supplier_per_part, chunk_clean_stats,
+# cusum_changepoints, ...), then r8-verified.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -141,23 +121,24 @@ _PRIORITY = _SENTINELS + [
     # (2) changed since last verdict (one representative per changed
     # family, the r6 batching protocol — details in the rotation
     # comment above)
-    "lp_communities", "hits_top_suppliers", "knn_join_auto",
-    "vdb_roundtrip_stats", "source_overlap_matrix", "curation_funnel",
-    "ivf_recall_stats", "ivf_sqrt_partition_stats",
-    # (3) never driver-checked: the three r11 additions
-    "dedup_near_auto_count", "overlap_matrix_incremental",
-    "knn_join_ivfpq",
-    # (4) least-recently-verified fill: all 17 remaining r5-verified...
-    "matryoshka_topk", "maxsim_topk", "ols_token_chars",
-    "quality_drift_ks", "quality_drift_psi", "setsim_pairs",
-    "snapshot_cdc_stats", "snapshot_ref_travel",
-    "snapshot_schema_evolution", "snapshot_time_travel",
-    "snapshot_vacuum_stats", "streaming_incremental_dedup",
-    "streaming_trending", "tfidf_cosine_topk", "token_budget_sample",
-    "triangle_census", "weighted_sample_stats",
-    # ...then the first 5 r6-verified (alphabetical)
-    "anomalous_events", "audio_window_stats", "binary_metadata",
-    "chunk_fixed", "cosine_histogram",
+    "knn_join_auto", "knn_join_ivfpq", "curation_funnel",
+    "source_overlap_matrix",
+    # (3) never driver-checked: the r12 addition
+    "tuner_widths",
+    # (4) least-recently-verified fill: all 26 remaining r6-verified,
+    # starting with the five the r11 window displaced...
+    "decontamination", "dedup_exact_count", "event_transitions",
+    "fingerprint_dups", "hybrid_rrf_topk", "lang_id_confusion",
+    "maxsim_rerank", "mixture_weights", "ngram_jaccard",
+    "pack_chunks_stats", "price_percentiles", "promo_revenue_ratio",
+    "quality_scores", "quantized_topk", "resample_user_hourly",
+    "returnflag_grouping_sets", "revenue_forecast",
+    "scalar_function_breadth", "segment_nation_cube",
+    "shipping_priority", "simhash_groups", "sketch_rollup_users",
+    "stratified_sample", "streaming_native_sessions",
+    "top_customers_per_nation", "top_parts_per_brand",
+    # ...then the first 2 r7-verified (alphabetical)
+    "audio_decode_stats", "bloom_join_stats",
 ]
 
 

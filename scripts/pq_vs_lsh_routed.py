@@ -1,36 +1,36 @@
 #!/usr/bin/env python
-"""Measure knn_join_auto's PQ choice at the shape the gate exists for
-(VERDICT r10 #4).
+"""Measure knn_join_auto's strategy choices at the shapes the gates
+exist for (VERDICT r10 #4, extended r12 per VERDICT r11 #1).
 
-PQ_MAX_ADC_ROWS was shipped as a shuffle-volume ENVELOPE because the
-sf0.1 calibration (scripts/calibrate_pq_vs_lsh.py) was floor-shadowed:
-both ADC and LSH are Θ(Q·N) at default banding, and no local shape was
-big enough for either to leave the job floor decisively. This script
-builds the real memory-bound case on the 1000× replica embeddings
-(2M × 64 f64 ≈ 1 GB raw — past GEMM_MAX_PAIR_OPS for Q ≥ 391):
+r11 history (constants were CORRECTED from this script's output):
+at Q=400 × N=2M × dim 64 (5.12e10 pair-ops) exact GEMM ran 9.17 s
+end-to-end while the flat "approximate" paths measured 251.5 s (LSH,
+recall@10 0.69) and 529.5 s (PQ-ADC at the 16-bit m=4×K=16 default,
+recall@10 0.106) — so GEMM_MAX_PAIR_OPS rose 5e10 → 1e12 and PQ was
+gated to dim ≥ PQ_MIN_DIM. Those flat rows are booked in SCALING.md;
+re-run them only with --flat (they cost 4–9 minutes each).
 
-    Q = 400 queries × N = 2,000,000 index rows, dim 64
-    → pair-ops 5.12e10 > GEMM_MAX_PAIR_OPS (GEMM ineligible)
-    → Q·N = 8e8 ADC pair rows ≤ PQ_MAX_ADC_ROWS (PQ eligible)
+r12 adds the two measurements the corrected envelope demands:
 
-and measures, end-to-end at k=10:
-
-1. knn_join_auto WITH a persisted PQ index → must route "pq"
-   (asserted); wall time of the full ADC join.
-2. knn_join_auto WITHOUT pq_path → routes "lsh" (asserted); wall time
-   of the full banded join at the default 16/4 geometry.
-3. recall@10 of BOTH against exact GEMM ground truth (GEMM is
-   policy-capped in the dispatcher, not hardware-capped — it still
-   computes fine as an offline oracle).
-
-Build time for the PQ index is reported separately (cold path,
-amortized across queries in deployment).
+1. --ivfpq (default): build the persisted IVFPQ artifact at the
+   default_pq_geometry (m=8 × K=256 at this shape — 64 bits/vector
+   instead of the refuted 16) + C~√N coarse lists, assert the
+   dispatcher routes "ivfpq" past the GEMM envelope, and measure the
+   END-TO-END knn_join_auto wall + recall@10 at Q=400 so the row sits
+   beside r11's gemm/lsh/pq ledger. The past-envelope routing is
+   simulated by passing the cost model n_queries=N_PAST (the executed
+   batch is the real Q=400 — n_queries only feeds dispatch, so the
+   wall is the real per-400-query cost on the real 2M-row artifact).
+2. --gemm-confirm NQ: time pure knn_join_gemm at NQ queries (e.g.
+   2000 → 2.56e11 pair-ops, a quarter of the cap) to confirm the
+   measured 5.6e9 pair-ops/s rate holds toward the 1e12 cap rather
+   than extrapolating 20× from the r11 point (ADVICE r11).
 
 Heap: the standard 24 GB rehearsal heap (inherited from
-scale_rehearsal_100x import). Paste the JSON into SCALING.md and cite
-the measured numbers at knn.py PQ_MAX_ADC_ROWS.
+scale_rehearsal_100x import). Paste the JSON into SCALING.md.
 
 Usage: python scripts/pq_vs_lsh_routed.py [--multiple 1000] [--nq 400]
+           [--refine 0] [--coarse-refine 0] [--gemm-confirm 0] [--flat]
 """
 
 from __future__ import annotations
@@ -59,6 +59,20 @@ def main() -> None:
     ap.add_argument("--multiple", type=int, default=1000)
     ap.add_argument("--nq", type=int, default=400)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--refine", type=int, default=0,
+                    help="Lloyd iterations for the PQ sub-codebooks")
+    ap.add_argument("--coarse-refine", type=int, default=0,
+                    help="Lloyd iterations for the coarse quantizer")
+    ap.add_argument("--n-centroids", type=int, default=None,
+                    help="coarse C (default: sqrt(N) rule)")
+    ap.add_argument("--n-probe", type=int, default=None,
+                    help="probe width (default: sqrt(C) rule)")
+    ap.add_argument("--gemm-confirm", type=int, default=0,
+                    help="also time pure GEMM at this many queries "
+                         "(near-cap linearity confirm; 0 = skip)")
+    ap.add_argument("--flat", action="store_true",
+                    help="re-measure the r11 flat LSH/PQ rows "
+                         "(4-9 min each; numbers already booked)")
     args = ap.parse_args()
 
     from cli_rag_spark.operators.knn import (
@@ -68,7 +82,14 @@ def main() -> None:
         knn_join_gemm,
         topk_recall,
     )
-    from cli_rag_spark.operators.pq import build_pq_index, pq_index_ready
+    from cli_rag_spark.operators.pq import (
+        _read_ivfpq_meta,
+        build_ivfpq_index,
+        build_pq_index,
+        default_pq_geometry,
+        ivfpq_index_ready,
+        pq_index_ready,
+    )
 
     spark = get_session(app_name="cli-rag-spark-pq-vs-lsh-routed")
     spark.sparkContext.setLogLevel("ERROR")
@@ -84,52 +105,110 @@ def main() -> None:
     )
     n_q = queries.count()
     dim = 64
-    ops = n_q * n_index * dim
-    assert ops > GEMM_MAX_PAIR_OPS, (
-        f"shape too small to leave the GEMM region: {ops:.3g} pair-ops"
-    )
-    print(json.dumps({"n_queries": n_q, "n_index": n_index, "dim": dim,
-                      "pair_ops": ops, "adc_pair_rows": n_q * n_index}),
-          flush=True)
+    # the smallest Q that pushes this corpus past the corrected GEMM
+    # envelope — the cost-model shape the ivfpq dispatch is FOR
+    n_past = GEMM_MAX_PAIR_OPS // (n_index * dim) + 1
+    print(json.dumps({
+        "n_queries": n_q, "n_index": n_index, "dim": dim,
+        "pair_ops": n_q * n_index * dim,
+        "past_envelope_nq": n_past,
+        "geometry": default_pq_geometry(dim, n_index),
+    }), flush=True)
 
-    pq_path = f"{scratch_root()}/cli_rag_spark_pqroute_x{args.multiple}"
+    # dispatch truth table at the corrected constants
+    assert choose_knn_strategy(n_q, n_index, dim) == "gemm", (
+        "Q=400 sits under the corrected 1e12 envelope"
+    )
+    assert choose_knn_strategy(n_past, n_index, dim) == "lsh"
+    assert choose_knn_strategy(
+        n_past, n_index, dim, ivfpq_available=True
+    ) == "ivfpq"
+
+    results: dict[str, dict] = {}
+    approx_frames: dict[str, object] = {}
+
+    # --- exact GEMM ground truth (also the Q=400 headline row) -------
     t0 = time.perf_counter()
-    if not pq_index_ready(spark, pq_path, dim, 4):
-        build_pq_index(emb, pq_path, m_subspaces=4, k_codes=16)
+    exact = knn_join_gemm(queries, emb, k=args.k, dim=dim).localCheckpoint(
+        eager=True
+    )
+    gt_sec = round(time.perf_counter() - t0, 2)
+    results["gemm"] = {"sec": gt_sec, "recall": 1.0}
+    print(json.dumps({"strategy": "gemm", "sec": gt_sec}), flush=True)
+
+    if args.gemm_confirm:
+        qc = emb.where(F.col("vec_id") < args.gemm_confirm).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        nqc = qc.count()
+        t0 = time.perf_counter()
+        knn_join_gemm(qc, emb, k=args.k, dim=dim).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        sec = round(time.perf_counter() - t0, 2)
+        ops = nqc * n_index * dim
+        print(json.dumps({
+            "strategy": "gemm_confirm", "n_queries": nqc,
+            "pair_ops": ops, "sec": sec,
+            "pair_ops_per_sec": round(ops / sec, 0),
+        }), flush=True)
+        results["gemm_confirm"] = {
+            "sec": sec, "n_queries": nqc, "pair_ops": ops,
+            "pair_ops_per_sec": round(ops / sec, 0),
+        }
+
+    # --- the sub-linear escape: persisted IVFPQ artifact -------------
+    tag = f"x{args.multiple}_r{args.refine}_c{args.coarse_refine}"
+    ivfpq_path = f"{scratch_root()}/cli_rag_spark_ivfpqroute_{tag}"
+    t0 = time.perf_counter()
+    if not ivfpq_index_ready(spark, ivfpq_path, dim):
+        build_ivfpq_index(
+            emb, ivfpq_path,
+            n_centroids=args.n_centroids,
+            refine_iters=args.refine,
+            coarse_refine_iters=args.coarse_refine,
+        )
         build_sec = round(time.perf_counter() - t0, 2)
     else:
         build_sec = 0.0  # reused from a prior run
-    print(json.dumps({"pq_build_sec": build_sec}), flush=True)
+    meta = _read_ivfpq_meta(spark, ivfpq_path)
+    print(json.dumps({"ivfpq_build_sec": build_sec, "meta": meta}),
+          flush=True)
 
-    # dispatch assertions: the cost model must route pq with the index
-    # and lsh without it, at this exact shape
-    assert choose_knn_strategy(n_q, n_index, dim, pq_available=True) == "pq"
-    assert choose_knn_strategy(n_q, n_index, dim, pq_available=False) == "lsh"
-
-    # the timed materialization is an eager localCheckpoint: the
-    # output is only Q·k rows (4,000 here), so storage cost is nil
-    # and the checkpointed frame feeds the recall pass without
-    # re-running a 10+-minute join
-    results = {}
-    approx_frames = {}
-    for label, kwargs in (
-        ("pq", {"pq_path": pq_path}),
-        ("lsh", {}),
-    ):
-        t0 = time.perf_counter()
-        out = knn_join_auto(
-            queries, emb, k=args.k, dim=dim,
-            n_queries=n_q, n_index=n_index, **kwargs,
-        ).localCheckpoint(eager=True)
-        sec = round(time.perf_counter() - t0, 2)
-        results[label] = {"sec": sec}
-        approx_frames[label] = out
-        print(json.dumps({"strategy": label, "sec": sec}), flush=True)
-
-    # ground truth + recall (not part of any timed row)
     t0 = time.perf_counter()
-    exact = knn_join_gemm(queries, emb, k=args.k, dim=dim).localCheckpoint()
-    gt_sec = round(time.perf_counter() - t0, 2)
+    out = knn_join_auto(
+        queries, emb, k=args.k, dim=dim,
+        # n_queries simulates the past-envelope shape for DISPATCH;
+        # execution runs the real Q=400 batch
+        n_queries=n_past, n_index=n_index,
+        ivfpq_path=ivfpq_path, n_probe=args.n_probe,
+    ).localCheckpoint(eager=True)
+    sec = round(time.perf_counter() - t0, 2)
+    results["ivfpq"] = {"sec": sec}
+    approx_frames["ivfpq"] = out
+    print(json.dumps({"strategy": "ivfpq", "sec": sec}), flush=True)
+
+    # --- optional r11 flat rows (already booked) ----------------------
+    if args.flat:
+        pq_path = f"{scratch_root()}/cli_rag_spark_pqroute_x{args.multiple}"
+        t0 = time.perf_counter()
+        if not pq_index_ready(spark, pq_path, dim, 4):
+            build_pq_index(emb, pq_path, m_subspaces=4, k_codes=16)
+        print(json.dumps(
+            {"pq_build_sec": round(time.perf_counter() - t0, 2)}
+        ), flush=True)
+        for label, kwargs in (("pq", {"pq_path": pq_path}), ("lsh", {})):
+            t0 = time.perf_counter()
+            out = knn_join_auto(
+                queries, emb, k=args.k, dim=dim,
+                n_queries=n_q, n_index=n_index, **kwargs,
+            ).localCheckpoint(eager=True)
+            results[label] = {"sec": round(time.perf_counter() - t0, 2)}
+            approx_frames[label] = out
+            print(json.dumps({"strategy": label,
+                              "sec": results[label]["sec"]}), flush=True)
+
     for label, approx in approx_frames.items():
         r = (
             topk_recall(exact, approx, k=args.k)
@@ -141,13 +220,13 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "experiment": "pq_vs_lsh_routed",
+                "experiment": "pq_vs_lsh_routed_r12",
                 "multiple": args.multiple,
                 "n_queries": n_q,
                 "n_index": n_index,
                 "k": args.k,
-                "pq_build_sec": build_sec,
-                "gemm_ground_truth_sec": gt_sec,
+                "ivfpq_build_sec": build_sec,
+                "ivfpq_meta": meta,
                 "results": results,
             }
         ),

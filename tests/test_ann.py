@@ -498,8 +498,13 @@ def test_tune_n_probe_targets_recall(spark, sf_dir, tmp_path):
     probe_lo, recall_lo = tune_n_probe(spark, path, q, target_recall=0.05, k=3)
     assert probe_lo <= probe
     assert recall_lo >= 0.05
-    # monotone: a wider-probe requirement never picks a narrower width
-    assert probe_lo in (1, default_n_probe(9), 6, 9)
+    # monotone: a wider-probe requirement never picks a narrower width;
+    # rungs are the r12 pure power-of-two ladder capped at C (ADVICE
+    # r11: the old 1 -> default_n_probe jump could overshoot the
+    # minimal sufficient width by up to the default)
+    assert probe_lo in (1, 2, 4, 8, 9)
+    assert default_n_probe(9) == 3  # the unset-dispatch default is
+    # NOT automatically a rung anymore — the ladder is finer than it
     with pytest.raises(ValueError, match="target_recall"):
         tune_n_probe(spark, path, q, target_recall=0.0)
     with pytest.raises(ValueError, match="target_recall"):

@@ -111,3 +111,39 @@ def test_compact_line_carries_cleanliness_fields():
     # off-Linux degradation: fields present, null, line still parses
     degraded = json.loads(bench.compact_line(_fake_full(81)))
     assert degraded["other_cpu"] is None and degraded["load1_start"] is None
+
+
+def test_cleanliness_stamp_thresholds():
+    """VERDICT r11 #2: a pass that fails its own invariants must be
+    machine-stamped dirty — the r11 official artifact (other_cpu
+    145.5, load1 6.78) could never again be a silent official
+    number."""
+    clean_env = {
+        "loadavg_start": [0.5, 1.0, 2.0],
+        "jvm_cpu_sec_total": 650.0,
+        "py_cpu_sec_total": 20.0,
+        "sys_busy_sec_total": 650.0 + 20.0 + 104.5,  # ~daemon baseline
+    }
+    ok, reasons = bench._cleanliness(clean_env)
+    assert ok and reasons == []
+    # the r11 dirty pass signature: both invariants violated
+    dirty_env = dict(clean_env, loadavg_start=[6.78, 5.0, 4.0])
+    dirty_env["sys_busy_sec_total"] = 650.0 + 20.0 + 145.5
+    ok, reasons = bench._cleanliness(dirty_env)
+    assert not ok and len(reasons) == 2
+    assert any("load1_start" in r for r in reasons)
+    assert any("other_cpu" in r for r in reasons)
+    # single-invariant violations flag too
+    ok, _ = bench._cleanliness(dict(clean_env, loadavg_start=[2.5, 0, 0]))
+    assert not ok
+    # degraded env (no /proc fields): load check still applies, the
+    # other_cpu check is skipped rather than crashing
+    ok, reasons = bench._cleanliness({"loadavg_start": [0.1, 0, 0]})
+    assert ok and reasons == []
+    # the stamp rides the compact line
+    full = _fake_full(81)
+    full["env"] = dirty_env
+    full["clean"], full["dirty_reasons"] = bench._cleanliness(full["env"])
+    parsed = json.loads(bench.compact_line(full))
+    assert parsed["clean"] is False
+    assert len(bench.compact_line(full)) <= 500

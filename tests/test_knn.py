@@ -833,3 +833,83 @@ def test_tune_lsh_bands_targets_recall(spark, sf_dir):
         tune_lsh_bands(q, emb, dim=64, target_recall=0.0)
     with pytest.raises(ValueError, match="n_planes"):
         tune_lsh_bands(q, emb, dim=64, n_planes=0)
+
+
+def test_choose_knn_strategy_ivfpq_branch_pinned():
+    """r12 (VERDICT r11 #1): past the GEMM envelope the dispatcher
+    must be able to reach the sub-linear IVFPQ strategy — full IVF
+    still outranks it (exact distances in the probed lists), but with
+    only coded artifacts it wins over BOTH flat fallbacks the r11
+    measurement proved lose 27-57x per pair-op."""
+    from cli_rag_spark.operators.knn import (
+        GEMM_MAX_PAIR_OPS,
+        choose_knn_strategy,
+    )
+
+    q, n, dim = 10_000, 2_000_000, 64
+    assert q * n * dim > GEMM_MAX_PAIR_OPS
+    assert choose_knn_strategy(q, n, dim, ivfpq_available=True) == "ivfpq"
+    assert (
+        choose_knn_strategy(q, n, dim, ivf_available=True, ivfpq_available=True)
+        == "ivf"
+    )
+    # ivfpq beats the flat PQ branch even where PQ is itself eligible
+    assert (
+        choose_knn_strategy(
+            200_000, 10_000, 500, pq_available=True, ivfpq_available=True
+        )
+        == "ivfpq"
+    )
+    assert choose_knn_strategy(q, n, dim) == "lsh"
+
+
+def test_knn_join_auto_routes_ivfpq(spark, sf_dir, tmp_path):
+    """End-to-end dispatch to the persisted IVFPQ artifact: a
+    past-the-envelope shape (cost-model overrides) with a validated
+    build_ivfpq_index path must answer via knn_join_ivfpq — same
+    rows, with the artifact's recorded C feeding the sqrt(C) default
+    probe width — and content verification must reject a drifted
+    corpus back to LSH."""
+    from cli_rag_spark.operators.knn import knn_join_auto, knn_join_lsh
+    from cli_rag_spark.operators.pq import (
+        build_ivfpq_index,
+        knn_join_ivfpq,
+        read_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    path = str(tmp_path / "ivfpq_route")
+    build_ivfpq_index(emb, path, n_centroids=8, m_subspaces=4, k_codes=16)
+    q = _queries(emb, 5)
+    big = dict(n_queries=10_000, n_index=2_000_000)  # 1.28e12 pair-ops
+    auto = knn_join_auto(q, emb, k=3, dim=64, ivfpq_path=path, **big)
+    codes, cb, assign, cent = read_ivfpq_index(spark, path)
+    direct = knn_join_ivfpq(
+        q, codes, cb, assign, cent, k=3, n_probe=2  # default_n_probe(8)=2
+    ).withColumnRenamed("est_d2", "dist")
+    assert {tuple(r) for r in auto.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    # explicit n_probe overrides the sqrt(C) default
+    auto_w = knn_join_auto(
+        q, emb, k=3, dim=64, ivfpq_path=path, n_probe=8, **big
+    )
+    direct_w = knn_join_ivfpq(
+        q, codes, cb, assign, cent, k=3, n_probe=8
+    ).withColumnRenamed("est_d2", "dist")
+    assert {tuple(r) for r in auto_w.collect()} == {
+        tuple(r) for r in direct_w.collect()
+    }
+    # drifted corpus + verify_index_content: the stale artifact is
+    # rejected and the index-free fallback answers over the live frame
+    drifted = emb.where(F.col("vec_id") != 17)
+    auto2 = knn_join_auto(
+        q, drifted, k=3, dim=64, ivfpq_path=path,
+        verify_index_content=True, **big,
+    )
+    lsh = knn_join_lsh(q, drifted, k=3, dim=64)
+    assert {tuple(r) for r in auto2.collect()} == {
+        tuple(r) for r in lsh.collect()
+    }

@@ -406,3 +406,168 @@ def test_knn_join_ivfpq_matches_per_query_topk(spark, sf_dir):
         for rank, r in enumerate(rows, start=1):
             single.add((qid, r["vec_id"], r["est_d2"], rank))
     assert batch == single
+
+
+def test_default_pq_geometry_pinned():
+    """r12 (VERDICT r11 #1): the geometry rule scales code bits with
+    the corpus instead of shipping the refuted 16-bit constant —
+    k_codes jumps to 256 once 256 codewords are trainable, m is the
+    smallest divisor of dim reaching the birthday-bound bit budget
+    max(32, 2*log2(N))."""
+    import pytest
+
+    from cli_rag_spark.operators.pq import default_pq_geometry
+
+    # the r11 routed shape: dim 64, N=2M -> 42 bits needed -> m=8 x 256
+    assert default_pq_geometry(64, 2_000_000) == (8, 256)
+    # fixture scale: small corpus keeps the 4-bit codebook, the 32-bit
+    # floor forces m=8
+    assert default_pq_geometry(64, 2_000) == (8, 16)
+    # dim not a power of two: divisor search (192 % 6 == 0)
+    assert default_pq_geometry(192, 500_000) == (6, 256)
+    # k_codes never exceeds the seedable rows (largest pow2 <= n)
+    assert default_pq_geometry(64, 10) == (16, 8)
+    # no divisor reaches the budget -> scalar quantization (m = dim)
+    m, k = default_pq_geometry(7, 2_000_000)
+    assert m == 7 and k == 256
+    with pytest.raises(ValueError, match="dim"):
+        default_pq_geometry(0, 100)
+    with pytest.raises(ValueError, match="n_rows"):
+        default_pq_geometry(64, -1)
+
+
+def test_build_ivfpq_index_roundtrip_and_validation(spark, sf_dir, tmp_path):
+    """The persisted IVFPQ artifact (r12): build writes the four
+    children + meta; read returns frames that reproduce the live
+    computation exactly; geometry mismatches are rejected O(1)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+    from cli_rag_spark.operators.pq import (
+        build_ivfpq_index,
+        build_pq_codebook,
+        ivfpq_index_ready,
+        knn_join_ivfpq,
+        pq_encode,
+        read_ivfpq_index,
+    )
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, n_centroids=8, m_subspaces=4, k_codes=16)
+    assert ivfpq_index_ready(spark, path, 64)
+    assert ivfpq_index_ready(spark, path, 64, m_subspaces=4)
+    assert not ivfpq_index_ready(spark, path, 32)
+    assert not ivfpq_index_ready(spark, path, 64, m_subspaces=8)
+    assert not ivfpq_index_ready(spark, str(tmp_path / "nope"), 64)
+    with pytest.raises(ValueError, match="m_subspaces=4"):
+        read_ivfpq_index(spark, path, m_subspaces=8)
+    with pytest.raises(ValueError, match="n_centroids=8"):
+        read_ivfpq_index(spark, path, n_centroids=16)
+
+    codes, cb, assign, cent = read_ivfpq_index(
+        spark, path, m_subspaces=4, k_codes=16, dim=64, n_centroids=8
+    )
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    persisted = {
+        tuple(r)
+        for r in knn_join_ivfpq(q, codes, cb, assign, cent, k=3, n_probe=2).collect()
+    }
+    # live recomputation from the same seeded artifacts
+    cb_live = build_pq_codebook(emb, 4, 16)
+    cent_live = seed_centroids(emb, 8)
+    live = {
+        tuple(r)
+        for r in knn_join_ivfpq(
+            q,
+            pq_encode(emb, cb_live, 4),
+            cb_live,
+            assign_centroids(emb, cent_live),
+            cent_live,
+            k=3,
+            n_probe=2,
+        ).collect()
+    }
+    assert persisted == live
+
+
+def test_build_ivfpq_index_empty_input_raises(spark, tmp_path):
+    import pytest
+
+    from cli_rag_spark.operators.pq import build_ivfpq_index
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no scorable vectors"):
+        build_ivfpq_index(empty, str(tmp_path / "empty_ivfpq"))
+
+
+def test_assign_centroids_gemm_matches_hof(spark, sf_dir):
+    """The Arrow/GEMM assignment twin is bit-identical to the
+    interpreted-HOF crossJoin form under both metrics — the contract
+    that lets build_ivfpq_index route by size without changing any
+    persisted artifact."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.ann import (
+        assign_centroids,
+        assign_centroids_auto,
+        assign_centroids_gemm,
+        seed_centroids,
+    )
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    cent = seed_centroids(emb, 8)
+    for metric in ("cosine", "l2"):
+        hof = {
+            (r["vec_id"], r["cid"])
+            for r in assign_centroids(emb, cent, metric=metric).collect()
+        }
+        gemm = {
+            (r["vec_id"], r["cid"])
+            for r in assign_centroids_gemm(emb, cent, metric=metric).collect()
+        }
+        assert hof == gemm
+    # the auto router picks the HOF form at fixture scale (under the
+    # ops envelope) and the GEMM form when told the corpus is big;
+    # both produce the same assignment either way
+    auto = {
+        (r["vec_id"], r["cid"])
+        for r in assign_centroids_auto(emb, cent).collect()
+    }
+    hof_cos = {
+        (r["vec_id"], r["cid"])
+        for r in assign_centroids(emb, cent).collect()
+    }
+    assert auto == hof_cos
+
+
+def test_pq_encode_gemm_matches_hof(spark, sf_dir):
+    """The Arrow/GEMM encoder twin is bit-identical to the
+    interpreted-HOF pq_encode — the build_ivfpq_index size-routing
+    contract (same rounded-then-argmin, ties -> lowest code)."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.pq import (
+        build_pq_codebook,
+        pq_encode,
+        pq_encode_gemm,
+    )
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    cb = build_pq_codebook(emb, 4, 16)
+    hof = {tuple(r) for r in pq_encode(emb, cb, 4).collect()}
+    gemm = {tuple(r) for r in pq_encode_gemm(emb, cb, 4).collect()}
+    assert hof == gemm
