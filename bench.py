@@ -163,12 +163,19 @@ _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 # pass fails its own invariants, so a dirty pass can never silently be
 # the round's official number.
 #   OTHER_CPU_BASELINE: this bench's own pyspark worker daemons burn
-#   ~105 CPU-s per pass on this box (forked outside the driver's /proc
-#   view — BENCH.md r10 attribution); 15% above that means foreign
-#   processes competed with the measured queries.
+#   ~105 CPU-s per pass on this box at the r11 85-query set (forked
+#   outside the driver's /proc view — BENCH.md r10 attribution);
+#   adding tuner_widths (r12) raised the LEGITIMATE daemon burn to
+#   ~140 — its ladder search runs Arrow GEMM ground truths + probe
+#   joins through Python workers, ~17.7 other-CPU-s per timed run ×
+#   best-of-2 (per-query cpu dict attribution, r12 pass 1). 15%
+#   above the baseline means foreign processes competed with the
+#   measured queries. RECALIBRATE this constant whenever a
+#   Python-stage-heavy query joins HEADLINE — the per-query
+#   other_cpu_sec dict is the attribution tool.
 #   LOAD1_MAX_CLEAN: runnable backlog at pass START; the r11 dirty
 #   pass began at load1 6.78 vs ~0.1-1.6 on clean passes.
-OTHER_CPU_BASELINE = 105.0
+OTHER_CPU_BASELINE = 140.0
 OTHER_CPU_SLACK = 1.15
 LOAD1_MAX_CLEAN = 2.0
 
@@ -239,6 +246,24 @@ def _sys_busy_sec() -> float | None:
             v = [int(x) for x in f.readline().split()[1:9]]
         idle = v[3] + (v[4] if len(v) > 4 else 0)
         return (sum(v) - idle) / _CLK_TCK
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_sec() -> float | None:
+    """Hypervisor STEAL CPU seconds since boot (field 8 of /proc/stat
+    line 1). On this Firecracker-class box, the r12 diagnosis of the
+    "ambient drift" (BENCH.md r11: monotone wall growth on idle
+    same-code passes) is host-level vCPU throttling — steal is
+    counted inside sys_busy, so a throttled pass shows up as large
+    other_cpu with NO in-VM process to blame. Reporting it separately
+    splits other_cpu into "foreign processes in the VM" vs "the host
+    took the CPU away", which decides whether a dirty pass is our
+    scheduling problem or the box's."""
+    try:
+        with open("/proc/stat") as f:
+            v = f.readline().split()[1:]
+        return int(v[7]) / _CLK_TCK if len(v) > 7 else None
     except (OSError, ValueError, IndexError):
         return None
 
@@ -362,6 +387,7 @@ def main() -> None:
     wall_start = time.perf_counter()
     load_start = _loadavg()
     sys_busy_start = _sys_busy_sec()
+    steal_start = _steal_sec()
     py_cpu_start = _py_cpu_sec()
     jvm_cpu_start = _proc_cpu_sec(_jvm_pid(spark))
     queries = registry.all_queries()
@@ -421,6 +447,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     jvm_cpu_end, sys_busy_end = _proc_cpu_sec(jvm_pid), _sys_busy_sec()
+    steal_end = _steal_sec()
     py_cpu_total = round(_py_cpu_sec() - py_cpu_start, 3)
     full = {
         "metric": "headline_total",
@@ -442,6 +469,11 @@ def main() -> None:
             "sys_busy_sec_total": (
                 round(sys_busy_end - sys_busy_start, 3)
                 if sys_busy_start is not None and sys_busy_end is not None
+                else None
+            ),
+            "steal_sec_total": (
+                round(steal_end - steal_start, 3)
+                if steal_start is not None and steal_end is not None
                 else None
             ),
             "wall_sec_total": round(time.perf_counter() - wall_start, 3),
