@@ -238,9 +238,16 @@ def kmeans_refine(
     must be bit-reproducible across engines (partial-sum order drift
     in avg() is ~1e-15 relative; rounding absorbs it). ``metric``
     selects the assignment distance (see :func:`assign_centroids`);
-    the mean-update step is metric-independent."""
+    the mean-update step is metric-independent. Each iteration's
+    assignment routes through :func:`assign_centroids_auto` (r12):
+    under the element-ops envelope the HOF form runs (fixture-scale
+    plans unchanged); past it the bit-identical Arrow/GEMM twin makes
+    Lloyd refinement affordable at corpus scale (2M × C=1414 × dim 64
+    is 1.8e11 interpreted element-ops per iteration otherwise)."""
     for _ in range(n_iters):
-        assign = assign_centroids(vectors, centroids, id_col, vec_col, metric=metric)
+        assign = assign_centroids_auto(
+            vectors, centroids, id_col, vec_col, metric=metric
+        )
         mean_val = F.avg(F.col("val").cast("double"))
         if round_digits is not None:
             mean_val = F.round(mean_val, round_digits)

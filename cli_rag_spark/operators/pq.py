@@ -703,7 +703,21 @@ def build_pq_index(
     # the bytes future readers will see (and the refine lineage runs
     # once, not once per encode stage)
     codebook = spark.read.parquet(f"{path}/codebook")
-    codes = pq_encode(vectors, codebook, m_subspaces, id_col, vec_col, round_digits)
+    # size-routed encoder (r12, the build_ivfpq_index rule): the HOF
+    # encoder evaluates N·K·dim interpreted element ops; past the
+    # envelope the Arrow/GEMM twin (bit-identical, pinned in tests)
+    # is the only build that finishes in minutes
+    from cli_rag_spark.operators.ann import GEMM_ASSIGN_MIN_OPS
+
+    d_probe = probe["ds"] * m_subspaces
+    if n_rows * k_codes * d_probe > GEMM_ASSIGN_MIN_OPS:
+        codes = pq_encode_gemm(
+            vectors, codebook, m_subspaces, id_col, vec_col, round_digits
+        )
+    else:
+        codes = pq_encode(
+            vectors, codebook, m_subspaces, id_col, vec_col, round_digits
+        )
     codes.write.mode("overwrite").parquet(f"{path}/codes")
 
     # sub-vector length from the pre-write probe (same geometry as the
