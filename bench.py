@@ -130,6 +130,7 @@ HEADLINE = [
     "overlap_matrix_incremental",  # corpus: snapshot+delta matrix maintenance (r11)
     "knn_join_ivfpq",            # vector: batch IVFADC join — sub-linear E7 member (r11)
     "tuner_widths",              # vector: recall-targeted n_probe/bands tuners (r12)
+    "ivfpq_rerank_topk",         # vector: IVFADC-R exact shortlist rerank (r12)
 ]
 
 

@@ -527,13 +527,30 @@ def knn_join_ivfpq(
     deterministic (est_d2, id) contract and [query_id, id, est_d2,
     rank] shape as every other E7 strategy.
 
-    Pass ``codes``/``codebook`` from :func:`read_pq_index` and
-    ``assign``/``centroids`` from the persisted IVF artifact (the
-    coarse quantizer travels with its assignment — the ivfpq_topk
-    ADVICE r4 rule); everything downstream of the artifacts is
-    SQL-oracle-replayable."""
+    Pass ``codes``/``codebook`` from :func:`read_pq_index` /
+    :func:`read_ivfpq_index` and ``assign``/``centroids`` from the
+    persisted artifact (the coarse quantizer travels with its
+    assignment — the ivfpq_topk ADVICE r4 rule); everything
+    downstream of the artifacts is SQL-oracle-replayable.
+
+    The codebook's subspace set is validated against ``m_subspaces``
+    up front (one tiny agg on the broadcast-sized M·K frame): scoring
+    an m=8 codebook with the m=4 default doesn't fail — F.slice cuts
+    wrong-width query sub-vectors and the zip_with pads with NULLs —
+    it silently returns garbage distances (r12: this exact mistake
+    produced a 0.10-recall measurement that looked like an honest
+    number)."""
     from pyspark.sql import Window
 
+    got_m = sorted(
+        int(r["m"]) for r in codebook.select("m").distinct().collect()
+    )
+    if got_m != list(range(m_subspaces)):
+        raise ValueError(
+            f"codebook carries subspaces {got_m} but m_subspaces="
+            f"{m_subspaces} was passed — an ADC join with mismatched "
+            "geometry returns silently wrong distances"
+        )
     q = queries.select(query_id, query_vec)
     probed = (
         centroids.crossJoin(F.broadcast(q))

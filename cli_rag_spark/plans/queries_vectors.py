@@ -54,6 +54,7 @@ LSH_SEED = 42
 LSH_QUERIES = 10
 TUNE_TARGET = 0.95  # recall target fed to both recall-targeted tuners
 TUNE_K = 3
+RERANK_R = 8  # ADC shortlist width the exact rerank re-scores
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,6 +306,39 @@ def q_knn_join_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, codes, cb, assign, cent, k=K, n_probe=IVF_PROBE,
         m_subspaces=PQ_M,
     )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-R (operators/knn.py rerank_exact composed behind
+    knn_join_ivfpq, r12): the ADC top-RERANK_R shortlist per query is
+    re-scored with EXACT cosine — the Jégou §V.B refinement, and the
+    measured answer to the r12 finding that the sub-linear join's
+    weakness is RANKING, not candidate generation (at 2M rows the
+    true top-10's coverage inside ADC's top-100/300 is 0.67/0.84
+    while recall@10 of the raw ADC order is 0.33 — SCALING.md). The
+    rerank's embedding fetch is R·Q rows, never N: the only exact
+    work in the chain is the shortlist. Probe, encode, LUT, ADC sum,
+    shortlist cut, exact re-score, and final rank are all
+    deterministic, so the full two-stage ranking is oracle-replayed
+    in one SQL statement."""
+    from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+    from cli_rag_spark.operators.knn import rerank_exact
+
+    emb, codes, cb = _persisted_pq_index(spark, sf_dir, "ivfpq")
+    cent = seed_centroids(emb, IVF_CENTROIDS)
+    assign = assign_centroids(emb, cent)
+    q = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cand = knn_join_ivfpq(
+        q, codes, cb, assign, cent, k=RERANK_R, n_probe=IVF_PROBE,
+        m_subspaces=PQ_M,
+    )
+    out = rerank_exact(cand, q, emb, k=TUNE_K)
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
         "query_id", "rank"
     )
@@ -979,6 +1013,7 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "knn_join_ivfpq": q_knn_join_ivfpq,
+    "ivfpq_rerank_topk": q_ivfpq_rerank_topk,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "knn_join_pq": q_knn_join_pq,
     "quantized_topk": q_quantized_topk,
@@ -1273,6 +1308,70 @@ def _tuner_oracle_sql() -> str:
     """
 
 
+# Shared IVFADC estimate chain (codebook slices -> encode argmin ->
+# coarse assign -> probe -> per-query LUT -> ADC sums): the
+# knn_join_ivfpq oracle ranks `est` directly; the ivfpq_rerank_topk
+# oracle takes its top-RERANK_R as the candidate list and re-scores
+# with exact cosine (the IVFADC-R refinement).
+_IVFPQ_EST_CTES = f"""ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        cb AS (
+            SELECT ms.m, e.vec_id AS code,
+                   (e.embedding::DOUBLE[])[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS cvec
+            FROM embeddings e, ms WHERE e.vec_id < {PQ_K}
+        ), subs AS (
+            SELECT e.vec_id, ms.m,
+                   (e.embedding::DOUBLE[])[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS subvec
+            FROM embeddings e, ms
+        ), codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT s.vec_id, s.m, c.code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                                     i -> (s.subvec[i]-c.cvec[i])*(s.subvec[i]-c.cvec[i]))), 6), c.code
+                       ) AS rn
+                FROM subs s JOIN cb c USING (m)
+            ) WHERE rn = 1
+        ), cent AS (
+            SELECT vec_id AS cid, embedding AS ccvec FROM embeddings
+            WHERE vec_id < {IVF_CENTROIDS}
+        ), qs AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < {LSH_QUERIES}
+        ), assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.ccvec::DOUBLE[]), 6), c.cid
+                       ) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        ), probe AS (
+            SELECT query_id, cid FROM (
+                SELECT q.query_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(1 - list_cosine_similarity(c.ccvec::DOUBLE[], q.qv), 6), c.cid
+                       ) AS rn
+                FROM cent c, qs q
+            ) WHERE rn <= {IVF_PROBE}
+        ), lut AS (
+            SELECT q.query_id, c.m, c.code,
+                   round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> (c.cvec[i]-q.qv[c.m*{LSH_DIM // PQ_M}+i])*(c.cvec[i]-q.qv[c.m*{LSH_DIM // PQ_M}+i]))), 6) AS d2
+            FROM cb c, qs q
+        ), est AS (
+            SELECT p.query_id, codes.vec_id, round(sum(l.d2), 6) AS est_d2
+            FROM codes
+            JOIN assign a ON codes.vec_id = a.vec_id
+            JOIN probe p ON a.cid = p.cid
+            JOIN lut l ON l.query_id = p.query_id
+                      AND l.m = codes.m AND l.code = codes.code
+            GROUP BY p.query_id, codes.vec_id
+        )"""
+
+
 ORACLE = {
     # the √N sizing policy replayed from the table itself: C =
     # floor(sqrt(count(*))) — any drift in default_n_centroids, the
@@ -1529,63 +1628,7 @@ ORACLE = {
     # LUT become per-query (window / key on query_id), top-k becomes
     # rank-per-query — the r11 batch IVFADC join replayed end to end
     "knn_join_ivfpq": f"""
-        WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
-        cb AS (
-            SELECT ms.m, e.vec_id AS code,
-                   (e.embedding::DOUBLE[])[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS cvec
-            FROM embeddings e, ms WHERE e.vec_id < {PQ_K}
-        ), subs AS (
-            SELECT e.vec_id, ms.m,
-                   (e.embedding::DOUBLE[])[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS subvec
-            FROM embeddings e, ms
-        ), codes AS (
-            SELECT vec_id, m, code FROM (
-                SELECT s.vec_id, s.m, c.code,
-                       row_number() OVER (
-                           PARTITION BY s.vec_id, s.m
-                           ORDER BY round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
-                                     i -> (s.subvec[i]-c.cvec[i])*(s.subvec[i]-c.cvec[i]))), 6), c.code
-                       ) AS rn
-                FROM subs s JOIN cb c USING (m)
-            ) WHERE rn = 1
-        ), cent AS (
-            SELECT vec_id AS cid, embedding AS ccvec FROM embeddings
-            WHERE vec_id < {IVF_CENTROIDS}
-        ), qs AS (
-            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-            FROM embeddings WHERE vec_id < {LSH_QUERIES}
-        ), assign AS (
-            SELECT vec_id, cid FROM (
-                SELECT e.vec_id, c.cid,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.ccvec::DOUBLE[]), 6), c.cid
-                       ) AS rn
-                FROM embeddings e, cent c
-            ) WHERE rn = 1
-        ), probe AS (
-            SELECT query_id, cid FROM (
-                SELECT q.query_id, c.cid,
-                       row_number() OVER (
-                           PARTITION BY q.query_id
-                           ORDER BY round(1 - list_cosine_similarity(c.ccvec::DOUBLE[], q.qv), 6), c.cid
-                       ) AS rn
-                FROM cent c, qs q
-            ) WHERE rn <= {IVF_PROBE}
-        ), lut AS (
-            SELECT q.query_id, c.m, c.code,
-                   round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
-                         i -> (c.cvec[i]-q.qv[c.m*{LSH_DIM // PQ_M}+i])*(c.cvec[i]-q.qv[c.m*{LSH_DIM // PQ_M}+i]))), 6) AS d2
-            FROM cb c, qs q
-        ), est AS (
-            SELECT p.query_id, codes.vec_id, round(sum(l.d2), 6) AS est_d2
-            FROM codes
-            JOIN assign a ON codes.vec_id = a.vec_id
-            JOIN probe p ON a.cid = p.cid
-            JOIN lut l ON l.query_id = p.query_id
-                      AND l.m = codes.m AND l.code = codes.code
-            GROUP BY p.query_id, codes.vec_id
-        )
+        WITH {_IVFPQ_EST_CTES}
         SELECT query_id, vec_id, est_d2, rank FROM (
             SELECT query_id, vec_id, est_d2,
                    row_number() OVER (
@@ -1593,6 +1636,31 @@ ORACLE = {
                    ) AS rank
             FROM est
         ) WHERE rank <= {K}
+        ORDER BY query_id, rank
+    """,
+    "ivfpq_rerank_topk": f"""
+        WITH {_IVFPQ_EST_CTES},
+        cand AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY est_d2, vec_id
+                       ) AS rn
+                FROM est
+            ) WHERE rn <= {RERANK_R}
+        ),
+        rer AS (
+            SELECT c.query_id, c.vec_id,
+                   round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS dist
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN qs q ON q.query_id = c.query_id
+        )
+        SELECT query_id, vec_id, dist, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, vec_id
+            ) AS rank FROM rer
+        ) WHERE rank <= {TUNE_K}
         ORDER BY query_id, rank
     """,
     "knn_join_ivf": f"""

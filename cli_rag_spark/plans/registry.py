@@ -48,9 +48,9 @@ _PACKS = [
 #
 # STALENESS BOUND (kept current per VERDICT r7 "What's wrong #3";
 # the arithmetic below MUST be updated whenever the registry count
-# changes): with 194 registered queries, 17 sentinels and exactly 33
-# rotating slots per round, a full pass over the 177 non-sentinel
-# queries takes ceil(177/33) = 6 rounds, so the honest worst-case
+# changes): with 195 registered queries, 17 sentinels and exactly 33
+# rotating slots per round, a full pass over the 178 non-sentinel
+# queries takes ceil(178/33) = 6 rounds, so the honest worst-case
 # staleness of a driver verdict is ≤ 6 rounds (rounding DOWN here is
 # how the r6 "~2 rounds" claim went wrong — count whole rounds, and
 # remember category-2/3 load eats into the 33 before stale fill gets
@@ -59,7 +59,7 @@ _PACKS = [
 # never-judged backlog; r7 left 22; r9 cleared it to ZERO; the
 # backlog stays zero through r11 (193/193 ever-judged, all green).
 # NEW-QUERY CAP (adopted r8): at most 12 new judged queries per
-# round; r12 adds ONE (tuner_widths). The every-run
+# round; r12 adds TWO (tuner_widths, ivfpq_rerank_topk). The every-run
 # correctness gate is NOT the driver window: every registered query
 # is value- and dtype-exactly replayed against its DuckDB oracle on
 # every local test run (tests/test_parity.py); the driver window is
@@ -76,12 +76,15 @@ _PACKS = [
 # materialize their bounded result and UNPERSIST the cached
 # survivor/distinct tables — ADVICE r11: the shared long-lived
 # session was accumulating cache blocks across 193 queries);
-# ONE never-judged (category 3, within the 12-cap): tuner_widths
+# TWO never-judged (category 3, within the 12-cap): tuner_widths
 # (VERDICT r11 #5 — the recall-targeted tuners tune_n_probe /
 # tune_lsh_bands judged end-to-end; the oracle replays BOTH ladder
 # searches in SQL including the r12 pure-doubling tune_n_probe
-# ladder from ADVICE r11). Then least-recently-verified fill
-# (28 slots, from CORRECTNESS_r1–r11 last-verdict rounds, oldest
+# ladder from ADVICE r11) and ivfpq_rerank_topk (IVFADC-R — the
+# exact-rerank refinement the r12 2M measurement demanded: ADC
+# coverage@300 is 0.84 while its raw ranking reads 0.33, so the
+# shortlist re-score is the recall lever; two-stage oracle). Then
+# least-recently-verified fill (27 slots, from CORRECTNESS_r1–r11 last-verdict rounds, oldest
 # first, alphabetical within a round): ALL 26 remaining r6-verified
 # — the five the r11 window displaced (decontamination,
 # dedup_exact_count, event_transitions, fingerprint_dups,
@@ -93,8 +96,9 @@ _PACKS = [
 # scalar_function_breadth, segment_nation_cube, shipping_priority,
 # simhash_groups, sketch_rollup_users, stratified_sample,
 # streaming_native_sessions, top_customers_per_nation,
-# top_parts_per_brand — and the first 2 r7-verified alphabetical
-# (audio_decode_stats, bloom_join_stats). The r13 head is owed the
+# top_parts_per_brand — and the first r7-verified alphabetical
+# (audio_decode_stats; bloom_join_stats was displaced by the second
+# cat-3 entry and heads the r13 fill). The r13 head is owed the
 # remaining 27 r7-verified oldest-first (bootstrap_ci_revenue,
 # bpe_pair_stats, cheapest_supplier_per_part, chunk_clean_stats,
 # cusum_changepoints, ...), then r8-verified.
@@ -123,8 +127,8 @@ _PRIORITY = _SENTINELS + [
     # comment above)
     "knn_join_auto", "knn_join_ivfpq", "curation_funnel",
     "source_overlap_matrix",
-    # (3) never driver-checked: the r12 addition
-    "tuner_widths",
+    # (3) never driver-checked: the two r12 additions
+    "tuner_widths", "ivfpq_rerank_topk",
     # (4) least-recently-verified fill: all 26 remaining r6-verified,
     # starting with the five the r11 window displaced...
     "decontamination", "dedup_exact_count", "event_transitions",
@@ -137,8 +141,9 @@ _PRIORITY = _SENTINELS + [
     "shipping_priority", "simhash_groups", "sketch_rollup_users",
     "stratified_sample", "streaming_native_sessions",
     "top_customers_per_nation", "top_parts_per_brand",
-    # ...then the first 2 r7-verified (alphabetical)
-    "audio_decode_stats", "bloom_join_stats",
+    # ...then the first r7-verified (alphabetical; bloom_join_stats,
+    # displaced by the second cat-3 entry, heads the r13 fill)
+    "audio_decode_stats",
 ]
 
 

@@ -122,13 +122,15 @@ def test_cleanliness_stamp_thresholds():
         "loadavg_start": [0.5, 1.0, 2.0],
         "jvm_cpu_sec_total": 650.0,
         "py_cpu_sec_total": 20.0,
-        "sys_busy_sec_total": 650.0 + 20.0 + 104.5,  # ~daemon baseline
+        # ~the recalibrated 86-entry worker-daemon baseline (r12)
+        "sys_busy_sec_total": 650.0 + 20.0 + 146.4,
     }
     ok, reasons = bench._cleanliness(clean_env)
     assert ok and reasons == []
-    # the r11 dirty pass signature: both invariants violated
+    # the dirty-pass signature: both invariants violated (other_cpu
+    # scaled past the recalibrated 161 threshold)
     dirty_env = dict(clean_env, loadavg_start=[6.78, 5.0, 4.0])
-    dirty_env["sys_busy_sec_total"] = 650.0 + 20.0 + 145.5
+    dirty_env["sys_busy_sec_total"] = 650.0 + 20.0 + 238.3
     ok, reasons = bench._cleanliness(dirty_env)
     assert not ok and len(reasons) == 2
     assert any("load1_start" in r for r in reasons)

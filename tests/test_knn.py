@@ -913,3 +913,122 @@ def test_knn_join_auto_routes_ivfpq(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in auto2.collect()} == {
         tuple(r) for r in lsh.collect()
     }
+
+
+def test_rerank_exact_full_candidates_equals_knn_join(spark, sf_dir):
+    """IVFADC-R sanity anchor: exact-reranking the FULL (query x id)
+    candidate grid must reproduce the exact kNN join bit-for-bit —
+    the rerank stage is the same rounded cosine + (dist, id) window
+    as the exact path, just restricted to a candidate list."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    from cli_rag_spark.operators.knn import rerank_exact
+
+    q = _queries(emb, 5)
+    all_cand = q.select("query_id").crossJoin(emb.select("vec_id"))
+    got = {
+        tuple(r) for r in rerank_exact(all_cand, q, emb, k=3).collect()
+    }
+    want = {tuple(r) for r in knn_join(q, emb, k=3).collect()}
+    assert got == want
+
+
+def test_rerank_lifts_ivfpq_recall_to_coverage(spark, sf_dir):
+    """The rerank's contract: recall@k after exact re-scoring equals
+    the shortlist's COVERAGE of the true top-k (rerank orders exactly,
+    so it finds every true neighbor the shortlist contains) — and is
+    therefore >= the raw ADC ordering's recall."""
+    from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+    from cli_rag_spark.operators.knn import rerank_exact, topk_recall
+    from cli_rag_spark.operators.pq import (
+        build_pq_codebook,
+        knn_join_ivfpq,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    cb = build_pq_codebook(emb, 4, 16)
+    codes = pq_encode(emb, cb, 4).cache()
+    cent = seed_centroids(emb, 8)
+    assign = assign_centroids(emb, cent)
+    q = _queries(emb, 5)
+    exact = knn_join(q, emb, k=3).localCheckpoint(eager=True)
+    short = knn_join_ivfpq(
+        q, codes, cb, assign, cent, k=12, n_probe=2
+    ).localCheckpoint(eager=True)
+    raw3 = short.where(F.col("rank") <= 3)
+
+    def avg_recall(approx):
+        row = (
+            topk_recall(exact, approx, k=3)
+            .agg(F.avg("recall").alias("r"))
+            .first()
+        )
+        return float(row["r"])
+
+    cov = avg_recall(short)          # coverage of true-3 in the 12-list
+    reranked = rerank_exact(short, q, emb, k=3)
+    assert abs(avg_recall(reranked) - cov) < 1e-9
+    assert avg_recall(reranked) >= avg_recall(raw3) - 1e-9
+
+
+def test_knn_join_ivfpq_rejects_mismatched_codebook_geometry(spark, sf_dir):
+    """r12 guard: scoring an m=8 codebook with m_subspaces=4 does not
+    fail — F.slice mis-cuts and zip_with NULL-pads — it silently
+    returns garbage (this exact mistake produced a bogus 0.10-recall
+    measurement in the r12 rehearsal). The operator must refuse."""
+    import pytest
+
+    from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
+    from cli_rag_spark.operators.pq import (
+        build_pq_codebook,
+        knn_join_ivfpq,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    cb8 = build_pq_codebook(emb, 8, 16)
+    codes8 = pq_encode(emb, cb8, 8)
+    cent = seed_centroids(emb, 8)
+    assign = assign_centroids(emb, cent)
+    q = _queries(emb, 3)
+    with pytest.raises(ValueError, match="mismatched"):
+        knn_join_ivfpq(q, codes8, cb8, assign, cent, k=3, n_probe=2,
+                       m_subspaces=4)
+
+
+def test_knn_join_auto_ivfpq_rerank_option(spark, sf_dir, tmp_path):
+    """ivfpq_rerank=R on the dispatched IVFPQ path: the ADC top-R
+    shortlist is exact-reranked to k with true cosine in the dist
+    column — equal to composing the operators by hand."""
+    from cli_rag_spark.operators.knn import (
+        knn_join_auto,
+        rerank_exact,
+    )
+    from cli_rag_spark.operators.pq import (
+        build_ivfpq_index,
+        knn_join_ivfpq,
+        read_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    path = str(tmp_path / "ivfpq_rr")
+    build_ivfpq_index(emb, path, n_centroids=8, m_subspaces=4, k_codes=16)
+    q = _queries(emb, 5)
+    big = dict(n_queries=10_000, n_index=2_000_000)
+    auto = knn_join_auto(
+        q, emb, k=3, dim=64, ivfpq_path=path, ivfpq_rerank=12, **big
+    )
+    codes, cb, assign, cent = read_ivfpq_index(spark, path)
+    short = knn_join_ivfpq(q, codes, cb, assign, cent, k=12, n_probe=2)
+    direct = rerank_exact(short, q, emb, k=3)
+    assert {tuple(r) for r in auto.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
