@@ -179,10 +179,44 @@ _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 OTHER_CPU_BASELINE = 140.0
 OTHER_CPU_SLACK = 1.15
 LOAD1_MAX_CLEAN = 2.0
+# Pre-pass settle (VERDICT r12 #4): stamping made dirty passes
+# VISIBLE (the r12 driver pass self-flagged at load1 4.62) but the
+# official number was still the dirty one — bench.py only annotated a
+# busy start, it never WAITED for a quiet one. The settle loop blocks
+# until load1 drops under the same gate _cleanliness checks, bounded
+# at 5 minutes; on timeout the pass proceeds and the timeout itself
+# lands in dirty_reasons (so a driver-initiated pass either self-
+# cleans or says exactly why it couldn't). load1's decay constant is
+# 1 min, so a post-rehearsal backlog needs ~1-3 min to drain under
+# 2.0 — inside the cap; a genuinely busy box (concurrent pytest)
+# never settles and times out honestly.
+SETTLE_TIMEOUT_SEC = 300.0
+SETTLE_POLL_SEC = 5.0
+
+
+def _settle() -> dict:
+    """Block until load1 <= LOAD1_MAX_CLEAN or the timeout; returns
+    {settle_wait_sec, settle_timed_out} for the env block."""
+    waited = 0.0
+    while True:
+        la = _loadavg()
+        if la is None or la[0] <= LOAD1_MAX_CLEAN:
+            return {"settle_wait_sec": round(waited, 1),
+                    "settle_timed_out": False}
+        if waited >= SETTLE_TIMEOUT_SEC:
+            return {"settle_wait_sec": round(waited, 1),
+                    "settle_timed_out": True}
+        time.sleep(SETTLE_POLL_SEC)
+        waited += SETTLE_POLL_SEC
 
 
 def _cleanliness(env: dict) -> tuple[bool, list[str]]:
     reasons: list[str] = []
+    if env.get("settle_timed_out"):
+        reasons.append(
+            f"settle_timeout after {env.get('settle_wait_sec')}s "
+            f"(load1 never dropped under {LOAD1_MAX_CLEAN})"
+        )
     load_start = env.get("loadavg_start") or []
     if load_start and load_start[0] > LOAD1_MAX_CLEAN:
         reasons.append(
@@ -379,6 +413,11 @@ def compact_line(full: dict) -> str:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # settle BEFORE the JVM launches: pure /proc polling, so the wait
+    # itself adds no load, and loadavg_start below then reads the
+    # settled value (or the pass carries settle_timeout in
+    # dirty_reasons — VERDICT r12 #4)
+    settle = _settle()
     spark = get_session(app_name="cli-rag-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # all pass-level windows start at the SAME instant, after the JVM
@@ -459,6 +498,7 @@ def main() -> None:
         "builds": builds,
         "env": {
             "cpu_count": os.cpu_count(),
+            **settle,
             "loadavg_start": load_start,
             "loadavg_end": _loadavg(),
             "jvm_cpu_sec_total": (

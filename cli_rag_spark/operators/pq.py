@@ -886,6 +886,45 @@ def default_pq_geometry(dim: int, n_rows: int) -> tuple[int, int]:
     return dim, k_codes
 
 
+RERANK_DEPTH_FLOOR = 100
+
+
+def default_rerank_depth(k: int) -> int:
+    """IVFADC-R shortlist depth ``R = max(10·k, 100)`` — the rerank
+    member of the measured-default family (default_n_centroids /
+    default_n_probe / default_pq_geometry; VERDICT r12 #1: the
+    dispatched ivfpq path must not silently return the raw ADC order
+    when the round's own measurement shows exact re-scoring of a
+    short list repairs it at no meaningful wall).
+
+    Why a rule at all: the quantized (ADC) estimate is a good
+    CANDIDATE GENERATOR and a poor RANKER — at the r12 routed shape
+    (Q=400 × N=2M, dim 64) raw ADC recall@10 was 0.329 while the true
+    top-10's coverage inside the ADC top-R shortlist was 0.670 at
+    R=100 and 0.836 at R=300; exact re-scoring lifts recall exactly
+    to that coverage (measured, SCALING.md) because the rerank stage
+    is the same rounded-cosine + (dist, id) window as the exact path.
+
+    Why 10·k with a floor of 100: coverage@R is concave in R — the
+    knee of the measured curve sits around one decade above k (the
+    standard FAISS ``k_factor`` refinement default is the same
+    order), and the marginal wall of R is tiny: the rerank reads R·Q
+    embeddings by narrow-key equi-join — never N — so R=100 at Q=400
+    is 40k vector reads against a 2M-row corpus (~2% of one scan).
+    The floor keeps small-k callers (k=3 → 10·k=30) from cutting the
+    shortlist below the region where quantization noise reorders
+    candidates; r13 re-measures the coverage-vs-R curve on a
+    clustered (Gaussian-mixture) corpus beside the adversarial
+    sign-flip bound (SCALING.md r13).
+
+    ``knn_join_auto(ivfpq_rerank=None)`` resolves through this rule;
+    ``ivfpq_rerank=0`` is the explicit opt-OUT (raw ADC order, the
+    scan-cost-only view); any positive value overrides."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return max(10 * k, RERANK_DEPTH_FLOOR)
+
+
 def build_ivfpq_index(
     vectors: DataFrame,
     path: str,

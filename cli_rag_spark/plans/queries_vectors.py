@@ -219,6 +219,52 @@ def q_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
+def q_ann_default_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured-default RULE FAMILY as judged data (r13): every
+    shipped ANN sizing rule — default_lsh_geometry (operators/knn.py,
+    VERDICT r12 #3), default_rerank_depth (operators/pq.py, VERDICT
+    r12 #1), default_n_centroids / default_n_probe (operators/ann.py,
+    r10), default_pq_geometry (operators/pq.py, r12) — evaluated over
+    a seven-decade corpus ladder n = 10^t (t from the embeddings
+    table's vec_id 3..9, so the row set is fixture-anchored) with
+    k = 2^t feeding the rerank rule. The oracle replays the arithmetic
+    (ceil-log2 bit budgets, isqrt clamps, birthday-bound code bits,
+    next-divisor-of-dim search at dim 64) in SQL, so any silent edit
+    to a shipped constant or formula hash-mismatches — the dispatch
+    constants are data, not prose."""
+    from cli_rag_spark.operators.ann import (
+        default_n_centroids,
+        default_n_probe,
+    )
+    from cli_rag_spark.operators.knn import default_lsh_geometry
+    from cli_rag_spark.operators.pq import (
+        default_pq_geometry,
+        default_rerank_depth,
+    )
+
+    rows = []
+    for t in range(3, 10):
+        n, k = 10 ** t, 2 ** t
+        planes, bands = default_lsh_geometry(n)
+        c = default_n_centroids(n)
+        m, kc = default_pq_geometry(64, n)
+        rows.append(
+            (t, n, planes, bands, default_rerank_depth(k), c,
+             default_n_probe(c), m, kc)
+        )
+    rules = spark.createDataFrame(
+        rows,
+        "t long, n long, lsh_planes long, lsh_bands long, "
+        "rerank_depth long, n_centroids long, n_probe long, "
+        "pq_m long, pq_k long",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchor = emb.where(
+        (F.col("vec_id") >= 3) & (F.col("vec_id") <= 9)
+    ).select(F.col("vec_id").cast("long").alias("t"))
+    return rules.join(anchor, "t").orderBy("t")
+
+
 def _persisted_pq_index(spark: SparkSession, sf_dir: str, prefix: str):
     """(embeddings, codes, codebook) with the PQ index built to and
     re-read from a stable per-sf_dir scratch path — the shared
@@ -1022,6 +1068,7 @@ QUERIES = {
     "lsh_recall_stats": q_lsh_recall_stats,
     "knn_join_all": q_knn_join_all,
     "knn_join_auto": q_knn_join_auto,
+    "ann_default_rules": q_ann_default_rules,
     "knn_join": q_knn_join,
     "embedding_norms": q_embedding_norms,
     "label_centroids": q_label_centroids,
@@ -1885,6 +1932,56 @@ ORACLE = {
         )
         WHERE rank <= 5
         ORDER BY query_id, rank
+    """,
+    # The shipped ANN sizing rules replayed as SQL arithmetic over the
+    # same fixture-anchored ladder: bits/band = max(4, ceil(log2(n)/2))
+    # with 8 bands (default_lsh_geometry), R = max(10k, 100)
+    # (default_rerank_depth), C = clamp(isqrt(n), 1, 65536) and
+    # n_probe = isqrt(C) (ann.py defaults), and default_pq_geometry's
+    # birthday-bound code width at dim 64 (k_codes 256 past 65536 rows,
+    # bits_needed = max(32, 2·ceil(log2 n)), m = smallest divisor of 64
+    # >= bits_needed/bits_per_code — divisors of 64 are powers of two,
+    # so the search is a pow2-ceiling). floor(sqrt(x)) == isqrt(x) for
+    # every value on this ladder (checked: no 10^t or its isqrt sits on
+    # a float-rounding boundary).
+    "ann_default_rules": """
+        WITH anchor AS (
+            SELECT vec_id::BIGINT AS t FROM embeddings
+            WHERE vec_id BETWEEN 3 AND 9
+        ), base AS (
+            SELECT t,
+                   CAST(POWER(10, t) AS BIGINT) AS n,
+                   CAST(POWER(2, t) AS BIGINT) AS k
+            FROM anchor
+        ), r AS (
+            SELECT t, n,
+                   GREATEST(4, CAST(CEIL(LOG2(CAST(n AS DOUBLE)) / 2) AS BIGINT)) AS bits,
+                   GREATEST(10 * k, 100) AS rerank_depth,
+                   GREATEST(CAST(1 AS BIGINT),
+                            LEAST(CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT), 65536)) AS n_centroids,
+                   GREATEST(32, 2 * CAST(CEIL(LOG2(CAST(n AS DOUBLE))) AS BIGINT)) AS bits_needed,
+                   CASE WHEN n >= 65536 THEN 256 ELSE 16 END AS pq_k
+            FROM base
+        ), m AS (
+            SELECT *,
+                   CAST(CEIL(CAST(bits_needed AS DOUBLE)
+                             / (CASE WHEN pq_k = 256 THEN 8 ELSE 4 END)) AS BIGINT) AS m_raw
+            FROM r
+        )
+        SELECT t, n,
+               bits * 8 AS lsh_planes,
+               CAST(8 AS BIGINT) AS lsh_bands,
+               rerank_depth,
+               n_centroids,
+               GREATEST(CAST(1 AS BIGINT),
+                        LEAST(CAST(FLOOR(SQRT(CAST(n_centroids AS DOUBLE))) AS BIGINT),
+                              n_centroids)) AS n_probe,
+               CASE WHEN m_raw <= 1 THEN CAST(1 AS BIGINT)
+                    ELSE LEAST(CAST(POWER(2, CEIL(LOG2(CAST(m_raw AS DOUBLE)))) AS BIGINT),
+                               CAST(64 AS BIGINT)) END AS pq_m,
+               CAST(pq_k AS BIGINT) AS pq_k
+        FROM m
+        ORDER BY t
     """,
     "ivf_topk": f"""
         WITH cent AS (

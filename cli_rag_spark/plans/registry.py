@@ -48,60 +48,46 @@ _PACKS = [
 #
 # STALENESS BOUND (kept current per VERDICT r7 "What's wrong #3";
 # the arithmetic below MUST be updated whenever the registry count
-# changes): with 195 registered queries, 17 sentinels and exactly 33
-# rotating slots per round, a full pass over the 178 non-sentinel
-# queries takes ceil(178/33) = 6 rounds, so the honest worst-case
+# changes): with 196 registered queries, 17 sentinels and exactly 33
+# rotating slots per round, a full pass over the 179 non-sentinel
+# queries takes ceil(179/33) = 6 rounds, so the honest worst-case
 # staleness of a driver verdict is ≤ 6 rounds (rounding DOWN here is
 # how the r6 "~2 rounds" claim went wrong — count whole rounds, and
 # remember category-2/3 load eats into the 33 before stale fill gets
 # any) — PROVIDED the
 # registry stops outgrowing the window. r6 left a 12-query
 # never-judged backlog; r7 left 22; r9 cleared it to ZERO; the
-# backlog stays zero through r11 (193/193 ever-judged, all green).
+# backlog stays zero through r12 (195/195 ever-judged, all green).
 # NEW-QUERY CAP (adopted r8): at most 12 new judged queries per
-# round; r12 adds TWO (tuner_widths, ivfpq_rerank_topk). The every-run
+# round; r13 adds ONE (ann_default_rules). The every-run
 # correctness gate is NOT the driver window: every registered query
 # is value- and dtype-exactly replayed against its DuckDB oracle on
 # every local test run (tests/test_parity.py); the driver window is
 # the independent external sample on top.
 #
-# Round-12 window: 17 sentinels; FOUR category-2 re-entries whose
-# implementation changed this round — knn_join_auto (the dispatcher
-# gained the "ivfpq" branch + ivfpq_path artifact validation,
-# VERDICT r11 #1 — the sub-linear escape past the GEMM envelope is
-# now REACHABLE), knn_join_ivfpq (operators/pq.py changed around it:
-# default_pq_geometry + the persisted build_ivfpq_index artifact
-# family now feed the same operator the judged query exercises),
-# curation_funnel and source_overlap_matrix (both now eagerly
-# materialize their bounded result and UNPERSIST the cached
-# survivor/distinct tables — ADVICE r11: the shared long-lived
-# session was accumulating cache blocks across 193 queries);
-# TWO never-judged (category 3, within the 12-cap): tuner_widths
-# (VERDICT r11 #5 — the recall-targeted tuners tune_n_probe /
-# tune_lsh_bands judged end-to-end; the oracle replays BOTH ladder
-# searches in SQL including the r12 pure-doubling tune_n_probe
-# ladder from ADVICE r11) and ivfpq_rerank_topk (IVFADC-R — the
-# exact-rerank refinement the r12 2M measurement demanded: ADC
-# coverage@300 is 0.84 while its raw ranking reads 0.33, so the
-# shortlist re-score is the recall lever; two-stage oracle). Then
-# least-recently-verified fill (27 slots, from CORRECTNESS_r1–r11 last-verdict rounds, oldest
-# first, alphabetical within a round): ALL 26 remaining r6-verified
-# — the five the r11 window displaced (decontamination,
-# dedup_exact_count, event_transitions, fingerprint_dups,
-# hybrid_rrf_topk — the debt VERDICT r11 #6 names first) plus
-# lang_id_confusion, maxsim_rerank, mixture_weights, ngram_jaccard,
-# pack_chunks_stats, price_percentiles, promo_revenue_ratio,
-# quality_scores, quantized_topk, resample_user_hourly,
-# returnflag_grouping_sets, revenue_forecast,
-# scalar_function_breadth, segment_nation_cube, shipping_priority,
-# simhash_groups, sketch_rollup_users, stratified_sample,
-# streaming_native_sessions, top_customers_per_nation,
-# top_parts_per_brand — and the first r7-verified alphabetical
-# (audio_decode_stats; bloom_join_stats was displaced by the second
-# cat-3 entry and heads the r13 fill). The r13 head is owed the
-# remaining 27 r7-verified oldest-first (bootstrap_ci_revenue,
-# bpe_pair_stats, cheapest_supplier_per_part, chunk_clean_stats,
-# cusum_changepoints, ...), then r8-verified.
+# Round-13 window: 17 sentinels; FOUR category-2 re-entries whose
+# implementation changed this round — knn_join_auto (the dispatched
+# ivfpq branch now RERANKS BY DEFAULT through default_rerank_depth
+# with ivfpq_rerank=0 as the explicit opt-out, and the LSH fallback
+# geometry now comes from default_lsh_geometry(n_index) instead of
+# the fixed 16/4 — VERDICT r12 #1 and #3), knn_join_ivfpq and
+# ivfpq_rerank_topk (operators/pq.py grew default_rerank_depth
+# around the operators both exercise; VERDICT r12 #1's "Done"
+# explicitly names both green in CORRECTNESS_r13), knn_join_lsh
+# (operators/knn.py grew default_lsh_geometry beside it; VERDICT
+# r12 #3's "Done" names it green); ONE never-judged (category 3,
+# within the 12-cap): ann_default_rules (the whole measured-default
+# rule family — lsh geometry, rerank depth, C/√C, PQ birthday-bound
+# geometry — evaluated over a seven-decade ladder with the oracle
+# replaying the arithmetic in SQL, so the dispatch constants are
+# judged data). Then least-recently-verified fill (28 slots, from
+# CORRECTNESS_r1–r12 last-verdict rounds, oldest first, alphabetical
+# within a round): ALL 28 remaining r7-verified queries — the r7
+# cohort clears entirely this round, led by bloom_join_stats (the
+# debt the r12 rotation comment named first). The r14 head is owed
+# the r8-verified cohort oldest-first (ann_ndcg_metrics,
+# ann_rank_metrics, audio_fingerprint_groups, ...), then
+# r9-verified.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -125,25 +111,23 @@ _PRIORITY = _SENTINELS + [
     # (2) changed since last verdict (one representative per changed
     # family, the r6 batching protocol — details in the rotation
     # comment above)
-    "knn_join_auto", "knn_join_ivfpq", "curation_funnel",
-    "source_overlap_matrix",
-    # (3) never driver-checked: the two r12 additions
-    "tuner_widths", "ivfpq_rerank_topk",
-    # (4) least-recently-verified fill: all 26 remaining r6-verified,
-    # starting with the five the r11 window displaced...
-    "decontamination", "dedup_exact_count", "event_transitions",
-    "fingerprint_dups", "hybrid_rrf_topk", "lang_id_confusion",
-    "maxsim_rerank", "mixture_weights", "ngram_jaccard",
-    "pack_chunks_stats", "price_percentiles", "promo_revenue_ratio",
-    "quality_scores", "quantized_topk", "resample_user_hourly",
-    "returnflag_grouping_sets", "revenue_forecast",
-    "scalar_function_breadth", "segment_nation_cube",
-    "shipping_priority", "simhash_groups", "sketch_rollup_users",
-    "stratified_sample", "streaming_native_sessions",
-    "top_customers_per_nation", "top_parts_per_brand",
-    # ...then the first r7-verified (alphabetical; bloom_join_stats,
-    # displaced by the second cat-3 entry, heads the r13 fill)
-    "audio_decode_stats",
+    "knn_join_auto", "knn_join_ivfpq", "ivfpq_rerank_topk",
+    "knn_join_lsh",
+    # (3) never driver-checked: the r13 addition
+    "ann_default_rules",
+    # (4) least-recently-verified fill: the ENTIRE remaining
+    # r7-verified cohort (28 queries, alphabetical — exactly the 28
+    # open slots), clearing the oldest verdicts in the registry
+    "bloom_join_stats", "bootstrap_ci_revenue", "bpe_pair_stats",
+    "cheapest_supplier_per_part", "chunk_clean_stats",
+    "cusum_changepoints", "decimal_exact_totals", "dedup_canonical",
+    "dedup_incremental", "embedding_dim_stats", "embedding_norms",
+    "event_type_stats", "funnel_counts", "gopher_quality_flags",
+    "hourly_event_windows", "ivf_refined_topk", "json_props",
+    "kcore_stats", "key_skew_stats", "label_centroids",
+    "large_orders", "lm_perplexity", "lsh_recall_stats",
+    "mixture_sample_counts", "ngram_novelty", "streaming_cusum",
+    "token_counts", "video_frame_stats",
 ]
 
 

@@ -319,6 +319,92 @@ def generate_docs_only(spark, m: int) -> str:
     return out
 
 
+def generate_clustered(
+    spark,
+    n_rows: int,
+    dim: int = 64,
+    n_centers: int | None = None,
+    sigma: float = 0.15,
+    seed: int = 13,
+) -> str:
+    """Seeded Gaussian-MIXTURE embeddings corpus (VERDICT r12 #2): the
+    sign-flip replica construction makes every cross-replica neighbor a
+    near-equidistant shell — by the r12 diagnosis that geometry is
+    near-pathological for quantized ranking and no real embedding
+    corpus has it. This generator produces the shape real corpora DO
+    have: ~√N cluster centers c_k ~ N(0, I_dim) with per-point noise
+    σ·N(0, I), σ sized so a corpus point's true top-10 are
+    intra-cluster with wide margin (centers at pairwise L2 ≈ √(2·dim)
+    ≈ 11.3 at dim 64, min over √N centers ≈ 4.5; intra-cluster pairs
+    at σ·√(2·dim) ≈ 1.7 at σ = 0.15 — an order of magnitude inside
+    the closest cross-cluster shell). Cluster membership is a
+    splitmix64 hash of the row id (occupancy ~Poisson(N/K), realistic
+    imbalance), and every coordinate is a COUNTER-BASED hash normal
+    (splitmix64 → uniform → Box–Muller keyed on (row, coord, seed)),
+    so the corpus is bit-reproducible regardless of partitioning.
+    Schema matches the fixture embeddings table (vec_id, embedding
+    float array, label = cluster id)."""
+    import numpy as np
+
+    if n_centers is None:
+        n_centers = max(1, math.isqrt(n_rows))
+    out = os.path.join(WORK, f"gm{n_rows}_d{dim}_k{n_centers}_s{seed}")
+    done = os.path.join(out, "_DONE_v1_gm")
+    if os.path.exists(done):
+        return out
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+    centers = np.random.default_rng(seed).standard_normal(
+        (n_centers, dim)
+    ).astype(np.float64)
+    bc = spark.sparkContext.broadcast(centers)
+    salt = np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+    k_centers = n_centers
+    sig = float(sigma)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        def sm64(x):
+            x = x + np.uint64(0x9E3779B97F4A7C15)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
+
+        C = bc.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.uint64)
+            cid = (sm64(ids + salt) % np.uint64(k_centers)).astype(np.int64)
+            # counter-based normals: 2 hashes per coordinate, Box-Muller
+            base = ids[:, None] * np.uint64(2 * dim) + np.arange(
+                0, 2 * dim, 2, dtype=np.uint64
+            )[None, :]
+            h1 = sm64(base ^ salt)
+            h2 = sm64((base + np.uint64(1)) ^ salt)
+            u1 = (h1 >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+            u2 = (h2 >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+            u1 = np.maximum(u1, 1e-300)
+            z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+            vecs = (C[cid] + sig * z).astype(np.float32)
+            yield pd.DataFrame({
+                "vec_id": ids.astype(np.int64),
+                "embedding": list(vecs),
+                "label": cid.astype(np.int32),
+            })
+
+    n_parts = max(32, n_rows // 250_000)
+    (
+        spark.range(0, n_rows, numPartitions=n_parts)
+        .mapInPandas(gen, "vec_id long, embedding array<float>, label int")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet"))
+    )
+    open(done, "w").close()
+    return out
+
+
 # queries runnable on the docs+embeddings >100x replica dirs
 BIG_SCALE_OK = {
     "minhash_candidates", "span_dedup_stats", "dedup_components",

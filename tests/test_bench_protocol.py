@@ -149,3 +149,25 @@ def test_cleanliness_stamp_thresholds():
     parsed = json.loads(bench.compact_line(full))
     assert parsed["clean"] is False
     assert len(bench.compact_line(full)) <= 500
+
+
+def test_settle_returns_immediately_on_quiet_box(monkeypatch):
+    """VERDICT r12 #4: a quiet start (load1 under the clean gate) must
+    not wait at all; a never-settling box times out and the timeout
+    lands in dirty_reasons via _cleanliness."""
+    import bench
+
+    monkeypatch.setattr(bench, "_loadavg", lambda: [0.1, 0.2, 0.3])
+    out = bench._settle()
+    assert out == {"settle_wait_sec": 0.0, "settle_timed_out": False}
+    # a box that never settles: shrink the cap so the test is instant
+    monkeypatch.setattr(bench, "_loadavg", lambda: [9.9, 9.9, 9.9])
+    monkeypatch.setattr(bench, "SETTLE_TIMEOUT_SEC", 0.0)
+    out = bench._settle()
+    assert out["settle_timed_out"] is True
+    clean, reasons = bench._cleanliness({**out, "loadavg_start": [0.1]})
+    assert not clean and any("settle_timeout" in r for r in reasons)
+    # off-Linux degrade: no loadavg reader -> proceed immediately
+    monkeypatch.setattr(bench, "_loadavg", lambda: None)
+    monkeypatch.setattr(bench, "SETTLE_TIMEOUT_SEC", 300.0)
+    assert bench._settle()["settle_timed_out"] is False

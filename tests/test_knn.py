@@ -476,8 +476,14 @@ def test_knn_join_auto_ivf_path_with_validated_index(spark, sf_dir, tmp_path):
 
 def test_knn_join_auto_lsh_fallback_without_index(spark, sf_dir):
     """Same forced corpus-scale shape with NO index: falls back to LSH
-    banding (plan has the band equi-join, no cartesian)."""
-    from cli_rag_spark.operators.knn import knn_join_auto, knn_join_lsh
+    banding (plan has the band equi-join, no cartesian) with geometry
+    from the corpus-sized rule (r13: default_lsh_geometry(n_index),
+    not the old fixed 16/4)."""
+    from cli_rag_spark.operators.knn import (
+        default_lsh_geometry,
+        knn_join_auto,
+        knn_join_lsh,
+    )
     from cli_rag_spark.sources.documents import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -485,8 +491,22 @@ def test_knn_join_auto_lsh_fallback_without_index(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     auto = knn_join_auto(q, emb, k=3, n_index=10_000_000_000)
-    direct = knn_join_lsh(q, emb, k=3, dim=64)
-    assert {tuple(r) for r in auto.collect()} == {tuple(r) for r in direct.collect()}
+    planes, bands = default_lsh_geometry(10_000_000_000)
+    direct = knn_join_lsh(q, emb, k=3, dim=64, n_planes=planes, n_bands=bands)
+    got = {tuple(r) for r in auto.collect()}
+    assert got == {tuple(r) for r in direct.collect()}
+    # every query collides with itself (identical vector -> identical
+    # signature at any geometry), so the rule's tall bit budget at the
+    # hinted 1e10 rows still returns rows on the fixture
+    assert got, "rule-geometry LSH fallback returned nothing"
+    # explicit geometry still pins the legacy behavior
+    legacy = knn_join_auto(
+        q, emb, k=3, n_index=10_000_000_000, lsh_planes=16, lsh_bands=4
+    )
+    legacy_direct = knn_join_lsh(q, emb, k=3, dim=64, n_planes=16, n_bands=4)
+    assert {tuple(r) for r in legacy.collect()} == {
+        tuple(r) for r in legacy_direct.collect()
+    }
 
 
 def test_knn_join_auto_dim_discovery_guards(spark):
@@ -795,7 +815,12 @@ def test_knn_join_auto_verify_index_content(spark, sf_dir, tmp_path):
         q, drifted, k=3, n_index=10_000_000_000, ivf_path=path,
         n_centroids=8, n_probe=2, verify_index_content=True,
     )
-    lsh = knn_join_lsh(q, drifted, k=3, dim=64)
+    from cli_rag_spark.operators.knn import default_lsh_geometry
+
+    planes, bands = default_lsh_geometry(10_000_000_000)
+    lsh = knn_join_lsh(
+        q, drifted, k=3, dim=64, n_planes=planes, n_bands=bands
+    )
     assert {tuple(r) for r in auto2.collect()} == {
         tuple(r) for r in lsh.collect()
     }
@@ -884,17 +909,41 @@ def test_knn_join_auto_routes_ivfpq(spark, sf_dir, tmp_path):
     build_ivfpq_index(emb, path, n_centroids=8, m_subspaces=4, k_codes=16)
     q = _queries(emb, 5)
     big = dict(n_queries=10_000, n_index=2_000_000)  # 1.28e12 pair-ops
-    auto = knn_join_auto(q, emb, k=3, dim=64, ivfpq_path=path, **big)
     codes, cb, assign, cent = read_ivfpq_index(spark, path)
+    # DEFAULT = IVFADC-R (VERDICT r12 #1): ivfpq_rerank unset resolves
+    # R through default_rerank_depth(k) and exact-rescores — equal to
+    # composing the operators by hand with the rule depth
+    from cli_rag_spark.operators.knn import rerank_exact
+    from cli_rag_spark.operators.pq import default_rerank_depth
+
+    auto = knn_join_auto(q, emb, k=3, dim=64, ivfpq_path=path, **big)
+    short = knn_join_ivfpq(
+        q, codes, cb, assign, cent, k=default_rerank_depth(3), n_probe=2,
+    )
+    reranked = rerank_exact(short, q, emb, k=3)
+    assert {tuple(r) for r in auto.collect()} == {
+        tuple(r) for r in reranked.collect()
+    }
+    # ivfpq_rerank=0 opts OUT: the raw ADC order, est_d2 as dist
+    auto_raw = knn_join_auto(
+        q, emb, k=3, dim=64, ivfpq_path=path, ivfpq_rerank=0, **big
+    )
     direct = knn_join_ivfpq(
         q, codes, cb, assign, cent, k=3, n_probe=2  # default_n_probe(8)=2
     ).withColumnRenamed("est_d2", "dist")
-    assert {tuple(r) for r in auto.collect()} == {
+    assert {tuple(r) for r in auto_raw.collect()} == {
         tuple(r) for r in direct.collect()
     }
-    # explicit n_probe overrides the sqrt(C) default
+    import pytest
+
+    with pytest.raises(ValueError, match="ivfpq_rerank"):
+        knn_join_auto(
+            q, emb, k=3, dim=64, ivfpq_path=path, ivfpq_rerank=-1, **big
+        )
+    # explicit n_probe overrides the sqrt(C) default (raw view)
     auto_w = knn_join_auto(
-        q, emb, k=3, dim=64, ivfpq_path=path, n_probe=8, **big
+        q, emb, k=3, dim=64, ivfpq_path=path, n_probe=8, ivfpq_rerank=0,
+        **big,
     )
     direct_w = knn_join_ivfpq(
         q, codes, cb, assign, cent, k=3, n_probe=8
@@ -904,12 +953,17 @@ def test_knn_join_auto_routes_ivfpq(spark, sf_dir, tmp_path):
     }
     # drifted corpus + verify_index_content: the stale artifact is
     # rejected and the index-free fallback answers over the live frame
+    from cli_rag_spark.operators.knn import default_lsh_geometry
+
     drifted = emb.where(F.col("vec_id") != 17)
     auto2 = knn_join_auto(
         q, drifted, k=3, dim=64, ivfpq_path=path,
         verify_index_content=True, **big,
     )
-    lsh = knn_join_lsh(q, drifted, k=3, dim=64)
+    planes, bands = default_lsh_geometry(big["n_index"])
+    lsh = knn_join_lsh(
+        q, drifted, k=3, dim=64, n_planes=planes, n_bands=bands
+    )
     assert {tuple(r) for r in auto2.collect()} == {
         tuple(r) for r in lsh.collect()
     }
@@ -1032,3 +1086,47 @@ def test_knn_join_auto_ivfpq_rerank_option(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in auto.collect()} == {
         tuple(r) for r in direct.collect()
     }
+
+
+def test_default_rerank_depth_rule():
+    """R = max(10·k, 100) — the IVFADC-R depth rule (VERDICT r12 #1):
+    one decade above k (the measured coverage knee), floored at 100 so
+    small-k callers keep a shortlist wide enough to absorb
+    quantization reorder noise."""
+    import pytest
+
+    from cli_rag_spark.operators.pq import default_rerank_depth
+
+    assert default_rerank_depth(1) == 100
+    assert default_rerank_depth(3) == 100
+    assert default_rerank_depth(10) == 100
+    assert default_rerank_depth(11) == 110
+    assert default_rerank_depth(50) == 500
+    with pytest.raises(ValueError, match="k must be"):
+        default_rerank_depth(0)
+
+
+def test_default_lsh_geometry_rule():
+    """bits/band = max(4, ceil(log2(N)/2)) keeps random collisions per
+    (query, band) at <= sqrt(N); planes = bits x bands by construction
+    (the knn_join_lsh divisibility contract)."""
+    import pytest
+
+    from cli_rag_spark.operators.knn import default_lsh_geometry
+
+    # floor region: tiny corpora keep 4 bits/band
+    assert default_lsh_geometry(0) == (32, 8)
+    assert default_lsh_geometry(256) == (32, 8)
+    # ceil(log2(500)/2) = ceil(4.48) = 5
+    assert default_lsh_geometry(500) == (40, 8)
+    # 2M rows: ceil(20.93/2) = 11 bits -> collisions/band <= sqrt(N)
+    planes, bands = default_lsh_geometry(2_000_000)
+    assert (planes, bands) == (88, 8)
+    assert 2_000_000 / 2 ** (planes // bands) <= 2_000_000 ** 0.5
+    # caller's band count is honored; planes stay divisible
+    planes4, bands4 = default_lsh_geometry(2_000_000, n_bands=4)
+    assert bands4 == 4 and planes4 == 44 and planes4 % bands4 == 0
+    with pytest.raises(ValueError, match="n_index"):
+        default_lsh_geometry(-1)
+    with pytest.raises(ValueError, match="n_bands"):
+        default_lsh_geometry(100, n_bands=0)
