@@ -179,6 +179,19 @@ _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 OTHER_CPU_BASELINE = 140.0
 OTHER_CPU_SLACK = 1.15
 LOAD1_MAX_CLEAN = 2.0
+# STEAL is judged separately from other_cpu (r13): steal_sec_total is
+# the HOST taking vCPUs away — it lands inside sys_busy with no in-VM
+# process to blame, so leaving it inside the other_cpu comparison made
+# the foreign-process gate fire on hypervisor weather (three r13
+# passes read other_cpu 160-165 on idle starts: ~150 of measured
+# worker-daemon burn + 5-11 CPU-s of steal — the gate tripped on the
+# steal, not on any process this VM could have evicted). other_cpu is
+# therefore compared NET of steal, and steal gets its own gate: 30
+# CPU-s over a ~300 s × 32-core pass is ~0.3% of capacity — above it
+# the host is visibly throttling and the WALL numbers are suspect
+# (the r12 ledger's 19.5-steal pass was also its slowest idle-start
+# pass).
+STEAL_MAX_CLEAN = 30.0
 # Pre-pass settle (VERDICT r12 #4): stamping made dirty passes
 # VISIBLE (the r12 driver pass self-flagged at load1 4.62) but the
 # official number was still the dirty one — bench.py only annotated a
@@ -226,16 +239,23 @@ def _cleanliness(env: dict) -> tuple[bool, list[str]]:
         isinstance(env.get(k), (int, float))
         for k in ("sys_busy_sec_total", "jvm_cpu_sec_total", "py_cpu_sec_total")
     ):
+        steal = env.get("steal_sec_total")
+        steal = float(steal) if isinstance(steal, (int, float)) else 0.0
         other = (
             env["sys_busy_sec_total"]
             - env["jvm_cpu_sec_total"]
             - env["py_cpu_sec_total"]
+            - steal
         )
         cap = OTHER_CPU_BASELINE * OTHER_CPU_SLACK
         if other > cap:
             reasons.append(
-                f"other_cpu {other:.1f} > {cap:.1f} "
+                f"other_cpu {other:.1f} (net of steal {steal:.1f}) > {cap:.1f} "
                 f"(worker-daemon baseline {OTHER_CPU_BASELINE} x {OTHER_CPU_SLACK})"
+            )
+        if steal > STEAL_MAX_CLEAN:
+            reasons.append(
+                f"steal {steal:.1f} > {STEAL_MAX_CLEAN} (host vCPU throttling)"
             )
     return (not reasons), reasons
 
@@ -405,6 +425,7 @@ def compact_line(full: dict) -> str:
         "sf": full["sf"],
         "load1_start": (env.get("loadavg_start") or [None])[0],
         "other_cpu": other,
+        "steal": env.get("steal_sec_total"),
         "clean": full.get("clean"),
     })
     assert len(line) <= 500, f"compact bench line grew to {len(line)} chars"

@@ -135,6 +135,25 @@ def test_cleanliness_stamp_thresholds():
     assert not ok and len(reasons) == 2
     assert any("load1_start" in r for r in reasons)
     assert any("other_cpu" in r for r in reasons)
+    # r13: hypervisor steal is judged SEPARATELY — a pass whose
+    # other_cpu only exceeds the worker-daemon cap because the host
+    # stole CPU is clean on the foreign-process axis (the r13 passes
+    # read other_cpu 160-165 on idle starts purely via 5-11 s steal)...
+    steal_env = dict(
+        clean_env,
+        sys_busy_sec_total=650.0 + 20.0 + 146.4 + 20.0,
+        steal_sec_total=20.0,
+    )
+    ok, reasons = bench._cleanliness(steal_env)
+    assert ok and reasons == []
+    # ...but heavy steal is its own dirty reason (wall is suspect)
+    heavy = dict(
+        clean_env,
+        sys_busy_sec_total=650.0 + 20.0 + 100.0 + 50.0,
+        steal_sec_total=50.0,
+    )
+    ok, reasons = bench._cleanliness(heavy)
+    assert not ok and any("steal" in r for r in reasons)
     # single-invariant violations flag too
     ok, _ = bench._cleanliness(dict(clean_env, loadavg_start=[2.5, 0, 0]))
     assert not ok
