@@ -889,40 +889,58 @@ def default_pq_geometry(dim: int, n_rows: int) -> tuple[int, int]:
 RERANK_DEPTH_FLOOR = 100
 
 
-def default_rerank_depth(k: int) -> int:
-    """IVFADC-R shortlist depth ``R = max(10·k, 100)`` — the rerank
-    member of the measured-default family (default_n_centroids /
-    default_n_probe / default_pq_geometry; VERDICT r12 #1: the
-    dispatched ivfpq path must not silently return the raw ADC order
-    when the round's own measurement shows exact re-scoring of a
-    short list repairs it at no meaningful wall).
+def default_rerank_depth(
+    k: int, n_rows: int | None = None, n_centroids: int | None = None
+) -> int:
+    """IVFADC-R shortlist depth ``R = max(10·k, 100, ceil(N/C))`` —
+    the rerank member of the measured-default family
+    (default_n_centroids / default_n_probe / default_pq_geometry;
+    VERDICT r12 #1: the dispatched ivfpq path must not silently
+    return the raw ADC order when exact re-scoring of a short list is
+    measured to repair it at R·Q embedding reads).
 
     Why a rule at all: the quantized (ADC) estimate is a good
-    CANDIDATE GENERATOR and a poor RANKER — at the r12 routed shape
-    (Q=400 × N=2M, dim 64) raw ADC recall@10 was 0.329 while the true
-    top-10's coverage inside the ADC top-R shortlist was 0.670 at
-    R=100 and 0.836 at R=300; exact re-scoring lifts recall exactly
-    to that coverage (measured, SCALING.md) because the rerank stage
-    is the same rounded-cosine + (dist, id) window as the exact path.
+    CANDIDATE GENERATOR and a poor RANKER. Measured at the routed
+    shape (Q=400 × N=2M, dim 64) on BOTH rehearsal corpora
+    (SCALING.md r13): on the adversarial sign-flip corpus raw ADC
+    recall@10 is 0.329 and coverage@R is 0.670/0.836 at R=100/300;
+    on the clustered (Gaussian-mixture) corpus — the geometry real
+    embedding corpora have — raw ADC recall@10 is 0.121 and
+    coverage@R is 0.247/0.430/0.832 at R=100/300/1000. Exact
+    re-scoring lifts recall EXACTLY to coverage (pinned: the rerank
+    is the same rounded-cosine + (dist, id) window as the exact
+    path), so the rule's job is to size R where coverage saturates.
 
-    Why 10·k with a floor of 100: coverage@R is concave in R — the
-    knee of the measured curve sits around one decade above k (the
-    standard FAISS ``k_factor`` refinement default is the same
-    order), and the marginal wall of R is tiny: the rerank reads R·Q
-    embeddings by narrow-key equi-join — never N — so R=100 at Q=400
-    is 40k vector reads against a 2M-row corpus (~2% of one scan).
-    The floor keeps small-k callers (k=3 → 10·k=30) from cutting the
-    shortlist below the region where quantization noise reorders
-    candidates; r13 re-measures the coverage-vs-R curve on a
-    clustered (Gaussian-mixture) corpus beside the adversarial
-    sign-flip bound (SCALING.md r13).
+    The clustered curve is the load-bearing one and it REFUTED the
+    r13-draft fixed floor (R₀=100 bought only 0.247 there): when
+    per-cluster spread is small against the quantizer's cell size,
+    the ADC order WITHIN a query's home list is noise — coverage@R
+    tracks the covered fraction of the home list (R=1000 ≈ 71% of
+    the ~1414-row home list → 0.832), not any fixed constant. Hence
+    the ``ceil(N/C)`` term — one expected home-list occupancy — when
+    the caller knows the corpus/index structure (the dispatcher
+    always does: N from the cost model, C from the artifact meta).
+    Cost honesty: R·Q = Q·N/C = Q·√N reads under the C=√N build rule
+    — strictly cheaper than the probe's own candidate volume
+    (n_probe·N/C = N^(3/4) per query), so the rerank never dominates
+    the chain it repairs (measured: 14.4 s at R=1000 × Q=400 on the
+    2M corpus vs 70.6 s for the probe stage). The 10·k and 100
+    floors keep the structureless form (no N/C known) at the
+    sign-flip-measured knee; deeper saturation on tight-cluster data
+    is a residual-encoding gap (codes describing x − centroid
+    resolve within-cluster displacement — ivfpq_residual_topk is the
+    single-query form; batch residual join is the named next step),
+    not something more R should buy at quadratic cost.
 
     ``knn_join_auto(ivfpq_rerank=None)`` resolves through this rule;
     ``ivfpq_rerank=0`` is the explicit opt-OUT (raw ADC order, the
     scan-cost-only view); any positive value overrides."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    return max(10 * k, RERANK_DEPTH_FLOOR)
+    depth = max(10 * k, RERANK_DEPTH_FLOOR)
+    if n_rows and n_centroids:
+        depth = max(depth, -(-n_rows // n_centroids))
+    return depth
 
 
 def build_ivfpq_index(

@@ -249,14 +249,15 @@ def q_ann_default_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = default_n_centroids(n)
         m, kc = default_pq_geometry(64, n)
         rows.append(
-            (t, n, planes, bands, default_rerank_depth(k), c,
+            (t, n, planes, bands, default_rerank_depth(k),
+             default_rerank_depth(k, n, c), c,
              default_n_probe(c), m, kc)
         )
     rules = spark.createDataFrame(
         rows,
         "t long, n long, lsh_planes long, lsh_bands long, "
-        "rerank_depth long, n_centroids long, n_probe long, "
-        "pq_m long, pq_k long",
+        "rerank_depth long, rerank_depth_struct long, "
+        "n_centroids long, n_probe long, pq_m long, pq_k long",
     )
     emb = load_table(spark, sf_dir, "embeddings")
     anchor = emb.where(
@@ -1972,6 +1973,9 @@ ORACLE = {
                bits * 8 AS lsh_planes,
                CAST(8 AS BIGINT) AS lsh_bands,
                rerank_depth,
+               GREATEST(rerank_depth,
+                        (n + n_centroids - 1) // n_centroids
+               ) AS rerank_depth_struct,
                n_centroids,
                GREATEST(CAST(1 AS BIGINT),
                         LEAST(CAST(FLOOR(SQRT(CAST(n_centroids AS DOUBLE))) AS BIGINT),

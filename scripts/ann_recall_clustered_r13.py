@@ -25,9 +25,11 @@ Stages (all print one JSON line per row; paste into SCALING.md):
         2M) wall + recall vs the old fixed 16/4 (--flat-lsh to
         include; ~4 min on the sign-flip corpus in r11);
       persisted f64 IVF, probe sqrt(C): wall + recall.
-  --stage dim192 clustered N=700k, dim 192, Q=200, k=10: the
+  --stage dim192 clustered N=2M, dim 192, Q=400, k=10: the
       PQ_MIN_DIM boundary re-run (r12 measured a wall TIE with LSH
-      far ahead on recall on sign-flip data; the gate is 256).
+      far ahead on recall on sign-flip data at the FIXED 16/4 LSH
+      geometry; the r13 rule geometry re-decided it — measured LSH
+      37.0 s/0.996 vs flat ADC 140.6 s/0.105, gate raised to 768).
   --stage n8m    clustered N=8M, dim 64, Q=400: one measured point
       between 2M and the predicted ~50M GEMM↔IVFPQ crossover
       (VERDICT r12 #7) — GEMM wall vs IVFPQ probe wall validates the
@@ -103,7 +105,7 @@ def stage_main(spark, args) -> None:
         read_ivfpq_index,
     )
 
-    n, dim, nq, k = args.n, 64, args.nq, args.k
+    n, dim, nq, k = args.n or 2_000_000, 64, args.nq, args.k
     sf_dir, emb, queries = _corpus(spark, n, dim, nq)
     n_index = emb.count()
     print(json.dumps({"stage": "main", "corpus": sf_dir,
@@ -198,9 +200,9 @@ def stage_main(spark, args) -> None:
 
 
 def stage_dim192(spark, args) -> None:
-    """The PQ_MIN_DIM boundary on clustered data — mirrors
-    scripts/pq_min_dim_confirm.py's r12 shape (N=700k, Q=200,
-    dim 192, flat ADC at the m=4x16 fixture geometry vs LSH)."""
+    """The PQ_MIN_DIM boundary on clustered data — the r12 confirm's comparison at the
+    full routed shape (flat ADC at the m=4x16 fixture geometry vs
+    LSH at both the rule and the old fixed geometry)."""
     from cli_rag_spark.operators.knn import (
         default_lsh_geometry,
         knn_join_gemm,
@@ -213,7 +215,7 @@ def stage_dim192(spark, args) -> None:
         read_pq_index,
     )
 
-    n, dim, nq, k = args.n or 700_000, 192, args.nq or 200, args.k
+    n, dim, nq, k = args.n or 2_000_000, 192, args.nq, args.k
     sf_dir, emb, queries = _corpus(spark, n, dim, nq)
     n_index = emb.count()
     print(json.dumps({"stage": "dim192", "corpus": sf_dir,
@@ -295,7 +297,7 @@ def stage_n8m(spark, args) -> None:
     # the DEFAULT dispatched chain: probe at R=default depth + rerank
     from cli_rag_spark.operators.pq import default_rerank_depth
 
-    r_depth = default_rerank_depth(k)
+    r_depth = default_rerank_depth(k, n_index, c)
     short = knn_join_ivfpq(
         queries, codes, cb, assign, cent, k=r_depth,
         n_probe=default_n_probe(c), m_subspaces=int(meta["m_subspaces"]),
@@ -314,7 +316,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", choices=["main", "dim192", "n8m"],
                     default="main")
-    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--n", type=int, default=None,
+                    help="corpus rows (default: 2M main/dim192, 8M n8m)")
     ap.add_argument("--nq", type=int, default=400)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--r-ladder", nargs="*", type=int,

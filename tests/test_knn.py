@@ -598,7 +598,7 @@ def test_choose_knn_strategy_pq_branch_pinned():
     # same shape at PQ_MIN_DIM routes pq
     from cli_rag_spark.operators.knn import GEMM_MAX_QUERIES
 
-    qbig, nsmall = 2_000_000, 1_000
+    qbig, nsmall = 2_000_000, 500
     assert qbig > GEMM_MAX_QUERIES and qbig * nsmall <= PQ_MAX_ADC_ROWS
     assert qbig * nsmall * PQ_MIN_DIM <= GEMM_MAX_PAIR_OPS
     assert choose_knn_strategy(qbig, nsmall, 64, pq_available=True) == "lsh"
@@ -917,8 +917,10 @@ def test_knn_join_auto_routes_ivfpq(spark, sf_dir, tmp_path):
     from cli_rag_spark.operators.pq import default_rerank_depth
 
     auto = knn_join_auto(q, emb, k=3, dim=64, ivfpq_path=path, **big)
+    # the rule sees the cost model's n_index and the artifact's C
     short = knn_join_ivfpq(
-        q, codes, cb, assign, cent, k=default_rerank_depth(3), n_probe=2,
+        q, codes, cb, assign, cent,
+        k=default_rerank_depth(3, big["n_index"], 8), n_probe=2,
     )
     reranked = rerank_exact(short, q, emb, k=3)
     assert {tuple(r) for r in auto.collect()} == {
@@ -1089,10 +1091,13 @@ def test_knn_join_auto_ivfpq_rerank_option(spark, sf_dir, tmp_path):
 
 
 def test_default_rerank_depth_rule():
-    """R = max(10·k, 100) — the IVFADC-R depth rule (VERDICT r12 #1):
-    one decade above k (the measured coverage knee), floored at 100 so
-    small-k callers keep a shortlist wide enough to absorb
-    quantization reorder noise."""
+    """R = max(10·k, 100, ceil(N/C)) — the IVFADC-R depth rule
+    (VERDICT r12 #1): one decade above k floored at 100
+    (sign-flip-measured knee), plus one expected home-list occupancy
+    when the index structure is known — the clustered-corpus
+    measurement (SCALING.md r13) showed coverage@R tracks the covered
+    fraction of the home list, so a fixed floor under-covers tight
+    clusters (R=100 bought only 0.247 at 2M/C=1414)."""
     import pytest
 
     from cli_rag_spark.operators.pq import default_rerank_depth
@@ -1102,6 +1107,11 @@ def test_default_rerank_depth_rule():
     assert default_rerank_depth(10) == 100
     assert default_rerank_depth(11) == 110
     assert default_rerank_depth(50) == 500
+    # structure-aware: one home-list occupancy, ceil division
+    assert default_rerank_depth(10, 2_000_000, 1414) == 1415
+    assert default_rerank_depth(10, 1000, 100) == 100   # floor wins
+    assert default_rerank_depth(50, 1000, 2) == 500     # 10k wins
+    assert default_rerank_depth(10, None, 1414) == 100  # partial: floor
     with pytest.raises(ValueError, match="k must be"):
         default_rerank_depth(0)
 
