@@ -70,6 +70,8 @@ __all__ = [
     "knn_join_ivfpq",
     "pq_encode_gemm",
     "default_pq_geometry",
+    "default_rerank_depth",
+    "residual_codebook",
     "build_ivfpq_index",
     "ivfpq_index_ready",
     "read_ivfpq_index",
@@ -95,6 +97,61 @@ def build_pq_codebook(
     seeds = vectors.where(F.col(id_col) < k_codes).select(
         F.col(id_col).cast("long").alias("code"),
         F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    ds = _d_sub(F.col("_v"), m_subspaces)
+    parts = [
+        seeds.select(
+            F.lit(m).alias("m"),
+            "code",
+            F.slice("_v", F.lit(m) * ds + 1, ds).alias("cvec"),
+        )
+        for m in range(m_subspaces)
+    ]
+    return functools.reduce(DataFrame.unionByName, parts)
+
+
+def residual_codebook(
+    resid: DataFrame,
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    r_col: str = "_r",
+) -> DataFrame:
+    """Seeded per-subspace codebook over RESIDUAL rows —
+    :func:`build_pq_codebook`'s k-lowest-id rule restricted to rows
+    with a NON-ZERO residual, codes renumbered densely 0..k-1 in id
+    order. The restriction is load-bearing, found by measurement
+    (r13): under pure seeded coarse quantization the C lowest-id rows
+    ARE the coarse centroids, so their residuals are identically zero
+    — the plain lowest-id rule seeds an ALL-ZERO book whenever
+    k_codes ≤ C, every vector then encodes to code 0, and the ADC
+    estimate collapses to a per-list constant whose "ranking" is the
+    id tiebreak (the r13 clustered 2M run read recall 0.109 with
+    byte-identical results at m=8 and m=16 — the giveaway). Zero
+    residuals are legitimate data (exact duplicates of a centroid)
+    but useless as codeword seeds.
+
+    Scale shape: the nonzero filter + orderBy(id).limit(k) is a
+    distributed TakeOrdered of k ≤ K_CODES narrow rows; the dense
+    renumbering window runs on that k-row frame only."""
+    from pyspark.sql import Window
+
+    nonzero = F.aggregate(
+        F.col(r_col).cast("array<double>"),
+        F.lit(0.0),
+        lambda a, x: a + F.abs(x),
+    ) > 0
+    seeds = (
+        resid.where(nonzero)
+        .orderBy(F.col(id_col).asc())
+        .limit(k_codes)
+        .select(
+            F.col(id_col), F.col(r_col).cast("array<double>").alias("_v")
+        )
+    )
+    w = Window.orderBy(F.col(id_col).asc())
+    seeds = seeds.select(
+        (F.row_number().over(w) - 1).cast("long").alias("code"), "_v"
     )
     ds = _d_sub(F.col("_v"), m_subspaces)
     parts = [
@@ -364,9 +421,10 @@ def ivfpq_residual_topk(
     n_probe·M·K rows (still tiny, still broadcast) keyed by
     (cid, m, code), and candidates join it on their list id.
 
-    Fully deterministic (seeded centroids, lowest-id residual seeds,
-    rounded argmins) — the entire pipeline, residuals included, is
-    SQL-oracle-replayable. Scale shape identical to ivfpq_topk:
+    Fully deterministic (seeded centroids, lowest-NONZERO-id residual
+    seeds — see :func:`residual_codebook` for why plain lowest-id
+    seeding degenerates — rounded argmins) — the entire pipeline,
+    residuals included, is SQL-oracle-replayable. Scale shape identical to ivfpq_topk:
     candidates are the probed lists' narrow code rows; embeddings are
     touched only at one-time build.
     """
@@ -386,7 +444,11 @@ def ivfpq_residual_topk(
             F.zip_with("_v", "_c", lambda x, c: x - c).alias("_r"),
         )
     )
-    codebook = build_pq_codebook(resid, m_subspaces, k_codes, id_col, "_r")
+    # nonzero-residual seeding (residual_codebook): the lowest-id rows
+    # are the coarse-centroid seeds with identically-zero residuals —
+    # the plain lowest-id rule wastes (or with k_codes <= C, zeroes)
+    # the book (r13)
+    codebook = residual_codebook(resid, m_subspaces, k_codes, id_col, "_r")
     codes = pq_encode(resid, codebook, m_subspaces, id_col, "_r", round_digits).join(
         assign, id_col
     )
@@ -505,6 +567,7 @@ def knn_join_ivfpq(
     query_vec: str = "query_vec",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    residual: bool = False,
 ) -> DataFrame:
     """Batch IVFADC kNN JOIN — :func:`ivfpq_topk` generalized from one
     query to a query TABLE, and the answer to what the r11 routed
@@ -539,7 +602,21 @@ def knn_join_ivfpq(
     wrong-width query sub-vectors and the zip_with pads with NULLs —
     it silently returns garbage distances (r12: this exact mistake
     produced a 0.10-recall measurement that looked like an honest
-    number)."""
+    number).
+
+    ``residual=True`` (r13) scores RESIDUAL-encoded codes (a
+    ``build_ivfpq_index(residual=True)`` artifact — passing the wrong
+    flag for the artifact is the same silent-garbage class as the
+    geometry mismatch, which is why knn_join_auto reads it from the
+    meta): ``||q − x||² ≈ ||(q − c) − r_x||`` needs the query residual
+    against EACH probed centroid, so the LUT becomes per-(query,
+    probed-list) — Q·n_probe·M·K rows keyed by (query, cid, m, code)
+    instead of the raw form's Q·M·K — and is deliberately left
+    un-hinted (AQE broadcasts it while it is small; at corpus scale
+    it shuffle-joins against the much larger candidate stream, which
+    is the right plan). Candidates and every other stage are
+    unchanged — still Q·n_probe·(N/C)·M narrow code rows, still no
+    embedding read at query time."""
     from pyspark.sql import Window
 
     got_m = sorted(
@@ -557,6 +634,8 @@ def knn_join_ivfpq(
         .select(
             query_id,
             "cid",
+            F.col("cvec").cast("array<double>").alias("_cv"),
+            F.col(query_vec).cast("array<double>").alias("_qv"),
             F.round(
                 cosine_distance(F.col("cvec"), F.col(query_vec)), round_digits
             ).alias("_d"),
@@ -570,28 +649,51 @@ def knn_join_ivfpq(
             ),
         )
         .where(F.col("_rn") <= n_probe)
-        .select(query_id, "cid")
     )
-    ds = _d_sub(F.col(query_vec).cast("array<double>"), m_subspaces)
-    lut = (
-        codebook.crossJoin(F.broadcast(q))
-        .select(
+    if residual:
+        # per-(query, probed-list) LUT on the query residual q − c
+        qres = probed.select(
             query_id,
+            "cid",
+            F.zip_with("_qv", "_cv", lambda x, c: x - c).alias("_qr"),
+        )
+        ds = _d_sub(F.col("_qr"), m_subspaces)
+        lut = codebook.crossJoin(F.broadcast(qres)).select(
+            query_id,
+            "cid",
             "m",
             "code",
             F.round(
-                l2_sq(
-                    F.col("cvec"),
-                    F.slice(
-                        F.col(query_vec).cast("array<double>"),
-                        F.col("m") * ds + 1,
-                        ds,
-                    ),
-                ),
+                l2_sq(F.col("cvec"), F.slice(F.col("_qr"), F.col("m") * ds + 1, ds)),
                 round_digits,
             ).alias("d2"),
         )
-    )
+        lut_keys = [query_id, "cid", "m", "code"]
+        lut_hint = lut  # AQE decides; Q·n_probe·M·K rows outgrow broadcast
+    else:
+        ds = _d_sub(F.col(query_vec).cast("array<double>"), m_subspaces)
+        lut = (
+            codebook.crossJoin(F.broadcast(q))
+            .select(
+                query_id,
+                "m",
+                "code",
+                F.round(
+                    l2_sq(
+                        F.col("cvec"),
+                        F.slice(
+                            F.col(query_vec).cast("array<double>"),
+                            F.col("m") * ds + 1,
+                            ds,
+                        ),
+                    ),
+                    round_digits,
+                ).alias("d2"),
+            )
+        )
+        lut_keys = [query_id, "m", "code"]
+        lut_hint = F.broadcast(lut)
+    probed = probed.select(query_id, "cid")
     cand = (
         codes.join(assign.select(id_col, "cid"), id_col)
         .join(F.broadcast(probed), "cid")
@@ -600,7 +702,7 @@ def knn_join_ivfpq(
         F.col("est_d2").asc(), F.col(id_col).asc()
     )
     return (
-        cand.join(F.broadcast(lut), [query_id, "m", "code"])
+        cand.join(lut_hint, lut_keys)
         .groupBy(query_id, id_col)
         .agg(F.round(F.sum("d2"), round_digits).alias("est_d2"))
         .withColumn("rank", F.row_number().over(w))
@@ -927,10 +1029,11 @@ def default_rerank_depth(
     2M corpus vs 70.6 s for the probe stage). The 10·k and 100
     floors keep the structureless form (no N/C known) at the
     sign-flip-measured knee; deeper saturation on tight-cluster data
-    is a residual-encoding gap (codes describing x − centroid
-    resolve within-cluster displacement — ivfpq_residual_topk is the
-    single-query form; batch residual join is the named next step),
-    not something more R should buy at quadratic cost.
+    is a residual-encoding gap, CLOSED the same round: a
+    build_ivfpq_index(residual=True) artifact roughly doubles
+    coverage at every R (0.606/0.859/0.996 at R=100/300/1000 on the
+    clustered 2M corpus) and the default chain over it reads recall
+    1.0000 — not something more R should buy at quadratic cost.
 
     ``knn_join_auto(ivfpq_rerank=None)`` resolves through this rule;
     ``ivfpq_rerank=0`` is the explicit opt-OUT (raw ADC order, the
@@ -954,6 +1057,7 @@ def build_ivfpq_index(
     refine_iters: int = 0,
     coarse_refine_iters: int = 0,
     round_digits: int = 6,
+    residual: bool = False,
 ) -> None:
     """Build and PERSIST the combined IVF+PQ artifact the sub-linear
     batch strategy (:func:`knn_join_ivfpq`) answers from — WITHOUT
@@ -981,7 +1085,21 @@ def build_ivfpq_index(
     The corpus-side assignment goes through
     :func:`~cli_rag_spark.operators.ann.assign_centroids_auto` — the
     GEMM twin takes over past the interpreted-HOF envelope, pinned
-    bit-identical at fixture scale in tests/test_pq.py."""
+    bit-identical at fixture scale in tests/test_pq.py.
+
+    ``residual=True`` (r13) trains the PQ codebook on — and encodes —
+    ``x − centroid(x)`` instead of raw vectors: the full Jégou §IV
+    formulation (:func:`ivfpq_residual_topk` is the single-query
+    form). The r13 clustered-corpus measurement is WHY this exists at
+    batch scale: with per-cluster spread small against the raw
+    quantizer's cell size, the raw-code ADC order within a query's
+    home list is noise (recall@10 0.121 at 2M; SCALING.md r13) —
+    residuals concentrate the codeword budget on exactly that
+    within-list displacement. The flag is recorded in the meta so
+    :func:`~cli_rag_spark.operators.knn.knn_join_auto` routes the
+    matching (per-list-LUT) scoring form automatically; query-side
+    cost grows only in the LUT (Q·n_probe·M·K rows instead of
+    Q·M·K — see knn_join_ivfpq)."""
     from cli_rag_spark.operators.ann import (
         assign_centroids_auto,
         default_n_centroids,
@@ -1042,9 +1160,52 @@ def build_ivfpq_index(
             "refusing to write an empty index"
         )
     centroids = spark.createDataFrame(rows, "cid long, cvec array<double>")
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # re-read persisted bytes so assignment + encode score exactly what
+    # future readers will see (and refine lineages run once)
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assign = assign_centroids_auto(
+        vectors, centroids, id_col, vec_col, round_digits=round_digits,
+        n_rows=n_rows,
+    )
+    assign.write.mode("overwrite").parquet(f"{path}/assign")
+    if residual:
+        # encode x − centroid(x): the codebook trains on — and the
+        # codes describe — the within-list displacement. The persisted
+        # assign parquet feeds the residual lineage so the (possibly
+        # GEMM-computed) assignment runs once, not once per consumer.
+        assign_p = spark.read.parquet(f"{path}/assign")
+        enc_src = (
+            vectors.select(
+                id_col, F.col(vec_col).cast("array<double>").alias("_v")
+            )
+            .join(assign_p.select(id_col, "cid"), id_col)
+            .join(
+                centroids.select(
+                    "cid", F.col("cvec").cast("array<double>").alias("_c")
+                ),
+                "cid",
+            )
+            .select(
+                id_col, F.zip_with("_v", "_c", lambda x, c: x - c).alias("_r")
+            )
+        )
+        enc_col = "_r"
+    else:
+        enc_src, enc_col = vectors, vec_col
     # PQ codebook: seed -> probe (pre-write emptiness/geometry guard,
-    # the build_pq_index discipline) -> optional Lloyd
-    codebook = build_pq_codebook(vectors, m_subspaces, k_codes, id_col, vec_col)
+    # the build_pq_index discipline) -> optional Lloyd. The residual
+    # book MUST seed from nonzero-residual rows (residual_codebook):
+    # the lowest-id rows are the coarse-centroid seeds, whose
+    # residuals are identically zero (r13 bug class).
+    if residual:
+        codebook = residual_codebook(
+            enc_src, m_subspaces, k_codes, id_col, enc_col
+        )
+    else:
+        codebook = build_pq_codebook(
+            enc_src, m_subspaces, k_codes, id_col, enc_col
+        )
     probe = codebook.select(F.size("cvec").alias("ds")).first()
     if probe is None:
         raise ValueError(
@@ -1053,31 +1214,22 @@ def build_ivfpq_index(
         )
     if refine_iters > 0:
         codebook = refine_pq_codebook(
-            vectors, codebook, m_subspaces, refine_iters,
-            id_col, vec_col, round_digits,
+            enc_src, codebook, m_subspaces, refine_iters,
+            id_col, enc_col, round_digits,
         )
-    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     codebook.write.mode("overwrite").parquet(f"{path}/codebook")
-    # re-read persisted bytes so assignment + encode score exactly what
-    # future readers will see (and refine lineages run once)
-    centroids = spark.read.parquet(f"{path}/centroids")
     codebook = spark.read.parquet(f"{path}/codebook")
-    assign = assign_centroids_auto(
-        vectors, centroids, id_col, vec_col, round_digits=round_digits,
-        n_rows=n_rows,
-    )
-    assign.write.mode("overwrite").parquet(f"{path}/assign")
     # same size-routing rule as the assignment: the encoder evaluates
     # N·K·dim element ops (bit-identical twins, pinned in tests)
     from cli_rag_spark.operators.ann import GEMM_ASSIGN_MIN_OPS
 
     if n_rows * k_codes * dim > GEMM_ASSIGN_MIN_OPS:
         codes = pq_encode_gemm(
-            vectors, codebook, m_subspaces, id_col, vec_col, round_digits
+            enc_src, codebook, m_subspaces, id_col, enc_col, round_digits
         )
     else:
         codes = pq_encode(
-            vectors, codebook, m_subspaces, id_col, vec_col, round_digits
+            enc_src, codebook, m_subspaces, id_col, enc_col, round_digits
         )
     codes.write.mode("overwrite").parquet(f"{path}/codes")
     fs, root = _hadoop_fs(spark, path)
@@ -1095,6 +1247,7 @@ def build_ivfpq_index(
             "round_digits": round_digits,
             "n_rows": n_rows,
             "content_fp": content_fp,
+            "residual": residual,
         }).encode("utf-8")))
     finally:
         out.close()

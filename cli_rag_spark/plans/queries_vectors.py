@@ -391,6 +391,53 @@ def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch RESIDUAL-encoded IVFADC join (operators/pq.py
+    knn_join_ivfpq(residual=True) over a build_ivfpq_index(
+    residual=True) artifact, r13) — the full Jégou §IV formulation at
+    batch scale, and the measured answer to the r13 clustered-corpus
+    finding that raw-vector codes cannot rank WITHIN a query's home
+    list (raw ADC recall@10 0.121 at 2M; SCALING.md r13): codes
+    describe x − centroid, so the codeword budget resolves exactly
+    that within-list displacement. The LUT becomes per-(query,
+    probed-list) — Q·n_probe·M·K rows — and everything else keeps the
+    sub-linear shape (candidates Q·n_probe·(N/C)·M narrow code rows,
+    embeddings untouched at query time). Residuals, both argmins, the
+    per-list LUT, and the ADC sum are all seeded/deterministic, so
+    the batch is oracle-replayed end to end."""
+    import hashlib
+    import tempfile
+
+    from cli_rag_spark.operators.pq import (
+        build_ivfpq_index,
+        read_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_ivfpqres_{tag}"
+    try:
+        codes, cb, assign, cent = read_ivfpq_index(spark, path)
+    except ValueError:
+        build_ivfpq_index(
+            emb.where(F.col("embedding").isNotNull()), path,
+            n_centroids=IVF_CENTROIDS, m_subspaces=PQ_M, k_codes=PQ_K,
+            residual=True,
+        )
+        codes, cb, assign, cent = read_ivfpq_index(spark, path)
+    q = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = knn_join_ivfpq(
+        q, codes, cb, assign, cent, k=K, n_probe=IVF_PROBE,
+        m_subspaces=PQ_M, residual=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-encoded IVFADC (operators/pq.py ivfpq_residual_topk)
     — the full Jégou §IV formulation: PQ codes describe x − centroid,
@@ -1062,6 +1109,7 @@ QUERIES = {
     "knn_join_ivfpq": q_knn_join_ivfpq,
     "ivfpq_rerank_topk": q_ivfpq_rerank_topk,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
+    "knn_join_ivfpq_residual": q_knn_join_ivfpq_residual,
     "knn_join_pq": q_knn_join_pq,
     "quantized_topk": q_quantized_topk,
     "ivf_topk": q_ivf_topk,
@@ -1555,6 +1603,97 @@ ORACLE = {
     """,
     # residual IVFADC: the ivfpq replay with residual vectors feeding
     # the codebook/encode and a per-probed-list LUT on query residuals
+    # the ivfpq_residual_topk replay generalized from one query to the
+    # LSH_QUERIES batch: probe becomes a per-query window, the query
+    # residual and the LUT pick up a query_id key, the final rank is a
+    # per-query window — every stage of the persisted-artifact chain
+    # (seeded centroids, assignment argmin, residual subtraction,
+    # residual codebook seeds, encode argmin, per-(query, list) LUT,
+    # ADC sum) replayed in one statement
+    "knn_join_ivfpq_residual": f"""
+        WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+            WHERE vec_id < {IVF_CENTROIDS}
+        ), assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6), c.cid
+                       ) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        ), resid AS (
+            SELECT e.vec_id, a.cid,
+                   list_transform(range(1, {LSH_DIM} + 1),
+                                  i -> (e.embedding::DOUBLE[])[i] - c.cvec[i]) AS r
+            FROM embeddings e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN cent c ON a.cid = c.cid
+        ), cb_seeds AS (
+            -- residual_codebook: the k lowest-id NONZERO residuals
+            -- (the lowest-id rows are the coarse-centroid seeds with
+            -- identically-zero residuals), codes dense 0..k-1
+            SELECT r, rn - 1 AS code FROM (
+                SELECT r, row_number() OVER (ORDER BY vec_id) AS rn
+                FROM resid
+                WHERE list_sum(list_transform(r, x -> abs(x))) > 0
+            ) WHERE rn <= {PQ_K}
+        ), cb AS (
+            SELECT ms.m, s.code,
+                   s.r[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS cvec
+            FROM cb_seeds s, ms
+        ), subs AS (
+            SELECT r0.vec_id, r0.cid, ms.m,
+                   r0.r[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS subvec
+            FROM resid r0, ms
+        ), codes AS (
+            SELECT vec_id, cid, m, code FROM (
+                SELECT s.vec_id, s.cid, s.m, c.code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                                     i -> (s.subvec[i]-c.cvec[i])*(s.subvec[i]-c.cvec[i]))), 6), c.code
+                       ) AS rn
+                FROM subs s JOIN cb c USING (m)
+            ) WHERE rn = 1
+        ), qs AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+            WHERE vec_id < {LSH_QUERIES}
+        ), probe AS (
+            SELECT query_id, cid, cvec, qv FROM (
+                SELECT q.query_id, c.cid, c.cvec, q.qv,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(1 - list_cosine_similarity(c.cvec, q.qv), 6), c.cid
+                       ) AS rn
+                FROM cent c, qs q
+            ) WHERE rn <= {IVF_PROBE}
+        ), qres AS (
+            SELECT query_id, cid,
+                   list_transform(range(1, {LSH_DIM} + 1), i -> qv[i] - cvec[i]) AS qr
+            FROM probe
+        ), lut AS (
+            SELECT qres.query_id, qres.cid, c.m, c.code,
+                   round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> (c.cvec[i]-qres.qr[c.m*{LSH_DIM // PQ_M}+i])*(c.cvec[i]-qres.qr[c.m*{LSH_DIM // PQ_M}+i]))), 6) AS d2
+            FROM cb c, qres
+        ), est AS (
+            SELECT l.query_id, codes.vec_id, round(sum(l.d2), 6) AS est_d2
+            FROM codes
+            JOIN lut l ON codes.cid = l.cid AND codes.m = l.m AND codes.code = l.code
+            GROUP BY l.query_id, codes.vec_id
+        )
+        SELECT query_id, vec_id, est_d2, rank FROM (
+            SELECT query_id, vec_id, est_d2,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY est_d2, vec_id
+                   ) AS rank
+            FROM est
+        ) WHERE rank <= {K}
+        ORDER BY query_id, rank
+    """,
     "ivfpq_residual_topk": f"""
         WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
         cent AS (
@@ -1576,10 +1715,19 @@ ORACLE = {
             FROM embeddings e
             JOIN assign a ON e.vec_id = a.vec_id
             JOIN cent c ON a.cid = c.cid
+        ), cb_seeds AS (
+            -- residual_codebook (r13): k lowest-id NONZERO residuals,
+            -- dense codes — plain lowest-id seeding picks the coarse
+            -- centroids' zero residuals
+            SELECT r, rn - 1 AS code FROM (
+                SELECT r, row_number() OVER (ORDER BY vec_id) AS rn
+                FROM resid
+                WHERE list_sum(list_transform(r, x -> abs(x))) > 0
+            ) WHERE rn <= {PQ_K}
         ), cb AS (
-            SELECT ms.m, r0.vec_id AS code,
-                   r0.r[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS cvec
-            FROM resid r0, ms WHERE r0.vec_id < {PQ_K}
+            SELECT ms.m, s.code,
+                   s.r[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS cvec
+            FROM cb_seeds s, ms
         ), subs AS (
             SELECT r0.vec_id, r0.cid, ms.m,
                    r0.r[ms.m*{LSH_DIM // PQ_M}+1 : ms.m*{LSH_DIM // PQ_M}+{LSH_DIM // PQ_M}] AS subvec

@@ -48,9 +48,9 @@ _PACKS = [
 #
 # STALENESS BOUND (kept current per VERDICT r7 "What's wrong #3";
 # the arithmetic below MUST be updated whenever the registry count
-# changes): with 196 registered queries, 17 sentinels and exactly 33
-# rotating slots per round, a full pass over the 179 non-sentinel
-# queries takes ceil(179/33) = 6 rounds, so the honest worst-case
+# changes): with 197 registered queries, 17 sentinels and exactly 33
+# rotating slots per round, a full pass over the 180 non-sentinel
+# queries takes ceil(180/33) = 6 rounds, so the honest worst-case
 # staleness of a driver verdict is ≤ 6 rounds (rounding DOWN here is
 # how the r6 "~2 rounds" claim went wrong — count whole rounds, and
 # remember category-2/3 load eats into the 33 before stale fill gets
@@ -59,13 +59,14 @@ _PACKS = [
 # never-judged backlog; r7 left 22; r9 cleared it to ZERO; the
 # backlog stays zero through r12 (195/195 ever-judged, all green).
 # NEW-QUERY CAP (adopted r8): at most 12 new judged queries per
-# round; r13 adds ONE (ann_default_rules). The every-run
+# round; r13 adds TWO (ann_default_rules, knn_join_ivfpq_residual).
+# The every-run
 # correctness gate is NOT the driver window: every registered query
 # is value- and dtype-exactly replayed against its DuckDB oracle on
 # every local test run (tests/test_parity.py); the driver window is
 # the independent external sample on top.
 #
-# Round-13 window: 17 sentinels; FOUR category-2 re-entries whose
+# Round-13 window: 17 sentinels; FIVE category-2 re-entries whose
 # implementation changed this round — knn_join_auto (the dispatched
 # ivfpq branch now RERANKS BY DEFAULT through default_rerank_depth
 # with ivfpq_rerank=0 as the explicit opt-out, and the LSH fallback
@@ -75,19 +76,27 @@ _PACKS = [
 # around the operators both exercise; VERDICT r12 #1's "Done"
 # explicitly names both green in CORRECTNESS_r13), knn_join_lsh
 # (operators/knn.py grew default_lsh_geometry beside it; VERDICT
-# r12 #3's "Done" names it green); ONE never-judged (category 3,
+# r12 #3's "Done" names it green), and ivfpq_residual_topk (the
+# nonzero-residual codebook seeding fix — residual_codebook — changed
+# its values AND its oracle: plain lowest-id seeding picks the coarse
+# centroids' identically-zero residuals, which at k_codes ≤ C zeroes
+# the whole book); TWO never-judged (category 3,
 # within the 12-cap): ann_default_rules (the whole measured-default
 # rule family — lsh geometry, rerank depth, C/√C, PQ birthday-bound
 # geometry — evaluated over a seven-decade ladder with the oracle
 # replaying the arithmetic in SQL, so the dispatch constants are
-# judged data). Then least-recently-verified fill (28 slots, from
-# CORRECTNESS_r1–r12 last-verdict rounds, oldest first, alphabetical
-# within a round): ALL 28 remaining r7-verified queries — the r7
-# cohort clears entirely this round, led by bloom_join_stats (the
-# debt the r12 rotation comment named first). The r14 head is owed
-# the r8-verified cohort oldest-first (ann_ndcg_metrics,
-# ann_rank_metrics, audio_fingerprint_groups, ...), then
-# r9-verified.
+# judged data) and knn_join_ivfpq_residual (batch residual-encoded
+# IVFADC — the measured fix for raw codes' noise-ranked home lists on
+# the clustered corpus; full chain incl. per-(query, list) LUT in one
+# oracle statement). Then least-recently-verified fill (26 slots,
+# from CORRECTNESS_r1–r12 last-verdict rounds, oldest first,
+# alphabetical within a round): 26 of the 28 remaining r7-verified
+# queries, led by bloom_join_stats (the debt the r12 rotation comment
+# named first). The r14 head is owed token_counts and
+# video_frame_stats (the two displaced r7 queries), then the
+# r8-verified cohort oldest-first
+# (ann_ndcg_metrics, ann_rank_metrics, audio_fingerprint_groups,
+# ...), then r9-verified.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -112,12 +121,13 @@ _PRIORITY = _SENTINELS + [
     # family, the r6 batching protocol — details in the rotation
     # comment above)
     "knn_join_auto", "knn_join_ivfpq", "ivfpq_rerank_topk",
-    "knn_join_lsh",
-    # (3) never driver-checked: the r13 addition
-    "ann_default_rules",
-    # (4) least-recently-verified fill: the ENTIRE remaining
-    # r7-verified cohort (28 queries, alphabetical — exactly the 28
-    # open slots), clearing the oldest verdicts in the registry
+    "knn_join_lsh", "ivfpq_residual_topk",
+    # (3) never driver-checked: the two r13 additions
+    "ann_default_rules", "knn_join_ivfpq_residual",
+    # (4) least-recently-verified fill: 27 of the 28 remaining
+    # r7-verified queries (alphabetical; video_frame_stats, displaced
+    # by the second cat-3 entry, heads the r14 fill before the
+    # r8-verified cohort)
     "bloom_join_stats", "bootstrap_ci_revenue", "bpe_pair_stats",
     "cheapest_supplier_per_part", "chunk_clean_stats",
     "cusum_changepoints", "decimal_exact_totals", "dedup_canonical",
@@ -127,7 +137,6 @@ _PRIORITY = _SENTINELS + [
     "kcore_stats", "key_skew_stats", "label_centroids",
     "large_orders", "lm_perplexity", "lsh_recall_stats",
     "mixture_sample_counts", "ngram_novelty", "streaming_cusum",
-    "token_counts", "video_frame_stats",
 ]
 
 

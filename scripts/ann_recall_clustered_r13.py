@@ -199,6 +199,88 @@ def stage_main(spark, args) -> None:
     }), flush=True)
 
 
+def stage_residual(spark, args) -> None:
+    """Residual-encoded batch IVFADC on the clustered corpus — the
+    measured answer to stage main's finding that raw-vector codes
+    cannot rank within a home list (raw ADC 0.121 at 2M): codes
+    describe x − centroid, so the same 64-bit budget resolves the
+    within-cluster displacement. Books raw-order recall@k and the
+    coverage-vs-R curve for the residual artifact beside the raw
+    rows, plus the dispatched default chain."""
+    from cli_rag_spark.operators.ann import default_n_probe
+    from cli_rag_spark.operators.knn import knn_join_gemm, rerank_exact
+    from cli_rag_spark.operators.pq import (
+        _read_ivfpq_meta,
+        build_ivfpq_index,
+        default_rerank_depth,
+        ivfpq_index_ready,
+        knn_join_ivfpq,
+        read_ivfpq_index,
+    )
+
+    n, dim, nq, k = args.n or 2_000_000, 64, args.nq, args.k
+    sf_dir, emb, queries = _corpus(spark, n, dim, nq)
+    n_index = emb.count()
+    print(json.dumps({"stage": "residual", "corpus": sf_dir,
+                      "n_index": n_index, "nq": nq, "k": k}), flush=True)
+    t0 = time.perf_counter()
+    exact = knn_join_gemm(queries, emb, k=k, dim=dim).localCheckpoint(
+        eager=True
+    )
+    print(json.dumps({"row": "gemm_exact",
+                      "sec": round(time.perf_counter() - t0, 2)}),
+          flush=True)
+    m_tag = f"_m{args.m_subspaces}" if args.m_subspaces else ""
+    path = f"{scratch_root()}/cli_rag_spark_r13ivfpqres_gm{n}_d{dim}{m_tag}"
+    t0 = time.perf_counter()
+    if not ivfpq_index_ready(spark, path, dim):
+        build_ivfpq_index(
+            emb, path, residual=True, m_subspaces=args.m_subspaces,
+            refine_iters=args.refine,
+        )
+        print(json.dumps({"row": "ivfpq_residual_build",
+                          "sec": round(time.perf_counter() - t0, 2),
+                          "meta": _read_ivfpq_meta(spark, path)}),
+              flush=True)
+    codes, cb, assign, cent = read_ivfpq_index(spark, path)
+    meta = _read_ivfpq_meta(spark, path)
+    c = int(meta["n_centroids"])
+    n_probe = default_n_probe(c)
+    r_ladder = [k] + args.r_ladder
+    t0 = time.perf_counter()
+    deep = knn_join_ivfpq(
+        queries, codes, cb, assign, cent, k=max(r_ladder),
+        n_probe=n_probe, m_subspaces=int(meta["m_subspaces"]),
+        residual=True,
+    ).localCheckpoint(eager=True)
+    deep_sec = round(time.perf_counter() - t0, 2)
+    raw = deep.where(F.col("rank") <= k)
+    print(json.dumps({
+        "row": "ivfpq_residual_raw_adc", "C": c, "n_probe": n_probe,
+        "probe_sec_at_maxR": deep_sec,
+        "recall_at_k": _recall(exact, raw, k),
+    }), flush=True)
+    for r_depth in args.r_ladder:
+        short = deep.where(F.col("rank") <= r_depth)
+        print(json.dumps({
+            "row": "ivfpq_residual_coverage", "R": r_depth,
+            "coverage": _recall(exact, short, k),
+        }), flush=True)
+    # the dispatched default chain on the residual artifact
+    t0 = time.perf_counter()
+    r_depth = default_rerank_depth(k, n_index, c)
+    short = knn_join_ivfpq(
+        queries, codes, cb, assign, cent, k=r_depth, n_probe=n_probe,
+        m_subspaces=int(meta["m_subspaces"]), residual=True,
+    )
+    out = rerank_exact(short, queries, emb, k=k).localCheckpoint(eager=True)
+    print(json.dumps({
+        "row": "ivfpq_residual_rerank_default", "R": r_depth,
+        "sec": round(time.perf_counter() - t0, 2),
+        "recall_at_k": _recall(exact, out, k),
+    }), flush=True)
+
+
 def stage_dim192(spark, args) -> None:
     """The PQ_MIN_DIM boundary on clustered data — the r12 confirm's comparison at the
     full routed shape (flat ADC at the m=4x16 fixture geometry vs
@@ -314,7 +396,8 @@ def stage_n8m(spark, args) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", choices=["main", "dim192", "n8m"],
+    ap.add_argument("--stage",
+                    choices=["main", "residual", "dim192", "n8m"],
                     default="main")
     ap.add_argument("--n", type=int, default=None,
                     help="corpus rows (default: 2M main/dim192, 8M n8m)")
@@ -322,13 +405,20 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--r-ladder", nargs="*", type=int,
                     default=[30, 100, 300, 1000])
+    ap.add_argument("--m-subspaces", type=int, default=None,
+                    help="override default_pq_geometry's m for the "
+                         "residual stage (code-width-vs-ranking curve)")
+    ap.add_argument("--refine", type=int, default=0,
+                    help="Lloyd iterations for the residual stage's "
+                         "sub-codebooks")
     ap.add_argument("--flat-lsh", action="store_true",
                     help="also measure the old fixed 16/4 LSH geometry "
                          "(Θ(Q·N) verify work — minutes at 2M)")
     args = ap.parse_args()
     spark = get_session(app_name="cli-rag-spark-ann-clustered-r13")
     spark.sparkContext.setLogLevel("ERROR")
-    {"main": stage_main, "dim192": stage_dim192, "n8m": stage_n8m}[
+    {"main": stage_main, "residual": stage_residual,
+     "dim192": stage_dim192, "n8m": stage_n8m}[
         args.stage
     ](spark, args)
     spark.stop()

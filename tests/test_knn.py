@@ -1140,3 +1140,48 @@ def test_default_lsh_geometry_rule():
         default_lsh_geometry(-1)
     with pytest.raises(ValueError, match="n_bands"):
         default_lsh_geometry(100, n_bands=0)
+
+
+def test_knn_join_auto_routes_residual_ivfpq(spark, sf_dir, tmp_path):
+    """A residual build_ivfpq_index artifact dispatches with
+    residual=True read from the meta (a raw-LUT scoring of residual
+    codes would be silent garbage) and RERANKS by default — equal to
+    the hand-composed residual probe + exact rerank."""
+    from cli_rag_spark.operators.knn import knn_join_auto, rerank_exact
+    from cli_rag_spark.operators.pq import (
+        build_ivfpq_index,
+        default_rerank_depth,
+        knn_join_ivfpq,
+        read_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    path = str(tmp_path / "ivfpq_res_route")
+    build_ivfpq_index(
+        emb, path, n_centroids=8, m_subspaces=4, k_codes=16, residual=True
+    )
+    q = _queries(emb, 5)
+    big = dict(n_queries=10_000, n_index=2_000_000)
+    auto = knn_join_auto(q, emb, k=3, dim=64, ivfpq_path=path, **big)
+    codes, cb, assign, cent = read_ivfpq_index(spark, path)
+    short = knn_join_ivfpq(
+        q, codes, cb, assign, cent,
+        k=default_rerank_depth(3, big["n_index"], 8), n_probe=2,
+        residual=True,
+    )
+    direct = rerank_exact(short, q, emb, k=3)
+    assert {tuple(r) for r in auto.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    # raw ADC view of the residual artifact: est_d2 order, residual LUT
+    auto_raw = knn_join_auto(
+        q, emb, k=3, dim=64, ivfpq_path=path, ivfpq_rerank=0, **big
+    )
+    direct_raw = knn_join_ivfpq(
+        q, codes, cb, assign, cent, k=3, n_probe=2, residual=True
+    ).withColumnRenamed("est_d2", "dist")
+    assert {tuple(r) for r in auto_raw.collect()} == {
+        tuple(r) for r in direct_raw.collect()
+    }

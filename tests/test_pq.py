@@ -571,3 +571,70 @@ def test_pq_encode_gemm_matches_hof(spark, sf_dir):
     hof = {tuple(r) for r in pq_encode(emb, cb, 4).collect()}
     gemm = {tuple(r) for r in pq_encode_gemm(emb, cb, 4).collect()}
     assert hof == gemm
+
+
+def test_knn_join_ivfpq_residual_matches_single_query_form(spark, sf_dir, tmp_path):
+    """Batch residual IVFADC (r13) against its single-query ancestor:
+    a build_ivfpq_index(residual=True) artifact scored through
+    knn_join_ivfpq(residual=True) must reproduce ivfpq_residual_topk
+    per query — same seeded centroids, same residual codebook seeds
+    (k lowest-id RESIDUAL rows), same per-list LUT arithmetic."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.pq import (
+        _read_ivfpq_meta,
+        build_ivfpq_index,
+        ivfpq_residual_topk,
+        knn_join_ivfpq,
+        read_ivfpq_index,
+    )
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    path = str(tmp_path / "ivfpq_res")
+    build_ivfpq_index(
+        emb, path, n_centroids=8, m_subspaces=4, k_codes=16, residual=True
+    )
+    assert _read_ivfpq_meta(spark, path)["residual"] is True
+    codes, cb, assign, cent = read_ivfpq_index(spark, path)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch = {
+        (r["query_id"], r["vec_id"], r["est_d2"])
+        for r in knn_join_ivfpq(
+            q, codes, cb, assign, cent, k=5, n_probe=2, m_subspaces=4,
+            residual=True,
+        ).collect()
+    }
+    for qid in range(3):
+        q1 = emb.where(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("query_vec")
+        )
+        single = {
+            (qid, r["vec_id"], r["est_d2"])
+            for r in ivfpq_residual_topk(
+                emb, q1, k=5, n_centroids=8, n_probe=2, m_subspaces=4,
+                k_codes=16,
+            ).collect()
+        }
+        assert len(single) == 5 and single <= batch
+
+
+def test_build_ivfpq_residual_flag_defaults_false(spark, sf_dir, tmp_path):
+    """A raw build records residual=False, so pre-r13 artifacts (no
+    key) and raw builds both score through the raw-vector LUT."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.pq import _read_ivfpq_meta, build_ivfpq_index
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    path = str(tmp_path / "ivfpq_raw_flag")
+    build_ivfpq_index(emb, path, n_centroids=8, m_subspaces=4, k_codes=16)
+    assert _read_ivfpq_meta(spark, path)["residual"] is False
