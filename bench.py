@@ -131,6 +131,7 @@ HEADLINE = [
     "knn_join_ivfpq",            # vector: batch IVFADC join — sub-linear E7 member (r11)
     "tuner_widths",              # vector: recall-targeted n_probe/bands tuners (r12)
     "ivfpq_rerank_topk",         # vector: IVFADC-R exact shortlist rerank (r12)
+    "knn_join_ivfpq_residual",   # vector: batch residual IVFADC join (r13)
 ]
 
 

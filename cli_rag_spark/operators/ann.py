@@ -325,6 +325,7 @@ def tune_n_probe(
     queries: DataFrame,
     target_recall: float = 0.95,
     k: int = 10,
+    exact: DataFrame | None = None,
 ) -> tuple[int, float]:
     """The recall-TARGETED probe width (VERDICT r10 #7b): the smallest
     n_probe on a geometric ladder whose measured recall@k over the
@@ -351,7 +352,14 @@ def tune_n_probe(
     The tuned width is an ARGUMENT to pass back into
     :func:`knn_join_ivf` / knn_join_auto(n_probe=...), not ambient
     state — at 100 TB the tuner runs once per index build (or per
-    drift check) on a droplet of the corpus, never per query."""
+    drift check) on a droplet of the corpus, never per query.
+
+    ``exact`` (r13, VERDICT r12 #7): a precomputed exact top-k
+    DF[query_id, vec_id, ...] over the SAME queries and the index's
+    content — pass it when tuning several strategies against one
+    corpus (knn.tune_lsh_bands takes the same frame) so the ground
+    truth is computed once instead of once per tuner; None keeps the
+    self-contained behavior."""
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(
             f"target_recall must be in (0, 1], got {target_recall}"
@@ -361,20 +369,21 @@ def tune_n_probe(
     meta = _read_ivf_meta(spark, path)
     c = int(meta["n_centroids"])
     index = read_ivf_index(spark, path)
-    # the meta sidecar doesn't record dim (ivf_index_ready reads it
-    # from the centroids parquet) — one bounded probe row does here
-    row0 = (
-        index.where(F.col("embedding").isNotNull())
-        .select(F.size("embedding").alias("d"))
-        .first()
-    )
-    if row0 is None or not row0["d"] or row0["d"] <= 0:
-        raise ValueError(f"IVF index at {path} has no scorable vectors")
-    dim = int(row0["d"])
-    # exact ground truth over the index's own vectors, computed once
-    exact = knn_join_gemm(
-        queries, index, k=k, dim=dim
-    ).localCheckpoint(eager=True)
+    if exact is None:
+        # the meta sidecar doesn't record dim (ivf_index_ready reads
+        # it from the centroids parquet) — one bounded probe row does
+        row0 = (
+            index.where(F.col("embedding").isNotNull())
+            .select(F.size("embedding").alias("d"))
+            .first()
+        )
+        if row0 is None or not row0["d"] or row0["d"] <= 0:
+            raise ValueError(f"IVF index at {path} has no scorable vectors")
+        dim = int(row0["d"])
+        # exact ground truth over the index's own vectors, computed once
+        exact = knn_join_gemm(
+            queries, index, k=k, dim=dim
+        ).localCheckpoint(eager=True)
     # Pure power-of-two ladder from 1 up to C (ADVICE r11: the earlier
     # ladder jumped 1 → default_n_probe(C) → doubling, so at large C
     # the returned width could overshoot the minimal sufficient width

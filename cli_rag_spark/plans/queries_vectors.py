@@ -615,12 +615,24 @@ def q_tuner_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
+    # ONE exact ground truth serves both ladders (r13, VERDICT r12
+    # #7: the two tuners each computed their own identical GEMM over
+    # the same queries × corpus — ~the most expensive stage of the
+    # headline's most expensive entry, paid twice). Values unchanged:
+    # both tuners scored against this exact frame before, just
+    # re-derived.
+    from cli_rag_spark.operators.knn import knn_join_gemm
+
+    exact = knn_join_gemm(
+        qset, emb, k=TUNE_K, dim=LSH_DIM
+    ).localCheckpoint(eager=True)
     w_ivf, r_ivf = tune_n_probe(
-        spark, path, qset, target_recall=TUNE_TARGET, k=TUNE_K
+        spark, path, qset, target_recall=TUNE_TARGET, k=TUNE_K,
+        exact=exact,
     )
     w_lsh, r_lsh = tune_lsh_bands(
         qset, emb, LSH_DIM, target_recall=TUNE_TARGET, k=TUNE_K,
-        n_planes=LSH_PLANES, seed=LSH_SEED,
+        n_planes=LSH_PLANES, seed=LSH_SEED, exact=exact,
     )
     return spark.createDataFrame(
         [

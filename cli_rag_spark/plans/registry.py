@@ -66,7 +66,7 @@ _PACKS = [
 # every local test run (tests/test_parity.py); the driver window is
 # the independent external sample on top.
 #
-# Round-13 window: 17 sentinels; FIVE category-2 re-entries whose
+# Round-13 window: 17 sentinels; SIX category-2 re-entries whose
 # implementation changed this round — knn_join_auto (the dispatched
 # ivfpq branch now RERANKS BY DEFAULT through default_rerank_depth
 # with ivfpq_rerank=0 as the explicit opt-out, and the LSH fallback
@@ -80,7 +80,9 @@ _PACKS = [
 # nonzero-residual codebook seeding fix — residual_codebook — changed
 # its values AND its oracle: plain lowest-id seeding picks the coarse
 # centroids' identically-zero residuals, which at k_codes ≤ C zeroes
-# the whole book); TWO never-judged (category 3,
+# the whole book), and tuner_widths (the two tuners gained a shared
+# `exact=` ground-truth frame — VERDICT r12 #7's fusion; values
+# unchanged, plan changed); TWO never-judged (category 3,
 # within the 12-cap): ann_default_rules (the whole measured-default
 # rule family — lsh geometry, rerank depth, C/√C, PQ birthday-bound
 # geometry — evaluated over a seven-decade ladder with the oracle
@@ -88,12 +90,12 @@ _PACKS = [
 # judged data) and knn_join_ivfpq_residual (batch residual-encoded
 # IVFADC — the measured fix for raw codes' noise-ranked home lists on
 # the clustered corpus; full chain incl. per-(query, list) LUT in one
-# oracle statement). Then least-recently-verified fill (26 slots,
+# oracle statement). Then least-recently-verified fill (25 slots,
 # from CORRECTNESS_r1–r12 last-verdict rounds, oldest first,
-# alphabetical within a round): 26 of the 28 remaining r7-verified
+# alphabetical within a round): 25 of the 28 remaining r7-verified
 # queries, led by bloom_join_stats (the debt the r12 rotation comment
-# named first). The r14 head is owed token_counts and
-# video_frame_stats (the two displaced r7 queries), then the
+# named first). The r14 head is owed streaming_cusum, token_counts
+# and video_frame_stats (the three displaced r7 queries), then the
 # r8-verified cohort oldest-first
 # (ann_ndcg_metrics, ann_rank_metrics, audio_fingerprint_groups,
 # ...), then r9-verified.
@@ -121,7 +123,7 @@ _PRIORITY = _SENTINELS + [
     # family, the r6 batching protocol — details in the rotation
     # comment above)
     "knn_join_auto", "knn_join_ivfpq", "ivfpq_rerank_topk",
-    "knn_join_lsh", "ivfpq_residual_topk",
+    "knn_join_lsh", "ivfpq_residual_topk", "tuner_widths",
     # (3) never driver-checked: the two r13 additions
     "ann_default_rules", "knn_join_ivfpq_residual",
     # (4) least-recently-verified fill: 27 of the 28 remaining
@@ -136,7 +138,7 @@ _PRIORITY = _SENTINELS + [
     "hourly_event_windows", "ivf_refined_topk", "json_props",
     "kcore_stats", "key_skew_stats", "label_centroids",
     "large_orders", "lm_perplexity", "lsh_recall_stats",
-    "mixture_sample_counts", "ngram_novelty", "streaming_cusum",
+    "mixture_sample_counts", "ngram_novelty",
 ]
 
 
