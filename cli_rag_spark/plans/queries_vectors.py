@@ -415,7 +415,10 @@ def q_knn_join_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/cli_rag_spark_ivfpqres_{tag}"
+    # v2 = the residual_codebook nonzero-seed fix: a pre-fix artifact
+    # at the unversioned path carries an all-zero book whose reuse
+    # would silently mismatch the oracle — the path IS the version
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_ivfpqres_v2_{tag}"
     try:
         codes, cb, assign, cent = read_ivfpq_index(spark, path)
     except ValueError:
