@@ -1057,7 +1057,7 @@ def build_ivfpq_index(
     refine_iters: int = 0,
     coarse_refine_iters: int = 0,
     round_digits: int = 6,
-    residual: bool = False,
+    residual: bool = True,
 ) -> None:
     """Build and PERSIST the combined IVF+PQ artifact the sub-linear
     batch strategy (:func:`knn_join_ivfpq`) answers from — WITHOUT
@@ -1087,19 +1087,28 @@ def build_ivfpq_index(
     GEMM twin takes over past the interpreted-HOF envelope, pinned
     bit-identical at fixture scale in tests/test_pq.py.
 
-    ``residual=True`` (r13) trains the PQ codebook on — and encodes —
-    ``x − centroid(x)`` instead of raw vectors: the full Jégou §IV
-    formulation (:func:`ivfpq_residual_topk` is the single-query
-    form). The r13 clustered-corpus measurement is WHY this exists at
-    batch scale: with per-cluster spread small against the raw
-    quantizer's cell size, the raw-code ADC order within a query's
-    home list is noise (recall@10 0.121 at 2M; SCALING.md r13) —
-    residuals concentrate the codeword budget on exactly that
-    within-list displacement. The flag is recorded in the meta so
-    :func:`~cli_rag_spark.operators.knn.knn_join_auto` routes the
-    matching (per-list-LUT) scoring form automatically; query-side
-    cost grows only in the LUT (Q·n_probe·M·K rows instead of
-    Q·M·K — see knn_join_ivfpq)."""
+    ``residual=True`` — the DEFAULT since r14 (VERDICT r13 #1) —
+    trains the PQ codebook on, and encodes, ``x − centroid(x)``
+    instead of raw vectors: the full Jégou §IV formulation
+    (:func:`ivfpq_residual_topk` is the single-query form). The r13
+    clustered-corpus measurement is WHY it is the default: with
+    per-cluster spread small against the coarse quantizer's cell
+    size, the raw-code ADC order within a query's home list is noise
+    (recall@10 0.121 raw vs 0.219 residual at 2M), and residual books
+    roughly DOUBLE shortlist coverage at every rerank depth
+    (0.347/0.606/0.859/0.996 vs 0.156/0.247/0.430/0.832 at
+    R=30/100/300/1000; SCALING.md r13) — the codeword budget resolves
+    exactly the within-list displacement the coarse structure can't.
+    ``residual=False`` is the explicit opt-out (raw-vector codes —
+    only right when the corpus has no cluster structure to subtract,
+    e.g. the sign-flip adversarial bound). The flag is recorded in
+    the meta so :func:`~cli_rag_spark.operators.knn.knn_join_auto`
+    routes the matching (per-list-LUT) scoring form automatically;
+    query-side cost grows only in the LUT (Q·n_probe·M·K rows instead
+    of Q·M·K — see knn_join_ivfpq). Build-side price tag: SCALING.md
+    r14 books the residual-vs-raw build walls at 2M (the residual
+    lineage adds one narrow assign join + zip_with before the
+    encoder)."""
     from cli_rag_spark.operators.ann import (
         assign_centroids_auto,
         default_n_centroids,

@@ -510,10 +510,11 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate batch kNN join via IVF bucketing (operators/ann.py
     knn_join_ivf) — the 4th physical strategy for E7, run against the
-    PERSISTED index: build_ivf_index writes partitionBy(cid) parquet +
+    PERSISTED index: build_ivf_index writes (cid, id)-sorted parquet
+    (small row groups — min/max stats prune the probe; r14 default) +
     build metadata, read_ivf_index re-opens it with an O(1) metadata
     check, and the join's candidate equi-join on cid reads pruned
-    partitions with no re-assignment of the corpus (at 100 TB the
+    lists with no re-assignment of the corpus (at 100 TB the
     index exists precisely to be stored). Persisted and on-the-fly
     paths are asserted identical in tests/test_ann.py. Candidate cost
     is O(rows in probed lists), never Q·N; recall tunes with n_probe.
@@ -817,7 +818,7 @@ def q_ivf_sqrt_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Next round #3) proven through the oracle channel: build_ivf_index
     with n_centroids UNSET sizes the coarse quantizer as isqrt(N) from
     the row count it already computes, and the per-list occupancy of
-    the persisted partitionBy(cid) index is replayed by an oracle that
+    the persisted index is replayed by an oracle that
     derives the same C = floor(sqrt(count(*))) from the table itself —
     so a policy regression (fixed C, wrong clamp, drifted seeding)
     lands in a row-count or value mismatch. The resolved C is pinned

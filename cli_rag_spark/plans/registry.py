@@ -66,39 +66,32 @@ _PACKS = [
 # every local test run (tests/test_parity.py); the driver window is
 # the independent external sample on top.
 #
-# Round-13 window: 17 sentinels; SIX category-2 re-entries whose
-# implementation changed this round — knn_join_auto (the dispatched
-# ivfpq branch now RERANKS BY DEFAULT through default_rerank_depth
-# with ivfpq_rerank=0 as the explicit opt-out, and the LSH fallback
-# geometry now comes from default_lsh_geometry(n_index) instead of
-# the fixed 16/4 — VERDICT r12 #1 and #3), knn_join_ivfpq and
-# ivfpq_rerank_topk (operators/pq.py grew default_rerank_depth
-# around the operators both exercise; VERDICT r12 #1's "Done"
-# explicitly names both green in CORRECTNESS_r13), knn_join_lsh
-# (operators/knn.py grew default_lsh_geometry beside it; VERDICT
-# r12 #3's "Done" names it green), and ivfpq_residual_topk (the
-# nonzero-residual codebook seeding fix — residual_codebook — changed
-# its values AND its oracle: plain lowest-id seeding picks the coarse
-# centroids' identically-zero residuals, which at k_codes ≤ C zeroes
-# the whole book), and tuner_widths (the two tuners gained a shared
-# `exact=` ground-truth frame — VERDICT r12 #7's fusion; values
-# unchanged, plan changed); TWO never-judged (category 3,
-# within the 12-cap): ann_default_rules (the whole measured-default
-# rule family — lsh geometry, rerank depth, C/√C, PQ birthday-bound
-# geometry — evaluated over a seven-decade ladder with the oracle
-# replaying the arithmetic in SQL, so the dispatch constants are
-# judged data) and knn_join_ivfpq_residual (batch residual-encoded
-# IVFADC — the measured fix for raw codes' noise-ranked home lists on
-# the clustered corpus; full chain incl. per-(query, list) LUT in one
-# oracle statement). Then least-recently-verified fill (25 slots,
-# from CORRECTNESS_r1–r12 last-verdict rounds, oldest first,
-# alphabetical within a round): 25 of the 28 remaining r7-verified
-# queries, led by bloom_join_stats (the debt the r12 rotation comment
-# named first). The r14 head is owed streaming_cusum, token_counts
-# and video_frame_stats (the three displaced r7 queries), then the
-# r8-verified cohort oldest-first
-# (ann_ndcg_metrics, ann_rank_metrics, audio_fingerprint_groups,
-# ...), then r9-verified.
+# Round-14 window: 17 sentinels; EIGHT category-2 re-entries whose
+# implementation changed this round — knn_join_ivf, ivf_recall_stats,
+# ivf_append_stats, ivf_sqrt_partition_stats, ivf_refined_topk and
+# tuner_widths (build_ivf_index's default physical layout flipped to
+# the (cid, id)-sorted single-dir form with row-group min/max pruning
+# — VERDICT r13 #3; values are layout-invariant by construction, the
+# plans and the persisted artifacts changed), knn_join_auto (the
+# dispatcher's LSH fallback with explicit non-divisible-by-4 planes
+# now RAISES instead of silently degrading to one full-width band —
+# ADVICE r13; and the IVFPQ artifacts its dispatch reads are
+# residual-encoded by default since this round), and
+# knn_join_ivfpq_residual (build_ivfpq_index(residual=True) became
+# the DEFAULT build — VERDICT r13 #1; the query's explicit flag is
+# now the default path, values unchanged). ZERO category 3 (no new
+# queries this round — the registry holds at 197). Then
+# least-recently-verified fill (25 slots, oldest first, alphabetical
+# within a round): the three displaced r7-verified queries
+# (streaming_cusum, token_counts, video_frame_stats — r13's fill took
+# 25 of the 28 then-remaining r7 queries, NOT the 27 a stale copy of
+# this comment claimed; ADVICE r13 low) and the first 22 of the 30
+# r8-verified queries (ann_ndcg_metrics .. rolling_user_value). The
+# r15 head is owed the 8 remaining r8-verified queries
+# (semantic_dedup, session_log, small_qty_revenue,
+# snapshot_optimize_stats, streaming_interval_join,
+# streaming_quality_router, video_scene_cuts, waiting_suppliers),
+# then the r9-verified cohort oldest-first.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -122,23 +115,22 @@ _PRIORITY = _SENTINELS + [
     # (2) changed since last verdict (one representative per changed
     # family, the r6 batching protocol — details in the rotation
     # comment above)
-    "knn_join_auto", "knn_join_ivfpq", "ivfpq_rerank_topk",
-    "knn_join_lsh", "ivfpq_residual_topk", "tuner_widths",
-    # (3) never driver-checked: the two r13 additions
-    "ann_default_rules", "knn_join_ivfpq_residual",
-    # (4) least-recently-verified fill: 27 of the 28 remaining
-    # r7-verified queries (alphabetical; video_frame_stats, displaced
-    # by the second cat-3 entry, heads the r14 fill before the
-    # r8-verified cohort)
-    "bloom_join_stats", "bootstrap_ci_revenue", "bpe_pair_stats",
-    "cheapest_supplier_per_part", "chunk_clean_stats",
-    "cusum_changepoints", "decimal_exact_totals", "dedup_canonical",
-    "dedup_incremental", "embedding_dim_stats", "embedding_norms",
-    "event_type_stats", "funnel_counts", "gopher_quality_flags",
-    "hourly_event_windows", "ivf_refined_topk", "json_props",
-    "kcore_stats", "key_skew_stats", "label_centroids",
-    "large_orders", "lm_perplexity", "lsh_recall_stats",
-    "mixture_sample_counts", "ngram_novelty",
+    "knn_join_ivf", "ivf_recall_stats", "ivf_append_stats",
+    "ivf_sqrt_partition_stats", "ivf_refined_topk", "tuner_widths",
+    "knn_join_auto", "knn_join_ivfpq_residual",
+    # (3) never driver-checked: none this round (registry holds at 197)
+    # (4) least-recently-verified fill: the three r7-verified queries
+    # r13's fill displaced, then the first 22 of the 30 r8-verified
+    # (alphabetical; the 8 remaining r8 queries head the r15 fill)
+    "streaming_cusum", "token_counts", "video_frame_stats",
+    "ann_ndcg_metrics", "ann_rank_metrics", "audio_fingerprint_groups",
+    "brand_affinity_pairs", "brand_rules", "chunk_sliding",
+    "csv_roundtrip_stats", "hard_negative_mining",
+    "idle_rich_customers", "image_dhash_groups", "image_neardup_groups",
+    "jsonl_roundtrip_stats", "mmr_rerank", "ohlc_daily",
+    "orc_roundtrip_stats", "ordered_funnel", "orders_upsert_stats",
+    "pii_redaction_stats", "ppr_top_nodes", "repetition_scores",
+    "returned_item_customers", "rolling_user_value",
 ]
 
 

@@ -124,7 +124,10 @@ def stage_main(spark, args) -> None:
     ivfpq_path = f"{scratch_root()}/cli_rag_spark_r13ivfpq_{tag}"
     t0 = time.perf_counter()
     if not ivfpq_index_ready(spark, ivfpq_path, dim):
-        build_ivfpq_index(emb, ivfpq_path)
+        # pinned raw: this stage's booked rows (ivfpq_raw_adc + the
+        # coverage ladder) measure RAW-vector codes — the build
+        # default until the r14 flip
+        build_ivfpq_index(emb, ivfpq_path, residual=False)
         print(json.dumps({"row": "ivfpq_build",
                           "sec": round(time.perf_counter() - t0, 2),
                           "meta": _read_ivfpq_meta(spark, ivfpq_path)}),
@@ -231,11 +234,16 @@ def stage_residual(spark, args) -> None:
                       "sec": round(time.perf_counter() - t0, 2)}),
           flush=True)
     m_tag = f"_m{args.m_subspaces}" if args.m_subspaces else ""
-    path = f"{scratch_root()}/cli_rag_spark_r13ivfpqres_gm{n}_d{dim}{m_tag}"
+    # r14 path version: the build below is the DEFAULT build (residual
+    # became the default, VERDICT r13 #1), and the round owes a fresh
+    # TIMED default-build wall (the r13 artifact at the old path would
+    # short-circuit the timing via ivfpq_index_ready)
+    path = f"{scratch_root()}/cli_rag_spark_r14ivfpqres_gm{n}_d{dim}{m_tag}"
     t0 = time.perf_counter()
     if not ivfpq_index_ready(spark, path, dim):
+        # no residual flag: this IS the default build since r14
         build_ivfpq_index(
-            emb, path, residual=True, m_subspaces=args.m_subspaces,
+            emb, path, m_subspaces=args.m_subspaces,
             refine_iters=args.refine,
         )
         print(json.dumps({"row": "ivfpq_residual_build",
@@ -282,25 +290,43 @@ def stage_residual(spark, args) -> None:
 
 
 def stage_dim192(spark, args) -> None:
-    """The PQ_MIN_DIM boundary on clustered data — the r12 confirm's comparison at the
-    full routed shape (flat ADC at the m=4x16 fixture geometry vs
-    LSH at both the rule and the old fixed geometry)."""
+    """The PQ_MIN_DIM boundary on clustered data — the r12 confirm's
+    comparison at the full routed shape (flat ADC at the m=4x16
+    fixture geometry vs LSH at both the rule and the old fixed
+    geometry). Generalized over --dim in r14 (VERDICT r13 #2: the
+    gate's own history is three refuted extrapolations — 160, 256,
+    768 — so the shipped 768 must be measured AT the gate, not
+    projected from dim 64/192): beside the original protocol it books
+    the DISPATCHED chain the PQ family would actually run at the
+    probed dim — a default (residual) build_ivfpq_index artifact,
+    probe at default_n_probe(C), exact rerank at
+    default_rerank_depth — wall + recall, so the LSH-vs-PQ routing
+    decision at dim ~768 compares the two strategies as dispatched,
+    not a strawman flat scan alone."""
+    from cli_rag_spark.operators.ann import default_n_probe
     from cli_rag_spark.operators.knn import (
         default_lsh_geometry,
         knn_join_gemm,
         knn_join_lsh,
+        rerank_exact,
     )
     from cli_rag_spark.operators.pq import (
+        _read_ivfpq_meta,
+        build_ivfpq_index,
         build_pq_index,
+        default_rerank_depth,
+        ivfpq_index_ready,
+        knn_join_ivfpq,
         pq_index_ready,
         pq_knn_join,
+        read_ivfpq_index,
         read_pq_index,
     )
 
-    n, dim, nq, k = args.n or 2_000_000, 192, args.nq, args.k
+    n, dim, nq, k = args.n or 2_000_000, args.dim or 192, args.nq, args.k
     sf_dir, emb, queries = _corpus(spark, n, dim, nq)
     n_index = emb.count()
-    print(json.dumps({"stage": "dim192", "corpus": sf_dir,
+    print(json.dumps({"stage": "dim192", "dim": dim, "corpus": sf_dir,
                       "n_index": n_index, "nq": nq}), flush=True)
     t0 = time.perf_counter()
     exact = knn_join_gemm(queries, emb, k=k, dim=dim).localCheckpoint(
@@ -309,7 +335,7 @@ def stage_dim192(spark, args) -> None:
     print(json.dumps({"row": "gemm_exact",
                       "sec": round(time.perf_counter() - t0, 2)}),
           flush=True)
-    pq_path = f"{scratch_root()}/cli_rag_spark_r13pq192_gm{n}"
+    pq_path = f"{scratch_root()}/cli_rag_spark_r13pq{dim}_gm{n}"
     t0 = time.perf_counter()
     if not pq_index_ready(spark, pq_path, dim, 4):
         build_pq_index(emb, pq_path, m_subspaces=4, k_codes=16)
@@ -328,6 +354,8 @@ def stage_dim192(spark, args) -> None:
         ("rule", default_lsh_geometry(n_index)),
         ("fixed16x4", (16, 4)),
     ):
+        if label == "fixed16x4" and not args.flat_lsh:
+            continue  # Θ(Q·N) verify work — minutes at 2M, opt-in
         t0 = time.perf_counter()
         out = knn_join_lsh(
             queries, emb, k=k, dim=dim, n_planes=planes, n_bands=bands,
@@ -337,6 +365,33 @@ def stage_dim192(spark, args) -> None:
             "sec": round(time.perf_counter() - t0, 2),
             "recall_at_k": _recall(exact, out, k),
         }), flush=True)
+    # --- the DISPATCHED PQ-family chain at this dim (r14) -------------
+    ivfpq_path = f"{scratch_root()}/cli_rag_spark_r14ivfpq_gm{n}_d{dim}"
+    t0 = time.perf_counter()
+    if not ivfpq_index_ready(spark, ivfpq_path, dim):
+        build_ivfpq_index(emb, ivfpq_path)  # r14 default: residual
+        print(json.dumps({"row": "ivfpq_default_build",
+                          "sec": round(time.perf_counter() - t0, 2),
+                          "meta": _read_ivfpq_meta(spark, ivfpq_path)}),
+              flush=True)
+    codes2, cb2, assign2, cent2 = read_ivfpq_index(spark, ivfpq_path)
+    meta = _read_ivfpq_meta(spark, ivfpq_path)
+    c = int(meta["n_centroids"])
+    r_depth = default_rerank_depth(k, n_index, c)
+    t0 = time.perf_counter()
+    short = knn_join_ivfpq(
+        queries, codes2, cb2, assign2, cent2, k=r_depth,
+        n_probe=default_n_probe(c), m_subspaces=int(meta["m_subspaces"]),
+        residual=bool(meta.get("residual")),
+    )
+    out = rerank_exact(short, queries, emb, k=k).localCheckpoint(eager=True)
+    print(json.dumps({
+        "row": "ivfpq_dispatched_chain", "C": c,
+        "n_probe": default_n_probe(c), "R": r_depth,
+        "residual": bool(meta.get("residual")),
+        "sec": round(time.perf_counter() - t0, 2),
+        "recall_at_k": _recall(exact, out, k),
+    }), flush=True)
 
 
 def stage_n8m(spark, args) -> None:
@@ -368,7 +423,9 @@ def stage_n8m(spark, args) -> None:
     ivfpq_path = f"{scratch_root()}/cli_rag_spark_r13ivfpq_gm{n}_d{dim}"
     t0 = time.perf_counter()
     if not ivfpq_index_ready(spark, ivfpq_path, dim):
-        build_ivfpq_index(emb, ivfpq_path)
+        # pinned raw: the booked r13 n8m row measured raw codes (the
+        # build default until the r14 flip)
+        build_ivfpq_index(emb, ivfpq_path, residual=False)
         print(json.dumps({"row": "ivfpq_build",
                           "sec": round(time.perf_counter() - t0, 2)}),
               flush=True)
@@ -401,6 +458,10 @@ def main() -> None:
                     default="main")
     ap.add_argument("--n", type=int, default=None,
                     help="corpus rows (default: 2M main/dim192, 8M n8m)")
+    ap.add_argument("--dim", type=int, default=None,
+                    help="embedding width for the dim192 stage (r14: "
+                         "the PQ_MIN_DIM gate must be measured AT the "
+                         "gate — run with --dim 768)")
     ap.add_argument("--nq", type=int, default=400)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--r-ladder", nargs="*", type=int,

@@ -168,6 +168,9 @@ def main() -> None:
             n_centroids=args.n_centroids,
             refine_iters=args.refine,
             coarse_refine_iters=args.coarse_refine,
+            # pinned raw: the r11/r12 rows this script booked measured
+            # raw-vector codes (the build default until r14)
+            residual=False,
         )
         build_sec = round(time.perf_counter() - t0, 2)
     else:

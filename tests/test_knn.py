@@ -507,6 +507,14 @@ def test_knn_join_auto_lsh_fallback_without_index(spark, sf_dir):
     assert {tuple(r) for r in legacy.collect()} == {
         tuple(r) for r in legacy_direct.collect()
     }
+    # explicit planes NOT divisible by the legacy 4 bands, bands unset:
+    # must RAISE (ADVICE r13 — the r13 rule change briefly degraded
+    # this to a silent single full-width band), not silently change
+    # the collision geometry
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        knn_join_auto(q, emb, k=3, n_index=10_000_000_000, lsh_planes=18)
 
 
 def test_knn_join_auto_dim_discovery_guards(spark):
@@ -906,7 +914,13 @@ def test_knn_join_auto_routes_ivfpq(spark, sf_dir, tmp_path):
         F.col("embedding").isNotNull()
     )
     path = str(tmp_path / "ivfpq_route")
-    build_ivfpq_index(emb, path, n_centroids=8, m_subspaces=4, k_codes=16)
+    # residual=False: this test pins the RAW-artifact dispatch (the
+    # hand-composed comparison scores the raw LUT); the default build
+    # is residual since r14 — test_knn_join_auto_routes_residual_ivfpq
+    # covers the default
+    build_ivfpq_index(
+        emb, path, n_centroids=8, m_subspaces=4, k_codes=16, residual=False
+    )
     q = _queries(emb, 5)
     big = dict(n_queries=10_000, n_index=2_000_000)  # 1.28e12 pair-ops
     codes, cb, assign, cent = read_ivfpq_index(spark, path)
@@ -1076,7 +1090,9 @@ def test_knn_join_auto_ivfpq_rerank_option(spark, sf_dir, tmp_path):
         F.col("embedding").isNotNull()
     )
     path = str(tmp_path / "ivfpq_rr")
-    build_ivfpq_index(emb, path, n_centroids=8, m_subspaces=4, k_codes=16)
+    build_ivfpq_index(
+        emb, path, n_centroids=8, m_subspaces=4, k_codes=16, residual=False
+    )
     q = _queries(emb, 5)
     big = dict(n_queries=10_000, n_index=2_000_000)
     auto = knn_join_auto(
@@ -1143,10 +1159,11 @@ def test_default_lsh_geometry_rule():
 
 
 def test_knn_join_auto_routes_residual_ivfpq(spark, sf_dir, tmp_path):
-    """A residual build_ivfpq_index artifact dispatches with
-    residual=True read from the meta (a raw-LUT scoring of residual
-    codes would be silent garbage) and RERANKS by default — equal to
-    the hand-composed residual probe + exact rerank."""
+    """A DEFAULT build_ivfpq_index artifact (residual-encoded since
+    r14) dispatches with residual=True read from the meta (a raw-LUT
+    scoring of residual codes would be silent garbage) and RERANKS by
+    default — equal to the hand-composed residual probe + exact
+    rerank."""
     from cli_rag_spark.operators.knn import knn_join_auto, rerank_exact
     from cli_rag_spark.operators.pq import (
         build_ivfpq_index,
@@ -1159,9 +1176,8 @@ def test_knn_join_auto_routes_residual_ivfpq(spark, sf_dir, tmp_path):
         F.col("embedding").isNotNull()
     )
     path = str(tmp_path / "ivfpq_res_route")
-    build_ivfpq_index(
-        emb, path, n_centroids=8, m_subspaces=4, k_codes=16, residual=True
-    )
+    # no residual flag: residual encoding IS the r14 default
+    build_ivfpq_index(emb, path, n_centroids=8, m_subspaces=4, k_codes=16)
     q = _queries(emb, 5)
     big = dict(n_queries=10_000, n_index=2_000_000)
     auto = knn_join_auto(q, emb, k=3, dim=64, ivfpq_path=path, **big)

@@ -458,7 +458,12 @@ def test_build_ivfpq_index_roundtrip_and_validation(spark, sf_dir, tmp_path):
         F.col("embedding").isNotNull()
     )
     path = str(tmp_path / "ivfpq")
-    build_ivfpq_index(emb, path, n_centroids=8, m_subspaces=4, k_codes=16)
+    # residual=False: this test pins the RAW-vector roundtrip (the
+    # live recomputation below scores through the raw LUT); the
+    # default build is residual since r14
+    build_ivfpq_index(
+        emb, path, n_centroids=8, m_subspaces=4, k_codes=16, residual=False
+    )
     assert ivfpq_index_ready(spark, path, 64)
     assert ivfpq_index_ready(spark, path, 64, m_subspaces=4)
     assert not ivfpq_index_ready(spark, path, 32)
@@ -624,8 +629,12 @@ def test_knn_join_ivfpq_residual_matches_single_query_form(spark, sf_dir, tmp_pa
         assert len(single) == 5 and single <= batch
 
 
-def test_build_ivfpq_residual_flag_defaults_false(spark, sf_dir, tmp_path):
-    """A raw build records residual=False, so pre-r13 artifacts (no
+def test_build_ivfpq_residual_flag_default_and_optout(spark, sf_dir, tmp_path):
+    """The DEFAULT build is residual-encoded (r14, VERDICT r13 #1 —
+    residual books ~double shortlist coverage at every R on clustered
+    geometry and raw codes rank a home list at noise level), and the
+    meta records it so dispatch routes the per-list LUT; the explicit
+    residual=False opt-out records False so pre-r13 artifacts (no
     key) and raw builds both score through the raw-vector LUT."""
     from pyspark.sql import functions as F
 
@@ -635,6 +644,12 @@ def test_build_ivfpq_residual_flag_defaults_false(spark, sf_dir, tmp_path):
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
-    path = str(tmp_path / "ivfpq_raw_flag")
+    path = str(tmp_path / "ivfpq_default_flag")
     build_ivfpq_index(emb, path, n_centroids=8, m_subspaces=4, k_codes=16)
-    assert _read_ivfpq_meta(spark, path)["residual"] is False
+    assert _read_ivfpq_meta(spark, path)["residual"] is True
+    raw_path = str(tmp_path / "ivfpq_raw_flag")
+    build_ivfpq_index(
+        emb, raw_path, n_centroids=8, m_subspaces=4, k_codes=16,
+        residual=False,
+    )
+    assert _read_ivfpq_meta(spark, raw_path)["residual"] is False
