@@ -429,6 +429,18 @@ _SORTED_ROWGROUP_BYTES = 8 * 1024 * 1024
 _SORTED_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
+def _sorted_cid_bucket(n_files: int, n_centroids: int):
+    """Shuffle key for the sorted layout: cid's file bucket,
+    floor(cid·n_files/C) clamped to the last bucket — deterministic
+    (no range-sampling pass over the assignment lineage) and
+    contiguous in cid, so each written file spans one narrow cid
+    range even before the within-partition sort."""
+    return F.least(
+        F.lit(n_files - 1),
+        F.floor(F.col("cid") * n_files / max(1, n_centroids)),
+    ).cast("int")
+
+
 def _sorted_ivf_file_count(n_rows: int, dim: int) -> int:
     """Files for the sorted layout: ~128 MB of estimated f64 payload
     each (dim doubles + narrow id/cid per row), never zero. The count
@@ -586,8 +598,18 @@ def build_ivf_index(
         for r in centroids.collect()
     ]
     centroids = spark.createDataFrame(rows, "cid long, cvec array<double>")
+    # size-routed assignment (r14): the interpreted-HOF crossJoin this
+    # build used through r13 evaluates N·C·dim element-ops in codegen —
+    # at 2M×1414×64 that alone is ~1.8e11 interpreted ops, a large
+    # share of the 2,826 s r13 build wall. The Arrow/GEMM twin is
+    # bit-identical (pinned in tests) and build_ivfpq_index has routed
+    # through it since r12; n_rows is already known from the
+    # fingerprint agg, so discovery costs nothing extra.
     assigned = vectors.join(
-        assign_centroids(vectors, centroids, id_col, vec_col), id_col
+        assign_centroids_auto(
+            vectors, centroids, id_col, vec_col, n_rows=n_rows
+        ),
+        id_col,
     )
     # Write-atomic build (r10 review): everything lands in a
     # process-unique STAGING directory promoted by the SHARED helpers
@@ -626,8 +648,21 @@ def build_ivf_index(
         # list, and every indexed vector shares its dimensionality
         dim = len(rows[0][1]) if rows else 0
         n_files = _sorted_ivf_file_count(n_rows, dim)
+        # Deterministic cid-bucket shuffle, NOT repartitionByRange:
+        # range partitioning runs a SAMPLING job that evaluates the
+        # whole parent lineage — including the N·C·dim assignment —
+        # a second time before the write pass evaluates it again
+        # (measured: the 2M build sat in assignment twice as long as
+        # the one-pass form). cid occupancy is ~Poisson(N/C) by
+        # construction, so floor(cid·F/C) buckets are already
+        # row-balanced to a few percent; hashing F bucket values into
+        # F partitions leaves some files 2-3 buckets wide, which the
+        # per-row-group min/max stats (the actual pruning unit) don't
+        # care about.
         (
-            assigned.repartitionByRange(n_files, "cid", id_col)
+            assigned.repartition(
+                n_files, _sorted_cid_bucket(n_files, n_centroids)
+            )
             .sortWithinPartitions("cid", id_col)
             .write.mode("overwrite")
             .option("parquet.block.size", _SORTED_ROWGROUP_BYTES)
@@ -762,8 +797,15 @@ def append_ivf_index(
     # the index's ACTUAL quantizer: sidecar when present (required for
     # refined builds), seeded recovery for legacy unrefined indexes
     centroids = read_ivf_centroids(spark, path)
+    # one count serves both the size-routed assignment (r14 — the GEMM
+    # twin past the interpreted-HOF envelope, bit-identical by the
+    # pinned contract) and the sorted layout's file sizing below
+    n_batch = new_vectors.count()
     assigned = new_vectors.join(
-        assign_centroids(new_vectors, centroids, id_col, vec_col), id_col
+        assign_centroids_auto(
+            new_vectors, centroids, id_col, vec_col, n_rows=n_batch
+        ),
+        id_col,
     )
     # column order must match the existing files (append does not
     # reconcile schemas by name)
@@ -777,14 +819,19 @@ def append_ivf_index(
         # the same small row groups; their footer stats prune exactly
         # like the base files' (a batch spans fewer lists, so its
         # per-file cid ranges are naturally tighter)
-        n_batch = new_vectors.count()
         dim_row = (
             centroids.select(F.size("cvec").alias("d")).first()
         )
         dim = int(dim_row["d"]) if dim_row and dim_row["d"] else 0
         n_files = _sorted_ivf_file_count(n_batch, dim)
+        # same deterministic bucket shuffle as the build (range
+        # partitioning would sample — i.e. recompute — the batch
+        # assignment a second time)
         (
-            assigned.repartitionByRange(n_files, "cid", id_col)
+            assigned.repartition(
+                n_files,
+                _sorted_cid_bucket(n_files, int(meta["n_centroids"])),
+            )
             .sortWithinPartitions("cid", id_col)
             .write.mode("append")
             .option("parquet.block.size", _SORTED_ROWGROUP_BYTES)

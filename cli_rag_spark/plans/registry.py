@@ -85,11 +85,14 @@ _PACKS = [
 # within a round): the three displaced r7-verified queries
 # (streaming_cusum, token_counts, video_frame_stats — r13's fill took
 # 25 of the 28 then-remaining r7 queries, NOT the 27 a stale copy of
-# this comment claimed; ADVICE r13 low) and the first 22 of the 30
-# r8-verified queries (ann_ndcg_metrics .. rolling_user_value). The
-# r15 head is owed the 8 remaining r8-verified queries
-# (semantic_dedup, session_log, small_qty_revenue,
-# snapshot_optimize_stats, streaming_interval_join,
+# this comment claimed; ADVICE r13 low) and 22 of the 30 r8-verified
+# queries: the first 21 alphabetically (ann_ndcg_metrics ..
+# returned_item_customers) plus session_log out of alphabetical order
+# — the events-family slot (the 50-slot window must keep one
+# representative per operator family, tests/test_plans.py; the slot
+# rotates with the staleness fill). The r15 head is owed the 8
+# remaining r8-verified queries (rolling_user_value, semantic_dedup,
+# small_qty_revenue, snapshot_optimize_stats, streaming_interval_join,
 # streaming_quality_router, video_scene_cuts, waiting_suppliers),
 # then the r9-verified cohort oldest-first.
 _SENTINELS = [
@@ -130,7 +133,7 @@ _PRIORITY = _SENTINELS + [
     "jsonl_roundtrip_stats", "mmr_rerank", "ohlc_daily",
     "orc_roundtrip_stats", "ordered_funnel", "orders_upsert_stats",
     "pii_redaction_stats", "ppr_top_nodes", "repetition_scores",
-    "returned_item_customers", "rolling_user_value",
+    "returned_item_customers", "session_log",
 ]
 
 
