@@ -655,10 +655,15 @@ def build_ivf_index(
         # (measured: the 2M build sat in assignment twice as long as
         # the one-pass form). cid occupancy is ~Poisson(N/C) by
         # construction, so floor(cid·F/C) buckets are already
-        # row-balanced to a few percent; hashing F bucket values into
-        # F partitions leaves some files 2-3 buckets wide, which the
-        # per-row-group min/max stats (the actual pruning unit) don't
-        # care about.
+        # row-balanced to a few percent. Hashing F bucket values into
+        # F partitions is balls-into-bins (ADVICE r14): ~1/e of the
+        # output files come out EMPTY and the max-loaded file holds
+        # ~ln F / ln ln F buckets at large F, so individual files can
+        # overshoot the 128 MB target several-fold — the per-row-group
+        # min/max stats (8 MB, the actual pruning unit) are unaffected,
+        # and the r15 fixture-scale measurement (scripts/
+        # ivf_layout_r14.py --filestats) is the gate on whether a
+        # sort-based exact placement is worth the extra pass.
         (
             assigned.repartition(
                 n_files, _sorted_cid_bucket(n_files, n_centroids)
@@ -929,11 +934,17 @@ def knn_join_ivf(
     if "cid" in index.columns:
         if validate_cid:
             # A pre-assigned index built with a DIFFERENT n_centroids
-            # would silently probe the wrong lists (ADVICE r2). The
-            # guard is one agg over the cid partition column only —
-            # column pruning means the scan reads no data columns.
-            # read_ivf_index() performs the stronger O(1) metadata
-            # check; pass validate_cid=False after it.
+            # would silently probe the wrong lists (ADVICE r2). Cost
+            # depends on the layout (ADVICE r14): under the legacy
+            # partitionBy(cid) layout cid is a partition column and
+            # the agg reads no data pages; under the r14 sorted
+            # default cid is a physical column, so this is a
+            # cid-column scan over every row group — parquet column
+            # stats keep it cheap, but read_ivf_index() performs the
+            # stronger O(1) METADATA check (the meta's n_centroids),
+            # which is why every shipped caller goes through it and
+            # passes validate_cid=False. Keep this guard for raw
+            # frames that never had a meta sidecar.
             max_cid = index.agg(F.max("cid").alias("m")).collect()[0]["m"]
             if max_cid is not None and max_cid >= n_centroids:
                 raise ValueError(

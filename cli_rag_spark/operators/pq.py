@@ -53,7 +53,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cli_rag_spark.functions.vectors import cosine_distance, l2_sq
+from cli_rag_spark.functions.vectors import cosine_distance, dot, l2_sq
 from cli_rag_spark.operators.ann import _hadoop_fs, kmeans_refine
 
 __all__ = [
@@ -72,9 +72,11 @@ __all__ = [
     "default_pq_geometry",
     "default_rerank_depth",
     "residual_codebook",
+    "residual_adc_terms",
     "build_ivfpq_index",
     "ivfpq_index_ready",
     "read_ivfpq_index",
+    "read_ivfpq_terms",
 ]
 
 _META_NAME = "_pq_meta.json"
@@ -415,11 +417,14 @@ def ivfpq_residual_topk(
     centroid already captured — better distance estimates from the
     same ~M bytes/vector.
 
-    The query-side cost of residuals is the LUT becoming per-LIST:
-    ``||q − x||² ≈ ||(q − c) − r_x||²`` needs the query residual
-    against EACH probed centroid, so the lookup table is
-    n_probe·M·K rows (still tiny, still broadcast) keyed by
-    (cid, m, code), and candidates join it on their list id.
+    Since r15 the estimate is DECOMPOSED exactly like the batch form
+    (:func:`knn_join_ivfpq` ``residual=True`` — VERDICT r14 #1; the
+    two forms must stay bit-identical per query, pinned in
+    tests/test_pq.py): per subspace ``||(q−c) − r||² = ||q−c||² −
+    2·q_m·r + (2·c_m·r + r·r)``, so the query side is a broadcast
+    M·K table of ``2·q_m·r`` plus the probe's per-cid ``||q−c||²``
+    scalar, and the query-independent ``(2·c_m·r + r·r)`` terms come
+    from :func:`residual_adc_terms` over the probed centroids.
 
     Fully deterministic (seeded centroids, lowest-NONZERO-id residual
     seeds — see :func:`residual_codebook` for why plain lowest-id
@@ -465,25 +470,47 @@ def ivfpq_residual_topk(
         )
         .orderBy(F.col("_d").asc(), F.col("cid").asc())
         .limit(n_probe)
-        .select("cid", F.zip_with("_q", "_c", lambda q, c: q - c).alias("_qr"))
-    )
-    ds = _d_sub(F.col("_qr"), m_subspaces)
-    lut = (
-        codebook.crossJoin(F.broadcast(probed))
         .select(
             "cid",
+            F.round(l2_sq(F.col("_q"), F.col("_c")), round_digits).alias(
+                "_qc2"
+            ),
+        )
+    )
+    terms = residual_adc_terms(
+        codebook, cent.join(probed.select("cid"), "cid", "semi"), round_digits
+    )
+    ds = _d_sub(F.col(query_col).cast("array<double>"), m_subspaces)
+    lut = (
+        codebook.crossJoin(F.broadcast(query))
+        .select(
             "m",
             "code",
             F.round(
-                l2_sq(F.col("cvec"), F.slice("_qr", F.col("m") * ds + 1, ds)),
+                F.lit(2.0)
+                * dot(
+                    F.slice(
+                        F.col(query_col).cast("array<double>"),
+                        F.col("m") * ds + 1,
+                        ds,
+                    ),
+                    F.col("cvec").cast("array<double>"),
+                ),
                 round_digits,
-            ).alias("d2"),
+            ).alias("_l2x"),
         )
     )
     return (
-        codes.join(F.broadcast(lut), ["cid", "m", "code"])
+        codes.join(F.broadcast(probed), "cid")
+        .join(F.broadcast(terms), ["cid", "m", "code"])
+        .join(F.broadcast(lut), ["m", "code"])
         .groupBy(id_col)
-        .agg(F.round(F.sum("d2"), round_digits).alias("est_d2"))
+        .agg(
+            F.round(
+                F.min("_qc2") + F.sum(F.col("t2") - F.col("_l2x")),
+                round_digits,
+            ).alias("est_d2")
+        )
         .orderBy(F.col("est_d2").asc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -554,6 +581,61 @@ def pq_knn_join(
     )
 
 
+def residual_adc_terms(
+    codebook: DataFrame,
+    centroids: DataFrame,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The QUERY-INDEPENDENT half of the residual ADC decomposition
+    (r15, VERDICT r14 #1) — ``[cid, m, code, t2]`` with
+
+        ``t2 = round(2·(c_m · r) + r·r, round_digits)``
+
+    where ``c_m`` is centroid ``cid``'s m-th sub-vector and ``r`` is
+    residual codeword ``(m, code)``. Per subspace,
+
+        ``||(q − c) − r||² = ||q − c||² − 2·q_m·r + (2·c_m·r + r·r)``
+
+    so summing over m, the residual ADC estimate splits into the
+    probe's per-(query, cid) scalar ``||q − c||²``, a BROADCASTABLE
+    query-side table ``L[q, m, code] = 2·q_m·r`` (Q·M·K — exactly the
+    raw path's LUT shape), and THIS table — C·M·K rows that never see
+    a query. r14 shipped the undecomposed form: a per-(query,
+    probed-list) LUT of Q·n_probe·M·K rows whose AQE shuffle join
+    doubled knn_join_ivfpq's per-query CPU the round residual became
+    the build default (VERDICT r14 "What's wrong #1"). Precomputed and
+    persisted by :func:`build_ivfpq_index` (the ``resid_terms``
+    artifact child); computed on the fly from (codebook × probed
+    centroids) when an artifact is absent — either way the values are
+    the same rounded deterministic arithmetic, so the SQL oracle
+    replays them verbatim."""
+    dsub = F.size(F.col("_r"))  # codewords live in the d/M sub-space
+    return (
+        codebook.select(
+            "m", "code", F.col("cvec").cast("array<double>").alias("_r")
+        )
+        .crossJoin(
+            centroids.select(
+                "cid", F.col("cvec").cast("array<double>").alias("_c")
+            )
+        )
+        .select(
+            "cid",
+            "m",
+            "code",
+            F.round(
+                F.lit(2.0)
+                * dot(
+                    F.slice(F.col("_c"), F.col("m") * dsub + 1, dsub),
+                    F.col("_r"),
+                )
+                + dot(F.col("_r"), F.col("_r")),
+                round_digits,
+            ).alias("t2"),
+        )
+    )
+
+
 def knn_join_ivfpq(
     queries: DataFrame,
     codes: DataFrame,
@@ -568,6 +650,7 @@ def knn_join_ivfpq(
     id_col: str = "vec_id",
     round_digits: int = 6,
     residual: bool = False,
+    resid_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Batch IVFADC kNN JOIN — :func:`ivfpq_topk` generalized from one
     query to a query TABLE, and the answer to what the r11 routed
@@ -608,13 +691,18 @@ def knn_join_ivfpq(
     ``build_ivfpq_index(residual=True)`` artifact — passing the wrong
     flag for the artifact is the same silent-garbage class as the
     geometry mismatch, which is why knn_join_auto reads it from the
-    meta): ``||q − x||² ≈ ||(q − c) − r_x||`` needs the query residual
-    against EACH probed centroid, so the LUT becomes per-(query,
-    probed-list) — Q·n_probe·M·K rows keyed by (query, cid, m, code)
-    instead of the raw form's Q·M·K — and is deliberately left
-    un-hinted (AQE broadcasts it while it is small; at corpus scale
-    it shuffle-joins against the much larger candidate stream, which
-    is the right plan). Candidates and every other stage are
+    meta). Since r15 the residual estimate is DECOMPOSED (VERDICT r14
+    #1 — the r13/r14 spelling built a per-(query, probed-list) LUT of
+    Q·n_probe·M·K rows whose shuffle join doubled per-query CPU the
+    round residual became the build default): per subspace,
+    ``||(q−c) − r||² = ||q−c||² − 2·q_m·r + (2·c_m·r + r·r)``, so the
+    query side builds only the broadcastable ``L[q, m, code] =
+    2·q_m·r`` table (Q·M·K — the raw path's LUT shape) plus the
+    per-(query, cid) scalar ``||q−c||²`` the probe rows already hold,
+    and the query-independent ``T[cid, m, code]`` table
+    (:func:`residual_adc_terms`) comes from the persisted artifact
+    (``resid_terms``) or is derived from the probed centroids ×
+    codebook on the fly. Candidates and every other stage are
     unchanged — still Q·n_probe·(N/C)·M narrow code rows, still no
     embedding read at query time."""
     from pyspark.sql import Window
@@ -650,27 +738,30 @@ def knn_join_ivfpq(
         )
         .where(F.col("_rn") <= n_probe)
     )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("est_d2").asc(), F.col(id_col).asc()
+    )
     if residual:
-        # per-(query, probed-list) LUT on the query residual q − c
-        qres = probed.select(
+        # decomposed residual ADC (r15, VERDICT r14 #1): the probe
+        # rows carry the per-(query, cid) scalar ||q − c||²; L is the
+        # broadcastable 2·q_m·r table (Q·M·K — the raw path's shape);
+        # T is query-independent (residual_adc_terms — from the
+        # persisted artifact, else probed-centroids × codebook).
+        probed = probed.select(
             query_id,
             "cid",
-            F.zip_with("_qv", "_cv", lambda x, c: x - c).alias("_qr"),
+            F.round(l2_sq(F.col("_qv"), F.col("_cv")), round_digits).alias(
+                "_qc2"
+            ),
         )
-        ds = _d_sub(F.col("_qr"), m_subspaces)
-        lut = codebook.crossJoin(F.broadcast(qres)).select(
-            query_id,
-            "cid",
-            "m",
-            "code",
-            F.round(
-                l2_sq(F.col("cvec"), F.slice(F.col("_qr"), F.col("m") * ds + 1, ds)),
+        if resid_terms is None:
+            resid_terms = residual_adc_terms(
+                codebook,
+                centroids.join(
+                    probed.select("cid").distinct(), "cid", "semi"
+                ),
                 round_digits,
-            ).alias("d2"),
-        )
-        lut_keys = [query_id, "cid", "m", "code"]
-        lut_hint = lut  # AQE decides; Q·n_probe·M·K rows outgrow broadcast
-    else:
+            )
         ds = _d_sub(F.col(query_vec).cast("array<double>"), m_subspaces)
         lut = (
             codebook.crossJoin(F.broadcast(q))
@@ -679,30 +770,64 @@ def knn_join_ivfpq(
                 "m",
                 "code",
                 F.round(
-                    l2_sq(
-                        F.col("cvec"),
+                    F.lit(2.0)
+                    * dot(
                         F.slice(
                             F.col(query_vec).cast("array<double>"),
                             F.col("m") * ds + 1,
                             ds,
                         ),
+                        F.col("cvec").cast("array<double>"),
                     ),
                     round_digits,
-                ).alias("d2"),
+                ).alias("_l2x"),
             )
         )
-        lut_keys = [query_id, "m", "code"]
-        lut_hint = F.broadcast(lut)
+        cand = (
+            codes.join(assign.select(id_col, "cid"), id_col)
+            .join(F.broadcast(probed), "cid")
+        )
+        return (
+            cand.join(resid_terms, ["cid", "m", "code"])
+            .join(F.broadcast(lut), [query_id, "m", "code"])
+            .groupBy(query_id, id_col)
+            .agg(
+                F.round(
+                    F.min("_qc2") + F.sum(F.col("t2") - F.col("_l2x")),
+                    round_digits,
+                ).alias("est_d2")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id, id_col, "est_d2", "rank")
+        )
+    ds = _d_sub(F.col(query_vec).cast("array<double>"), m_subspaces)
+    lut = (
+        codebook.crossJoin(F.broadcast(q))
+        .select(
+            query_id,
+            "m",
+            "code",
+            F.round(
+                l2_sq(
+                    F.col("cvec"),
+                    F.slice(
+                        F.col(query_vec).cast("array<double>"),
+                        F.col("m") * ds + 1,
+                        ds,
+                    ),
+                ),
+                round_digits,
+            ).alias("d2"),
+        )
+    )
     probed = probed.select(query_id, "cid")
     cand = (
         codes.join(assign.select(id_col, "cid"), id_col)
         .join(F.broadcast(probed), "cid")
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("est_d2").asc(), F.col(id_col).asc()
-    )
     return (
-        cand.join(lut_hint, lut_keys)
+        cand.join(F.broadcast(lut), [query_id, "m", "code"])
         .groupBy(query_id, id_col)
         .agg(F.round(F.sum("d2"), round_digits).alias("est_d2"))
         .withColumn("rank", F.row_number().over(w))
@@ -1241,6 +1366,14 @@ def build_ivfpq_index(
             enc_src, codebook, m_subspaces, id_col, enc_col, round_digits
         )
     codes.write.mode("overwrite").parquet(f"{path}/codes")
+    if residual:
+        # the query-independent half of the decomposed residual ADC
+        # (residual_adc_terms, r15 — VERDICT r14 #1): C·M·K narrow
+        # rows, priced once at build so the query path never rebuilds
+        # a per-(query, probed-list) LUT
+        residual_adc_terms(codebook, centroids, round_digits).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/resid_terms")
     fs, root = _hadoop_fs(spark, path)
     meta_path = spark._jvm.org.apache.hadoop.fs.Path(root, _IVFPQ_META_NAME)
     out = fs.create(meta_path, True)
@@ -1257,6 +1390,7 @@ def build_ivfpq_index(
             "n_rows": n_rows,
             "content_fp": content_fp,
             "residual": residual,
+            "resid_terms": residual,
         }).encode("utf-8")))
     finally:
         out.close()
@@ -1337,3 +1471,15 @@ def read_ivfpq_index(
         spark.read.parquet(f"{path}/assign"),
         spark.read.parquet(f"{path}/centroids"),
     )
+
+
+def read_ivfpq_terms(spark: SparkSession, path: str) -> DataFrame | None:
+    """The persisted :func:`residual_adc_terms` child of a residual
+    :func:`build_ivfpq_index` artifact — ``[cid, m, code, t2]`` — or
+    ``None`` when the build predates r15 / was raw-encoded (the meta
+    records ``resid_terms``; callers fall back to deriving the terms
+    on the fly, same values by construction)."""
+    meta = _read_ivfpq_meta(spark, path)
+    if meta is None or not meta.get("resid_terms"):
+        return None
+    return spark.read.parquet(f"{path}/resid_terms")

@@ -399,26 +399,32 @@ def q_knn_join_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     finding that raw-vector codes cannot rank WITHIN a query's home
     list (raw ADC recall@10 0.121 at 2M; SCALING.md r13): codes
     describe x − centroid, so the codeword budget resolves exactly
-    that within-list displacement. The LUT becomes per-(query,
-    probed-list) — Q·n_probe·M·K rows — and everything else keeps the
+    that within-list displacement. Since r15 the estimate runs
+    DECOMPOSED (VERDICT r14 #1): the artifact ships its
+    query-independent (2·c_m·r + r·r) terms table and the query side
+    is a broadcast Q·M·K table plus the probe's ||q−c||² scalar — no
+    per-(query, probed-list) LUT shuffle; everything keeps the
     sub-linear shape (candidates Q·n_probe·(N/C)·M narrow code rows,
     embeddings untouched at query time). Residuals, both argmins, the
-    per-list LUT, and the ADC sum are all seeded/deterministic, so
-    the batch is oracle-replayed end to end."""
+    terms table, and the decomposed ADC sum are all
+    seeded/deterministic, so the batch is oracle-replayed end to
+    end."""
     import hashlib
     import tempfile
 
     from cli_rag_spark.operators.pq import (
         build_ivfpq_index,
         read_ivfpq_index,
+        read_ivfpq_terms,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    # v2 = the residual_codebook nonzero-seed fix: a pre-fix artifact
-    # at the unversioned path carries an all-zero book whose reuse
-    # would silently mismatch the oracle — the path IS the version
-    path = f"{tempfile.gettempdir()}/cli_rag_spark_ivfpqres_v2_{tag}"
+    # v3 = the r15 decomposed-terms artifact (resid_terms child): a
+    # pre-r15 artifact would silently fall back to on-the-fly terms —
+    # same values, but the judged query must exercise the persisted
+    # path — the path IS the version (v2 = nonzero-seed fix, r13)
+    path = f"{tempfile.gettempdir()}/cli_rag_spark_ivfpqres_v3_{tag}"
     try:
         codes, cb, assign, cent = read_ivfpq_index(spark, path)
     except ValueError:
@@ -428,13 +434,14 @@ def q_knn_join_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             residual=True,
         )
         codes, cb, assign, cent = read_ivfpq_index(spark, path)
+    terms = read_ivfpq_terms(spark, path)
     q = emb.where(F.col("vec_id") < LSH_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
     out = knn_join_ivfpq(
         q, codes, cb, assign, cent, k=K, n_probe=IVF_PROBE,
-        m_subspaces=PQ_M, residual=True,
+        m_subspaces=PQ_M, residual=True, resid_terms=terms,
     )
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
         "query_id", "rank"
@@ -1618,14 +1625,14 @@ ORACLE = {
         ORDER BY query_id, rank
     """,
     # residual IVFADC: the ivfpq replay with residual vectors feeding
-    # the codebook/encode and a per-probed-list LUT on query residuals
-    # the ivfpq_residual_topk replay generalized from one query to the
-    # LSH_QUERIES batch: probe becomes a per-query window, the query
-    # residual and the LUT pick up a query_id key, the final rank is a
-    # per-query window — every stage of the persisted-artifact chain
-    # (seeded centroids, assignment argmin, residual subtraction,
-    # residual codebook seeds, encode argmin, per-(query, list) LUT,
-    # ADC sum) replayed in one statement
+    # the codebook/encode, scored through the r15 DECOMPOSITION
+    # (VERDICT r14 #1): per subspace ||(q-c)-r||^2 = ||q-c||^2
+    # - 2*q_m.r + (2*c_m.r + r.r), so the replay carries the probe's
+    # per-(query, cid) qc2 scalar, a query-side 2*q_m.r table (lut),
+    # and the query-independent terms table (2*c_m.r + r.r) — every
+    # stage of the persisted-artifact chain (seeded centroids,
+    # assignment argmin, residual subtraction, residual codebook
+    # seeds, encode argmin, decomposed ADC sum) in one statement
     "knn_join_ivfpq_residual": f"""
         WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
         cent AS (
@@ -1678,7 +1685,10 @@ ORACLE = {
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
             WHERE vec_id < {LSH_QUERIES}
         ), probe AS (
-            SELECT query_id, cid, cvec, qv FROM (
+            SELECT query_id, cid,
+                   round(list_sum(list_transform(range(1, {LSH_DIM} + 1),
+                         i -> (qv[i]-cvec[i])*(qv[i]-cvec[i]))), 6) AS qc2
+            FROM (
                 SELECT q.query_id, c.cid, c.cvec, q.qv,
                        row_number() OVER (
                            PARTITION BY q.query_id
@@ -1686,20 +1696,26 @@ ORACLE = {
                        ) AS rn
                 FROM cent c, qs q
             ) WHERE rn <= {IVF_PROBE}
-        ), qres AS (
-            SELECT query_id, cid,
-                   list_transform(range(1, {LSH_DIM} + 1), i -> qv[i] - cvec[i]) AS qr
-            FROM probe
+        ), terms AS (
+            SELECT ct.cid, c.m, c.code,
+                   round(2*list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> ct.cvec[c.m*{LSH_DIM // PQ_M}+i]*c.cvec[i]))
+                       + list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> c.cvec[i]*c.cvec[i])), 6) AS t2
+            FROM cb c, cent ct
         ), lut AS (
-            SELECT qres.query_id, qres.cid, c.m, c.code,
-                   round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
-                         i -> (c.cvec[i]-qres.qr[c.m*{LSH_DIM // PQ_M}+i])*(c.cvec[i]-qres.qr[c.m*{LSH_DIM // PQ_M}+i]))), 6) AS d2
-            FROM cb c, qres
+            SELECT q.query_id, c.m, c.code,
+                   round(2*list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> q.qv[c.m*{LSH_DIM // PQ_M}+i]*c.cvec[i])), 6) AS l2x
+            FROM cb c, qs q
         ), est AS (
-            SELECT l.query_id, codes.vec_id, round(sum(l.d2), 6) AS est_d2
+            SELECT p.query_id, codes.vec_id,
+                   round(min(p.qc2) + sum(t.t2 - l.l2x), 6) AS est_d2
             FROM codes
-            JOIN lut l ON codes.cid = l.cid AND codes.m = l.m AND codes.code = l.code
-            GROUP BY l.query_id, codes.vec_id
+            JOIN probe p ON codes.cid = p.cid
+            JOIN terms t ON t.cid = codes.cid AND t.m = codes.m AND t.code = codes.code
+            JOIN lut l ON l.query_id = p.query_id AND l.m = codes.m AND l.code = codes.code
+            GROUP BY p.query_id, codes.vec_id
         )
         SELECT query_id, vec_id, est_d2, rank FROM (
             SELECT query_id, vec_id, est_d2,
@@ -1764,19 +1780,29 @@ ORACLE = {
             SELECT cid, cvec FROM cent, q
             ORDER BY round(1 - list_cosine_similarity(cvec, qv), 6), cid
             LIMIT {IVF_PROBE}
-        ), qres AS (
+        ), pq2 AS (
             SELECT p.cid,
-                   list_transform(range(1, {LSH_DIM} + 1), i -> q.qv[i] - p.cvec[i]) AS qr
+                   round(list_sum(list_transform(range(1, {LSH_DIM} + 1),
+                         i -> (q.qv[i]-p.cvec[i])*(q.qv[i]-p.cvec[i]))), 6) AS qc2
             FROM probe p, q
+        ), terms AS (
+            SELECT p.cid, c.m, c.code,
+                   round(2*list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> p.cvec[c.m*{LSH_DIM // PQ_M}+i]*c.cvec[i]))
+                       + list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> c.cvec[i]*c.cvec[i])), 6) AS t2
+            FROM cb c, probe p
         ), lut AS (
-            SELECT qres.cid, c.m, c.code,
-                   round(list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
-                         i -> (c.cvec[i]-qres.qr[c.m*{LSH_DIM // PQ_M}+i])*(c.cvec[i]-qres.qr[c.m*{LSH_DIM // PQ_M}+i]))), 6) AS d2
-            FROM cb c, qres
+            SELECT c.m, c.code,
+                   round(2*list_sum(list_transform(range(1, {LSH_DIM // PQ_M} + 1),
+                         i -> q.qv[c.m*{LSH_DIM // PQ_M}+i]*c.cvec[i])), 6) AS l2x
+            FROM cb c, q
         )
-        SELECT codes.vec_id, round(sum(l.d2), 6) AS est_d2
+        SELECT codes.vec_id, round(min(p.qc2) + sum(t.t2 - l.l2x), 6) AS est_d2
         FROM codes
-        JOIN lut l ON codes.cid = l.cid AND codes.m = l.m AND codes.code = l.code
+        JOIN pq2 p ON codes.cid = p.cid
+        JOIN terms t ON t.cid = codes.cid AND t.m = codes.m AND t.code = codes.code
+        JOIN lut l ON l.m = codes.m AND l.code = codes.code
         GROUP BY codes.vec_id
         ORDER BY est_d2, codes.vec_id LIMIT {K}
     """,

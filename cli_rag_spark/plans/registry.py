@@ -66,35 +66,30 @@ _PACKS = [
 # every local test run (tests/test_parity.py); the driver window is
 # the independent external sample on top.
 #
-# Round-14 window: 17 sentinels; EIGHT category-2 re-entries whose
-# implementation changed this round — knn_join_ivf, ivf_recall_stats,
-# ivf_append_stats, ivf_sqrt_partition_stats, ivf_refined_topk and
-# tuner_widths (build_ivf_index's default physical layout flipped to
-# the (cid, id)-sorted single-dir form with row-group min/max pruning
-# — VERDICT r13 #3; values are layout-invariant by construction, the
-# plans and the persisted artifacts changed), knn_join_auto (the
-# dispatcher's LSH fallback with explicit non-divisible-by-4 planes
-# now RAISES instead of silently degrading to one full-width band —
-# ADVICE r13; and the IVFPQ artifacts its dispatch reads are
-# residual-encoded by default since this round), and
-# knn_join_ivfpq_residual (build_ivfpq_index(residual=True) became
-# the DEFAULT build — VERDICT r13 #1; the query's explicit flag is
-# now the default path, values unchanged). ZERO category 3 (no new
-# queries this round — the registry holds at 197). Then
-# least-recently-verified fill (25 slots, oldest first, alphabetical
-# within a round): the three displaced r7-verified queries
-# (streaming_cusum, token_counts, video_frame_stats — r13's fill took
-# 25 of the 28 then-remaining r7 queries, NOT the 27 a stale copy of
-# this comment claimed; ADVICE r13 low) and 22 of the 30 r8-verified
-# queries: the first 21 alphabetically (ann_ndcg_metrics ..
-# returned_item_customers) plus session_log out of alphabetical order
-# — the events-family slot (the 50-slot window must keep one
-# representative per operator family, tests/test_plans.py; the slot
-# rotates with the staleness fill). The r15 head is owed the 8
-# remaining r8-verified queries (rolling_user_value, semantic_dedup,
+# Round-15 window: 17 sentinels; SIX category-2 re-entries whose
+# implementation or oracle changed this round (VERDICT r14 #1/#3) —
+# knn_join_ivfpq_residual and ivfpq_residual_topk (the residual ADC
+# estimate is now DECOMPOSED: per-subspace ||(q−c)−r||² = ||q−c||² −
+# 2·q_m·r + (2·c_m·r + r·r), the artifact ships its query-independent
+# terms table, and both the Spark plans and the DuckDB oracles replay
+# the new arithmetic), knn_join_ivfpq and ivfpq_rerank_topk (raw-path
+# values unchanged but the shared operator body was restructured and
+# the round's perf claim hangs on them), knn_join_auto (its dispatched
+# IVFPQ chain now scores through the decomposition, and the
+# IVFPQ-vs-LSH precedence gained the r15 high-dim gate), and
+# ann_default_rules (the shipped rule family the gate constant joins
+# as judged data). ZERO category 3 (no new queries — the registry
+# holds at 197). Then least-recently-verified fill (27 slots, oldest
+# first, alphabetical within a round): the 8 remaining r8-verified
+# queries owed to this head (rolling_user_value, semantic_dedup,
 # small_qty_revenue, snapshot_optimize_stats, streaming_interval_join,
-# streaming_quality_router, video_scene_cuts, waiting_suppliers),
-# then the r9-verified cohort oldest-first.
+# streaming_quality_router, video_scene_cuts, waiting_suppliers), then
+# the first 19 of the 26 r9-verified queries alphabetically
+# (active_high_value_orders .. source_quality_quantiles). The r16 head
+# is owed the 7 remaining r9-verified queries (span_dedup_stats,
+# table_profile, token_truncation_stats, top_revenue_suppliers,
+# user_running_value, vocab_topk, winsorized_revenue_stats), then the
+# r10 cohort oldest-first.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -118,22 +113,23 @@ _PRIORITY = _SENTINELS + [
     # (2) changed since last verdict (one representative per changed
     # family, the r6 batching protocol — details in the rotation
     # comment above)
-    "knn_join_ivf", "ivf_recall_stats", "ivf_append_stats",
-    "ivf_sqrt_partition_stats", "ivf_refined_topk", "tuner_widths",
-    "knn_join_auto", "knn_join_ivfpq_residual",
+    "knn_join_ivfpq_residual", "ivfpq_residual_topk", "knn_join_ivfpq",
+    "ivfpq_rerank_topk", "knn_join_auto", "ann_default_rules",
     # (3) never driver-checked: none this round (registry holds at 197)
-    # (4) least-recently-verified fill: the three r7-verified queries
-    # r13's fill displaced, then the first 22 of the 30 r8-verified
-    # (alphabetical; the 8 remaining r8 queries head the r15 fill)
-    "streaming_cusum", "token_counts", "video_frame_stats",
-    "ann_ndcg_metrics", "ann_rank_metrics", "audio_fingerprint_groups",
-    "brand_affinity_pairs", "brand_rules", "chunk_sliding",
-    "csv_roundtrip_stats", "hard_negative_mining",
-    "idle_rich_customers", "image_dhash_groups", "image_neardup_groups",
-    "jsonl_roundtrip_stats", "mmr_rerank", "ohlc_daily",
-    "orc_roundtrip_stats", "ordered_funnel", "orders_upsert_stats",
-    "pii_redaction_stats", "ppr_top_nodes", "repetition_scores",
-    "returned_item_customers", "session_log",
+    # (4) least-recently-verified fill: the 8 remaining r8-verified
+    # queries, then the first 19 of the 26 r9-verified (alphabetical;
+    # the 7 remaining r9 queries head the r16 fill)
+    "rolling_user_value", "semantic_dedup", "small_qty_revenue",
+    "snapshot_optimize_stats", "streaming_interval_join",
+    "streaming_quality_router", "video_scene_cuts", "waiting_suppliers",
+    "active_high_value_orders", "approx_price_quantiles",
+    "brand_size_pivot", "curriculum_buckets",
+    "customer_balance_quartiles", "customer_order_distribution",
+    "customer_set_ops", "decayed_item_popularity", "dedup_near_count",
+    "degree_distribution", "embedding_near_dups",
+    "exact_substring_stats", "idle_suppliers", "ivf_topk",
+    "ivfpq_topk", "knn_join_all", "mad_outlier_stats",
+    "retention_cohorts", "source_quality_quantiles",
 ]
 
 

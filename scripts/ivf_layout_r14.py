@@ -54,6 +54,10 @@ def main() -> None:
     ap.add_argument("--build-partitioned", action="store_true",
                     help="rebuild the dir-per-list comparand (~47 min "
                          "at 2M — only if /tmp lost the r13 artifact)")
+    ap.add_argument("--filestats", action="store_true",
+                    help="report the sorted artifact's real file-width "
+                         "distribution (empty files, buckets/file, "
+                         "size spread — ADVICE r14 balls-into-bins)")
     args = ap.parse_args()
     spark = get_session(app_name="cli-rag-spark-ivf-layout-r14")
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,13 +98,64 @@ def main() -> None:
     sorted_path = f"{scratch_root()}/cli_rag_spark_r14ivfsorted_{tag}"
 
     # --- timed sorted build (the row VERDICT r13 #3 asks for) ---------
+    # ADVICE r14: reuse_if_exists short-circuits on a warm scratch dir,
+    # so an unconditional print would book the near-zero reuse wall as
+    # the measured build — probe artifact absence FIRST and label the
+    # row honestly (the stage_residual versioned-path discipline).
+    try:
+        was_built = _read_ivf_meta(spark, sorted_path) is not None
+    except ValueError:
+        was_built = False
     t0 = time.perf_counter()
     build_ivf_index(emb, sorted_path, reuse_if_exists=True)
     sorted_build_sec = round(time.perf_counter() - t0, 2)
     meta_s = _read_ivf_meta(spark, sorted_path)
     print(json.dumps({"row": "sorted_build", "sec": sorted_build_sec,
+                      "reused": was_built,
                       "C": meta_s["n_centroids"],
                       "layout": meta_s.get("layout")}), flush=True)
+
+    if args.filestats:
+        # ADVICE r14 / VERDICT r14 #5: the sorted layout's
+        # repartition(F, bucket) is balls-into-bins — measure the real
+        # file-width distribution (empty files, buckets per file, size
+        # spread) so the placement claim in ann.py stays a measured
+        # number, and a sort-based exact placement has a before-row.
+        import glob as _glob
+
+        parts = sorted(_glob.glob(f"{sorted_path}/part-*.parquet"))
+        sizes = [os.path.getsize(p) for p in parts]
+        f_count = len(parts)
+        per_file = (
+            spark.read.parquet(sorted_path)
+            .withColumn("_file", F.input_file_name())
+            .withColumn(
+                "_bucket",
+                F.least(
+                    F.lit(f_count - 1),
+                    F.floor(
+                        F.col("cid") * f_count / meta_s["n_centroids"]
+                    ),
+                ),
+            )
+            .groupBy("_file")
+            .agg(
+                F.countDistinct("_bucket").alias("n_buckets"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        )
+        widths = sorted((int(r["n_buckets"]) for r in per_file),
+                        reverse=True)
+        print(json.dumps({
+            "row": "sorted_filestats",
+            "n_files": f_count,
+            "n_empty": f_count - len(per_file),
+            "buckets_per_file_max": widths[0] if widths else 0,
+            "buckets_per_file_top5": widths[:5],
+            "size_mb_max": round(max(sizes) / 1e6, 1) if sizes else 0,
+            "size_mb_mean": round(sum(sizes) / max(1, len(sizes)) / 1e6, 1),
+        }), flush=True)
 
     if args.build_partitioned:
         t0 = time.perf_counter()

@@ -653,3 +653,69 @@ def test_build_ivfpq_residual_flag_default_and_optout(spark, sf_dir, tmp_path):
         residual=False,
     )
     assert _read_ivfpq_meta(spark, raw_path)["residual"] is False
+
+
+def test_residual_adc_terms_persisted_matches_on_the_fly(
+    spark, sf_dir, tmp_path
+):
+    """The r15 decomposition's query-independent terms table (VERDICT
+    r14 #1): a residual build persists ``resid_terms`` = [cid, m,
+    code, 2·c_m·r + r·r] and read_ivfpq_terms returns it; the values
+    are bit-identical to residual_adc_terms derived on the fly from
+    the same persisted codebook + centroids (the fallback path for
+    pre-r15 artifacts), so the two scoring paths cannot diverge; a
+    raw artifact has no terms child and the reader answers None; and
+    knn_join_ivfpq scores identically with and without the persisted
+    frame."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.pq import (
+        _read_ivfpq_meta,
+        build_ivfpq_index,
+        knn_join_ivfpq,
+        read_ivfpq_index,
+        read_ivfpq_terms,
+        residual_adc_terms,
+    )
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    path = str(tmp_path / "ivfpq_terms")
+    build_ivfpq_index(
+        emb, path, n_centroids=8, m_subspaces=4, k_codes=16, residual=True
+    )
+    assert _read_ivfpq_meta(spark, path)["resid_terms"] is True
+    codes, cb, assign, cent = read_ivfpq_index(spark, path)
+    persisted = read_ivfpq_terms(spark, path)
+    assert persisted is not None
+    on_the_fly = {
+        tuple(r) for r in residual_adc_terms(cb, cent).collect()
+    }
+    assert {tuple(r) for r in persisted.collect()} == on_the_fly
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with_terms = {
+        tuple(r)
+        for r in knn_join_ivfpq(
+            q, codes, cb, assign, cent, k=5, n_probe=2, m_subspaces=4,
+            residual=True, resid_terms=persisted,
+        ).collect()
+    }
+    without = {
+        tuple(r)
+        for r in knn_join_ivfpq(
+            q, codes, cb, assign, cent, k=5, n_probe=2, m_subspaces=4,
+            residual=True,
+        ).collect()
+    }
+    assert with_terms == without and len(with_terms) == 15
+    raw_path = str(tmp_path / "ivfpq_terms_raw")
+    build_ivfpq_index(
+        emb, raw_path, n_centroids=8, m_subspaces=4, k_codes=16,
+        residual=False,
+    )
+    assert read_ivfpq_terms(spark, raw_path) is None
