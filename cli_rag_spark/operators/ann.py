@@ -322,6 +322,97 @@ def default_n_probe(n_centroids: int) -> int:
     return max(1, min(math.isqrt(n_centroids), n_centroids))
 
 
+def _ivf_rung_recalls(
+    queries: DataFrame,
+    index: DataFrame,
+    exact: DataFrame,
+    k: int,
+    n_centroids: int,
+    widths: list[int],
+    round_digits: int = 6,
+) -> dict[int, float]:
+    """Mean recall@k of the IVF probe at SEVERAL widths from ONE probe
+    join (r15, guide §2.4 — remove repeated passes): the probe window
+    orders a query's lists deterministically ((_d, cid) ascending), so
+    the candidate set at width w is exactly the max-width candidates
+    with list rank ``_rn <= w`` — a prefix, no separate join per rung.
+    Each rung's top-k and per-query recall replicate
+    :func:`knn_join_ivf` + :func:`~cli_rag_spark.operators.knn.
+    topk_recall` arithmetic verbatim (same rounded cosine, same
+    (dist, id) tie order, same round(n_hits/k, 4) per query, same
+    exact-side-driven left join), so a rung's recall here is
+    bit-identical to the rung-at-a-time walk — pinned in
+    tests/test_ann.py. Cost: one join of volume max(widths)·N/C rows
+    per query instead of one join per rung (the rung-at-a-time walk
+    pays sum(widths) ≈ 2·max for a doubling ladder), and ONE
+    driver-blocking collect for the whole batch."""
+    from pyspark.sql import Window
+
+    query_id, query_vec = "query_id", "query_vec"
+    index_id, index_vec = "vec_id", "embedding"
+    wmax = max(widths)
+    centroids = seed_centroids(index, n_centroids, index_id, index_vec)
+    if "cid" in index.columns:
+        assigned = index
+    else:
+        assigned = index.join(
+            assign_centroids(index, centroids, index_id, index_vec,
+                             round_digits),
+            index_id,
+        )
+    w_probe = Window.partitionBy(query_id).orderBy(
+        F.col("_d").asc(), F.col("cid").asc()
+    )
+    qprobe = (
+        queries.select(query_id, query_vec)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_d",
+            F.round(
+                cosine_distance(F.col(query_vec), F.col("cvec")),
+                round_digits,
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .where(F.col("_rn") <= wmax)
+        .select(query_id, query_vec, "cid", "_rn")
+    )
+    rung = F.explode(F.array(*[F.lit(w) for w in widths])).alias("_w")
+    wk = Window.partitionBy("_w", query_id).orderBy(
+        F.col("dist").asc(), F.col(index_id).asc()
+    )
+    approx = (
+        assigned.join(qprobe, "cid")
+        .withColumn(
+            "dist",
+            F.round(
+                cosine_distance(F.col(index_vec), F.col(query_vec)),
+                round_digits,
+            ),
+        )
+        .select(query_id, index_id, "dist", "_rn", rung)
+        .where(F.col("_rn") <= F.col("_w"))
+        .withColumn("_rank", F.row_number().over(wk))
+        .where(F.col("_rank") <= k)
+        .select("_w", query_id, index_id, F.lit(1).alias("_hit"))
+    )
+    ex = exact.select(query_id, index_id).select(
+        query_id, index_id, F.explode(F.array(*[F.lit(w) for w in widths])).alias("_w")
+    )
+    rows = (
+        ex.join(approx, ["_w", query_id, index_id], "left_outer")
+        .groupBy("_w", query_id)
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / F.lit(float(k)), 4))
+        .groupBy("_w")
+        .agg(F.avg("recall").alias("r"))
+        .collect()
+    )
+    got = {int(r["_w"]): (float(r["r"]) if r["r"] is not None else 0.0)
+           for r in rows}
+    return {w: got.get(w, 0.0) for w in widths}
+
+
 def tune_n_probe(
     spark: SparkSession,
     path: str,
@@ -367,7 +458,7 @@ def tune_n_probe(
         raise ValueError(
             f"target_recall must be in (0, 1], got {target_recall}"
         )
-    from cli_rag_spark.operators.knn import knn_join_gemm, topk_recall
+    from cli_rag_spark.operators.knn import knn_join_gemm
 
     meta = _read_ivf_meta(spark, path)
     c = int(meta["n_centroids"])
@@ -400,19 +491,28 @@ def tune_n_probe(
         ladder.append(w)
         w *= 2
     ladder.append(c)
+    # Pair-batched walk (r15, guide §2.4): rungs are evaluated two at
+    # a time through ONE probe join at the pair's max width
+    # (_ivf_rung_recalls — rung w's candidates are the _rn <= w prefix
+    # of the max-width probe), halving the driver-blocking round-trips
+    # of the rung-at-a-time walk. Volume stays bounded: a pair
+    # {w, 2w} costs the 2w probe the sequential walk would have paid
+    # anyway on the way past w, and when the ladder runs deep (the
+    # fixture's case: target met only at the terminal full-scan rung)
+    # the batched walk probes strictly FEWER total rows (2+8 lists vs
+    # 1+2+4+8). Per-rung recall values are bit-identical to the
+    # sequential walk (pinned in tests/test_ann.py), so the selected
+    # width and its booked recall never change.
     recall = 0.0
-    for probe in ladder:
-        approx = knn_join_ivf(
-            queries, index, k, c, probe, validate_cid=False
-        )
-        row = (
-            topk_recall(exact, approx, k=k)
-            .agg(F.avg("recall").alias("r"))
-            .first()
-        )
-        recall = float(row["r"]) if row["r"] is not None else 0.0
-        if recall >= target_recall:
-            return probe, round(recall, 6)
+    i = 0
+    while i < len(ladder):
+        batch = ladder[i:i + 2]
+        recalls = _ivf_rung_recalls(queries, index, exact, k, c, batch)
+        for probe in batch:
+            recall = recalls[probe]
+            if recall >= target_recall:
+                return probe, round(recall, 6)
+        i += len(batch)
     # the last rung is C (a full-scan probe); if even that missed the
     # target (possible only through tie-break/rounding noise), return
     # it with the MEASURED recall rather than a claimed 1.0

@@ -589,3 +589,49 @@ def test_tune_n_probe_targets_recall(spark, sf_dir, tmp_path):
         tune_n_probe(spark, path, q, target_recall=0.0)
     with pytest.raises(ValueError, match="target_recall"):
         tune_n_probe(spark, path, q, target_recall=1.5)
+
+
+def test_ivf_rung_recalls_match_sequential(spark, sf_dir, tmp_path):
+    """r15 (guide §2.4): the pair-batched ladder evaluation
+    (_ivf_rung_recalls — one probe join at the batch max width, rung
+    membership = the probe window's _rn prefix) must produce, for
+    every rung, EXACTLY the recall the rung-at-a-time walk computed
+    (knn_join_ivf + topk_recall + avg) — the tuner's selected width
+    and booked recall hang on this equality."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.operators.ann import (
+        _ivf_rung_recalls,
+        build_ivf_index,
+        knn_join_ivf,
+        read_ivf_index,
+    )
+    from cli_rag_spark.operators.knn import knn_join_gemm, topk_recall
+    from cli_rag_spark.sources.documents import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_rungs")
+    c = 9
+    build_ivf_index(emb, path, n_centroids=c)
+    index = read_ivf_index(spark, path, n_centroids=c)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    k = 3
+    exact = knn_join_gemm(q, emb, k=k, dim=64).localCheckpoint(eager=True)
+    widths = [1, 2, 4, 8]
+    batched = _ivf_rung_recalls(q, index, exact, k, c, widths)
+    for w in widths:
+        approx = knn_join_ivf(q, index, k, c, w, validate_cid=False)
+        row = (
+            topk_recall(exact, approx, k=k)
+            .agg(F.avg("recall").alias("r"))
+            .first()
+        )
+        sequential = float(row["r"]) if row["r"] is not None else 0.0
+        # double AVG is summation-order-dependent at the last ULP and
+        # the batched plan aggregates under different partitioning, so
+        # equality is asserted to 1e-9 — any real candidate/rank bug
+        # moves recall by >= 1/(k*Q) ~ 0.04, seven orders larger
+        assert abs(batched[w] - sequential) < 1e-9, (w, batched[w], sequential)

@@ -1201,3 +1201,46 @@ def test_knn_join_auto_routes_residual_ivfpq(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in auto_raw.collect()} == {
         tuple(r) for r in direct_raw.collect()
     }
+
+
+def test_lsh_rung_recalls_match_sequential(spark, sf_dir):
+    """r15 (guide §2.4): the pair-batched band-ladder evaluation
+    (_lsh_rung_recalls — one candidate join at the batch max band
+    count, coarser-rung membership = the carried-signature collision
+    flag) must produce, for every rung, EXACTLY the recall the
+    rung-at-a-time walk computed (knn_join_lsh + topk_recall + avg);
+    non-nested batches must be refused."""
+    import pytest
+
+    from cli_rag_spark.operators.knn import (
+        _lsh_rung_recalls,
+        knn_join_gemm,
+        knn_join_lsh,
+        topk_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    q = _queries(emb, 8)
+    k = 3
+    exact = knn_join_gemm(q, emb, k=k, dim=64).localCheckpoint(eager=True)
+    for batch in ([1, 2], [4, 8], [8, 16], [16]):
+        batched = _lsh_rung_recalls(
+            q, emb, exact, k, 64, batch, n_planes=16, seed=42
+        )
+        for b in batch:
+            approx = knn_join_lsh(
+                q, emb, k, 64, n_planes=16, n_bands=b, seed=42
+            )
+            row = (
+                topk_recall(exact, approx, k=k)
+                .agg(F.avg("recall").alias("r"))
+                .first()
+            )
+            sequential = float(row["r"]) if row["r"] is not None else 0.0
+            # see test_ivf_rung_recalls_match_sequential: AVG is
+            # order-dependent at the last ULP across plan shapes
+            assert abs(batched[b] - sequential) < 1e-9, (b, batched[b], sequential)
+    with pytest.raises(ValueError, match="nested"):
+        _lsh_rung_recalls(q, emb, exact, k, 64, [3, 4], 12, 42)
