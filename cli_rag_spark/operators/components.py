@@ -382,6 +382,13 @@ def k_core_stats(
     triangle_count's id-range guard)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # materialize the normalized edge table ONCE (r15, guide §1.2):
+    # it feeds both the peel (k_core) and the surviving-edge
+    # semi-join below, and before r15 the second consumer replayed
+    # the WHOLE upstream edge derivation (for the judged caller:
+    # the MinHash banding self-join — the expensive half of the
+    # query) because k_core's internal checkpoint is invisible from
+    # here. Same rows, one derivation.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -389,6 +396,7 @@ def k_core_stats(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     core = k_core(e, k, rounds, "a", "b").localCheckpoint(eager=True)
     ce = (

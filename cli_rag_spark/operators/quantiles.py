@@ -152,6 +152,23 @@ def quantile_values(
         raise ValueError(f"duplicate permilles: {permilles}")
     groups = group_cols or []
     hist = value_histogram(df, value, groups)
+    return quantiles_from_histogram(hist, permilles, groups)
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    permilles: list[int],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """:func:`quantile_values` computed from an EXISTING
+    :func:`value_histogram` frame (r15, guide §1.2): a caller that
+    needs the histogram for its own aggregation too (e.g. a
+    winsorized sum — Σ clamp(v)·n over histogram rows) builds it
+    once and derives the quantile points here, instead of paying a
+    second corpus scan + histogram shuffle inside
+    :func:`quantile_values`. Same arithmetic verbatim — the smallest
+    quantized value whose inclusive CDF reaches the point."""
+    groups = group_cols or []
     aggs = [
         F.min(
             F.when(F.col("cum") * 1000 >= p * F.col("total"), F.col("v"))

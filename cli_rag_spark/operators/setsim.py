@@ -103,7 +103,16 @@ def setsim_join(
     the prefix-filtering plan."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sets = ordered_token_sets(df, id_col, text_col, shingle_words)
+    # materialize the ordered-set table ONCE (r15, guide §1.2): it
+    # feeds three plan subtrees (the prefix explode and both verify
+    # sides), and the optimizer reuses none of them — the captured
+    # before-plan (plans/r15/setsim_pairs_before.txt) shows 8 parquet
+    # scans and 0 ReusedExchange, i.e. the tokenize+shingle+sort pass
+    # ran three times. Lazy checkpoint: materialized inside the run,
+    # on first touch.
+    sets = ordered_token_sets(df, id_col, text_col, shingle_words).localCheckpoint(
+        eager=False
+    )
 
     # prefix length |s| - ceil(tau*|s|) + 1 (>= 1 for any non-empty set)
     pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + F.lit(1)

@@ -262,9 +262,20 @@ def q_winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline publishes so one fat-finger row can't move the aggregate.
     NULL prices are excluded up front (mirroring the quantile
     machinery's NULL contract — without the filter they would clamp
-    to the p99 bound via NULL-skipping least/greatest). The clamp
-    bounds come from one histogram pass (both points); the clamped
-    sum is a BIGINT of cents — no float order anywhere."""
+    to the p99 bound via NULL-skipping least/greatest). One histogram
+    pass serves EVERYTHING (r15, guide §1.2/§2.3): the clamp bounds
+    (quantiles_from_histogram) AND the clamped sum — every output is
+    a Σ over histogram rows weighted by n (Σ_rows clamp(c) =
+    Σ_v clamp(v)·n, exact longs), so the pre-r15 second corpus scan +
+    bounds-join against every row collapses to a broadcast join over
+    |distinct cents| histogram rows. The histogram is
+    localCheckpoint-ed (lazily, inside the timed run) because both
+    the bounds subtree and the weighted aggregation read it."""
+    from cli_rag_spark.operators.quantiles import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(
         "l_returnflag",
@@ -272,21 +283,35 @@ def q_winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c"),
     ).where(F.col("c").isNotNull())
-    bounds = quantile_values(
-        cents, F.col("c"), [WINSOR_LO, WINSOR_HI], group_cols=["l_returnflag"]
+    hist = value_histogram(
+        cents, F.col("c"), ["l_returnflag"]
+    ).localCheckpoint(eager=False)
+    bounds = quantiles_from_histogram(
+        hist, [WINSOR_LO, WINSOR_HI], ["l_returnflag"]
     )
-    clamped = cents.join(F.broadcast(bounds), "l_returnflag").select(
+    clamped = hist.join(F.broadcast(bounds), "l_returnflag").select(
         "l_returnflag",
-        F.greatest(
-            F.col(f"p{WINSOR_LO}"), F.least(F.col(f"p{WINSOR_HI}"), F.col("c"))
+        F.col("n"),
+        (
+            F.greatest(
+                F.col(f"p{WINSOR_LO}"),
+                F.least(F.col(f"p{WINSOR_HI}"), F.col("v")),
+            )
+            * F.col("n")
         ).alias("w"),
-        (F.col("c") < F.col(f"p{WINSOR_LO}")).cast("long").alias("lo"),
-        (F.col("c") > F.col(f"p{WINSOR_HI}")).cast("long").alias("hi"),
+        F.when(F.col("v") < F.col(f"p{WINSOR_LO}"), F.col("n"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lo"),
+        F.when(F.col("v") > F.col(f"p{WINSOR_HI}"), F.col("n"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hi"),
     )
     return (
         clamped.groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.sum("n").cast("long").alias("n"),
             F.sum("w").alias("winsorized_cents"),
             F.sum("lo").alias("n_clamped_low"),
             F.sum("hi").alias("n_clamped_high"),
