@@ -22,41 +22,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def frequent_pairs(
-    df: DataFrame,
+def _pairs_from_parts(
+    bi: DataFrame,
+    nb: DataFrame,
+    item_counts: DataFrame,
     basket_col: str,
     item_col: str,
     support_num: int,
     support_den: int,
 ) -> DataFrame:
-    """Item pairs co-occurring in ``>= support_num/support_den`` of
-    baskets. Returns [item_a, item_b, support] with item_a < item_b
-    and ``support`` the exact distinct-basket co-occurrence count.
-
-    Plan: count baskets once as a 1-row broadcast (no driver collect —
-    the threshold comparison stays in-plan); frequent items via one
-    distinct-aggregate groupBy, broadcast-semi-joined back (the
-    A-priori prune); then ONE shuffle on the basket key builds each
-    basket's sorted frequent-item set (``collect_set`` dedups, so no
-    separate distinct pass) and the pairs expand IN-ROW with a
-    higher-order transform — the m² pair stream never shuffles raw:
-    the pair-support groupBy sees it through map-side combine on the
-    small (item, item) key space. Two wide shuffles total, versus
-    three plus a self-join for the naive spelling.
-
-    Skew bound: per-basket pair fan-out is |frequent items in
-    basket|², and the number of frequent items is data-independently
-    capped at ``(support_den / support_num) * avg basket size`` (their
-    supports must sum to at most the total item-occurrence count) —
-    min-support IS the skew guard, the A-priori observation.
-    """
-    if support_num < 1 or support_den < 1:
-        raise ValueError("support_num/support_den must be positive integers")
-    bi = df.select(basket_col, item_col)
-    nb = bi.agg(F.count_distinct(basket_col).alias("_nb"))
-    item_counts = bi.groupBy(item_col).agg(
-        F.count_distinct(basket_col).alias("_s")
-    )
+    """:func:`frequent_pairs`'s pair derivation over ALREADY-BUILT
+    ``bi`` / ``nb`` / ``item_counts`` frames (r15, guide §1.2): the
+    caller materializes the basket-item table once and every
+    aggregation reads the materialized rows instead of replaying the
+    upstream derivation (for the judged brand queries: the
+    lineitem⋈part join) per consumer. Arithmetic verbatim from the
+    pre-r15 body."""
     freq_items = (
         item_counts.crossJoin(F.broadcast(nb))
         .where(F.col("_s") * support_den >= F.lit(support_num) * F.col("_nb"))
@@ -87,6 +68,51 @@ def frequent_pairs(
     )
 
 
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    support_num: int,
+    support_den: int,
+) -> DataFrame:
+    """Item pairs co-occurring in ``>= support_num/support_den`` of
+    baskets. Returns [item_a, item_b, support] with item_a < item_b
+    and ``support`` the exact distinct-basket co-occurrence count.
+
+    Plan: the basket-item projection is materialized ONCE
+    (localCheckpoint, lazily inside the run — r15, guide §1.2: it
+    feeds the basket count, the item supports AND the pruned pair
+    pass, and the optimizer reuses none of the three subtrees, so
+    before r15 the upstream derivation ran 3×); basket count as a
+    1-row broadcast (no driver collect — the threshold comparison
+    stays in-plan); frequent items via one distinct-aggregate groupBy,
+    broadcast-semi-joined back (the A-priori prune); then ONE shuffle
+    on the basket key builds each basket's sorted frequent-item set
+    (``collect_set`` dedups, so no separate distinct pass) and the
+    pairs expand IN-ROW with a higher-order transform — the m² pair
+    stream never shuffles raw: the pair-support groupBy sees it
+    through map-side combine on the small (item, item) key space. Two
+    wide shuffles total, versus three plus a self-join for the naive
+    spelling.
+
+    Skew bound: per-basket pair fan-out is |frequent items in
+    basket|², and the number of frequent items is data-independently
+    capped at ``(support_den / support_num) * avg basket size`` (their
+    supports must sum to at most the total item-occurrence count) —
+    min-support IS the skew guard, the A-priori observation.
+    """
+    if support_num < 1 or support_den < 1:
+        raise ValueError("support_num/support_den must be positive integers")
+    bi = df.select(basket_col, item_col).localCheckpoint(eager=False)
+    nb = bi.agg(F.count_distinct(basket_col).alias("_nb"))
+    item_counts = bi.groupBy(item_col).agg(
+        F.count_distinct(basket_col).alias("_s")
+    )
+    return _pairs_from_parts(
+        bi, nb, item_counts, basket_col, item_col, support_num, support_den
+    )
+
+
 def association_rules(
     df: DataFrame,
     basket_col: str,
@@ -111,19 +137,27 @@ def association_rules(
     that separates co-occurrence from popularity.
 
     Returns [antecedent, consequent, pair_support, confidence, lift].
-    Plan: :func:`frequent_pairs` provides the symmetric pair counts;
-    each pair emits both directions via a union of two projections
-    (map-side); item supports broadcast-join in (the frequent-item
-    table is small by construction).
+    Plan: the basket-item projection is materialized ONCE and shared
+    with the pair derivation (r15, guide §1.2 — before r15 this
+    function re-derived ``bi``/``nb``/``item_counts`` from ``df`` on
+    top of :func:`frequent_pairs`'s own three derivations, 5
+    upstream replays in one plan); each frequent pair emits both
+    directions via a union of two projections (map-side); item
+    supports broadcast-join in (the frequent-item table is small by
+    construction).
     """
     if confidence_num < 0 or confidence_den < 1:
         raise ValueError("confidence_num/confidence_den must be non-negative / positive")
-    bi = df.select(basket_col, item_col)
+    if support_num < 1 or support_den < 1:
+        raise ValueError("support_num/support_den must be positive integers")
+    bi = df.select(basket_col, item_col).localCheckpoint(eager=False)
     nb = bi.agg(F.count_distinct(basket_col).alias("_nb"))
     item_counts = bi.groupBy(item_col).agg(
         F.count_distinct(basket_col).cast("long").alias("_s")
     )
-    pairs = frequent_pairs(df, basket_col, item_col, support_num, support_den)
+    pairs = _pairs_from_parts(
+        bi, nb, item_counts, basket_col, item_col, support_num, support_den
+    )
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),
