@@ -47,6 +47,49 @@ _MAGIC = [
 ]
 
 
+def _map_stage(df: DataFrame, run, out_schema: StructType) -> DataFrame:
+    """``mapInPandas`` with stage FUSION for directly-chained payload
+    stages (r15, guide §4.1/§4.2).
+
+    Before r15 a chain like ``decode_audio(synth_wav_payloads(docs))``
+    executed as two MapInPandas plan nodes in one stage, each paying a
+    full JVM↔Python Arrow round-trip of every column INCLUDING the
+    payload bytes — the captured audio_decode_stats before-plan shows
+    the ~40 KB/doc WAV payload crossing the boundary three times
+    (synth out, decode in, decode out) only to be projected away by
+    the JVM immediately after. When the input DataFrame is the DIRECT
+    output of another stage built here, the two per-batch generators
+    are composed and submitted as ONE MapInPandas node: intermediate
+    columns never cross the boundary between stages. Row values,
+    output schema and per-partition semantics are identical — stage
+    k+1 consumes exactly the batches stage k yields (each stage
+    selects its inputs by name, so pandas-side column order/extras
+    are handled the same way the Arrow boundary handled them).
+
+    Any intervening DataFrame operation (select/filter/join) drops
+    the fusion marker, falling back to the plain two-node plan — the
+    marker lives on the Python DataFrame wrapper only and never
+    changes what is computed.
+    """
+    fused = getattr(df, "_clirag_fusable_stage", None)
+    if fused is not None:
+        parent, runs = fused
+        chain = (*runs, run)
+
+        def composed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            out = batches
+            for r in chain:
+                out = r(out)
+            return out
+
+        result = parent.mapInPandas(composed, schema=out_schema)
+        result._clirag_fusable_stage = (parent, chain)
+        return result
+    result = df.mapInPandas(run, schema=out_schema)
+    result._clirag_fusable_stage = (df, (run,))
+    return result
+
+
 def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Cheap JVM-side metadata: byte length, md5, sniffed format.
     No Python, no shuffle."""
@@ -219,7 +262,7 @@ def decode_images(
             out["px_mean"] = [d.get("px_mean") for d in decoded]
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 def synth_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -257,7 +300,7 @@ def synth_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 DHASH_GRID_W = 9  # 9 column blocks -> 8 horizontal comparisons
@@ -412,7 +455,7 @@ def image_dhash_plan(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             ]
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 def hamming_bits_column(a, b, n_bits: int, chunk: int = 42):
@@ -536,7 +579,7 @@ def synth_gradient_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
             ]
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -576,7 +619,7 @@ def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 def extract_features(
@@ -608,7 +651,7 @@ def extract_features(
             out["features"] = [feats(bytes(b)) for b in pdf[payload_col]]
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 def fake_resize_image(payload: bytes, width: int, height: int) -> bytes:
@@ -658,7 +701,7 @@ def resize_images(
             out["out_height"] = height
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 def wav_encode(
@@ -807,7 +850,7 @@ def audio_fingerprint_plan(df: DataFrame, payload_col: str = "payload") -> DataF
             ]
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 TONE_SYNTH_GROUPS = 29
@@ -846,7 +889,7 @@ def synth_tone_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 def fake_decode_audio(payload: bytes) -> dict:
@@ -895,7 +938,7 @@ def decode_audio(
             out["duration_sec"] = [d["duration_sec"] for d in decoded]
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 def audio_window_plan(
@@ -1105,7 +1148,7 @@ def synth_avi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 def sample_video_frames(
@@ -1148,7 +1191,7 @@ def sample_video_frames(
             out["sampled_bytes"] = [sum(s for _, s in d["frames"]) for d in decoded]
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 def real_frame_signatures(payload: bytes) -> dict:
@@ -1253,7 +1296,7 @@ def synth_avi_scene_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
             out["payload"] = payloads
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)
 
 
 def detect_scene_cuts(
@@ -1313,4 +1356,4 @@ def detect_scene_cuts(
             out["cut_idx_sum"] = sums
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_stage(df, run, out_schema)

@@ -835,3 +835,61 @@ def test_vdb_distributed_corruption_guards(spark, tmp_path):
     open(p4, "wb").write(bytes(bad))
     with pytest.raises(ValueError, match="past EOF"):
         read_vdb_distributed(spark, p4)
+
+
+class TestStageFusion:
+    """r15 _map_stage fusion: directly-chained payload stages collapse
+    into one MapInPandas node, values identical to the unfused plan."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+
+    def test_fused_chain_single_python_node(self, spark):
+        from cli_rag_spark.operators.multimodal import synth_wav_payloads
+
+        fused = decode_audio(synth_wav_payloads(self._docs(spark)))
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+
+    def test_fused_values_match_unfused(self, spark):
+        from cli_rag_spark.operators.multimodal import synth_wav_payloads
+
+        docs = self._docs(spark)
+        fused = decode_audio(synth_wav_payloads(docs))
+        # select("*") returns a fresh DataFrame wrapper without the
+        # fusion marker -> the decode runs as its own MapInPandas node
+        unfused_in = synth_wav_payloads(docs).select("*")
+        assert not hasattr(unfused_in, "_clirag_fusable_stage")
+        unfused = decode_audio(unfused_in)
+        plan = unfused._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 2
+        cols = ["doc_id", "sample_rate", "channels", "duration_sec"]
+        a = sorted(tuple(r) for r in fused.select(*cols).collect())
+        b = sorted(tuple(r) for r in unfused.select(*cols).collect())
+        assert a == b
+        assert len(a) == 12
+
+    def test_three_stage_chain_fuses_and_matches(self, spark):
+        from cli_rag_spark.operators.multimodal import synth_bmp_payloads
+
+        docs = self._docs(spark)
+        chained = extract_features(
+            decode_images(synth_bmp_payloads(docs), decoder=fake_decode_image),
+            dim=4,
+        )
+        plan = chained._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+        rows = {r["doc_id"]: r for r in chained.collect()}
+        base = {
+            r["doc_id"]: r
+            for r in extract_features(
+                decode_images(
+                    synth_bmp_payloads(docs).select("*"), decoder=fake_decode_image
+                ).select("*"),
+                dim=4,
+            ).collect()
+        }
+        assert len(rows) == 12
+        for k in rows:
+            assert rows[k]["features"] == base[k]["features"]
+            assert rows[k]["width"] == base[k]["width"]
