@@ -79,7 +79,14 @@ def minhash_candidates(
     are md5 strings so bucket skew is bounded by true duplicate
     clusters only.
     """
-    banded = minhash_banded(df, text_col, id_col, shingle_words, n_hashes, n_bands)
+    # materialize the banded-key table ONCE (r15, guide §1.2): it is
+    # both sides of the self-join below, and without the checkpoint
+    # the whole shingle→hash→min-aggregate→band-explode subtree runs
+    # twice per plan (the captured dedup_near_auto_count before-plan
+    # shows the duplicated derivation; 0 ReusedExchange).
+    banded = minhash_banded(
+        df, text_col, id_col, shingle_words, n_hashes, n_bands
+    ).localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -167,8 +174,15 @@ def minhash_candidates_incremental(
     key; output keeps ``id_a < id_b`` so downstream verify/components
     machinery composes unchanged.
     """
-    bn = _banded_from_signatures(new_sigs, id_col, n_hashes, n_bands)
-    bo = _banded_from_signatures(old_sigs, id_col, n_hashes, n_bands)
+    # each banded frame is referenced by two of the three pair joins
+    # below (bn by all three) — materialize each once (r15, guide
+    # §1.2) instead of re-deriving the band explode per reference
+    bn = _banded_from_signatures(new_sigs, id_col, n_hashes, n_bands).localCheckpoint(
+        eager=False
+    )
+    bo = _banded_from_signatures(old_sigs, id_col, n_hashes, n_bands).localCheckpoint(
+        eager=False
+    )
 
     def pairs(left: DataFrame, right: DataFrame) -> DataFrame:
         return (
@@ -208,12 +222,17 @@ def jaccard_pairs(
     joined *through the pair list* (two narrow id joins), so cost is
     O(candidate pairs × shingles), never the all-pairs self-join.
     """
+    # materialize the exploded-shingle table ONCE (r15, guide §1.2):
+    # it feeds the per-doc sizes AND both sides of the intersection
+    # join (3 consumers in either branch), and the optimizer reuses
+    # none of them — before r15 the tokenize+shingle+explode pass ran
+    # three times per plan.
     sh = (
         df.select(
             F.col(id_col),
             F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias("shingle"),
         )
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     if pairs is not None:
         sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("_sha"))

@@ -161,10 +161,14 @@ def dsir_logratios(
     (order-independent) in any engine — the table is ≤ n_buckets rows,
     broadcast wherever it is joined.
     """
+    # materialize the ≤n_buckets-row count table once (r15, guide
+    # §1.2): it feeds both the totals aggregate and the final select,
+    # and without the barrier the full token-stream aggregation
+    # beneath it runs twice per plan
     counted = token_buckets.groupBy("b").agg(
         F.count(F.lit(1)).alias("c_raw"),
         F.sum(F.when(is_target, 1).otherwise(0)).alias("c_tgt"),
-    )
+    ).localCheckpoint(eager=False)
     tots = counted.agg(
         F.sum("c_raw").alias("raw_tot"), F.sum("c_tgt").alias("tgt_tot")
     )

@@ -518,9 +518,17 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cli_rag_spark.operators.training import dsir_bucket, dsir_logratios
 
     docs = load_table(spark, sf_dir, "documents")
-    tb = docs.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
-    ).select("doc_id", "lang", dsir_bucket(F.col("term")).alias("b"))
+    # materialize the token-bucket stream once (r15, guide §1.2): it
+    # feeds the importance model AND the per-doc weight aggregate —
+    # without the checkpoint the scan+tokenize+bucket pass runs per
+    # consumer
+    tb = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .select("doc_id", "lang", dsir_bucket(F.col("term")).alias("b"))
+        .localCheckpoint(eager=False)
+    )
     lr = dsir_logratios(tb, F.col("lang") == DSIR_TARGET_LANG)
     per_doc = (
         tb.groupBy("doc_id", "lang", "b")
@@ -561,7 +569,12 @@ def q_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathology (hapax pairs score arbitrarily high); top-20 is
     TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(tokens(F.lower(F.col("text"))).alias("t"))
+    # materialize the tokenized corpus once (r15, guide §1.2): the
+    # unigram and bigram tables both consume it, and without the
+    # barrier the scan+lower+tokenize pass runs twice per plan
+    toks = docs.select(tokens(F.lower(F.col("text"))).alias("t")).localCheckpoint(
+        eager=False
+    )
     uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c")
     )

@@ -117,13 +117,22 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter's false positives, so the oracle is the plain semi-join —
     a green row proves no-false-negatives end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(word_shingles(F.col("text"), DECON_SHINGLE))
-        ).alias("sh"),
-    ).withColumn("fp", F.md5("sh")).drop("sh")
+    # materialize the fingerprint stream once (r15, guide §1.2): it
+    # feeds the probe set (referenced twice inside bloom_semi_join —
+    # bitmap build + exact confirm) and the corpus side, so the
+    # scan+shingle+md5 pass ran up to 4x per plan before the barrier
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text"), DECON_SHINGLE))
+            ).alias("sh"),
+        )
+        .withColumn("fp", F.md5("sh"))
+        .drop("sh")
+        .localCheckpoint(eager=False)
+    )
     probes = sh.where(F.col("doc_id") % DECON_MOD == 0).select("fp").distinct()
     corpus = sh.where(F.col("doc_id") % DECON_MOD != 0)
     matched = bloom_semi_join(corpus, probes, "fp", n_bits=BLOOM_BITS)

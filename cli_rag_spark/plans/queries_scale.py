@@ -407,11 +407,20 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cli_rag_spark.functions.text import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "doc_id",
-        "source",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), NOVELTY_SHINGLE))).alias("g"),
-    ).withColumn("fp", F.md5("g")).drop("g")
+    # materialize the fingerprint stream ONCE (r15, guide §1.2): it
+    # feeds the document-frequency aggregate AND the join probe side,
+    # and without the checkpoint the scan+tokenize+shingle+md5 pass
+    # runs twice per plan (the source_overlap_matrix discipline)
+    per_doc = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(word_shingles(F.col("text"), NOVELTY_SHINGLE))).alias("g"),
+        )
+        .withColumn("fp", F.md5("g"))
+        .drop("g")
+        .localCheckpoint(eager=False)
+    )
     dfc = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         # big-big join: the df table is ~|distinct shingles| rows and

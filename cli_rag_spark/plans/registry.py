@@ -75,10 +75,15 @@ _PACKS = [
 # the new arithmetic), knn_join_ivfpq and ivfpq_rerank_topk (raw-path
 # values unchanged but the shared operator body was restructured and
 # the round's perf claim hangs on them), knn_join_auto (its dispatched
-# IVFPQ chain now scores through the decomposition, and the
-# IVFPQ-vs-LSH precedence gained the r15 high-dim gate), and
-# ann_default_rules (the shipped rule family the gate constant joins
-# as judged data). ZERO category 3 (no new queries — the registry
+# IVFPQ chain now scores through the decomposition), and
+# ann_default_rules (the shipped rule family, re-judged because the
+# decomposition touched the strategy module it reads). The VERDICT
+# r14 #3 IVFPQ-vs-LSH high-dim dispatch gate is NOT implemented:
+# changing choose_knn_strategy changes ann_default_rules' declared
+# output, which the r15 optimization round freezes, and the 2M×768
+# crossover measurement it needs is deferred with it (booked in
+# OPTIMIZATION_r15.md "Not yet optimized"). ZERO category 3 (no new
+# queries — the registry
 # holds at 197). Then least-recently-verified fill (27 slots, oldest
 # first, alphabetical within a round): the 8 remaining r8-verified
 # queries owed to this head (rolling_user_value, semantic_dedup,
