@@ -97,22 +97,29 @@ def setsim_join(
     text_col: str,
     threshold: float,
     shingle_words: int | None = None,
+    materialize_sets: bool = False,
 ) -> DataFrame:
     """DF[id_a, id_b, inter, jaccard] (id_a < id_b) — ALL pairs with
     exact element-set Jaccard >= threshold. See module docstring for
-    the prefix-filtering plan."""
+    the prefix-filtering plan.
+
+    ``materialize_sets`` localCheckpoints the ordered-set table so
+    its tokenize+shingle+sort derivation runs ONCE instead of three
+    times (it feeds the prefix explode and both verify sides; the
+    captured plans/r15/setsim_pairs_before.txt shows 8 parquet scans,
+    0 ReusedExchange). Default False — the r15 steal-clean A/B at
+    sf0.1 measured the checkpoint SLOWER on wall (5.41-5.78 s vs
+    3.99-4.16) at lower CPU (10.4-11.6 vs 13.1-14.9): the rows carry
+    the full sorted token ARRAYS, so the deserialized-row
+    materialization barrier costs more than the two saved replays at
+    local scale (the lm_perplexity no-cache precedent, BENCH.md 0d).
+    At corpus scale the replays are full scan+tokenize passes and the
+    trade flips — deployments with real data volume pass True."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    # materialize the ordered-set table ONCE (r15, guide §1.2): it
-    # feeds three plan subtrees (the prefix explode and both verify
-    # sides), and the optimizer reuses none of them — the captured
-    # before-plan (plans/r15/setsim_pairs_before.txt) shows 8 parquet
-    # scans and 0 ReusedExchange, i.e. the tokenize+shingle+sort pass
-    # ran three times. Lazy checkpoint: materialized inside the run,
-    # on first touch.
-    sets = ordered_token_sets(df, id_col, text_col, shingle_words).localCheckpoint(
-        eager=False
-    )
+    sets = ordered_token_sets(df, id_col, text_col, shingle_words)
+    if materialize_sets:
+        sets = sets.localCheckpoint(eager=False)
 
     # prefix length |s| - ceil(tau*|s|) + 1 (>= 1 for any non-empty set)
     pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + F.lit(1)
