@@ -371,10 +371,17 @@ def _materialize(df) -> None:
 # never inflated by a one-time build (round-1 verdict, "What's wrong" #4;
 # r6 verdict #4 for the IVF build; r8 verdict #3 for the trade-graph
 # pair artifact, which pagerank_top_nodes builds first on behalf of
-# the five-query graph family — plans/trade_graph.py).
+# the five-query graph family — plans/trade_graph.py; r16 / VERDICT
+# r15 #2 for the two r15 IVFPQ artifacts: knn_join_ivfpq owns the
+# ivfpqraw_v1 build — ivfpq_rerank_topk shares that artifact, the
+# pagerank_top_nodes designated-owner pattern — and
+# knn_join_ivfpq_residual owns ivfpqres_v3, so the one-time
+# codebook+encode+write price of every artifact the headline queries
+# serve from is booked in `builds`, never invisible).
 BUILD_PHASE = {
     "mock_index_topk", "quantized_topk", "ivf_recall_stats",
     "pagerank_top_nodes", "ivf_sqrt_partition_stats",
+    "knn_join_ivfpq", "knn_join_ivfpq_residual",
 }
 
 
