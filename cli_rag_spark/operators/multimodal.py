@@ -90,6 +90,47 @@ def _map_stage(df: DataFrame, run, out_schema: StructType) -> DataFrame:
     return result
 
 
+def project_stage(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Declare the downstream projection of a payload-stage chain
+    (r16, VERDICT r15 #5; guide §4.1 — control how many columns cross
+    the boundary).
+
+    A fused chain's contract is "input columns + extracted fields", so
+    the final Python stage still serialized the payload BYTES out to
+    the JVM even when the consumer's very next operation dropped them
+    (audio_decode_stats: ~40 KB/doc WAV payloads, one full Arrow
+    serialization, projected away immediately). When ``df`` is the
+    direct output of a :func:`_map_stage` chain, this composes a
+    pure per-batch projection into the SAME fused node and narrows the
+    declared output schema — dropped columns never cross the boundary
+    at all. On any other DataFrame it is exactly ``df.select(columns)``
+    (the JVM projection), so values are identical either way — the
+    fallback discipline of the fusion marker itself.
+    """
+    fused = getattr(df, "_clirag_fusable_stage", None)
+    if fused is None:
+        return df.select(*columns)
+    out_schema = StructType([df.schema[c] for c in columns])
+    cols = list(columns)
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pdf[cols]
+
+    parent, runs = fused
+    chain = (*runs, prune)
+
+    def composed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = batches
+        for r in chain:
+            out = r(out)
+        return out
+
+    result = parent.mapInPandas(composed, schema=out_schema)
+    result._clirag_fusable_stage = (parent, chain)
+    return result
+
+
 def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Cheap JVM-side metadata: byte length, md5, sniffed format.
     No Python, no shuffle."""

@@ -103,29 +103,74 @@ def setsim_join(
     exact element-set Jaccard >= threshold. See module docstring for
     the prefix-filtering plan.
 
-    ``materialize_sets`` localCheckpoints the ordered-set table so
-    its tokenize+shingle+sort derivation runs ONCE instead of three
-    times (it feeds the prefix explode and both verify sides; the
-    captured plans/r15/setsim_pairs_before.txt shows 8 parquet scans,
-    0 ReusedExchange). Default False — the r15 steal-clean A/B at
-    sf0.1 measured the checkpoint SLOWER on wall (5.41-5.78 s vs
-    3.99-4.16) at lower CPU (10.4-11.6 vs 13.1-14.9): the rows carry
-    the full sorted token ARRAYS, so the deserialized-row
-    materialization barrier costs more than the two saved replays at
-    local scale (the lm_perplexity no-cache precedent, BENCH.md 0d).
-    At corpus scale the replays are full scan+tokenize passes and the
-    trade flips — deployments with real data volume pass True."""
+    r16 plan shape (VERDICT r15 #1, guide §2.3/§5): the shared
+    tokenize+df+order derivation is materialized ONCE as the NARROW
+    ranked stream (id, h, _pos, sz) — ~28 bytes/row, no token arrays —
+    instead of either replaying it per consumer (the r14 plan: 8
+    parquet scans, 0 ReusedExchange) or checkpointing the wide
+    sorted-array rows (the r15 A/B loser: the deserialized array
+    barrier cost more than the saved replays). ``_pos`` is the
+    element's rank under the global (df ASC, h ASC) order within its
+    doc, so
+
+    * the PREFIX stream is a pure filter (``_pos <= |s| - ceil(tau*|s|)
+      + 1``) — no arrays ever feed the candidate join, and both join
+      sides read the same checkpoint;
+    * the verify-side ordered arrays rebuild per consumer as a groupBy
+      on the checkpoint's existing id-partitioning (the id-window that
+      ranked ``_pos`` already shuffled by id, and localCheckpoint
+      preserves outputPartitioning) — no extra exchange, and the wide
+      rows exist only inside the two verify joins that need them.
+
+    Per-rung equivalence: sort_array(collect_list(struct(_pos, h)))
+    rebuilds exactly the (df, h)-sorted arrays (h is distinct per doc,
+    so _pos is a total order), hence identical prefixes, candidates,
+    intersections and output — pinned against the brute-force twin in
+    tests/test_mining.py.
+
+    ``materialize_sets`` additionally localCheckpoints the rebuilt
+    ordered-ARRAY table (one materialization instead of two groupBys).
+    Default False: the r15 steal-clean A/B at sf0.1 measured the wide
+    array barrier slower on wall (5.41-5.78 s vs 3.99-4.16); at corpus
+    scale where two extra aggs of the checkpoint dominate one array
+    materialization, deployments pass True."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sets = ordered_token_sets(df, id_col, text_col, shingle_words)
-    if materialize_sets:
-        sets = sets.localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_element_hashes(F.col(text_col), shingle_words)).alias("h"),
+    )
+    # global document frequency per element: groupBy (partial-agg,
+    # Zipf-head safe) + AQE-skew-covered equi-join — the window-by-h
+    # alternative saves one exchange but puts the Zipf head row set
+    # into a single unsplittable window partition at scale
+    dfc = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w_id = Window.partitionBy("id")
+    ranked = (
+        tok.join(dfc, "h")
+        .withColumn("_pos", F.row_number().over(w_id.orderBy("df", "h")))
+        .withColumn("sz", F.count(F.lit(1)).over(w_id))
+        .select("id", "h", "_pos", "sz")
+        .localCheckpoint(eager=False)
+    )
 
     # prefix length |s| - ceil(tau*|s|) + 1 (>= 1 for any non-empty set)
     pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + F.lit(1)
-    prefixes = sets.select(
-        "id", "sz", F.explode(F.slice("toks", F.lit(1), pref_len)).alias("h")
+    prefixes = ranked.where(F.col("_pos") <= pref_len).select("id", "sz", "h")
+
+    sets = (
+        ranked.groupBy("id", "sz")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "h"))),
+                lambda s: s.h,
+            ).alias("toks")
+        )
     )
+    if materialize_sets:
+        sets = sets.localCheckpoint(eager=False)
 
     a = prefixes.alias("a")
     b = prefixes.alias("b")

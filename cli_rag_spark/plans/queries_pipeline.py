@@ -27,6 +27,7 @@ from cli_rag_spark.operators.multimodal import (
     decode_images,
     dhash_neardup_pairs,
     image_dhash_plan,
+    project_stage,
     synth_bmp_payloads,
     synth_gradient_bmp_payloads,
     synth_tone_wav_payloads,
@@ -208,6 +209,9 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     with_payload = synth_bmp_payloads(docs)
     decoded = decode_images(with_payload)  # default = real BMP parser
+    # r16 (VERDICT r15 #5): only the decoded fields leave the fused
+    # Python node — the BMP payload bytes never re-cross the boundary
+    decoded = project_stage(decoded, ["mode", "width", "height", "px_mean"])
     return (
         decoded.groupBy("mode")
         .agg(
@@ -231,7 +235,10 @@ def q_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation, or block boundaries splits groups and fails the
     value hash — not a silent pass."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hashed = image_dhash_plan(synth_gradient_bmp_payloads(docs))
+    hashed = project_stage(
+        image_dhash_plan(synth_gradient_bmp_payloads(docs)),
+        ["doc_id", "dhash"],
+    )
     return (
         hashed.groupBy("dhash")
         .agg(
@@ -256,7 +263,9 @@ def q_image_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding bug that drops a candidate pair (wrong band boundary,
     wrong substring arithmetic) fails the row set, not just a value."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hashed = image_dhash_plan(synth_gradient_bmp_payloads(docs))
+    hashed = project_stage(
+        image_dhash_plan(synth_gradient_bmp_payloads(docs)), ["dhash"]
+    )
     groups = hashed.groupBy("dhash").agg(F.count(F.lit(1)).alias("n_images"))
     pairs = dhash_neardup_pairs(groups, radius=NEARDUP_RADIUS, n_bands=NEARDUP_BANDS)
     return (
@@ -287,7 +296,10 @@ def q_audio_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sample byte, window sum, and comparison bit from the
     synthesis closed form in SQL."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    fp = audio_fingerprint_plan(synth_tone_wav_payloads(docs))
+    fp = project_stage(
+        audio_fingerprint_plan(synth_tone_wav_payloads(docs)),
+        ["doc_id", "afp"],
+    )
     return (
         fp.groupBy("afp")
         .agg(
@@ -312,6 +324,9 @@ def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     decoded = decode_audio(synth_wav_payloads(docs))  # default = real WAV parser
+    decoded = project_stage(
+        decoded, ["sample_rate", "channels", "duration_sec"]
+    )
     return (
         decoded.groupBy("sample_rate", "channels")
         .agg(

@@ -66,35 +66,33 @@ _PACKS = [
 # every local test run (tests/test_parity.py); the driver window is
 # the independent external sample on top.
 #
-# Round-15 window: 17 sentinels; SIX category-2 re-entries whose
-# implementation or oracle changed this round (VERDICT r14 #1/#3) —
-# knn_join_ivfpq_residual and ivfpq_residual_topk (the residual ADC
-# estimate is now DECOMPOSED: per-subspace ||(q−c)−r||² = ||q−c||² −
-# 2·q_m·r + (2·c_m·r + r·r), the artifact ships its query-independent
-# terms table, and both the Spark plans and the DuckDB oracles replay
-# the new arithmetic), knn_join_ivfpq and ivfpq_rerank_topk (raw-path
-# values unchanged but the shared operator body was restructured and
-# the round's perf claim hangs on them), knn_join_auto (its dispatched
-# IVFPQ chain now scores through the decomposition), and
-# ann_default_rules (the shipped rule family, re-judged because the
-# decomposition touched the strategy module it reads). The VERDICT
-# r14 #3 IVFPQ-vs-LSH high-dim dispatch gate is NOT implemented:
-# changing choose_knn_strategy changes ann_default_rules' declared
-# output, which the r15 optimization round freezes, and the 2M×768
-# crossover measurement it needs is deferred with it (booked in
-# OPTIMIZATION_r15.md "Not yet optimized"). ZERO category 3 (no new
-# queries — the registry
-# holds at 197). Then least-recently-verified fill (27 slots, oldest
-# first, alphabetical within a round): the 8 remaining r8-verified
-# queries owed to this head (rolling_user_value, semantic_dedup,
-# small_qty_revenue, snapshot_optimize_stats, streaming_interval_join,
-# streaming_quality_router, video_scene_cuts, waiting_suppliers), then
-# the first 19 of the 26 r9-verified queries alphabetically
-# (active_high_value_orders .. source_quality_quantiles). The r16 head
-# is owed the 7 remaining r9-verified queries (span_dedup_stats,
-# table_profile, token_truncation_stats, top_revenue_suppliers,
-# user_running_value, vocab_topk, winsorized_revenue_stats), then the
-# r10 cohort oldest-first.
+# Round-16 window: 17 sentinels; NINE category-2 re-entries whose
+# implementation changed since their last verdict (values unchanged
+# by construction everywhere — every one is a plan-shape change whose
+# equivalence is pinned locally, re-judged because the r16 perf claims
+# hang on them): setsim_pairs (the shared tokenize+df+order derivation
+# now materializes once as the narrow (id, h, _pos, sz) ranked stream;
+# prefix join is array-free — VERDICT r15 #1), tuner_widths (both
+# recall ladders now evaluate in ONE pass: one candidate join + one
+# collect per tuner — VERDICT r15 #3), audio_decode_stats,
+# image_dhash_groups, image_neardup_groups and audio_fingerprint_groups
+# (project_stage folds the downstream projection into the fused Python
+# node so payload bytes never re-cross the Arrow boundary — VERDICT
+# r15 #5; image_decode_stats rides the same change as a sentinel), and
+# knn_join_ivfpq, ivfpq_rerank_topk, knn_join_ivfpq_residual (their
+# persisted-artifact reuse is now content-fingerprint-checked and the
+# builds are booked in bench BUILD_PHASE — VERDICT r15 #2). ZERO
+# category 3 (the registry holds at 197; r16 is an optimization round,
+# no new features). Then least-recently-verified fill (24 slots,
+# oldest first, alphabetical within a round): the 7 remaining
+# r9-verified queries owed to this head (span_dedup_stats ..
+# winsorized_revenue_stats — the latter closing VERDICT r15 #6: its
+# r15 histogram rewrite gets its external re-verification here), then
+# the first 17 of the r10 cohort alphabetically (bloom_decontamination
+# .. partitioned_compaction — bloom_decontamination, collocations_topk
+# and dsir_selection also carry r15 checkpoint changes that were
+# outside the r15 window, so their re-verification lands here). The
+# r17 head is owed the rest of the r10 cohort oldest-first.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -115,26 +113,26 @@ _SENTINELS = [
     "hamming_topk",               # binary vectors (BINARY_VECTOR)
 ]
 _PRIORITY = _SENTINELS + [
-    # (2) changed since last verdict (one representative per changed
-    # family, the r6 batching protocol — details in the rotation
-    # comment above)
-    "knn_join_ivfpq_residual", "ivfpq_residual_topk", "knn_join_ivfpq",
-    "ivfpq_rerank_topk", "knn_join_auto", "ann_default_rules",
+    # (2) changed since last verdict (the r16 plan-shape changes whose
+    # perf claims the round's evidence hangs on — details in the
+    # rotation comment above)
+    "setsim_pairs", "tuner_widths", "audio_decode_stats",
+    "image_dhash_groups", "image_neardup_groups",
+    "audio_fingerprint_groups", "knn_join_ivfpq", "ivfpq_rerank_topk",
+    "knn_join_ivfpq_residual",
     # (3) never driver-checked: none this round (registry holds at 197)
-    # (4) least-recently-verified fill: the 8 remaining r8-verified
-    # queries, then the first 19 of the 26 r9-verified (alphabetical;
-    # the 7 remaining r9 queries head the r16 fill)
-    "rolling_user_value", "semantic_dedup", "small_qty_revenue",
-    "snapshot_optimize_stats", "streaming_interval_join",
-    "streaming_quality_router", "video_scene_cuts", "waiting_suppliers",
-    "active_high_value_orders", "approx_price_quantiles",
-    "brand_size_pivot", "curriculum_buckets",
-    "customer_balance_quartiles", "customer_order_distribution",
-    "customer_set_ops", "decayed_item_popularity", "dedup_near_count",
-    "degree_distribution", "embedding_near_dups",
-    "exact_substring_stats", "idle_suppliers", "ivf_topk",
-    "ivfpq_topk", "knn_join_all", "mad_outlier_stats",
-    "retention_cohorts", "source_quality_quantiles",
+    # (4) least-recently-verified fill: the 7 remaining r9-verified
+    # queries, then the first 17 of the r10 cohort (alphabetical; the
+    # rest of the r10 cohort heads the r17 fill)
+    "span_dedup_stats", "table_profile", "token_truncation_stats",
+    "top_revenue_suppliers", "user_running_value", "vocab_topk",
+    "winsorized_revenue_stats",
+    "bloom_decontamination", "bpe_encode_stats", "bpe_merges",
+    "collocations_topk", "dsir_selection", "embedding_covariance",
+    "fuzzy_name_pairs", "heavy_hitter_terms", "kmeans_clusters",
+    "knn_join_pq", "leakproof_split_counts", "local_supplier_volume",
+    "nation_trade_volume", "order_priority_rollup",
+    "pagerank_top_nodes", "part_supplier_agg", "partitioned_compaction",
 ]
 
 

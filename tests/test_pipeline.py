@@ -893,3 +893,37 @@ class TestStageFusion:
         for k in rows:
             assert rows[k]["features"] == base[k]["features"]
             assert rows[k]["width"] == base[k]["width"]
+
+    def test_project_stage_prunes_payload_inside_fused_node(self, spark):
+        """r16 (VERDICT r15 #5): project_stage folds the downstream
+        projection into the fused Python node — the payload column is
+        absent from the node's OUTPUT schema (it never re-crosses the
+        Arrow boundary), the chain stays one MapInPandas node, and
+        values equal the plain JVM select."""
+        from cli_rag_spark.operators.multimodal import (
+            project_stage,
+            synth_wav_payloads,
+        )
+
+        docs = self._docs(spark)
+        cols = ["doc_id", "sample_rate", "channels", "duration_sec"]
+        pruned = project_stage(decode_audio(synth_wav_payloads(docs)), cols)
+        assert pruned.columns == cols  # payload gone from the contract
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+        assert "payload" not in plan  # never emitted above the node
+        base = decode_audio(synth_wav_payloads(docs)).select(*cols)
+        a = sorted(tuple(r) for r in pruned.collect())
+        b = sorted(tuple(r) for r in base.collect())
+        assert a == b
+        assert len(a) == 12
+
+    def test_project_stage_plain_dataframe_is_select(self, spark):
+        from cli_rag_spark.operators.multimodal import project_stage
+
+        docs = self._docs(spark).withColumn("x", F.col("doc_id") * 2)
+        out = project_stage(docs.select("*"), ["x"])
+        assert out.columns == ["x"]
+        assert sorted(r["x"] for r in out.collect()) == [
+            2 * i for i in range(12)
+        ]
