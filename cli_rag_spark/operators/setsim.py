@@ -104,40 +104,36 @@ def setsim_join(
     the prefix-filtering plan.
 
     r16 plan shape (VERDICT r15 #1, guide §2.3/§5): the shared
-    tokenize+df+order derivation is materialized ONCE as the NARROW
-    ranked stream (id, h, _pos, sz) — ~28 bytes/row, no token arrays —
+    tokenize+shingle+df derivation is materialized ONCE as the NARROW
+    token stream (id, h, df) — ~24 bytes/row, no token arrays —
     instead of either replaying it per consumer (the r14 plan: 8
     parquet scans, 0 ReusedExchange) or checkpointing the wide
     sorted-array rows (the r15 A/B loser: the deserialized array
-    barrier cost more than the saved replays). ``_pos`` is the
-    element's rank under the global (df ASC, h ASC) order within its
-    doc, so
+    barrier cost more than the saved replays). Each of the four
+    consumers (both prefix-join sides, both verify sides) rebuilds
+    what it needs from the checkpoint as ONE hash-agg groupBy — those
+    trees run as parallel stage graphs, so the (measured) wall cost of
+    the barrier is only the short scan→df-agg→join critical path, and
+    the scan+tokenize+join CPU is paid once instead of four times.
+    The steal-clean r16 A/B at sf0.1 reads 3.69 s wall / 13.4 CPU-s
+    vs 4.03 / 16.1 for the replay plan — a both-axes win; the
+    rank-the-stream alternative (checkpoint (id, h, _pos, sz) with
+    window row_number, prefix join as a pure filter) measured 5.4-5.8
+    s in the same window: the per-id window SORT on the critical path
+    costs more wall than the four parallel hash-agg rebuilds it
+    saves. Ordering semantics are unchanged from r14: the arrays are
+    sort_array(collect_list(struct(df, h))) — pinned against the
+    brute-force twin in tests/test_mining.py.
 
-    * the PREFIX stream is a pure filter (``_pos <= |s| - ceil(tau*|s|)
-      + 1``) — no arrays ever feed the candidate join, and both join
-      sides read the same checkpoint;
-    * the verify-side ordered arrays rebuild per consumer as a groupBy
-      on the checkpoint's existing id-partitioning (the id-window that
-      ranked ``_pos`` already shuffled by id, and localCheckpoint
-      preserves outputPartitioning) — no extra exchange, and the wide
-      rows exist only inside the two verify joins that need them.
-
-    Per-rung equivalence: sort_array(collect_list(struct(_pos, h)))
-    rebuilds exactly the (df, h)-sorted arrays (h is distinct per doc,
-    so _pos is a total order), hence identical prefixes, candidates,
-    intersections and output — pinned against the brute-force twin in
-    tests/test_mining.py.
-
-    ``materialize_sets`` additionally localCheckpoints the rebuilt
-    ordered-ARRAY table (one materialization instead of two groupBys).
-    Default False: the r15 steal-clean A/B at sf0.1 measured the wide
-    array barrier slower on wall (5.41-5.78 s vs 3.99-4.16); at corpus
-    scale where two extra aggs of the checkpoint dominate one array
-    materialization, deployments pass True."""
+    ``materialize_sets`` additionally localCheckpoints the ordered-
+    ARRAY table (one materialization instead of four groupBys of the
+    token checkpoint). Default False: the r15 steal-clean A/B at
+    sf0.1 measured the wide array barrier slower on wall (5.41-5.78 s
+    vs 3.99-4.16); at corpus scale where four extra aggs of the
+    checkpoint dominate one array materialization, deployments with
+    real data volume pass True."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from pyspark.sql import Window
-
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(_element_hashes(F.col(text_col), shingle_words)).alias("h"),
@@ -147,30 +143,26 @@ def setsim_join(
     # alternative saves one exchange but puts the Zipf head row set
     # into a single unsplittable window partition at scale
     dfc = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    w_id = Window.partitionBy("id")
-    ranked = (
-        tok.join(dfc, "h")
-        .withColumn("_pos", F.row_number().over(w_id.orderBy("df", "h")))
-        .withColumn("sz", F.count(F.lit(1)).over(w_id))
-        .select("id", "h", "_pos", "sz")
-        .localCheckpoint(eager=False)
-    )
-
-    # prefix length |s| - ceil(tau*|s|) + 1 (>= 1 for any non-empty set)
-    pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + F.lit(1)
-    prefixes = ranked.where(F.col("_pos") <= pref_len).select("id", "sz", "h")
+    tokf = tok.join(dfc, "h").localCheckpoint(eager=False)
 
     sets = (
-        ranked.groupBy("id", "sz")
+        tokf.groupBy("id")
         .agg(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("_pos", "h"))),
+                F.sort_array(F.collect_list(F.struct("df", "h"))),
                 lambda s: s.h,
             ).alias("toks")
         )
+        .withColumn("sz", F.size("toks"))
     )
     if materialize_sets:
         sets = sets.localCheckpoint(eager=False)
+
+    # prefix length |s| - ceil(tau*|s|) + 1 (>= 1 for any non-empty set)
+    pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + F.lit(1)
+    prefixes = sets.select(
+        "id", "sz", F.explode(F.slice("toks", F.lit(1), pref_len)).alias("h")
+    )
 
     a = prefixes.alias("a")
     b = prefixes.alias("b")

@@ -692,14 +692,36 @@ def q_tuner_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_join_gemm(
         qset, emb, k=TUNE_K, dim=LSH_DIM
     ).localCheckpoint(eager=True)
-    w_ivf, r_ivf = tune_n_probe(
-        spark, path, qset, target_recall=TUNE_TARGET, k=TUNE_K,
-        exact=exact,
-    )
-    w_lsh, r_lsh = tune_lsh_bands(
-        qset, emb, LSH_DIM, target_recall=TUNE_TARGET, k=TUNE_K,
-        n_planes=LSH_PLANES, seed=LSH_SEED, exact=exact,
-    )
+    # r16 (guide §2.6 — overlap independent jobs): the two ladder
+    # searches are independent given the shared `exact` frame and each
+    # is ONE candidate join + ONE collect after the single-pass ladder
+    # change, so they run concurrently from a 2-thread pool — the LSH
+    # tuner's jobs back-fill executors the (driver-bound) IVF tuner
+    # leaves idle. Each tuner is a deterministic DataFrame computation
+    # whatever the scheduling, so values are unchanged; job
+    # descriptions are thread-local, and `inheritable_thread_target`
+    # is the documented way to carry them into pool threads.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _ivf():
+        return tune_n_probe(
+            spark, path, qset, target_recall=TUNE_TARGET, k=TUNE_K,
+            exact=exact,
+        )
+
+    def _lsh():
+        return tune_lsh_bands(
+            qset, emb, LSH_DIM, target_recall=TUNE_TARGET, k=TUNE_K,
+            n_planes=LSH_PLANES, seed=LSH_SEED, exact=exact,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ivf = pool.submit(inheritable_thread_target(_ivf))
+        f_lsh = pool.submit(inheritable_thread_target(_lsh))
+        w_ivf, r_ivf = f_ivf.result()
+        w_lsh, r_lsh = f_lsh.result()
     return spark.createDataFrame(
         [
             ("ivf_n_probe", w_ivf, float(r_ivf)),

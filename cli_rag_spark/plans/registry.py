@@ -88,11 +88,15 @@ _PACKS = [
 # r9-verified queries owed to this head (span_dedup_stats ..
 # winsorized_revenue_stats — the latter closing VERDICT r15 #6: its
 # r15 histogram rewrite gets its external re-verification here), then
-# the first 17 of the r10 cohort alphabetically (bloom_decontamination
-# .. partitioned_compaction — bloom_decontamination, collocations_topk
-# and dsir_selection also carry r15 checkpoint changes that were
-# outside the r15 window, so their re-verification lands here). The
-# r17 head is owed the rest of the r10 cohort oldest-first.
+# the first 16 of the r10 cohort alphabetically plus sessionization
+# (the r10 cohort's events-family member — the window contract keeps
+# one representative per operator family, and every fresher events
+# query already has an r11+ verdict, so the stalest one takes the
+# family slot; partitioned_compaction yields it and heads the r17
+# fill with the rest of the r10 cohort). bloom_decontamination,
+# collocations_topk and dsir_selection also carry r15 checkpoint
+# changes that were outside the r15 window, so their re-verification
+# lands here.
 _SENTINELS = [
     "chunk_reference",            # E2 chunking
     "mock_index_topk",            # E3/E4 embed+index pipeline
@@ -122,8 +126,11 @@ _PRIORITY = _SENTINELS + [
     "knn_join_ivfpq_residual",
     # (3) never driver-checked: none this round (registry holds at 197)
     # (4) least-recently-verified fill: the 7 remaining r9-verified
-    # queries, then the first 17 of the r10 cohort (alphabetical; the
-    # rest of the r10 cohort heads the r17 fill)
+    # queries, then 17 of the r10 cohort — alphabetical except
+    # sessionization, which takes the 17th slot as the cohort's
+    # events-family member (window contract: one rep per family);
+    # partitioned_compaction and the rest of the r10 cohort head the
+    # r17 fill
     "span_dedup_stats", "table_profile", "token_truncation_stats",
     "top_revenue_suppliers", "user_running_value", "vocab_topk",
     "winsorized_revenue_stats",
@@ -132,7 +139,7 @@ _PRIORITY = _SENTINELS + [
     "fuzzy_name_pairs", "heavy_hitter_terms", "kmeans_clusters",
     "knn_join_pq", "leakproof_split_counts", "local_supplier_volume",
     "nation_trade_volume", "order_priority_rollup",
-    "pagerank_top_nodes", "part_supplier_agg", "partitioned_compaction",
+    "pagerank_top_nodes", "part_supplier_agg", "sessionization",
 ]
 
 
