@@ -70,9 +70,9 @@ _PACKS = [
 # implementation changed since their last verdict (values unchanged
 # by construction everywhere — every one is a plan-shape change whose
 # equivalence is pinned locally, re-judged because the r16 perf claims
-# hang on them): setsim_pairs (the shared tokenize+df+order derivation
-# now materializes once as the narrow (id, h, _pos, sz) ranked stream;
-# prefix join is array-free — VERDICT r15 #1), tuner_widths (both
+# hang on them): setsim_pairs (the shared tokenize+df derivation now
+# materializes once as the narrow (id, h, df) token stream; consumers
+# rebuild from it in parallel — VERDICT r15 #1), tuner_widths (both
 # recall ladders now evaluate in ONE pass: one candidate join + one
 # collect per tuner — VERDICT r15 #3), audio_decode_stats,
 # image_dhash_groups, image_neardup_groups and audio_fingerprint_groups

@@ -32,20 +32,20 @@ def test_setsim_prefix_filter_equals_brute(spark, sf_smoke_dir):
 
 
 def test_setsim_single_scan_plan(spark, sf_smoke_dir):
-    """r16 (VERDICT r15 #1): the shared tokenize+df+order derivation
-    materializes ONCE as the narrow (id, h, _pos, sz) ranked
+    """r16 (VERDICT r15 #1): the shared tokenize+df derivation
+    materializes ONCE as the narrow (id, h, df) token-stream
     localCheckpoint — every consumer (both prefix join sides, both
-    verify sides) reads that RDD, so the visible plan carries ZERO
-    parquet scans (r14: 8 — the corpus was re-tokenized per consumer)
-    and the one scan+tokenize pass lives inside the checkpoint's own
-    lineage. The checkpoint rows are narrow: no array column below
-    the verify aggregation."""
+    verify sides) derives from that RDD, so the visible plan carries
+    ZERO parquet scans (r14: 8 — the corpus was re-tokenized per
+    consumer) and the one scan+tokenize pass lives inside the
+    checkpoint's own lineage. The checkpoint rows are narrow: no
+    array column is ever materialized."""
     docs = load_table(spark, sf_smoke_dir, "documents")
     out = setsim_join(docs, "doc_id", "text", 0.5, shingle_words=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0, plan
     assert "Scan ExistingRDD" in plan, plan
-    # the narrow checkpoint schema: id, h, _pos, sz — no toks array
+    # the narrow checkpoint schema: id, h, df — no toks array
     import re
 
     rdd_cols = re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan)
