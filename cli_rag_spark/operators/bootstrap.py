@@ -32,6 +32,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cli_rag_spark.session import spread_small_input
+
 # floor(CDF_Poisson(1)(k) * 2^32) for k = 0..3; u >= the last
 # threshold draws the capped multiplicity 4. Recomputed (not
 # hand-typed) so the oracle builder and the Spark plan share one
@@ -81,6 +83,69 @@ def poisson_multiplicity(hex_slice: Column) -> Column:
     )
 
 
+def _slot_sums(
+    df: DataFrame,
+    key: Column,
+    value: Column,
+    n_replicas: int,
+) -> DataFrame:
+    """DF[g, s0..s3, _gv] — one row per digest group g with its four
+    slot-replica totals, plus ``_gv`` = the group's plain sum(v).
+    Every input row contributes exactly one cell to every g, so _gv is
+    the FULL-SAMPLE total (identical, exact decimal, in every group) —
+    the point estimate rides the replica pass for free (r16: the
+    separate point-estimate scan removed, guide §2.4)."""
+    if n_replicas < 2 or n_replicas % UNIFORMS_PER_DIGEST != 0:
+        raise ValueError(
+            f"n_replicas must be a positive multiple of {UNIFORMS_PER_DIGEST}, "
+            f"got {n_replicas}"
+        )
+    v = value.cast("decimal(18,2)")
+    n_groups = n_replicas // UNIFORMS_PER_DIGEST
+    # spread the digest fan-out (r16, guide §2.1): each row does
+    # n_replicas/4 md5s — the operator's dominant CPU — so a
+    # single-split input must not serialize it on one core; safe
+    # because every aggregate below is exact-decimal and order-free
+    src = spread_small_input(df.select(key.alias("k"), v.alias("v")))
+    cells = (
+        src
+        .withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))))
+        .withColumn("d", _digest(F.col("k"), F.col("g")))
+    )
+    return cells.groupBy("g").agg(
+        *[
+            F.sum(
+                F.col("v")
+                * poisson_multiplicity(F.substring(F.col("d"), 1 + 8 * s, 8))
+            )
+            .cast("decimal(18,2)")
+            .alias(f"s{s}")
+            for s in range(UNIFORMS_PER_DIGEST)
+        ],
+        F.sum("v").cast("decimal(18,2)").alias("_gv"),
+    )
+
+
+def _unpivot_slots(slot_sums: DataFrame, keep: list[str]) -> DataFrame:
+    """(g, s0..s3, *keep) -> (b, replica_sum, *keep): the per-replica
+    un-pivot at the very end of the bootstrap plan — explodes the few
+    group rows, never the (row x replica) intermediate."""
+    return slot_sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("g") * UNIFORMS_PER_DIGEST + F.lit(s)).alias("b"),
+                        F.col(f"s{s}").alias("replica_sum"),
+                    )
+                    for s in range(UNIFORMS_PER_DIGEST)
+                ]
+            )
+        ).alias("p"),
+        *keep,
+    ).select("p.b", "p.replica_sum", *keep)
+
+
 def poisson_bootstrap_sums(
     df: DataFrame,
     key: Column,
@@ -101,42 +166,7 @@ def poisson_bootstrap_sums(
     DECIMAL(18,2) before the weighted sum, so each replica total is
     exact and order-free. ``n_replicas`` must be a multiple of 4
     (the digest packing)."""
-    if n_replicas < 2 or n_replicas % UNIFORMS_PER_DIGEST != 0:
-        raise ValueError(
-            f"n_replicas must be a positive multiple of {UNIFORMS_PER_DIGEST}, "
-            f"got {n_replicas}"
-        )
-    v = value.cast("decimal(18,2)")
-    n_groups = n_replicas // UNIFORMS_PER_DIGEST
-    cells = (
-        df.select(key.alias("k"), v.alias("v"))
-        .withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))))
-        .withColumn("d", _digest(F.col("k"), F.col("g")))
-    )
-    slot_sums = cells.groupBy("g").agg(
-        *[
-            F.sum(
-                F.col("v")
-                * poisson_multiplicity(F.substring(F.col("d"), 1 + 8 * s, 8))
-            )
-            .cast("decimal(18,2)")
-            .alias(f"s{s}")
-            for s in range(UNIFORMS_PER_DIGEST)
-        ]
-    )
-    return slot_sums.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        (F.col("g") * UNIFORMS_PER_DIGEST + F.lit(s)).alias("b"),
-                        F.col(f"s{s}").alias("replica_sum"),
-                    )
-                    for s in range(UNIFORMS_PER_DIGEST)
-                ]
-            )
-        ).alias("p")
-    ).select("p.b", "p.replica_sum")
+    return _unpivot_slots(_slot_sums(df, key, value, n_replicas), keep=[])
 
 
 def bootstrap_ci(
@@ -153,29 +183,26 @@ def bootstrap_ci(
     is a sorted collect_list in ONE aggregate — exact decimals, no
     percentile interpolation to disagree across engines. Emitted as
     doubles (the decimal_exact_totals dtype discipline: DuckDB's .df()
-    widens DECIMAL to float64)."""
+    widens DECIMAL to float64).
+
+    ONE scan (r16): the point estimate is every digest group's plain
+    sum(v) — identical exact decimals in every group — so max(_gv) in
+    the bounds aggregate replaces the former second input scan +
+    broadcast crossJoin; on an EMPTY frame max over no rows is NULL,
+    preserving the NULL-row contract."""
     if not 0 < 2 * (trim + 1) <= n_replicas:
         raise ValueError(f"trim {trim} out of range for B={n_replicas}")
-    sums = poisson_bootstrap_sums(df, key, value, n_replicas)
+    sums = _unpivot_slots(_slot_sums(df, key, value, n_replicas), keep=["_gv"])
     # try_element_at: on EMPTY input the replica array is empty and
     # ANSI element_at would throw ARRAY_INDEX_OUT_OF_BOUNDS mid-job;
     # the contract for an empty frame is instead NULL bounds next to
     # a NULL point estimate (ADVICE r6).
-    bounds = sums.agg(
+    return sums.agg(
         F.sort_array(F.collect_list("replica_sum")).alias("s"),
+        F.max("_gv").alias("point_est"),
     ).select(
-        F.try_element_at("s", F.lit(trim + 1)).alias("ci_lo"),
-        F.try_element_at("s", F.lit(-(trim + 1))).alias("ci_hi"),
-    )
-    point = df.select(value.cast("decimal(18,2)").alias("v")).agg(
-        F.sum("v").cast("decimal(18,2)").alias("point_est")
-    )
-    return (
-        point.crossJoin(F.broadcast(bounds))
-        .select(
-            F.lit(n_replicas).cast("long").alias("n_replicas"),
-            F.col("point_est").cast("double").alias("point_est"),
-            F.col("ci_lo").cast("double").alias("ci_lo"),
-            F.col("ci_hi").cast("double").alias("ci_hi"),
-        )
+        F.lit(n_replicas).cast("long").alias("n_replicas"),
+        F.col("point_est").cast("double").alias("point_est"),
+        F.try_element_at("s", F.lit(trim + 1)).cast("double").alias("ci_lo"),
+        F.try_element_at("s", F.lit(-(trim + 1))).cast("double").alias("ci_hi"),
     )

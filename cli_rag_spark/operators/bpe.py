@@ -44,7 +44,16 @@ _SEP_RE = re.escape(_SEP)
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over lowercase alphabetic tokens — the corpus
-    compression every BPE iteration reuses."""
+    compression every BPE iteration reuses.
+
+    spread_small_input was A/B'd here (r16) and NOT shipped: a
+    single-split input gives the (word) partial aggregate PERFECT
+    map-side combine (every word pre-counted once before the
+    exchange); spreading to 32 partitions shuffles up to 32× the
+    distinct-word rows, and the interleaved runs read bpe_encode_stats
+    2.37 s / 5.3 CPU-s unspread vs 2.54 / 13.0 spread (bpe_merges
+    1.82/3.8 vs 1.92/6.7) — the tokenize parallelism never repays the
+    lost combine."""
     toks = tokens(F.lower(F.col(text_col)))
     words = docs.select(F.explode(toks).alias("word")).where(
         F.col("word").rlike(r"^[a-z]+$")

@@ -42,6 +42,7 @@ from cli_rag_spark.functions.hashing import (
     minhash_coeffs,
 )
 from cli_rag_spark.functions.text import fingerprint, tokens, word_shingles
+from cli_rag_spark.session import spread_small_input
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -118,8 +119,13 @@ def minhash_signatures(
     of signature-based dedup at 100 TB."""
     # docs with fewer words than the shingle width yield an empty
     # shingle array → dropped by explode → no signature row (the
-    # oracle's WHERE len(sh) >= 1)
-    exploded = df.select(
+    # oracle's WHERE len(sh) >= 1).
+    # spread_small_input (r16, guide §2.1): the per-shingle md5 is the
+    # deliberate engine-portable cost (module docstring) — don't let a
+    # single-split corpus serialize it on one core; safe — downstream
+    # is min-aggregates only
+    src = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+    exploded = src.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias("_sh"),
     )
@@ -227,8 +233,10 @@ def jaccard_pairs(
     # join (3 consumers in either branch), and the optimizer reuses
     # none of them — before r15 the tokenize+shingle+explode pass ran
     # three times per plan.
+    # spread_small_input (r16, guide §2.1): parallelize the shingle
+    # pass on single-split corpora; safe — downstream is counts only
     sh = (
-        df.select(
+        spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col),
             F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias("shingle"),
         )

@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cli_rag_spark.session import spread_small_input
+
 
 def _grams(s: Column, q: int) -> Column:
     """Distinct overlapping q-grams of ``s`` (strings shorter than q
@@ -191,11 +193,17 @@ def deletion_join(
             f"max_dist={max_dist}: the deletion neighborhood grows as C(len, d); "
             "use fuzzy_join for wide radii"
         )
-    s = df.select(
-        F.col(id_col).alias("id"),
-        F.col(str_col).alias("s"),
-        F.length(str_col).alias("slen"),
-    ).where(F.col(str_col).isNotNull())
+    # spread_small_input (r16, guide §2.1): the deletion-neighborhood
+    # fan-out (len+1 variants × xxhash64 per string, replayed by every
+    # consumer of s) must not serialize on a single-split input; safe —
+    # downstream is equi-joins, distinct and counts
+    s = spread_small_input(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(str_col).alias("s"),
+            F.length(str_col).alias("slen"),
+        ).where(F.col(str_col).isNotNull())
+    )
 
     # variants: d=1 -> [s] + [s without char i for each i];
     # d=2 -> additionally every two-deletion variant

@@ -125,6 +125,18 @@ def setsim_join(
     sort_array(collect_list(struct(df, h))) — pinned against the
     brute-force twin in tests/test_mining.py.
 
+    Verification stays ARRAY-BASED (array_intersect over the two
+    ordered sets): the candidate-driven alternative — join the pair
+    list back to the token checkpoint and count matches, the
+    jaccard_pairs discipline — was BUILT and MEASURED in r16's second
+    pass and REJECTED: at sf0.1/tau 0.5 the prefix filter admits
+    ~310k candidate pairs (256 survivors), so the pair→token fan-out
+    is ~21M join rows vs ~0.26M rows per array rebuild; the
+    steal-clean A/B read 6.16 s wall / 23.2 CPU-s vs 3.69 / 13.4 —
+    worse on both axes. Candidate-driven verify only wins when
+    candidates ≪ N·|set|, which tau 0.5 on shingled text does not
+    deliver.
+
     ``materialize_sets`` additionally localCheckpoints the ordered-
     ARRAY table (one materialization instead of four groupBys of the
     token checkpoint). Default False: the r15 steal-clean A/B at
@@ -134,6 +146,11 @@ def setsim_join(
     real data volume pass True."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # spread_small_input was A/B'd here too (r16) and NOT shipped:
+    # interleaved medians read 4.18 s -> 4.11 s wall for +4 CPU-s —
+    # setsim's wall lives in the post-checkpoint aggregation trees
+    # (already parallel), not the serial tokenize, so the exchange
+    # buys almost nothing and taxes the round's heaviest CPU entry
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(_element_hashes(F.col(text_col), shingle_words)).alias("h"),

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from cli_rag_spark.functions.text import tokens
 from cli_rag_spark.operators.ann import assign_centroids, seed_centroids
-from cli_rag_spark.session import scaled_shuffle_width
+from cli_rag_spark.session import scaled_shuffle_width, spread_small_input
 from cli_rag_spark.sources.artifacts import dir_bytes
 from cli_rag_spark.operators.dedup import (
     embedding_near_pairs,
@@ -100,7 +100,12 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot path in generated code.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    # spread_small_input (r16, guide §2.1): the tokenize + gram-build +
+    # xxhash64 projection below is the query's serial prefix on a
+    # single-split corpus; safe — downstream is count aggregates only
+    toked = spread_small_input(docs.select("doc_id", "text")).select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
 
     def grams(n: int):
         return F.when(
@@ -1166,7 +1171,10 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     each task's slice fits. At sf0.1 the estimate is ~11 MB, the rule
     returns None, and the judged plan is byte-identical to r10's."""
     docs = load_table(spark, sf_dir, "documents")
-    proj = docs.select(
+    # spread_small_input (r16, guide §2.1): the shingle+md5 pass must
+    # not serialize on a single-split corpus; safe — downstream is
+    # distinct + counts only
+    proj = spread_small_input(docs.select("source", "text")).select(
         "source",
         F.explode(
             F.array_distinct(word_shingles(F.col("text"), OVERLAP_SHINGLE))
@@ -1260,8 +1268,11 @@ def q_overlap_matrix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     def fps(d: DataFrame) -> DataFrame:
+        # spread_small_input: see q_source_overlap_matrix — each half
+        # of the corpus pays its own serial shingle+md5 pass otherwise
         return (
-            d.select(
+            spread_small_input(d.select("source", "text"))
+            .select(
                 "source",
                 F.explode(
                     F.array_distinct(word_shingles(F.col("text"), OVERLAP_SHINGLE))

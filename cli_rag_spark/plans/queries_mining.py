@@ -121,6 +121,10 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds the probe set (referenced twice inside bloom_semi_join —
     # bitmap build + exact confirm) and the corpus side, so the
     # scan+shingle+md5 pass ran up to 4x per plan before the barrier
+    # spread_small_input was A/B'd here (r16) and NOT shipped: the
+    # interleaved steal-clean runs read 1.88 s / 3.9 CPU-s unspread vs
+    # 2.06 / 16.8 spread — the bitmap-agg + semi-join downstream costs
+    # more across 32 partitions than the serial shingle pass saves
     sh = (
         docs.select(
             "doc_id",

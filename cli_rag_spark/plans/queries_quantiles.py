@@ -277,6 +277,11 @@ def q_winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
+    # spread_small_input was A/B'd here (r16) and NOT shipped: the
+    # histogram partial aggregate gets perfect map-side combine from a
+    # single-split input; spreading shuffles ~32x the distinct-cent
+    # rows and measured 2.16 s / 4.8 CPU-s unspread vs 2.31 / 10.2
+    # spread — the cheap cast never repays the lost combine
     cents = li.select(
         "l_returnflag",
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)

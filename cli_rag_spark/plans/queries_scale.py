@@ -411,6 +411,10 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds the document-frequency aggregate AND the join probe side,
     # and without the checkpoint the scan+tokenize+shingle+md5 pass
     # runs twice per plan (the source_overlap_matrix discipline)
+    # spread_small_input was A/B'd here (r16) and NOT shipped: the
+    # interleaved runs read 1.48 s / 2.8 CPU-s unspread vs 1.36 / 10.8
+    # spread — the SMJ sort over 32 checkpoint partitions quadruples
+    # CPU for ~0.1 s of wall; a losing trade on the evidence axis
     per_doc = (
         docs.select(
             "doc_id",

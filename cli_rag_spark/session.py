@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
@@ -83,6 +83,31 @@ def scaled_shuffle_width(
     if need <= base:
         return None
     return min(cap, need)
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin a below-parallelism input ahead of CPU-heavy
+    per-row work (r16, guide §2.1): a small table is one parquet
+    split — and the fixtures are single-row-group files, so the scan
+    CANNOT parallelize — which serializes everything up to the first
+    exchange (tokenize/shingle/md5 fan-outs measured 2-3 CPU-s on one
+    core while 31 idle). When the scan's partition count is below the
+    session's parallelism, repartition the (narrow, pre-explode) rows
+    out; otherwise return the frame UNCHANGED — at real scale the
+    splits already exceed the core count, so this is a no-op by
+    construction, not a local tuning constant.
+
+    Callers must be order-insensitive downstream (exact aggregates,
+    sorted collects, min/max, distinct): a round-robin exchange
+    permutes row order. Every call site in this repo states why it
+    qualifies."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -> SparkSession.Builder:

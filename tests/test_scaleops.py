@@ -187,6 +187,21 @@ def test_bootstrap_ci_bounds_ordered(spark):
     assert 1000.0 < r["ci_lo"] and r["ci_hi"] < 4000.0
 
 
+def test_bootstrap_ci_single_scan_plan(spark):
+    """r16: the point estimate rides the replica aggregation (every
+    digest group's plain sum(v) IS the full total), so bootstrap_ci
+    scans its input once — no second scan, no crossJoin."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "k long, v double")
+    plan = (
+        bootstrap_ci(df, F.col("k"), F.col("v"), n_replicas=8, trim=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_bootstrap_ci_empty_input_null_row(spark):
     """Empty frame -> one row of NULLs, not an ANSI
     ARRAY_INDEX_OUT_OF_BOUNDS from element_at on the empty replica

@@ -123,3 +123,22 @@ def test_initial_partitions_knob(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_INITIAL_PARTITIONS", "0")
     with pytest.raises(ValueError, match="must be >= 1"):
         configure(SparkSession.builder)
+
+
+def test_spread_small_input_conditions(spark):
+    """r16 spread_small_input: repartitions a below-parallelism frame
+    to the session's parallelism, leaves an at-parallelism frame
+    UNTOUCHED (the real-scale no-op guarantee), and never reorders
+    values in a way an exact aggregate can see."""
+    from pyspark.sql import functions as F
+
+    from cli_rag_spark.session import spread_small_input
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.createDataFrame([(i,) for i in range(100)], "v long").coalesce(1)
+    spread = spread_small_input(small)
+    assert spread.rdd.getNumPartitions() == par
+    assert spread.agg(F.sum("v")).collect()[0][0] == 4950
+
+    wide = small.repartition(par)
+    assert spread_small_input(wide) is wide  # no-op, not a new plan
